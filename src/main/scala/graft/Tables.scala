@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver testdata (TESTDATA.md): TPC-H-ish parquet tables at
+  * `/root/testdata/sf{0.001,0.01,0.1}/<name>.parquet`.
+  *
+  * Scale posture: plain `spark.read.parquet` keeps the scan declarative so
+  * Catalyst pushes filters/projections into the parquet reader
+  * (`PushedFilters`/`ReadSchema`); at cluster scale the same call fans out to
+  * one task per row-group split with the vectorized reader.
+  */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos bigint
+    * via the legacy conf and expose:
+    *   - `ts_ns` — exact epoch nanos (bigint), used for all comparisons so
+    *     Spark-side semantics match an engine (DuckDB) that keeps full nanos;
+    *   - `ts`   — micros-truncated TimestampType for calendar ops.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Embeddings with the vector cast float->double once, up front, so all
+    * downstream arithmetic is double-precision (bit-compatible with a
+    * double-math oracle; float32 promotion is exact). */
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"), col("label"))
+}

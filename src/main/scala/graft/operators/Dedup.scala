@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Deduplication operators over `documents`: exact (hash-groupBy), word
+  * n-gram Jaccard (inverted-index pair generation), MinHash+LSH
+  * (shingle → signature → band → bucket-join), and SimHash.
+  *
+  * Scale posture: no all-pairs cross joins anywhere. Pair candidates come
+  * from equi-joins on shingles (with a document-frequency cap that bounds
+  * the per-key fan-out, the standard "stop-shingle" cutoff) or on LSH band
+  * buckets, so the shuffle volume is O(total shingles), not O(docs²).
+  * MinHash/SimHash use md5 as the hash family — engine-portable and
+  * deterministic, so an independent SQL oracle reproduces results exactly.
+  */
+object Dedup {
+
+  val ShingleN = 3
+  /** Stop-shingle cutoff: shingles appearing in more docs than this are
+    * dropped from pair generation (bounds join fan-out; at 100 TB this is
+    * what keeps the inverted index join linear). */
+  val MaxDf = 50
+  /** Jaccard report threshold for q22. */
+  val JaccardTau = 0.1
+
+  val NumHashes = 12
+  val Bands = 4 // rows per band = NumHashes / Bands = 3
+
+  /** Distinct word n-gram shingles per document. Narrow (no shuffle until
+    * the distinct). */
+  def shingles(docs: DataFrame, n: Int = ShingleN): DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")).as("s"))
+      .distinct()
+
+  /** DuckDB twin of `shingles` as a CTE body (n = 3). */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                           for i in range(1, len(w) - 1)]) AS s
+      |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+      |    WHERE len(w) >= 3))""".stripMargin
+
+  /** MinHash signatures: NumHashes column-wise mins of md5("<seed>|<shingle>")
+    * in one aggregation (single shuffle, map-side partial min). */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val sigCols = (0 until NumHashes).map(i =>
+      min(md5(concat_ws("|", lit(i.toString), col("s")))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH bands: hash each run of (NumHashes/Bands) signature slots. */
+  def lshBands(sigs: DataFrame): DataFrame = {
+    val rows = NumHashes / Bands
+    val bandCols = (0 until Bands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)).as(s"band$b")
+    }
+    sigs.select(col("doc_id") +: bandCols: _*)
+  }
+
+  /** Candidate pairs: docs sharing any band bucket (equi-join, a<b). */
+  def lshCandidates(banded: DataFrame): DataFrame = {
+    val bx = banded.select(
+        col("doc_id"),
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b).as("bi"), col(s"band$b").as("bh"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.bi").as("bi"), col("e.bh").as("bh"))
+    bx.as("x").join(bx.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given (a, b) candidate pairs over shingle sets. */
+  def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("s").as("sb")), Seq("b"))
+      .filter(col("sa") === col("sb"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
+      .select("a", "b", "inter", "jaccard")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Exact dedup: canonical-content hash groupBy ──
+    QueryDef(
+      "q21_dedup_exact",
+      (s, dir) => {
+        // Canonical form = sorted word multiset, so reordered copies
+        // collapse too. One shuffle on the 16-byte hash.
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            md5(concat_ws(" ", sort_array(split(trim(col("text")), " ")))).as("h"))
+          .groupBy("h")
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+          .orderBy("h")
+      },
+      Some("""SELECT h, min(doc_id) AS keeper, count(*) AS n
+             |FROM (SELECT doc_id,
+             |             md5(array_to_string(list_sort(string_split(trim(text), ' ')), ' ')) AS h
+             |      FROM documents)
+             |GROUP BY h ORDER BY h""".stripMargin)),
+
+    // ── n-gram Jaccard near-dup via inverted-index pair generation ──
+    QueryDef(
+      "q22_ngram_jaccard",
+      (s, dir) => {
+        val sh = shingles(Tables.load(s, dir, "documents"))
+        val informative = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= MaxDf)
+          .select("s")
+        val sh2 = sh.join(informative, Seq("s"))
+        val sizes = sh2.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val pairs = sh2.as("a").join(sh2.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+          .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
+          .filter(col("jaccard") >= JaccardTau)
+          .select("a", "b", "inter", "jaccard")
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $shingleCte,
+              |informative AS (
+              |  SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+              |  WHERE df >= 2 AND df <= $MaxDf),
+              |sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN informative USING (s)),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+              |pairs AS (
+              |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+              |  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT p.a, p.b, p.inter, p.inter / (za.sz + zb.sz - p.inter) AS jaccard
+              |FROM pairs p
+              |JOIN sizes za ON za.doc_id = p.a
+              |JOIN sizes zb ON zb.doc_id = p.b
+              |WHERE p.inter / (za.sz + zb.sz - p.inter) >= $JaccardTau
+              |ORDER BY a, b""".stripMargin)),
+
+    // ── MinHash + LSH: banded signatures → bucket join → verified Jaccard ──
+    QueryDef(
+      "q23_minhash_lsh",
+      (s, dir) => {
+        val sh = shingles(Tables.load(s, dir, "documents"))
+        val cand = lshCandidates(lshBands(minhashSignatures(sh)))
+        verifyJaccard(cand, sh).orderBy("a", "b")
+      },
+      Some {
+        val rows = NumHashes / Bands
+        val sigCols = (0 until NumHashes)
+          .map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+        val bandCols = (0 until Bands).map { b =>
+          val parts = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || '|' || ")
+          s"md5($parts) AS band$b"
+        }.mkString(", ")
+        val bx = (0 until Bands)
+          .map(b => s"SELECT doc_id, $b AS bi, band$b AS bh FROM banded").mkString("\n  UNION ALL ")
+        s"""WITH $shingleCte,
+           |sigs AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+           |banded AS (SELECT doc_id, $bandCols FROM sigs),
+           |bx AS (
+           |  $bx),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.a, c.b, count(*) AS inter
+           |  FROM cand c
+           |  JOIN sh sa ON sa.doc_id = c.a
+           |  JOIN sh sb ON sb.doc_id = c.b AND sa.s = sb.s
+           |  GROUP BY c.a, c.b)
+           |SELECT i.a, i.b, i.inter, i.inter / (za.sz + zb.sz - i.inter) AS jaccard
+           |FROM inter i
+           |JOIN sizes za ON za.doc_id = i.a
+           |JOIN sizes zb ON zb.doc_id = i.b
+           |ORDER BY a, b""".stripMargin
+      }),
+
+    // ── SimHash: 16-bit signed-bit-sum fingerprint, shuffle-free ──
+    QueryDef(
+      "q24_simhash",
+      (s, dir) => {
+        // Per-document fold over the word array (higher-order aggregate —
+        // no explode, no shuffle). Bit j comes from hex digit j/4 of
+        // md5(word); the signed sum over words decides the output bit.
+        val bitSums = (0 until 16).map { j =>
+          val pos = 1 + j / 4
+          val shift = 1 << (3 - j % 4)
+          expr(s"""aggregate(w, 0, (acc, x) -> acc +
+                  |  (CASE WHEN CAST(floor((locate(substr(md5(x), $pos, 1), '0123456789abcdef') - 1) / $shift) AS INT) % 2 = 1
+                  |        THEN 1 ELSE -1 END))""".stripMargin).as(s"bs$j")
+        }
+        val simhash = (0 until 16)
+          .map(j => s"(CASE WHEN bs$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+          .select(col("doc_id") +: bitSums: _*)
+          .select(col("doc_id"), expr(s"CAST($simhash AS BIGINT)").as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val bitSums = (0 until 16).map { j =>
+          val pos = 1 + j / 4
+          val shift = 1 << (3 - j % 4)
+          s"""list_sum([CASE WHEN CAST(floor((strpos('0123456789abcdef', substr(md5(x), $pos, 1)) - 1) / $shift) AS INT) % 2 = 1
+             |          THEN 1 ELSE -1 END for x in w]) AS bs$j""".stripMargin
+        }.mkString(",\n")
+        val simhash = (0 until 16)
+          .map(j => s"(CASE WHEN bs$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"""SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM (
+           |  SELECT doc_id,
+           |$bitSums
+           |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      })
+  )
+}

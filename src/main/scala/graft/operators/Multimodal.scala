@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** A multimodal record: opaque media payload + typed metadata, the column
+  * layout a 100 TB image/audio corpus would use (payload as parquet binary,
+  * metadata queryable without touching bytes). */
+final case class MediaRecord(
+    doc_id: Long, payload: Array[Byte], mime: String, n_bytes: Long)
+
+/** Stub "decoded" features: fixed-width vector + dims. */
+final case class MediaFeatures(
+    doc_id: Long, n_bytes: Long, width: Int, height: Int, features: Array[Float])
+
+/** Multimodal column handling: image/audio/video as opaque `binary` columns
+  * with typed metadata, and a batched decode/feature-extract pass.
+  *
+  * The real decode (JPEG/audio codecs) is STUBBED — the image/audio libs are
+  * not in this container — with a deterministic fake derived from the bytes.
+  * The Spark-side plumbing is real: binary column schema, partition-local
+  * batched iteration (`mapPartitions` + `grouped`, the JVM analog of a
+  * batch-at-a-time pandas UDF), and a typed Dataset output schema. Swapping
+  * `decodeStub` for a real codec changes no plan shape.
+  */
+object Multimodal {
+
+  val BatchSize = 64
+
+  /** Documents → media records (payload = utf8 bytes standing in for a real
+    * media blob). Narrow projection; binary stays columnar in parquet. */
+  def toMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("text/plain").as("mime"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .as[MediaRecord]
+  }
+
+  /** Deterministic fake decode: 8 "feature" floats + fake dims from a
+    * rolling hash of the payload. Replace with a real codec in production. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    var h = 1125899906842597L // fake content hash (FNV-ish) — NOT a codec
+    var i = 0
+    while (i < r.payload.length) { h = 31 * h + (r.payload(i) & 0xff); i += 1 }
+    val feats = Array.tabulate(8)(k => (((h >>> (k * 8)) & 0xff).toFloat - 128f) / 128f)
+    MediaFeatures(r.doc_id, r.n_bytes, ((h & 0x3f) + 1).toInt, (((h >> 6) & 0x3f) + 1).toInt, feats)
+  }
+
+  /** Batched decode pass: partition-local, `BatchSize` records at a time
+    * (the batch boundary is where a vectorized/native decoder would run). */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch => batch.map(decodeStub) }
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // ── Binary-column metadata path (SQL-expressible slice, with oracle) ──
+    QueryDef(
+      "q32_multimodal_meta",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .withColumn("payload", col("text").cast("binary"))
+          .select(
+            col("doc_id"),
+            octet_length(col("payload")).cast("long").as("byte_len"),
+            (col("n_chars") % 64 + 1).cast("long").as("width"),
+            substring(md5(col("text")), 1, 16).as("sig"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+             |       n_chars % 64 + 1 AS width, substr(md5(text), 1, 16) AS sig
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── Batched decode plumbing (mapPartitions; rows-only check) ──
+    QueryDef(
+      "q35_multimodal_decode",
+      (s, dir) => {
+        decodeFeatures(toMedia(s, dir)).toDF()
+          .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+          .orderBy("doc_id")
+      },
+      None)
+  )
+}

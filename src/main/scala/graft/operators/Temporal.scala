@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryDef, Tables}
+
+/** Time-oriented operators over the `events` table: tumbling-window
+  * aggregation, as-of join, and a bucketed range join.
+  *
+  * All time comparisons run on exact epoch-nanos bigints (`ts_ns`, see
+  * Tables.events) so semantics are identical to an engine that keeps full
+  * nanosecond timestamps. Emitted times are epoch-micros bigints.
+  */
+object Temporal {
+
+  /** Scalable backward (inclusive) as-of left join.
+    *
+    * Single-shuffle formulation: union the right rows *under* the left rows,
+    * one window pass per key carries the most recent right-side values
+    * forward, then keep only left rows. No per-row point lookups, no range
+    * join blowup — at 100 TB this is one shuffle on the join key plus a
+    * linear sorted scan per partition (same cost as any sort-merge join).
+    *
+    * Right side must be unique per (key, time); ties at equal time match the
+    * right row (inclusive), mirroring e.g. DuckDB's `ASOF JOIN ... ON l.t >= r.t`.
+    */
+  def asofLeft(
+      left: DataFrame, right: DataFrame,
+      key: String, time: String, valueCols: Seq[String]): DataFrame = {
+    val leftOnly = left.columns.filterNot(c => c == key || c == time).toSeq
+    val l = left.withColumn("__tag", lit(1))
+      .select((Seq(key, time) ++ leftOnly).map(col) ++ valueCols.map(c => lit(null).as(c)) :+ col("__tag"): _*)
+    val r = right.withColumn("__tag", lit(0))
+      .select(Seq(col(key), col(time)) ++ leftOnly.map(c => lit(null).as(c)) ++ valueCols.map(col) :+ col("__tag"): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1).drop("__tag")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Tumbling time-bucket aggregation (streaming's batch twin) ──
+    QueryDef(
+      "q20_time_bucket",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+          .withColumn("hour_us", unix_micros(col("hour_start")))
+          .drop("hour_start")
+          .orderBy("hour_us", "event_type")
+      },
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin)),
+
+    // ── As-of join: each purchase matched to the user's latest prior signup ──
+    QueryDef(
+      "q30_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"), col("ts_ns"))
+          .agg(max(col("event_id")).as("s_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ns"))
+        asofLeft(purchases, signups, "user_id", "ts_ns", Seq("s_id"))
+          .select(col("event_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("s_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH s AS (SELECT user_id, ts, max(event_id) AS s_id FROM events
+             |           WHERE event_type = 'signup' GROUP BY user_id, ts),
+             |     p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+             |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, s.s_id
+             |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // ── Bucketed range join: purchases within 5 min before each error ──
+    QueryDef(
+      "q31_range_count",
+      (s, dir) => {
+        // Scale posture: a raw inequality join is O(n·m) per user; instead
+        // bucket both sides by floor(ts / window) and equi-join on
+        // (user, bucket) with each probe row exploded into the 2 buckets its
+        // window can span, then apply the exact range predicate. Shuffle is
+        // on (user, bucket) — skew-free, linear, AQE-friendly.
+        val W = 300L * 1000000000L // 5 min in nanos
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("e_id"), col("user_id"), col("ts_ns").as("e_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts_ns").as("p_ts"))
+        val eb = errors.withColumn("bucket", expr(s"e_ts div $W"))
+        val pb = purchases.withColumn(
+          "bucket", explode(array(expr(s"p_ts div $W"), expr(s"p_ts div $W + 1"))))
+        val counts = eb.join(pb,
+            eb("user_id") === pb("p_user") && eb("bucket") === pb("bucket") &&
+              pb("p_ts") <= eb("e_ts") && pb("p_ts") >= eb("e_ts") - W)
+          .groupBy(col("e_id")).agg(count(lit(1)).as("n"))
+        errors.join(counts, Seq("e_id"), "left")
+          .select(col("e_id"), coalesce(col("n"), lit(0L)).as("n_purchases"))
+          .orderBy("e_id")
+      },
+      Some("""SELECT e.event_id AS e_id, count(p.event_id) AS n_purchases
+             |FROM (SELECT * FROM events WHERE event_type = 'error') e
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON e.user_id = p.user_id AND p.ts <= e.ts
+             |     AND p.ts >= e.ts - INTERVAL 5 MINUTE
+             |GROUP BY e.event_id ORDER BY e_id""".stripMargin))
+  )
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * language ID (marker-count heuristic), quality scoring, token counting,
+  * and document fingerprinting.
+  *
+  * Everything is a single narrow projection over the scan — no shuffle, no
+  * UDFs (all codegen'd built-ins), so at 100 TB these run at scan speed.
+  * Marker counting uses replace()-based occurrence counts, which both Spark
+  * and any SQL oracle evaluate identically (greedy left-to-right,
+  * non-overlapping).
+  */
+object TextOps {
+
+  /** (lang, markers): langs scored by total marker-word occurrences. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and "),
+    "es" -> Seq(" el ", " la "),
+    "de" -> Seq(" der ", " und "),
+    "fr" -> Seq(" le ", " et "))
+
+  /** Occurrence count of literal `m` in column expression `p` (SQL text,
+    * valid in both Spark SQL and DuckDB). */
+  private def cntSql(p: String, m: String): String =
+    s"(length($p) - length(replace($p, '$m', ''))) / ${m.length}"
+
+  private def scoreSql(p: String, ms: Seq[String]): String =
+    ms.map(cntSql(p, _)).mkString("(", " + ", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Language ID: n-gram/marker heuristic ──
+    QueryDef(
+      "q26_lang_id",
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents")
+          .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
+        val withScores = markers.foldLeft(scored) { case (df, (lang, ms)) =>
+          df.withColumn(s"s_$lang", expr(scoreSql("p", ms)))
+        }
+        withScores
+          .withColumn("predicted", expr(
+            """CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+              |     WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+              |     WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END""".stripMargin))
+          .select("doc_id", "s_en", "s_es", "s_de", "s_fr", "predicted")
+          .orderBy("doc_id")
+      },
+      Some {
+        val p = "p"
+        val scores = markers.map { case (lang, ms) => s"${scoreSql(p, ms)} AS s_$lang" }.mkString(",\n       ")
+        s"""SELECT doc_id, $scores,
+           |       CASE WHEN ${scoreSql(p, markers(0)._2)} >= greatest(${scoreSql(p, markers(1)._2)}, ${scoreSql(p, markers(2)._2)}, ${scoreSql(p, markers(3)._2)}) THEN 'en'
+           |            WHEN ${scoreSql(p, markers(1)._2)} >= greatest(${scoreSql(p, markers(2)._2)}, ${scoreSql(p, markers(3)._2)}) THEN 'es'
+           |            WHEN ${scoreSql(p, markers(2)._2)} >= ${scoreSql(p, markers(3)._2)} THEN 'de' ELSE 'fr' END AS predicted
+           |FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── Quality scoring: length / stopword / word-shape ratios ──
+    QueryDef(
+      "q27_quality_score",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
+          .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
+          .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+          .withColumn("avg_wlen", col("n_alpha") / col("n_words"))
+          .withColumn("stop_ratio",
+            expr(s"(${cntSql("p", " the ")} + ${cntSql("p", " a ")})") / col("n_words"))
+          // e-notation literals: plain `0.3` parses as DECIMAL in both
+          // engines and mixed decimal/double ULP behavior diverges.
+          .withColumn("score", expr(
+            "3.0e-1 * least(n_words / 1.0e2, 1.0e0) + 4.0e-1 * (1.0e0 - stop_ratio) + 3.0e-1 * least(avg_wlen / 8.0e0, 1.0e0)"))
+          .select("doc_id", "n_words", "avg_wlen", "stop_ratio", "score")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_words, n_alpha / n_words AS avg_wlen,
+              |       (${cntSql("p", " the ")} + ${cntSql("p", " a ")}) / n_words AS stop_ratio,
+              |       3.0e-1 * least(n_words / 1.0e2, 1.0e0)
+              |         + 4.0e-1 * (1.0e0 - (${cntSql("p", " the ")} + ${cntSql("p", " a ")}) / n_words)
+              |         + 3.0e-1 * least((n_alpha / n_words) / 8.0e0, 1.0e0) AS score
+              |FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p,
+              |             len(string_split(trim(text), ' '))::BIGINT AS n_words,
+              |             length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS n_alpha
+              |      FROM documents)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ── Token counting: whitespace + BPE-ish regex token classes ──
+    QueryDef(
+      "q28_token_count",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(trim(col("text")), " ")).cast("long").as("ws_tokens"),
+            size(regexp_extract_all(lower(col("text")),
+              lit("([a-z]+|[0-9]+|[^a-z0-9 ])"), lit(1))).cast("long").as("sub_tokens"))
+          .withColumn("ratio", col("sub_tokens") / col("ws_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |       len(string_split(trim(text), ' '))::BIGINT AS ws_tokens,
+             |       len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9 ])', 1))::BIGINT AS sub_tokens,
+             |       len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9 ])', 1))::BIGINT
+             |         / len(string_split(trim(text), ' '))::BIGINT AS ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── Document fingerprinting: normalized-content hash + bucket prefix ──
+    QueryDef(
+      "q29_fingerprint",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fp"))
+          .withColumn("bucket", substring(col("fp"), 1, 4))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+             |       substr(md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')), 1, 4) AS bucket
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
