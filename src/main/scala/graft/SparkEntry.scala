@@ -17,6 +17,11 @@ object SparkEntry {
     Relational.defs ++ Temporal.defs ++ Dedup.defs ++ TextOps.defs ++
       Vectors.defs ++ Multimodal.defs
 
+  // toMap would silently drop a duplicated qNN name (and its correctness
+  // row); fail fast instead.
+  require(all.map(_.name).distinct.size == all.size,
+    s"duplicate query names: ${all.map(_.name).diff(all.map(_.name).distinct).mkString(", ")}")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * EP3 shape: filtered join view (SURVEY.md §3). */
   def entry(spark: SparkSession): DataFrame =

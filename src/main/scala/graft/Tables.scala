@@ -17,14 +17,16 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos bigint
-    * via the legacy conf and expose:
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set once at construction in
+    * Sessions.builder — not mutated here, so reads are order-independent):
     *   - `ts_ns` — exact epoch nanos (bigint), used for all comparisons so
     *     Spark-side semantics match an engine (DuckDB) that keeps full nanos;
     *   - `ts`   — micros-truncated TimestampType for calendar ops.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "build the session via graft.Sessions (needs spark.sql.legacy.parquet.nanosAsLong=true)")
     load(spark, dir, "events")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))

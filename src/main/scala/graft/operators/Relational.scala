@@ -83,7 +83,9 @@ object Relational {
         Tables.load(s, dir, "documents")
           .select(
             col("doc_id"),
-            concat_ws(":", col("lang"), regexp_replace(col("text"), "[\\r\\n\\t]", " ")).as("scrubbed"),
+            // concat() (NULL-propagating) — same null semantics as the
+            // oracle's `||`; concat_ws would silently skip NULL args.
+            concat(col("lang"), lit(":"), regexp_replace(col("text"), "[\\r\\n\\t]", " ")).as("scrubbed"),
             array_join(split(trim(col("text")), " "), " ").as("normtext"))
           .orderBy("doc_id")
       },
@@ -150,13 +152,16 @@ object Relational {
     QueryDef(
       "q08_point_lookup",
       (s, dir) => {
+        // orderBy before limit(1): the key matches ≤1 row in this data, but
+        // the oracle contract shouldn't depend on that.
         Tables.load(s, dir, "part")
           .filter(col("p_partkey") === 42)
           .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+          .orderBy("p_partkey", "p_name")
           .limit(1)
       },
       Some("""SELECT p_partkey, p_name, p_brand, p_retailprice
-             |FROM part WHERE p_partkey = 42 LIMIT 1""".stripMargin)),
+             |FROM part WHERE p_partkey = 42 ORDER BY p_partkey, p_name LIMIT 1""".stripMargin)),
 
     // ── J1/J3: the cvss_vs_cpes view + pushed-down filters (EP3 flagship) ──
     QueryDef("q09_join_view", (s, dir) => joinView(s, dir),

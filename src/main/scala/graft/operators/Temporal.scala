@@ -26,22 +26,31 @@ object Temporal {
     *
     * Right side must be unique per (key, time); ties at equal time match the
     * right row (inclusive), mirroring e.g. DuckDB's `ASOF JOIN ... ON l.t >= r.t`.
+    *
+    * Values are carried as ONE struct per right row, so a right-side value
+    * column that is legitimately NULL is preserved from the matched row
+    * (true ASOF semantics) instead of being skipped for an older row's value.
     */
   def asofLeft(
       left: DataFrame, right: DataFrame,
       key: String, time: String, valueCols: Seq[String]): DataFrame = {
     val leftOnly = left.columns.filterNot(c => c == key || c == time).toSeq
-    val l = left.withColumn("__tag", lit(1))
-      .select((Seq(key, time) ++ leftOnly).map(col) ++ valueCols.map(c => lit(null).as(c)) :+ col("__tag"): _*)
-    val r = right.withColumn("__tag", lit(0))
-      .select(Seq(col(key), col(time)) ++ leftOnly.map(c => lit(null).as(c)) ++ valueCols.map(col) :+ col("__tag"): _*)
+    val carryType = right.select(struct(valueCols.map(col): _*)).schema.head.dataType
+    val l = left.select(
+      (Seq(key, time) ++ leftOnly).map(col)
+        :+ lit(null).cast(carryType).as("__carry") :+ lit(1).as("__tag"): _*)
+    val r = right.select(
+      Seq(col(key), col(time)) ++ leftOnly.map(c => lit(null).as(c))
+        :+ struct(valueCols.map(col): _*).as("__carry") :+ lit(0).as("__tag"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1).drop("__tag")
+    l.unionByName(r)
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(
+        (Seq(key, time) ++ leftOnly).map(col)
+          ++ valueCols.map(c => col(s"__carry.$c").as(c)): _*)
   }
 
   val defs: Seq[QueryDef] = Seq(
