@@ -1,0 +1,164 @@
+package graft.cve
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The warehouse layer: the `cvss_vs_cpes` join view, the CWE catalog
+  * dimension source, catalog DDL (D1-D4), and the reference's CSV sinks
+  * (S7/S10) with byte-exact headers.
+  */
+object Warehouse {
+
+  val Database = "cvedb"
+  /** CVE fact tables, truncated on refresh; `cwe` (dimension) survives
+    * (cve_manager.py:363-384 truncates cpe, cve_problem, cvss only). */
+  val FactTables = Seq("cvss", "cve_problem", "cpe")
+
+  /** View `cvss_vs_cpes` (cve_manager.py:79-90): inner equi-join on cve,
+    * vulnerable rows only, 8 projected columns. Composed lazily — Catalyst
+    * inlines it and pushes query filters below the join (SURVEY.md §4). */
+  def cvssVsCpes(cvss: DataFrame, cpe: DataFrame): DataFrame =
+    cpe.filter(col("vulnerable") === "True")
+      .join(cvss, Seq("cve"))
+      .select(col("cve"), col("base_score_3"), col("base_severity_3"),
+        col("base_score"), col("severity"), col("cpe23uri"),
+        col("description"), col("published_date"))
+
+  /** CWE catalog source (S8, cve_manager.py:591-599): comma-CSV with header,
+    * projected BY POSITION — cols 0,1,4,5,11,14,16 — exactly like the
+    * reference's csv.reader row indexing, so any MITRE-export header naming
+    * works. multiLine + RFC4180 quote-escape handle embedded commas/newlines
+    * (the Changelog's CWE-processing bug). */
+  def cweCatalog(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path)
+    val c = raw.columns
+    raw.select(
+      col(c(0)).cast("int").as("cwe_id"),
+      col(c(1)).as("name"),
+      col(c(4)).as("description"),
+      col(c(5)).as("extended_description"),
+      col(c(11)).as("modes_of_introduction"),
+      col(c(14)).as("common_consequences"),
+      col(c(16)).as("potential_mitigations"))
+  }
+
+  // ── Catalog ops (D1-D4, cve_manager.py:95-168,363-384) ──
+
+  def createDatabase(spark: SparkSession, db: String = Database): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+
+  def dropDatabase(spark: SparkSession, db: String = Database): Unit =
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+
+  /** D3 + S9: land the three fact frames (and optionally the cwe dimension)
+    * as managed tables, then register the join view. Overwrite = the
+    * truncate-and-reload refresh semantics (D4): the reference's only
+    * incremental-update story is full reload (README.md:28-29). */
+  def saveFacts(
+      spark: SparkSession, db: String,
+      cvss: DataFrame, problems: DataFrame, cpes: DataFrame): Unit = {
+    createDatabase(spark, db)
+    cvss.write.mode(SaveMode.Overwrite).saveAsTable(s"$db.cvss")
+    problems.write.mode(SaveMode.Overwrite).saveAsTable(s"$db.cve_problem")
+    cpes.write.mode(SaveMode.Overwrite).saveAsTable(s"$db.cpe")
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $db.cvss_vs_cpes AS
+         |SELECT cvss.cve, cvss.base_score_3, cvss.base_severity_3,
+         |       cvss.base_score, cvss.severity, cpe.cpe23uri,
+         |       cvss.description, cvss.published_date
+         |FROM $db.cpe cpe JOIN $db.cvss cvss ON cpe.cve = cvss.cve
+         |WHERE cpe.vulnerable = 'True'""".stripMargin)
+  }
+
+  def saveCwe(spark: SparkSession, db: String, cwe: DataFrame): Unit = {
+    createDatabase(spark, db)
+    cwe.write.mode(SaveMode.Overwrite).saveAsTable(s"$db.cwe")
+  }
+
+  /** D4: truncate the CVE fact tables (not the cwe dimension). */
+  def truncateFacts(spark: SparkSession, db: String = Database): Unit =
+    FactTables.foreach { t =>
+      if (spark.catalog.tableExists(s"$db.$t")) spark.sql(s"TRUNCATE TABLE $db.$t")
+    }
+
+  // ── CSV sinks ──
+
+  /** Exact reference header rows (cve_manager.py:227-229) — duplicate names
+    * verbatim, including the inconsistent capitalisation. */
+  val CvssHeader: Seq[String] = Seq(
+    "CVE", "Attack Complexity", "Attack Vector", "Availability Impact",
+    "Confidentiality Impact", "Integrity Impact", "Privileges Required",
+    "Scope", "UserInteraction", "Vector String", "Exploitability Score",
+    "Impact Score", "base Score", "base Severity", "Access Complexity",
+    "Access Vector", "Authentication", "Availability Impact",
+    "Confidentiality Impact", "Integrity Impact", "Obtain All Privilege",
+    "Obtain Other Privilege", "Obtain User Privilege",
+    "User Interaction Required", "Vector String", "Exploitability Score",
+    "impact Score", "baseScore", "severity", "Description", "Published Date",
+    "Last Modified Date")
+  val ProblemsHeader: Seq[String] = Seq("CVE", "Problem")
+  val CpesHeader: Seq[String] = Seq("CVE", "cpe23Uri", "Vulnerable")
+
+  /** Python-str rendering for the tab-CSVs: booleans 'True'/'False'
+    * (capitalized, like the reference's str(bool), cve_manager.py:258),
+    * doubles via cast (Java Double.toString == Python str for NVD's ≤1dp
+    * scores: "7.5", "10.0"), nulls as empty string (`null=""` on COPY
+    * import, cve_manager.py:344). */
+  private def pyStr(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType.typeName match {
+        case "boolean" =>
+          when(col(f.name), "True").when(!col(f.name), "False").as(f.name)
+        case _ => col(f.name).cast("string").as(f.name)
+      }
+    }.toSeq: _*)
+
+  private def writeTabCsv(df: DataFrame, header: Seq[String], out: String): Unit = {
+    require(df.columns.length == header.length,
+      s"header arity ${header.length} != ${df.columns.length}")
+    pyStr(df).toDF(header: _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("sep", "\t").option("header", "true")
+      .option("emptyValue", "").option("nullValue", "")
+      .csv(out)
+  }
+
+  /** S7: the three tab-CSV warehouse files with exact reference headers.
+    * Each lands as a directory of part files (distributed write — the
+    * scale-correct default); `singleFile` coalesces for byte-golden tests. */
+  def writeWarehouseCsvs(
+      cvss: DataFrame, problems: DataFrame, cpes: DataFrame,
+      outDir: String, singleFile: Boolean = false): Unit = {
+    def prep(df: DataFrame) = if (singleFile) df.coalesce(1) else df
+    writeTabCsv(prep(cvss), CvssHeader, s"$outDir/cve_cvss_scores.csv")
+    writeTabCsv(prep(problems), ProblemsHeader, s"$outDir/cve_related_problems.csv")
+    writeTabCsv(prep(cpes), CpesHeader, s"$outDir/cve_cpes.csv")
+  }
+
+  /** S10: comma-CSV export of score/date query results, derived filename
+    * `CVEs_score<sc>_<dt>.csv` (cve_manager.py:467-471). */
+  def exportScoreDateCsv(
+      rows: DataFrame, outDir: String, score: String, date: Option[String]): String = {
+    val path = s"$outDir/CVEs_score${score}_${date.getOrElse("False")}.csv"
+    rows.coalesce(1).toDF(
+        "CVE", "CVSSv3 Score", "CVSSv3 Vector String", "CVSSv2 Score",
+        "CVSSv2 Vector String", "Published Date")
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    path
+  }
+
+  /** S10: comma-CSV export of CPE query results, derived filename
+    * `<cpe>_<sc>_<dt>.csv` (cve_manager.py:525-529). */
+  def exportCpeCsv(
+      rows: DataFrame, outDir: String, cpe: String, score: String,
+      date: Option[String]): String = {
+    val path = s"$outDir/${cpe}_${score}_${date.getOrElse("False")}.csv"
+    rows.coalesce(1).toDF(
+        "CPE", "CVE", "CVSSv3 Score", "CVSSv2 Score", "Published Date")
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    path
+  }
+}
