@@ -23,4 +23,10 @@ object Sessions {
       .config("spark.ui.enabled", "false")
 
   def local(cpus: Int): SparkSession = builder(s"local[$cpus]", cpus).getOrCreate()
+
+  /** CLI sessions persist the catalog across JVM invocations via the Hive
+    * metastore (Derby under the working dir) — the in-memory catalog keeps
+    * table data files but loses the metadata at JVM exit. */
+  def localWithCatalog(cpus: Int): SparkSession =
+    builder(s"local[$cpus]", cpus).enableHiveSupport().getOrCreate()
 }

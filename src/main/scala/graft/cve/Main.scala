@@ -1,0 +1,160 @@
+package graft.cve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Sessions
+
+/** D5: the CLI dispatcher (cve_manager.py:612-681) — same flag names, same
+  * combinability and precedence:
+  * dd → cd → ct → download → tr → process → icwe, then the query modes are
+  * mutually exclusive: `-cpe` elif `-cwe` elif (`-cve` or `-sc` > 0).
+  *
+  * Connection-flag quirk (D5a): the reference splits `-server` (DDL/ingest)
+  * from a vestigial `-host` (queries); we take a single `-db` database name
+  * and document the quirk here rather than replicate it.
+  */
+object Main {
+
+  final case class Opts(
+      process: Boolean = false, download: Boolean = false,
+      year: Option[String] = None, csv: Boolean = false,
+      icwe: Option[String] = None, idb: Boolean = false,
+      input: String = "nvd/", results: String = "results/",
+      database: String = "cvedb",
+      cd: Boolean = false, dd: Boolean = false, ct: Boolean = false,
+      tr: Boolean = false,
+      cve: Option[String] = None, cpe: Option[String] = None,
+      cwe: Option[String] = None, score: Double = 0.0,
+      date: Option[String] = None)
+
+  def parse(args: Seq[String]): Opts = {
+    def loop(rest: List[String], o: Opts): Opts = rest match {
+      case Nil => o
+      case ("-p" | "--parse") :: t => loop(t, o.copy(process = true))
+      case ("-d" | "--download") :: t => loop(t, o.copy(download = true))
+      case ("-y" | "--year") :: v :: t => loop(t, o.copy(year = Some(v)))
+      case ("-csv" | "--csv_files") :: t => loop(t, o.copy(csv = true))
+      case ("-icwe" | "--import_cwe") :: v :: t => loop(t, o.copy(icwe = Some(v)))
+      case ("-idb" | "--import_to_db") :: t => loop(t, o.copy(idb = true))
+      case ("-i" | "--input") :: v :: t => loop(t, o.copy(input = v))
+      case ("-o" | "--output") :: v :: t => loop(t, o.copy(results = v))
+      case ("-db" | "--database") :: v :: t => loop(t, o.copy(database = v))
+      case ("-cd" | "--create_database") :: t => loop(t, o.copy(cd = true))
+      case ("-dd" | "--drop_database") :: t => loop(t, o.copy(dd = true))
+      case ("-ct" | "--create_tables") :: t => loop(t, o.copy(ct = true))
+      case ("-tr" | "--truncate_cves_tables") :: t => loop(t, o.copy(tr = true))
+      case ("-cve" | "--cve_number") :: v :: t => loop(t, o.copy(cve = Some(v)))
+      case ("-cpe" | "--cpe") :: v :: t => loop(t, o.copy(cpe = Some(v)))
+      case ("-cwe" | "--cwe") :: v :: t => loop(t, o.copy(cwe = Some(v)))
+      case ("-sc" | "--score") :: v :: t => loop(t, o.copy(score = v.toDouble))
+      case ("-dt" | "--date") :: v :: t => loop(t, o.copy(date = Some(v)))
+      // Unknown flags and ignored reference flags (-u/-ow/-host/-server):
+      // swallow one value if the next token isn't a flag.
+      case f :: v :: t if f.startsWith("-") && !v.startsWith("-") => loop(t, o)
+      case _ :: t => loop(t, o)
+    }
+    loop(args.toList, Opts())
+  }
+
+  /** Full dispatch with the reference's ordering; factored out of main() so
+    * tests can drive it with an existing session and captured stdout. */
+  def run(spark: SparkSession, o: Opts, out: String => Unit = println): Unit = {
+    val db = o.database
+    if (o.dd) { out("Dropping the database"); Warehouse.dropDatabase(spark, db) }
+    if (o.cd) { out("Creating the database"); Warehouse.createDatabase(spark, db) }
+    if (o.ct) {
+      out("Creating the necessary schema of the database")
+      createEmptyTables(spark, db)
+    }
+    if (o.download) {
+      out("Downloading NIST NVD")
+      Ingest.downloadFeeds(o.input, o.year) match {
+        case Right(names) => names.foreach(out)
+        case Left(err) => out(err)
+      }
+    }
+    if (o.tr) { out("Truncating NIST NVD imported data"); Warehouse.truncateFacts(spark, db) }
+    if (o.process) {
+      out("Processing downloaded data")
+      val feed = Ingest.readFeedDir(spark, o.input)
+      Flatten.feedMetadata(feed).collect().foreach { r =>
+        out(s"CVE_data_timestamp: ${r.get(0)}")
+        out(s"CVE_data_version: ${r.get(1)}")
+        out(s"CVE_data_format: ${r.get(2)}")
+        out(s"CVE_data_number of CVEs: ${r.get(3)}")
+        out(s"CVE_data_type: ${r.get(4)}")
+      }
+      val (cvss, problems, cpes) =
+        (Flatten.cvss(feed), Flatten.problems(feed), Flatten.cpes(feed))
+      if (o.csv) Warehouse.writeWarehouseCsvs(cvss, problems, cpes, o.results)
+      if (o.idb) Warehouse.saveFacts(spark, db, cvss, problems, cpes)
+    }
+    o.icwe.foreach { path =>
+      out("Importing CWE data")
+      Warehouse.saveCwe(spark, db, Warehouse.cweCatalog(spark, path))
+    }
+    // Query modes: -cpe elif -cwe elif (-cve or -sc > 0) — cve_manager.py:668-679.
+    if (o.cpe.isDefined) {
+      out("CPE queries")
+      val rows = Queries.byCpe(spark.table(s"$db.cvss_vs_cpes"),
+          o.cpe.get, o.score, o.date)
+        .orderBy("cpe23uri", "cve")
+      Report.cpeListing(rows, o.date.isDefined, out)
+      if (o.csv)
+        out("wrote " + Warehouse.exportCpeCsv(
+          rows, o.results, o.cpe.get, fmtScore(o.score), o.date))
+    } else if (o.cwe.isDefined) {
+      out("CWE queries")
+      Report.cweReport(
+        Queries.byCwe(spark.table(s"$db.cwe"), o.cwe.get.toInt)
+          .orderBy("cwe_id").limit(1).collect().headOption,
+        o.cwe.get, out)
+    } else if (o.cve.isDefined || o.score > 0.0) {
+      out("CVE queries")
+      o.cve match {
+        case Some(c) =>
+          val cvss = spark.table(s"$db.cvss")
+          Report.cveReport(
+            Queries.byCve(cvss, c).orderBy("cve").limit(1).collect().headOption,
+            Queries.cweLookup(
+              Queries.problemsFor(spark.table(s"$db.cve_problem"), c),
+              spark.table(s"$db.cwe")).orderBy("problem"),
+            Queries.cpesFor(spark.table(s"$db.cpe"), c).orderBy("cpe23uri"),
+            out)
+        case None =>
+          val rows = Queries.byScoreDate(spark.table(s"$db.cvss"), o.score, o.date)
+            .orderBy("cve")
+          Report.scoreDateListing(rows, o.date.isDefined, out)
+          if (o.csv)
+            out("wrote " + Warehouse.exportScoreDateCsv(
+              rows, o.results, fmtScore(o.score), o.date))
+      }
+    } else if (!o.download && !o.process && !o.cd && !o.ct && !o.dd && !o.tr
+        && o.icwe.isEmpty) {
+      out("Choose an option (check --help)")
+    }
+  }
+
+  /** Derived-filename score segment: the reference interpolates the raw
+    * string arg; we normalise integral doubles back to their short form. */
+  private def fmtScore(sc: Double): String =
+    if (sc == sc.floor) sc.toInt.toString else sc.toString
+
+  /** D3: the 4 warehouse tables + join view, empty (cve_manager.py:147-168). */
+  def createEmptyTables(spark: SparkSession, db: String): Unit = {
+    Warehouse.createDatabase(spark, db)
+    def empty(schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    Warehouse.saveFacts(spark, db,
+      empty(NvdSchema.cvssTable), empty(NvdSchema.cveProblemTable),
+      empty(NvdSchema.cpeTable))
+    Warehouse.saveCwe(spark, db, empty(NvdSchema.cweTable))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.localWithCatalog(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, parse(args.toSeq)) finally spark.stop()
+  }
+}

@@ -71,6 +71,38 @@ object NvdSchema {
     s("CVE_data_numberOfCVEs"), s("CVE_data_timestamp"),
     StructField("CVE_Items", ArrayType(item))))
 
+  /** Warehouse table schemas (DDL cve_manager.py:22-77), trimmed-string
+    * policy per SURVEY.md §7.4(1): character(N) → StringType. */
+  val cvssTable: StructType = StructType(
+    Seq(s("cve")) ++
+      Seq("attack_complexity_3", "attack_vector_3", "availability_impact_3",
+        "confidentiality_impact_3", "integrity_impact_3",
+        "privileges_required_3", "scope_3", "user_interaction_3",
+        "vector_string_3").map(s) ++
+      Seq("exploitability_score_3", "impact_score_3", "base_score_3").map(d) ++
+      Seq(s("base_severity_3")) ++
+      Seq("access_complexity", "access_vector", "authentication",
+        "availability_impact", "confidentiality_impact",
+        "integrity_impact").map(s) ++
+      Seq("obtain_all_privileges", "obtain_other_privileges",
+        "obtain_user_privileges", "user_interaction_required").map(b) ++
+      Seq(s("vector_string")) ++
+      Seq("exploitability_score", "impact_score", "base_score").map(d) ++
+      Seq(s("severity"), s("description"),
+        StructField("published_date", DateType),
+        StructField("last_modified_date", DateType)))
+
+  val cpeTable: StructType =
+    StructType(Seq(s("cve"), s("cpe23uri"), s("vulnerable")))
+
+  val cveProblemTable: StructType =
+    StructType(Seq(s("cve"), s("problem")))
+
+  val cweTable: StructType = StructType(Seq(
+    StructField("cwe_id", IntegerType), s("name"), s("description"),
+    s("extended_description"), s("modes_of_introduction"),
+    s("common_consequences"), s("potential_mitigations")))
+
   /** Warehouse `cvss` column names in DDL order (cve_manager.py:23-56). */
   val cvssCols: Seq[String] = Seq(
     "cve",
