@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.cve.{Flatten, Queries, Warehouse}
+import graft.operators.{CveOps, Temporal}
+
+/** Property tests (SURVEY.md §5.4): explode totals, filter monotonicity,
+  * view containment, and as-of join equivalence vs an in-memory reference
+  * implementation. Small minSuccessfulTests — each case is a Spark job. */
+object EngineProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5).withMaxDiscardRatio(10)
+
+  private lazy val spark = SharedSpark.spark
+  private lazy val cvss = {
+    val df = Flatten.cvss(Flatten.readFeed(spark, CveOps.FixtureFeed)).cache()
+    df.count(); df
+  }
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val doc = Gen.listOf(word)
+
+  property("explode row count equals the sum of per-doc word counts") =
+    Prop.forAll(Gen.listOfN(6, doc)) { docs =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val exploded = df
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      exploded.count() == docs.map(_.size).sum
+    }
+
+  property("byScoreDate is monotone: higher threshold yields a subset") =
+    Prop.forAll(Gen.chooseNum(0.0, 10.0), Gen.chooseNum(0.0, 10.0)) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val loIds = Queries.byScoreDate(cvss, lo, None).collect().map(_.getString(0)).toSet
+      val hiIds = Queries.byScoreDate(cvss, hi, None).collect().map(_.getString(0)).toSet
+      hiIds.subsetOf(loIds)
+    }
+
+  property("cvssVsCpes rows are exactly the vulnerable cpe rows with a cvss match") =
+    Prop.forAll(Gen.oneOf("acme", "globex", "initech", "widget", "zzz")) { needle =>
+      val feed = Flatten.readFeed(spark, CveOps.FixtureFeed)
+      val cpes = Flatten.cpes(feed)
+      val view = Warehouse.cvssVsCpes(cvss, cpes)
+      val viewPairs = view.filter(col("cpe23uri").contains(needle))
+        .select("cve", "cpe23uri").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val cpePairs = cpes.filter(col("vulnerable") === "True" && col("cpe23uri").contains(needle))
+        .select("cve", "cpe23uri").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      viewPairs == cpePairs // every cve in cpes has a cvss row in this fixture
+    }
+
+  // Right side: distinct times, values may be null (None) — the carry must
+  // preserve a matched row's NULL instead of reaching back further.
+  private val rightGen = Gen.listOf(Gen.zip(
+    Gen.chooseNum(0L, 50L), Gen.option(Gen.chooseNum(1, 9))))
+    .map(_.distinctBy(_._1))
+  private val leftGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 60L))
+
+  property("asofLeft matches the in-memory backward-inclusive reference") =
+    Prop.forAll(leftGen, rightGen) { (lefts, rights) =>
+      import spark.implicits._
+      val l = lefts.zipWithIndex.map { case (t, i) => (1, t, i.toLong) }
+        .toDF("k", "t", "event_id")
+      val r = rights.map { case (t, v) => (1, t, v.map(Integer.valueOf).orNull) }
+        .toDF("k", "t", "v")
+      val got = Temporal.asofLeft(l, r, "k", "t", Seq("v"))
+        .collect().map(row => (row.getLong(2), Option(row.get(3)))).toMap
+      val want = lefts.zipWithIndex.map { case (t, i) =>
+        val m = rights.filter(_._1 <= t)
+        i.toLong -> (if (m.isEmpty) None
+                     else m.maxBy(_._1)._2.map(x => x: Any))
+      }.toMap
+      got == want
+    }
+}

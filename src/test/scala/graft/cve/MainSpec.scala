@@ -1,0 +1,84 @@
+package graft.cve
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.operators.CveOps
+
+/** CLI dispatcher specs (D5): flag parsing, the reference's mode precedence
+  * (`-cpe` elif `-cwe` elif `-cve`/`-sc`, cve_manager.py:668-679), and an
+  * end-to-end ingest→query→export run. */
+class MainSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  private def runCli(args: String*): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    Main.run(spark, Main.parse(args), buf += _)
+    buf.toSeq
+  }
+
+  test("parse: reference flag names, defaults, and value flags") {
+    val o = Main.parse(Seq("-p", "-csv", "-i", "in/", "-o", "out/", "-sc", "9.5",
+      "-dt", "2020-01-01", "-db", "mydb", "-y", "2019"))
+    assert(o.process && o.csv && !o.idb)
+    assert(o.input === "in/" && o.results === "out/" && o.database === "mydb")
+    assert(o.score === 9.5 && o.date === Some("2020-01-01") && o.year === Some("2019"))
+    assert(Main.parse(Nil) === Main.Opts())
+  }
+
+  test("parse: unknown/vestigial flags are swallowed with their value") {
+    val o = Main.parse(Seq("-u", "postgres", "-server", "localhost", "-cve", "2024"))
+    assert(o.cve === Some("2024"))
+  }
+
+  test("no actionable flags -> usage hint") {
+    assert(runCli().exists(_.contains("Choose an option")))
+  }
+
+  test("end-to-end: ingest fixture -> warehouse -> every query mode -> export") {
+    val db = "graft_cli_db"
+    val results = Files.createTempDirectory("cliout").toString + "/"
+    val in = Files.createTempDirectory("cliin").toString
+    Files.copy(new java.io.File(CveOps.FixtureFeed).toPath,
+      new java.io.File(s"$in/nvdcve-1.1-2024.json").toPath)
+    try {
+      val ingest = runCli("-p", "-csv", "-idb", "-i", in, "-o", results,
+        "-db", db, "-icwe", CveOps.FixtureCwe)
+      assert(ingest.exists(_.startsWith("CVE_data_number of CVEs: 8")))
+      assert(new java.io.File(s"$results/cve_cvss_scores.csv").isDirectory)
+
+      val point = runCli("-db", db, "-cve", "2024-0001")
+      assert(point.exists(_.contains("CVE-2024-0001")))
+      assert(point.exists(_.contains("Out-of-bounds Write"))) // resolved CWE name
+
+      val listing = runCli("-db", db, "-sc", "8.5")
+      assert(listing.count(_.startsWith("CVE-")) === 3)
+
+      val cpeOut = runCli("-db", db, "-cpe", "globex", "-sc", "4", "-csv", "-o", results)
+      assert(cpeOut.exists(_.contains("CVE-2023-0002")))
+      assert(new java.io.File(s"$results/globex_4_False.csv").isDirectory)
+
+      val cweOut = runCli("-db", db, "-cwe", "119")
+      assert(cweOut.exists(_.contains("Improper Restriction of Operations")))
+    } finally Warehouse.dropDatabase(spark, db)
+  }
+
+  test("precedence: -cpe wins over -cwe and -cve; -cwe wins over -cve") {
+    val db = "graft_cli_db2"
+    val in = Files.createTempDirectory("cliin2").toString
+    Files.copy(new java.io.File(CveOps.FixtureFeed).toPath,
+      new java.io.File(s"$in/nvdcve-1.1-2024.json").toPath)
+    try {
+      runCli("-p", "-idb", "-i", in, "-db", db, "-icwe", CveOps.FixtureCwe)
+      val o1 = runCli("-db", db, "-cpe", "acme", "-cwe", "119", "-cve", "2024", "-sc", "7")
+      assert(o1.exists(_ === "CPE queries") && !o1.contains("CWE queries"))
+      val o2 = runCli("-db", db, "-cwe", "119", "-cve", "2024")
+      assert(o2.exists(_ === "CWE queries") && !o2.contains("CVE queries"))
+      // -sc > 0 alone triggers the CVE listing path (cve_manager.py:676)
+      val o3 = runCli("-db", db, "-sc", "8.5")
+      assert(o3.exists(_ === "CVE queries"))
+    } finally Warehouse.dropDatabase(spark, db)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.cve
+
+import java.io.File
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.operators.CveOps
+
+/** CSV source/sink and catalog specs: byte-exact reference headers
+  * (cve_manager.py:227-229), positional CWE projection (591-599), derived
+  * export filenames (467,525), and the D1-D4 catalog lifecycle. */
+class WarehouseSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private lazy val feed = Flatten.readFeed(spark, CveOps.FixtureFeed)
+
+  private def firstLine(dir: String): String = {
+    val part = new File(dir).listFiles()
+      .find(f => f.getName.startsWith("part") && f.getName.endsWith(".csv")).get
+    val src = scala.io.Source.fromFile(part, "UTF-8")
+    try src.getLines().next() finally src.close()
+  }
+
+  private def dataLines(dir: String): Seq[String] = {
+    val parts = new File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part") && f.getName.endsWith(".csv"))
+    parts.flatMap { p =>
+      val src = scala.io.Source.fromFile(p, "UTF-8")
+      try src.getLines().drop(1).toList finally src.close()
+    }.toSeq
+  }
+
+  test("cweCatalog: positional projection 0,1,4,5,11,14,16 with typed key") {
+    val cwe = Warehouse.cweCatalog(spark, CveOps.FixtureCwe)
+    assert(cwe.columns.toSeq === Seq("cwe_id", "name", "description",
+      "extended_description", "modes_of_introduction", "common_consequences",
+      "potential_mitigations"))
+    val r20 = cwe.filter("cwe_id = 20").collect().head
+    // quoted field with embedded comma survives the csv parse
+    assert(r20.getAs[String]("description") ===
+      "The product receives input, but it does not validate it correctly.")
+    // quoted field with embedded double-quotes
+    assert(r20.getAs[String]("potential_mitigations").contains("\"allowlist\""))
+    // quoted field with an embedded newline
+    val r119 = cwe.filter("cwe_id = 119").collect().head
+    assert(r119.getAs[String]("extended_description").contains("\n"))
+  }
+
+  test("tab-CSV sinks: byte-exact reference header rows") {
+    val out = Files.createTempDirectory("whcsv").toString
+    Warehouse.writeWarehouseCsvs(Flatten.cvss(feed), Flatten.problems(feed),
+      Flatten.cpes(feed), out, singleFile = true)
+    assert(firstLine(s"$out/cve_cvss_scores.csv") ===
+      Warehouse.CvssHeader.mkString("\t"))
+    assert(firstLine(s"$out/cve_related_problems.csv") === "CVE\tProblem")
+    assert(firstLine(s"$out/cve_cpes.csv") === "CVE\tcpe23Uri\tVulnerable")
+  }
+
+  test("tab-CSV cvss sink: Python-str booleans, empty-string nulls, str(float) scores") {
+    val out = Files.createTempDirectory("whcsv2").toString
+    Warehouse.writeWarehouseCsvs(Flatten.cvss(feed), Flatten.problems(feed),
+      Flatten.cpes(feed), out, singleFile = true)
+    val lines = dataLines(s"$out/cve_cvss_scores.csv")
+    assert(lines.size === 8)
+    val full = lines.find(_.startsWith("CVE-2024-0001\t")).get.split("\t", -1)
+    assert(full(20) === "False" && full(23) === "False") // obtain_all, uir
+    assert(full(12) === "9.8" && full(25) === "10.0")    // str(float) rendering
+    val bare = lines.find(_.startsWith("CVE-2019-0004\t")).get.split("\t", -1)
+    assert(bare.slice(1, 29).forall(_ === ""))           // nulls -> empty string
+  }
+
+  test("export CSVs: derived filenames per the reference") {
+    val out = Files.createTempDirectory("whexp").toString
+    val rows = Queries.byScoreDate(Flatten.cvss(feed), 7.0, Some("2020-01-01"))
+      .orderBy("cve")
+    val p = Warehouse.exportScoreDateCsv(rows, out, "7", Some("2020-01-01"))
+    assert(p.endsWith("/CVEs_score7_2020-01-01.csv"))
+    assert(firstLine(p) ===
+      "CVE,CVSSv3 Score,CVSSv3 Vector String,CVSSv2 Score,CVSSv2 Vector String,Published Date")
+    val view = Warehouse.cvssVsCpes(Flatten.cvss(feed), Flatten.cpes(feed))
+    val p2 = Warehouse.exportCpeCsv(
+      Queries.byCpe(view, "acme", 7.0, None).orderBy("cve"), out, "acme", "7", None)
+    assert(p2.endsWith("/acme_7_False.csv")) // str(False) date segment, like the reference
+  }
+
+  test("catalog lifecycle: create db, save facts + view, truncate facts, cwe survives") {
+    val db = "graft_test_db"
+    Warehouse.dropDatabase(spark, db)
+    Warehouse.saveFacts(spark, db, Flatten.cvss(feed), Flatten.problems(feed),
+      Flatten.cpes(feed))
+    Warehouse.saveCwe(spark, db, Warehouse.cweCatalog(spark, CveOps.FixtureCwe))
+    assert(spark.table(s"$db.cvss").count() === 8)
+    assert(spark.table(s"$db.cvss_vs_cpes").count() === 6) // vulnerable rows only
+    Warehouse.truncateFacts(spark, db)
+    assert(Warehouse.FactTables.map(t => spark.table(s"$db.$t").count()).sum === 0)
+    assert(spark.table(s"$db.cwe").count() === 4) // dimension survives refresh
+    Warehouse.dropDatabase(spark, db)
+  }
+}
