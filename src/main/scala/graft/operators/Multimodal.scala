@@ -42,14 +42,17 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Deterministic fake decode: 8 "feature" floats + fake dims from a
-    * rolling hash of the payload. Replace with a real codec in production. */
+  /** Deterministic fake decode — NOT a codec: dims + 8 "feature" floats
+    * derived from the MD5 of the payload bytes. MD5 keeps the stub
+    * oracle-checkable (DuckDB recomputes the same digest from the same
+    * bytes); byte k maps to feature (byte-128)/128, exact in float32
+    * (numerator ≤ 8 bits, power-of-2 denominator). Replace with a real
+    * codec in production — the surrounding plumbing doesn't change. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
-    var h = 1125899906842597L // fake content hash (FNV-ish) — NOT a codec
-    var i = 0
-    while (i < r.payload.length) { h = 31 * h + (r.payload(i) & 0xff); i += 1 }
-    val feats = Array.tabulate(8)(k => (((h >>> (k * 8)) & 0xff).toFloat - 128f) / 128f)
-    MediaFeatures(r.doc_id, r.n_bytes, ((h & 0x3f) + 1).toInt, (((h >> 6) & 0x3f) + 1).toInt, feats)
+    val h = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+    def u(i: Int) = h(i) & 0xff
+    val feats = Array.tabulate(8)(k => (u(k) - 128) / 128f)
+    MediaFeatures(r.doc_id, r.n_bytes, u(0) % 64 + 1, u(1) % 64 + 1, feats)
   }
 
   /** Batched decode pass: partition-local, `BatchSize` records at a time
@@ -79,14 +82,29 @@ object Multimodal {
              |       n_chars % 64 + 1 AS width, substr(md5(text), 1, 16) AS sig
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // ── Batched decode plumbing (mapPartitions; rows-only check) ──
+    // ── Batched decode plumbing (mapPartitions), fully oracle-checked:
+    //    DuckDB recomputes the stub's md5-derived dims/features from the
+    //    same payload bytes (payload = utf8(text), md5(text) hashes utf8).
     QueryDef(
       "q35_multimodal_decode",
       (s, dir) => {
-        decodeFeatures(toMedia(s, dir)).toDF()
-          .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+        val feats = decodeFeatures(toMedia(s, dir)).toDF()
+        feats.select(
+            col("doc_id") +: col("n_bytes") +: col("width") +: col("height") +:
+              (0 until 4).map(k =>
+                element_at(col("features"), k + 1).cast("double").as(s"f$k")): _*)
           .orderBy("doc_id")
       },
-      None)
+      Some {
+        // hex-pair k of md5(text) as an int in [0, 255]
+        def hx(p: Int) = s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1)"
+        def pair(k: Int) = s"(${hx(2 * k + 1)} * 16 + ${hx(2 * k + 2)})"
+        val fcols = (0 until 4).map(k => s"(${pair(k)} - 128) / 128.0 AS f$k").mkString(", ")
+        s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           |       ${pair(0)} % 64 + 1 AS width, ${pair(1)} % 64 + 1 AS height,
+           |       $fcols
+           |FROM (SELECT doc_id, text, md5(text) AS h FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      })
   )
 }

@@ -1,13 +1,12 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 
 /** Similarity search over the `embeddings` table (`Array[Float]` vectors):
-  * brute-force cosine top-k as the exact baseline, label-blocked cosine
+  * brute-force cosine top-k as the exact baseline, SRP-LSH-blocked cosine
   * near-dup, and an IVF-style bucketed ANN as the scale path.
   *
   * Float math discipline: vectors are cast to array<double> once at load
@@ -15,19 +14,21 @@ import graft.{QueryDef, Tables}
   * (`functions.aggregate`), so an oracle computing the same left fold in
   * doubles reproduces results bit-for-bit — no tolerance windows needed.
   *
-  * Perf: every vector is L2-normalized ONCE (one extra fold per vector),
-  * after which cosine = a single dot fold per pair instead of three —
-  * the pair side is where 100 TB work concentrates, so per-pair flops are
-  * what matters. The fold runs interpreted (higher-order functions are not
-  * codegen'd); a custom Catalyst Expression with doGenCode is the next rung
-  * if the fold ever dominates a profile.
+  * Perf: every vector is L2-normalized ONCE, after which cosine = a single
+  * dot fold per pair. The folds run interpreted (higher-order functions are
+  * not codegen'd); a custom Catalyst Expression with doGenCode is the next
+  * rung if they ever dominate a profile.
   *
-  * Scale posture: brute-force kNN against ONE query is a broadcast of the
-  * query row + a scan (top-k via TakeOrderedAndProject — no full sort).
-  * All-pairs near-dup is blocked (by label here; by LSH bucket in Dedup) so
-  * the join never goes quadratic in the corpus. IVF probes one centroid
-  * bucket: centroid assignment is a broadcast join of a tiny centroid table
-  * against the scan, and the probe touches 1/k of the data.
+  * Scale posture — every blocking key's cardinality GROWS with the corpus:
+  *   - q25 brute-force kNN: broadcast of 1 query row + scan +
+  *     TakeOrderedAndProject (exact baseline, no full sort);
+  *   - q33 near-dup: random-hyperplane (SRP) LSH — 8 bands of
+  *     r = clamp(4, 16, ceil(log2 N) - 1) sign bits, so buckets number
+  *     ~2^r ≈ N/2 per band and expected bucket size stays O(1): candidate
+  *     volume is ~10 pairs/doc at every tested sf (linear), never O(N²);
+  *   - q34 IVF: ceil(sqrt(N)) data-derived centroids; assignment is a
+  *     NARROW projection (argmax over a broadcast centroid array — no
+  *     Exchange on the corpus side), probe touches one cell.
   */
 object Vectors {
 
@@ -55,6 +56,29 @@ object Vectors {
   /** Cosine near-dup report threshold for q33. */
   val NearDupTau = 0.45
 
+  // ── SRP-LSH (q33) parameters ──
+  val SrpBands = 8
+  val SrpMaxRows = 16 // caps planes at SrpBands * SrpMaxRows = 128
+  val SrpMinRows = 4
+
+  /** Rows (sign bits) per band: ~N/2 buckets per band ⇒ O(1) bucket size.
+    * A tunable, like MinHash's hash count — the STRUCTURE stays linear. */
+  def srpRows(n: Long): Int =
+    math.min(SrpMaxRows, math.max(SrpMinRows,
+      math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt - 1))
+
+  /** Deterministic ±1 hyperplane components from MD5 — engine-portable:
+    * component i of plane j is +1 iff the first hex nibble of
+    * md5("srp:j:i") is >= 8. The oracle derives the SAME planes with its
+    * own md5(), so no literals need to match across engines by accident. */
+  def srpPlane(j: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val h = md.digest(s"srp:$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Brute-force cosine top-k (exact ANN baseline) ──
@@ -75,41 +99,87 @@ object Vectors {
               |FROM vn, q WHERE vec_id <> 0
               |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
 
-    // ── Embedding-cosine near-dup, blocked by label ──
+    // ── Embedding-cosine near-dup, SRP-LSH blocked ──
     QueryDef(
       "q33_cosine_neardup",
       (s, dir) => {
-        val emb = withNormalized(Tables.embeddings(s, dir))
-        val a = emb.select(col("vec_id").as("a"), col("en").as("na"), col("label"))
-        val b = emb.select(col("vec_id").as("b"), col("en").as("nb"), col("label"))
-        a.join(b, Seq("label"))
-          .filter(col("a") < col("b"))
+        val emb = withNormalized(Tables.embeddings(s, dir)).select(col("vec_id"), col("en"))
+        // One tiny driver-side job fixes (n, dim) → r and the plane set.
+        val (n, dim) = {
+          val row = emb.agg(count(lit(1)), first(size(col("en")))).head()
+          (row.getLong(0), row.getInt(1))
+        }
+        val r = srpRows(n)
+        val planes = (0 until SrpBands * r).map(j => srpPlane(j, dim))
+        def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
+        val bitCols = planes.zipWithIndex.map { case (p, j) =>
+          when(dot(col("en"), planeLit(p)) >= 0, "1").otherwise("0").as(s"bit$j")
+        }
+        val withBits = emb.select(col("vec_id") +: bitCols: _*)
+        val bands = (0 until SrpBands).map { k =>
+          struct(lit(k).as("bi"),
+            concat((k * r until (k + 1) * r).map(j => col(s"bit$j")): _*).as("key"))
+        }
+        val bx = withBits
+          .select(col("vec_id"), explode(array(bands: _*)).as("e"))
+          .select(col("vec_id"), col("e.bi").as("bi"), col("e.key").as("key"))
+        val cand = bx.as("x").join(bx.as("y"),
+            col("x.bi") === col("y.bi") && col("x.key") === col("y.key") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+          .distinct()
+        cand
+          .join(emb.select(col("vec_id").as("a"), col("en").as("na")), Seq("a"))
+          .join(emb.select(col("vec_id").as("b"), col("en").as("nb")), Seq("b"))
           .withColumn("sim", dot(col("na"), col("nb")))
           .filter(col("sim") >= NearDupTau)
           .select("a", "b", "sim")
           .orderBy("a", "b")
       },
-      Some(s"""WITH $normCte
+      Some(s"""WITH $normCte,
+              |par AS (SELECT least($SrpMaxRows, greatest($SrpMinRows,
+              |               CAST(ceil(log2(count(*))) AS INT) - 1)) AS r FROM vn),
+              |pl AS (
+              |  SELECT j, [CASE WHEN strpos('89abcdef', substr(md5('srp:' || j || ':' || i), 1, 1)) > 0
+              |             THEN 1.0 ELSE -1.0 END for i in range(0, 64)] AS p
+              |  FROM range(0, ${SrpBands * SrpMaxRows}) t(j)),
+              |bits AS (
+              |  SELECT vec_id, j,
+              |         CASE WHEN ${dotSql("en", "p")} >= 0 THEN '1' ELSE '0' END AS bit
+              |  FROM vn, pl, par WHERE j < $SrpBands * par.r),
+              |bx AS (
+              |  SELECT vec_id, j // par.r AS bi, string_agg(bit, '' ORDER BY j) AS key
+              |  FROM bits, par GROUP BY vec_id, j // par.r),
+              |cand AS (
+              |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+              |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.key = y.key AND x.vec_id < y.vec_id)
               |SELECT a, b, sim FROM (
-              |  SELECT x.vec_id AS a, y.vec_id AS b, ${dotSql("x.en", "y.en")} AS sim
-              |  FROM vn x JOIN vn y ON x.label = y.label AND x.vec_id < y.vec_id)
+              |  SELECT c.a, c.b, ${dotSql("x.en", "y.en")} AS sim
+              |  FROM cand c JOIN vn x ON x.vec_id = c.a JOIN vn y ON y.vec_id = c.b)
               |WHERE sim >= $NearDupTau
               |ORDER BY a, b""".stripMargin)),
 
-    // ── IVF-style ANN: assign to nearest centroid, probe one bucket ──
+    // ── IVF ANN: sqrt(N) data-derived centroids, narrow argmax assignment ──
     QueryDef(
       "q34_ivf_ann",
       (s, dir) => {
         val emb = withNormalized(Tables.embeddings(s, dir)).select(col("vec_id"), col("en"))
-        // Deterministic seed centroids: the first 8 vectors by id.
-        val cents = emb.filter(col("vec_id") < 8)
+        val n = emb.count()
+        val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+        val step = math.max(1L, n / k)
+        // Data-derived deterministic seeds, k ∝ sqrt(N) (k-means|| would
+        // refine these; seeding is the parameter, the plan is the structure).
+        val cents = emb.filter(col("vec_id") % step === 0)
           .select(col("vec_id").as("cid"), col("en").as("cn"))
-        val byVec = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-        val assigned = emb.crossJoin(broadcast(cents))
-          .withColumn("csim", dot(col("en"), col("cn")))
-          .withColumn("rk", row_number().over(byVec))
-          .filter(col("rk") === 1)
-          .select(col("vec_id"), col("en"), col("cid"))
+        val centArr = cents.agg(
+          array_sort(collect_list(struct(col("cid"), col("cn")))).as("cents"))
+        // Assignment is a NARROW projection: broadcast the (single-row)
+        // centroid array, argmax via array_max over struct(csim, -cid) —
+        // ties pick the smallest cid. No Exchange touches the corpus.
+        val assigned = emb.crossJoin(broadcast(centArr))
+          .withColumn("best", array_max(transform(col("cents"),
+            c => struct(dot(col("en"), c("cn")).as("csim"), (-c("cid")).as("negcid")))))
+          .select(col("vec_id"), col("en"), (-col("best.negcid")).as("cid"))
         val qrow = assigned.filter(col("vec_id") === 0)
           .select(col("cid").as("qcid"), col("en").as("qn"))
         assigned.join(broadcast(qrow), col("cid") === col("qcid"))
@@ -119,12 +189,20 @@ object Vectors {
           .limit(5)
       },
       Some(s"""WITH $normCte,
-              |c AS (SELECT vec_id AS cid, en AS cn FROM vn WHERE vec_id < 8),
-              |sims AS (SELECT vn.vec_id, vn.en, c.cid, ${dotSql("vn.en", "c.cn")} AS csim FROM vn, c),
+              |par AS (
+              |  SELECT n, greatest(1, n // k) AS step FROM (
+              |    SELECT count(*) AS n,
+              |           greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+              |    FROM vn)),
+              |cents AS (
+              |  SELECT list_sort(list(struct_pack(cid := vec_id, cn := en))) AS cents
+              |  FROM vn, par WHERE vec_id % par.step = 0),
               |assigned AS (
-              |  SELECT vec_id, en, cid FROM (
-              |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk
-              |    FROM sims) WHERE rk = 1),
+              |  SELECT vec_id, en,
+              |         -(list_sort([struct_pack(
+              |              csim := ${dotSql("en", "c.cn")},
+              |              negcid := -c.cid) for c in cents])[-1].negcid) AS cid
+              |  FROM vn, cents),
               |q AS (SELECT cid AS qcid, en AS qn FROM assigned WHERE vec_id = 0)
               |SELECT a.vec_id, ${dotSql("a.en", "q.qn")} AS sim
               |FROM assigned a, q WHERE a.cid = q.qcid AND a.vec_id <> 0
