@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions
 
 /** Similarity search over the `embeddings` table (`Array[Float]` vectors):
   * brute-force cosine top-k as the exact baseline, SRP-LSH-blocked cosine
@@ -32,15 +33,19 @@ import graft.{QueryDef, Tables}
   */
 object Vectors {
 
-  /** Sequential-fold dot product: ((0 + a0*b0) + a1*b1) + ... */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential left-fold dot product ((0 + a0*b0) + a1*b1) + ... via the
+    * codegen'd DotProduct expression — bit-identical to the declarative
+    * `aggregate(zip_with(...))` fold it replaces, but it runs as a primitive
+    * loop inside whole-stage codegen (graft.functions.DotProduct). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** Adds `en` = e / ||e||2 (per-element division, fold-order norm). */
-  def withNormalized(df: DataFrame): DataFrame =
+  def withNormalized(df: DataFrame): DataFrame = {
+    GraftFunctions.register(df.sparkSession) // idempotent; dot() needs it
     df.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
       .withColumn("en", transform(col("e"), x => x / col("nrm")))
       .drop("nrm")
+  }
 
   /** DuckDB twin of `dot` (same left fold ⇒ same doubles). */
   private def dotSql(a: String, b: String): String =
