@@ -29,15 +29,19 @@ object Dedup {
   val NumHashes = 12
   val Bands = 4 // rows per band = NumHashes / Bands = 3
 
-  /** Distinct word n-gram shingles per document. Narrow (no shuffle until
-    * the distinct). */
-  def shingles(docs: DataFrame, n: Int = ShingleN): DataFrame =
+  /** Word n-gram shingles per document, WITH duplicates — narrow, no
+    * shuffle. Callers that need set semantics either `.distinct()` (one
+    * shuffle) or dedupe inside their own aggregation (collect_set). */
+  def shinglesRaw(docs: DataFrame, n: Int = ShingleN): DataFrame =
     docs
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")).as("s"))
-      .distinct()
+
+  /** Distinct word n-gram shingles per document. */
+  def shingles(docs: DataFrame, n: Int = ShingleN): DataFrame =
+    shinglesRaw(docs, n).distinct()
 
   /** DuckDB twin of `shingles` as a CTE body (n = 3). */
   private val shingleCte =
@@ -120,15 +124,21 @@ object Dedup {
     QueryDef(
       "q22_ngram_jaccard",
       (s, dir) => {
-        val sh = shingles(Tables.load(s, dir, "documents"))
-        val informative = sh.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2 && col("df") <= MaxDf)
-          .select("s")
-        val sh2 = sh.join(informative, Seq("s"))
-        val sizes = sh2.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val pairs = sh2.as("a").join(sh2.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+        // ONE shuffle builds the inverted index (shingle → sorted doc set;
+        // collect_set dedupes in-agg, so no separate distinct pass); pairs
+        // are emitted WITHIN each bounded bucket (≤ C(MaxDf,2) per shingle)
+        // and doc sizes fall out of the same index — one scan of the
+        // shingle set, no self-join. The df cap keeps it linear at 100 TB.
+        val sh = shinglesRaw(Tables.load(s, dir, "documents"))
+        val buckets = sh.groupBy("s")
+          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")).between(2, MaxDf))
+        val sizes = buckets.select(explode(col("ds")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val pairs = buckets.select(explode(expr(
+            "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+          )).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(count(lit(1)).as("inter"))
         pairs
           .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
@@ -159,9 +169,12 @@ object Dedup {
     QueryDef(
       "q23_minhash_lsh",
       (s, dir) => {
-        val sh = shingles(Tables.load(s, dir, "documents"))
-        val cand = lshCandidates(lshBands(minhashSignatures(sh)))
-        verifyJaccard(cand, sh).orderBy("a", "b")
+        val docs = Tables.load(s, dir, "documents")
+        // Signatures tolerate duplicate shingles (column-wise min is
+        // duplicate-insensitive), so the signature path skips the distinct
+        // shuffle; exact-Jaccard verification needs set semantics.
+        val cand = lshCandidates(lshBands(minhashSignatures(shinglesRaw(docs))))
+        verifyJaccard(cand, shingles(docs)).orderBy("a", "b")
       },
       Some {
         val rows = NumHashes / Bands
