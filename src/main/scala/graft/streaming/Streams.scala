@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table: the reference is
+  * batch-only (SURVEY.md §2.10 — refresh = truncate + reload), so these are
+  * engine extensions showing the streaming twins of the batch operators.
+  *
+  * Scale posture: file-stream source partitions per file; windowed aggs
+  * carry watermarks so state is bounded and evicted; sessionization state
+  * is per-user and O(events-in-gap). `Trigger.AvailableNow` drains the
+  * backlog as an incremental batch job — the cluster-native way to run
+  * "streaming" logic over a static lake.
+  */
+object Streams {
+
+  /** events.parquet carries TIMESTAMP(NANOS) — streamed as raw nanos bigint
+    * (the session's nanosAsLong conf), exposed like Tables.events. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    // File-stream sources need a directory basePath; events.parquet is a
+    // single file in the testdata, so stream the dir with a glob filter.
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+
+  /** Tumbling hourly counts with a 1-hour watermark — the streaming twin of
+    * q20. Append mode: a window is emitted once the watermark passes its
+    * end, so the trailing window(s) stay in state (asserted in the spec). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class SessionOut(
+      user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Int)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the custom-state
+    * surface. Events are grouped per user; a gap > `gapMinutes` starts a new
+    * session. State is the open session; with AvailableNow the single batch
+    * closes everything at end-of-input. */
+  def sessionize(events: DataFrame, gapMinutes: Int): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.selectExpr("user_id", "ts_ns div 1000 AS ts_us")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Int), SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Long, Int)]) =>
+          // Per-user fan-in: sort this batch's timestamps, fold into
+          // (start, last, n) sessions, emitting on every gap break.
+          val ts = rows.map(_._2).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur = state.getOption.orNull
+          ts.foreach { t =>
+            cur match {
+              case null => cur = (t, t, 1)
+              case (st, last, n) if t - last <= gapUs => cur = (st, t, n + 1)
+              case (st, last, n) =>
+                out += SessionOut(user, st, last, n)
+                cur = (t, t, 1)
+            }
+          }
+          // Single-batch (AvailableNow) semantics: close the open session.
+          if (cur != null) { out += SessionOut(user, cur._1, cur._2, cur._3); state.remove() }
+          out.iterator
+      }
+  }
+
+  /** Drain the stream with Trigger.AvailableNow into an in-memory table and
+    * return it (spec/driver harness; production would writeStream to a sink). */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

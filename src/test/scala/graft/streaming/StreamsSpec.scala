@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SharedSpark, Tables}
+
+/** Streaming results must agree with their batch twins on the same data. */
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hourlyCounts (append + watermark) matches batch for all watermark-closed windows") {
+    val got = Streams.runToMemory(spark,
+      Streams.hourlyCounts(Streams.readEventsStream(spark, dir)), "hourly")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    val ev = Tables.events(spark, dir)
+    val batch = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(unix_micros(col("h")).as("hour_us"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    // Append mode emits a window once the watermark (max ts - 1h) passes its
+    // end: every emitted window must match batch exactly, and every batch
+    // window closed by the watermark must have been emitted.
+    val maxTsUs = ev.agg(max(expr("ts_ns div 1000"))).head().getLong(0)
+    val watermarkUs = maxTsUs - 3600L * 1000000L
+    got.foreach { case (k, v) => assert(batch(k) === v, s"window $k diverges") }
+    val mustEmit = batch.keys.filter { case (h, _) => h + 3600L * 1000000L < watermarkUs }
+    mustEmit.foreach(k => assert(got.contains(k), s"closed window $k missing"))
+    assert(got.nonEmpty && got.size < batch.size) // trailing windows held in state
+  }
+
+  test("sessionize (flatMapGroupsWithState) matches the batch lag/gap formulation") {
+    val gapMin = 30
+    val got = Streams.sessionize(Streams.readEventsStream(spark, dir), gapMin)
+    val gotSet = Streams.runToMemory(spark, got.toDF(), "sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    val batch = Tables.events(spark, dir)
+      .selectExpr("user_id", "ts_ns div 1000 AS ts_us")
+      .withColumn("brk", when(
+        col("ts_us") - lag("ts_us", 1).over(w) > gapMin * 60L * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_us").as("st"), max("ts_us").as("en"), count(lit(1)).cast("int").as("n"))
+      .select("user_id", "st", "en", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    assert(gotSet === batch)
+  }
+}
