@@ -340,7 +340,43 @@ object Relational {
       },
       Some("""SELECT c_custkey, c_name FROM customer
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ── ROLLUP grouping sets (engine extension; single shuffle, the
+    //    higher levels aggregate the partials of the lower) ──
+    QueryDef(
+      "q45_rollup",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+            grouping_id(col("l_returnflag"), col("l_linestatus")).as("lvl"))
+          .orderBy(col("lvl"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  GROUPING(l_returnflag, l_linestatus) AS lvl
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY lvl, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // ── Pivot = conditional aggregation (engine extension) ──
+    QueryDef(
+      "q46_pivot",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+             |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+             |  count(*) FILTER (o_orderstatus = 'P') AS n_p
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 
   /** EP3 flagship: inner equi-join view + pushed-down substring/threshold/
