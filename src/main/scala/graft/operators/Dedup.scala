@@ -98,6 +98,50 @@ object Dedup {
       .select("a", "b", "inter", "jaccard")
   }
 
+  /** Inverted-index n-gram Jaccard pairs (the q22 formulation): ONE shuffle
+    * builds shingle → sorted doc set (collect_set dedupes in-agg, df capped
+    * at MaxDf), pairs are emitted within each bounded bucket, and doc sizes
+    * fall out of the same index. Returns (a, b, inter, jaccard) with a < b,
+    * jaccard >= tau. */
+  def jaccardPairs(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
+    val sh = shinglesRaw(docs)
+    val buckets = sh.groupBy("s")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, MaxDf))
+    val sizes = buckets.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = buckets.select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+      )).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("a", "b", "inter", "jaccard")
+  }
+
+  /** DuckDB twin of `jaccardPairs` as a CTE chain ending in `jp(a, b, inter,
+    * jaccard)`; prepend `$shingleCte`. */
+  def jaccardPairsCtes(tau: Double = JaccardTau): String =
+    s"""informative AS (
+       |  SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+       |  WHERE df >= 2 AND df <= $MaxDf),
+       |sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN informative USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+       |  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT p.a, p.b, p.inter, p.inter / (za.sz + zb.sz - p.inter) AS jaccard
+       |  FROM pairs p
+       |  JOIN sizes za ON za.doc_id = p.a
+       |  JOIN sizes zb ON zb.doc_id = p.b
+       |  WHERE p.inter / (za.sz + zb.sz - p.inter) >= $tau)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: canonical-content hash groupBy ──
@@ -123,47 +167,53 @@ object Dedup {
     // ── n-gram Jaccard near-dup via inverted-index pair generation ──
     QueryDef(
       "q22_ngram_jaccard",
-      (s, dir) => {
-        // ONE shuffle builds the inverted index (shingle → sorted doc set;
-        // collect_set dedupes in-agg, so no separate distinct pass); pairs
-        // are emitted WITHIN each bounded bucket (≤ C(MaxDf,2) per shingle)
-        // and doc sizes fall out of the same index — one scan of the
-        // shingle set, no self-join. The df cap keeps it linear at 100 TB.
-        val sh = shinglesRaw(Tables.load(s, dir, "documents"))
-        val buckets = sh.groupBy("s")
-          .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")).between(2, MaxDf))
-        val sizes = buckets.select(explode(col("ds")).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val pairs = buckets.select(explode(expr(
-            "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
-          )).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
-          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
-          .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
-          .filter(col("jaccard") >= JaccardTau)
-          .select("a", "b", "inter", "jaccard")
-          .orderBy("a", "b")
-      },
+      (s, dir) => jaccardPairs(Tables.load(s, dir, "documents")).orderBy("a", "b"),
       Some(s"""WITH $shingleCte,
-              |informative AS (
-              |  SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
-              |  WHERE df >= 2 AND df <= $MaxDf),
-              |sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN informative USING (s)),
-              |sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
-              |pairs AS (
-              |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-              |  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2)
-              |SELECT p.a, p.b, p.inter, p.inter / (za.sz + zb.sz - p.inter) AS jaccard
-              |FROM pairs p
-              |JOIN sizes za ON za.doc_id = p.a
-              |JOIN sizes zb ON zb.doc_id = p.b
-              |WHERE p.inter / (za.sz + zb.sz - p.inter) >= $JaccardTau
-              |ORDER BY a, b""".stripMargin)),
+              |${jaccardPairsCtes()}
+              |SELECT a, b, inter, jaccard FROM jp ORDER BY a, b""".stripMargin)),
+
+    // ── Connected components over the near-dup graph (dedup clustering) ──
+    QueryDef(
+      "q47_dedup_components",
+      (s, dir) => {
+        // Iterative min-label propagation to fixpoint: each vertex takes the
+        // min of its own and its neighbors' labels per round, converging to
+        // the component's min doc_id in O(diameter) joins. Near-dup graphs
+        // are forests of tiny clusters, so diameter is small; at 100 TB the
+        // same loop runs with persisted frames (large-star/small-star is
+        // the constant-factor upgrade, same shuffle pattern).
+        val edges = jaccardPairs(Tables.load(s, dir, "documents")).select("a", "b")
+        val sym = edges.unionByName(
+          edges.select(col("b").as("a"), col("a").as("b"))).persist()
+        var labels = sym.select(col("a").as("v")).distinct()
+          .withColumn("lbl", col("v")).persist()
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 20) {
+          val nbrMin = sym.join(labels, sym("b") === labels("v"))
+            .groupBy(sym("a").as("nv")).agg(min("lbl").as("nlbl"))
+          val next = labels.join(nbrMin, labels("v") === col("nv"), "left")
+            .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+            .persist()
+          converged = next.join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
+            .filter(col("lbl") < col("old")).isEmpty
+          labels.unpersist()
+          labels = next
+          iter += 1
+        }
+        sym.unpersist()
+        labels.select(col("v").as("doc_id"), col("lbl").as("component"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |${jaccardPairsCtes()},
+              |sym AS (SELECT a, b FROM jp UNION ALL SELECT b, a FROM jp),
+              |reach(v, r) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b)
+              |SELECT v AS doc_id, min(r) AS component
+              |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin)),
 
     // ── MinHash + LSH: banded signatures → bucket join → verified Jaccard ──
     QueryDef(

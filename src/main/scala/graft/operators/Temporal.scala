@@ -125,6 +125,27 @@ object Temporal {
              |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
              |  ON e.user_id = p.user_id AND p.ts <= e.ts
              |     AND p.ts >= e.ts - INTERVAL 5 MINUTE
-             |GROUP BY e.event_id ORDER BY e_id""".stripMargin))
+             |GROUP BY e.event_id ORDER BY e_id""".stripMargin)),
+
+    // ── Salted two-stage aggregation (skew-mitigation pattern) ──
+    QueryDef(
+      "q49_salted_agg",
+      (s, dir) => {
+        // A hot key would overload its reducer in a one-shot groupBy; the
+        // salt spreads each key over 16 partial groups, the second stage
+        // merges 16 rows per key. Count/DECIMAL-sum are associative, so the
+        // result is exactly the plain groupBy (which IS the oracle).
+        val ev = Tables.events(s, dir)
+        ev.withColumn("salt", pmod(col("event_id"), lit(16)))
+          .groupBy("user_id", "salt")
+          .agg(count(lit(1)).as("pn"),
+            sum(col("value").cast(DecimalType(18, 2))).as("ps"))
+          .groupBy("user_id")
+          .agg(sum("pn").as("n"), sum("ps").cast("double").as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

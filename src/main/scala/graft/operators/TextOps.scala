@@ -123,6 +123,48 @@ object TextOps {
       },
       Some("""SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
              |       substr(md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')), 1, 4) AS bucket
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── TF-IDF top terms per document ──
+    QueryDef(
+      "q48_tfidf_topk",
+      (s, dir) => {
+        // Two shuffles: (doc, word) term frequencies, then per-word doc
+        // frequencies joined back (df side is |vocab| — small relative to
+        // the corpus, broadcastable at any scale where vocab fits).
+        // Scoring uses tf * (N / df) — pure IEEE division/multiply, so an
+        // independent engine reproduces it bit-for-bit (ln() would differ
+        // in the last ulp across libm implementations).
+        val docs = Tables.load(s, dir, "documents")
+        val nDocs = docs.count()
+        val words = docs
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val scored = tf.join(dfreq, Seq("w"))
+          .withColumn("score", col("tf") * (lit(nDocs.toDouble) / col("df")))
+        val byDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+        scored
+          .withColumn("rk", row_number().over(byDoc))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "rk", "w", "tf", "df", "score")
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, w FROM (
+             |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+             |  WHERE w <> ''),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+             |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+             |         tf.tf * ((SELECT CAST(count(*) AS DOUBLE) FROM documents) / dfreq.df) AS score
+             |  FROM tf JOIN dfreq USING (w))
+             |SELECT doc_id, rk, w, tf, df, score FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+             |  FROM scored)
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
   )
 }
