@@ -49,9 +49,17 @@ object Queries {
   def byScoreDate(cvss: DataFrame, score: Double, date: Option[String]): DataFrame = {
     val scored = cvss.filter(
       col("base_score_3") >= score || col("base_score") >= score)
-    date.fold(scored)(dt => scored.filter(col("published_date") >= to_date(lit(dt))))
-      .select("cve", "base_score_3", "vector_string_3", "base_score",
-        "vector_string", "published_date")
+    date.fold(scored) { dt =>
+      val floored = scored.filter(col("published_date") >= to_date(lit(dt)))
+      // Redundant-but-implied year predicate: on the pub_year-partitioned
+      // warehouse table it becomes a static partition filter (whole year
+      // directories pruned at planning time); on unpartitioned frames it's
+      // a no-op the optimizer folds away.
+      if (cvss.columns.contains("pub_year"))
+        floored.filter(col("pub_year") >= year(to_date(lit(dt))))
+      else floored
+    }.select("cve", "base_score_3", "vector_string_3", "base_score",
+      "vector_string", "published_date")
   }
 
   /** EP3 (cve_manager.py:475-530): filtered listing over the cvss_vs_cpes

@@ -61,7 +61,12 @@ object Warehouse {
       spark: SparkSession, db: String,
       cvss: DataFrame, problems: DataFrame, cpes: DataFrame): Unit = {
     createDatabase(spark, db)
-    cvss.write.mode(SaveMode.Overwrite).saveAsTable(s"$db.cvss")
+    // cvss is partitioned by publication year (the natural per-year-feed
+    // layout, SURVEY.md §4): date-floor queries prune whole year partitions
+    // at planning time (Queries.byScoreDate adds the pub_year predicate).
+    cvss.withColumn("pub_year", year(col("published_date")))
+      .write.mode(SaveMode.Overwrite).partitionBy("pub_year")
+      .saveAsTable(s"$db.cvss")
     problems.write.mode(SaveMode.Overwrite).saveAsTable(s"$db.cve_problem")
     cpes.write.mode(SaveMode.Overwrite).saveAsTable(s"$db.cpe")
     spark.sql(

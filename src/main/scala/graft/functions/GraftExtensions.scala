@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Library-grade registration: add
+  * `spark.sql.extensions=graft.functions.GraftExtensions` to the session
+  * conf and every engine function is available in SQL and `call_function`
+  * without imperative per-session setup — the idiomatic way a Spark library
+  * ships Catalyst extensions. (GraftFunctions.register stays for sessions
+  * built without the conf.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+}
