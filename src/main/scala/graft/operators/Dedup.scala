@@ -182,9 +182,13 @@ object Dedup {
         // are forests of tiny clusters, so diameter is small; at 100 TB the
         // same loop runs with persisted frames (large-star/small-star is
         // the constant-factor upgrade, same shuffle pattern).
-        val edges = jaccardPairs(Tables.load(s, dir, "documents")).select("a", "b")
+        // Persist the EDGES (the expensive subtree): sym's two union
+        // branches and every loop iteration then reread the cached pairs
+        // instead of re-running the whole shingle pipeline.
+        val edges = jaccardPairs(Tables.load(s, dir, "documents"))
+          .select("a", "b").persist()
         val sym = edges.unionByName(
-          edges.select(col("b").as("a"), col("a").as("b"))).persist()
+          edges.select(col("b").as("a"), col("a").as("b")))
         var labels = sym.select(col("a").as("v")).distinct()
           .withColumn("lbl", col("v")).persist()
         var converged = false
@@ -201,7 +205,7 @@ object Dedup {
           labels = next
           iter += 1
         }
-        sym.unpersist()
+        edges.unpersist()
         labels.select(col("v").as("doc_id"), col("lbl").as("component"))
           .orderBy("doc_id")
       },

@@ -146,6 +146,28 @@ object Temporal {
       },
       Some("""SELECT user_id, count(*) AS n,
              |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ── Exact percentiles per group (sort-based; engine extension) ──
+    QueryDef(
+      "q50_percentiles",
+      (s, dir) => {
+        // Exact linear-interpolated percentiles (one shuffle on the group
+        // key, per-group sort). For 100 TB dashboards the approximate
+        // t-digest/approx_percentile twin trades exactness for a mergeable
+        // sketch — exact is the oracle-checkable reference point.
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            expr("percentile(value, 0.25)").as("q25"),
+            expr("percentile(value, 0.5)").as("q50"),
+            expr("percentile(value, 0.9)").as("q90"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |       quantile_cont(value, 0.25) AS q25,
+             |       quantile_cont(value, 0.5) AS q50,
+             |       quantile_cont(value, 0.9) AS q90
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -108,12 +108,14 @@ object Vectors {
     QueryDef(
       "q33_cosine_neardup",
       (s, dir) => {
-        val emb = withNormalized(Tables.embeddings(s, dir)).select(col("vec_id"), col("en"))
-        // One tiny driver-side job fixes (n, dim) → r and the plane set.
+        val raw = Tables.embeddings(s, dir)
+        // One tiny driver-side job fixes (n, dim) → r and the plane set;
+        // runs on the raw scan so no normalization work is spent on it.
         val (n, dim) = {
-          val row = emb.agg(count(lit(1)), first(size(col("en")))).head()
+          val row = raw.agg(count(lit(1)), first(size(col("e")))).head()
           (row.getLong(0), row.getInt(1))
         }
+        val emb = withNormalized(raw).select(col("vec_id"), col("en"))
         val r = srpRows(n)
         val planes = (0 until SrpBands * r).map(j => srpPlane(j, dim))
         def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
