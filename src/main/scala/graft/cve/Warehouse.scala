@@ -143,6 +143,23 @@ object Warehouse {
     writeTabCsv(prep(cpes), CpesHeader, s"$outDir/cve_cpes.csv")
   }
 
+  /** S9 (the COPY import path): read the three tab-CSV warehouse files back
+    * as TYPED frames — header skipped positionally (the reference headers
+    * contain duplicate display names, so names are unusable; enforceSchema
+    * maps by position exactly like PG COPY), `null=""`, Python-str booleans
+    * and ISO dates parsed by the schema (cve_manager.py:335-359). */
+  def readWarehouseCsvs(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    def rd(name: String, schema: org.apache.spark.sql.types.StructType) =
+      spark.read.schema(schema)
+        .option("sep", "\t").option("header", "true")
+        .option("nullValue", "").option("emptyValue", "")
+        .csv(s"$dir/$name")
+    (rd("cve_cvss_scores.csv", NvdSchema.cvssTable),
+      rd("cve_related_problems.csv", NvdSchema.cveProblemTable),
+      rd("cve_cpes.csv", NvdSchema.cpeTable))
+  }
+
   /** S10: comma-CSV export of score/date query results, derived filename
     * `CVEs_score<sc>_<dt>.csv` (cve_manager.py:467-471). */
   def exportScoreDateCsv(

@@ -70,6 +70,20 @@ class WarehouseSpec extends AnyFunSuite {
     assert(bare.slice(1, 29).forall(_ === ""))           // nulls -> empty string
   }
 
+  test("tab-CSV round trip: write + COPY-style read reproduces the typed frames") {
+    val out = Files.createTempDirectory("whrt").toString
+    val (cvss0, pr0, cp0) =
+      (Flatten.cvss(feed), Flatten.problems(feed), Flatten.cpes(feed))
+    Warehouse.writeWarehouseCsvs(cvss0, pr0, cp0, out)
+    val (cvss1, pr1, cp1) = Warehouse.readWarehouseCsvs(spark, out)
+    assert(cvss1.schema === NvdSchema.cvssTable)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(v => Option(v).map(_.toString).orNull)).toSet
+    assert(rows(cvss1) === rows(cvss0))
+    assert(rows(pr1) === rows(pr0))
+    assert(rows(cp1) === rows(cp0))
+  }
+
   test("export CSVs: derived filenames per the reference") {
     val out = Files.createTempDirectory("whexp").toString
     val rows = Queries.byScoreDate(Flatten.cvss(feed), 7.0, Some("2020-01-01"))
