@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the 100 TB properties (filter pushdown, broadcast
+  * dimension joins, map-side partial aggregation, bounded shuffle counts,
+  * no windows on hot paths) are pinned as tests so a regression in plan
+  * quality fails CI, not a profile. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Static plan with AQE off — AdaptiveSparkPlanExec hides its tree until
+    * execution; the properties asserted here are planning-time facts. */
+  private def collectAll[T](name: String)(pf: PartialFunction[Any, T]): Seq[T] = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      p.collectWithSubqueries(
+        pf.asInstanceOf[PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]])
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("filters reach the parquet scan (pushdown) for scan-shaped queries") {
+    Seq("q04_filter_like", "q05_threshold_or", "q06_date_floor", "q08_point_lookup")
+      .foreach { q =>
+        val scans = collectAll(q) { case f: FileSourceScanExec => f }
+        assert(scans.exists(_.metadata.get("PushedFilters").exists(_ != "[]")),
+          s"$q: no pushed filters on any scan")
+      }
+  }
+
+  test("scans prune columns to the projected set") {
+    val scans = collectAll("q04_filter_like") { case f: FileSourceScanExec => f }
+    val read = scans.head.metadata("ReadSchema")
+    assert(!read.contains("c_address") && !read.contains("c_comment"),
+      s"unpruned scan: $read")
+  }
+
+  test("dimension joins broadcast (no sort-merge on small sides)") {
+    Seq("q09_join_view", "q10_lookup_join", "q42_cwe_lookup").foreach { q =>
+      assert(collectAll(q) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"$q: expected a broadcast hash join")
+      assert(collectAll(q) { case j: SortMergeJoinExec => j }.isEmpty,
+        s"$q: unexpected sort-merge join")
+    }
+  }
+
+  test("aggregations run map-side partials before the exchange") {
+    val aggs = collectAll("q11_agg_groupby") { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected partial + final hash aggregates")
+    assert(collectAll("q11_agg_groupby") { case e: ShuffleExchangeExec => e }.nonEmpty)
+  }
+
+  test("q21 exact dedup is a single hash shuffle (plus the determinism sort)") {
+    val hashShuffles = collectAll("q21_dedup_exact") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashShuffles.size === 1)
+  }
+
+  test("q34 IVF assignment is narrow: no window, no sort-merge, no corpus shuffle") {
+    assert(collectAll("q34_ivf_ann") { case w: WindowExec => w }.isEmpty,
+      "windowed argmax crept back in")
+    assert(collectAll("q34_ivf_ann") { case j: SortMergeJoinExec => j }.isEmpty)
+    // only the tiny centroid-array aggregation may exchange
+    val shuffles = collectAll("q34_ivf_ann") { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2, s"corpus-side shuffle suspected: ${shuffles.size}")
+  }
+
+  test("q49 salted aggregation is exactly two stages") {
+    val shuffles = collectAll("q49_salted_agg") { case e: ShuffleExchangeExec => e }
+    // salt-group exchange + key re-agg exchange (+ nothing else before sort)
+    assert(shuffles.size <= 3 && shuffles.size >= 2, s"got ${shuffles.size} shuffles")
+  }
+}
