@@ -165,6 +165,79 @@ object TextOps {
              |SELECT doc_id, rk, w, tf, df, score FROM (
              |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
              |  FROM scored)
-             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
+             |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // ── Sequence packing: token-budget binning via distributed prefix sum ──
+    QueryDef(
+      "q51_sequence_pack",
+      (s, dir) => {
+        // Packs documents (in doc_id order) into fixed token-budget bins —
+        // the LLM-training sequence-packing shape. A single global window
+        // would serialize on one partition, so the running total is a
+        // two-stage prefix sum: per-block cumsum (shuffle on block id) +
+        // exclusive block offsets (tiny frame, broadcast back). At 100 TB
+        // the block count stays ~N/BlockSize; nest another level if that
+        // ever outgrows one partition.
+        val Budget = 2048L
+        val BlockSize = 64L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("block").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val t = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), " ")).cast("long").as("tokens"))
+          .withColumn("block", expr(s"doc_id div $BlockSize"))
+        val within = t.withColumn("bcum", sum("tokens").over(w))
+        val offsets = t.groupBy("block").agg(sum("tokens").as("bsum"))
+          .withColumn("off",
+            coalesce(sum("bsum").over(org.apache.spark.sql.expressions.Window
+              .orderBy("block").rowsBetween(
+                org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select("block", "off")
+        within.join(broadcast(offsets), Seq("block"))
+          .withColumn("cum", col("bcum") + col("off"))
+          .select(col("doc_id"), col("tokens"), col("cum"),
+            expr(s"(cum - tokens) div $Budget").as("pack_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, tokens,
+             |         sum(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM t)
+             |SELECT doc_id, tokens, cum, (cum - tokens) // 2048 AS pack_id
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ── Deterministic stratified sampling (training-data mixture weights) ──
+    QueryDef(
+      "q52_stratified_sample",
+      (s, dir) => {
+        // Mixture weighting by language: keep k/16 of each stratum, decided
+        // by the first hex nibble of md5(doc_id) — deterministic, narrow,
+        // reproducible on any engine (no RNG, no sampleBy seed coupling),
+        // and stable under re-partitioning: the sample is a pure predicate,
+        // so at 100 TB it fuses into the scan.
+        val sixteenths = Map("en" -> 8, "de" -> 4, "fr" -> 4, "es" -> 2)
+        val nibble = expr(
+          "locate(substr(md5(cast(doc_id AS string)), 1, 1), '0123456789abcdef') - 1")
+        val rate = sixteenths.foldLeft(lit(1)) { case (acc, (l, k)) =>
+          when(col("lang") === l, k).otherwise(acc)
+        }
+        Tables.load(s, dir, "documents")
+          .withColumn("nib", nibble)
+          .filter(col("nib") < rate)
+          .select("doc_id", "lang", "nib")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+             |       strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+             |FROM documents
+             |WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 <
+             |      CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 WHEN 'fr' THEN 4
+             |                WHEN 'es' THEN 2 ELSE 1 END
+             |ORDER BY doc_id""".stripMargin))
   )
 }
