@@ -111,7 +111,6 @@ object Flatten {
       .select(
         col("cve"),
         col("m.cpe23Uri").as("cpe23uri"),
-        when(col("m.vulnerable"), "True")
-          .when(!col("m.vulnerable"), "False").as("vulnerable"))
+        Warehouse.pythonBool(col("m.vulnerable")).as("vulnerable"))
   }
 }

@@ -28,27 +28,49 @@ object Main {
       cwe: Option[String] = None, score: Double = 0.0,
       date: Option[String] = None)
 
+  /** @throws IllegalArgumentException on a value flag with a missing value
+    *         or a non-numeric score — mirroring argparse's fail-fast. */
   def parse(args: Seq[String]): Opts = {
+    // A value flag must be followed by a non-flag token.
+    def value(flag: String, rest: List[String]): (String, List[String]) = rest match {
+      case v :: t if !v.startsWith("-") => (v, t)
+      case _ => throw new IllegalArgumentException(s"$flag requires a value")
+    }
     def loop(rest: List[String], o: Opts): Opts = rest match {
       case Nil => o
       case ("-p" | "--parse") :: t => loop(t, o.copy(process = true))
       case ("-d" | "--download") :: t => loop(t, o.copy(download = true))
-      case ("-y" | "--year") :: v :: t => loop(t, o.copy(year = Some(v)))
+      case (f @ ("-y" | "--year")) :: t =>
+        val (v, t2) = value(f, t); loop(t2, o.copy(year = Some(v)))
       case ("-csv" | "--csv_files") :: t => loop(t, o.copy(csv = true))
-      case ("-icwe" | "--import_cwe") :: v :: t => loop(t, o.copy(icwe = Some(v)))
+      case (f @ ("-icwe" | "--import_cwe")) :: t =>
+        val (v, t2) = value(f, t); loop(t2, o.copy(icwe = Some(v)))
       case ("-idb" | "--import_to_db") :: t => loop(t, o.copy(idb = true))
-      case ("-i" | "--input") :: v :: t => loop(t, o.copy(input = v))
-      case ("-o" | "--output") :: v :: t => loop(t, o.copy(results = v))
-      case ("-db" | "--database") :: v :: t => loop(t, o.copy(database = v))
+      case (f @ ("-i" | "--input")) :: t =>
+        val (v, t2) = value(f, t); loop(t2, o.copy(input = v))
+      case (f @ ("-o" | "--output")) :: t =>
+        val (v, t2) = value(f, t); loop(t2, o.copy(results = v))
+      case (f @ ("-db" | "--database")) :: t =>
+        val (v, t2) = value(f, t); loop(t2, o.copy(database = v))
       case ("-cd" | "--create_database") :: t => loop(t, o.copy(cd = true))
       case ("-dd" | "--drop_database") :: t => loop(t, o.copy(dd = true))
       case ("-ct" | "--create_tables") :: t => loop(t, o.copy(ct = true))
       case ("-tr" | "--truncate_cves_tables") :: t => loop(t, o.copy(tr = true))
-      case ("-cve" | "--cve_number") :: v :: t => loop(t, o.copy(cve = Some(v)))
-      case ("-cpe" | "--cpe") :: v :: t => loop(t, o.copy(cpe = Some(v)))
-      case ("-cwe" | "--cwe") :: v :: t => loop(t, o.copy(cwe = Some(v)))
-      case ("-sc" | "--score") :: v :: t => loop(t, o.copy(score = v.toDouble))
-      case ("-dt" | "--date") :: v :: t => loop(t, o.copy(date = Some(v)))
+      case (f @ ("-cve" | "--cve_number")) :: t =>
+        val (v, t2) = value(f, t); loop(t2, o.copy(cve = Some(v)))
+      case (f @ ("-cpe" | "--cpe")) :: t =>
+        val (v, t2) = value(f, t); loop(t2, o.copy(cpe = Some(v)))
+      case (f @ ("-cwe" | "--cwe")) :: t =>
+        val (v, t2) = value(f, t); loop(t2, o.copy(cwe = Some(v)))
+      case (f @ ("-sc" | "--score")) :: t =>
+        val (v, t2) = value(f, t)
+        val sc = try v.toDouble catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"invalid score: $v")
+        }
+        loop(t2, o.copy(score = sc))
+      case (f @ ("-dt" | "--date")) :: t =>
+        val (v, t2) = value(f, t); loop(t2, o.copy(date = Some(v)))
       // Unknown flags and ignored reference flags (-u/-ow/-host/-server):
       // swallow one value if the next token isn't a flag.
       case f :: v :: t if f.startsWith("-") && !v.startsWith("-") => loop(t, o)
@@ -106,10 +128,18 @@ object Main {
           rows, o.results, o.cpe.get, fmtScore(o.score), o.date))
     } else if (o.cwe.isDefined) {
       out("CWE queries")
-      Report.cweReport(
-        Queries.byCwe(spark.table(s"$db.cwe"), o.cwe.get.toInt)
-          .orderBy("cwe_id").limit(1).collect().headOption,
-        o.cwe.get, out)
+      // Non-numeric id -> the reference's error hint, not a crash
+      // (cve_manager.py:569-572 prints the hint on query failure).
+      o.cwe.get.toIntOption match {
+        case Some(id) =>
+          Report.cweReport(
+            Queries.byCwe(spark.table(s"$db.cwe"), id)
+              .orderBy("cwe_id").limit(1).collect().headOption,
+            o.cwe.get, out)
+        case None =>
+          out("Error while Querying Database")
+          out("Hint: Use just the number of the CWE you are looking for, e.g.: 169")
+      }
     } else if (o.cve.isDefined || o.score > 0.0) {
       out("CVE queries")
       o.cve match {
@@ -153,8 +183,13 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
+    val opts = try parse(args.toSeq) catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"error: ${e.getMessage} (check --help)")
+        sys.exit(2)
+    }
     val spark = Sessions.localWithCatalog(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, parse(args.toSeq)) finally spark.stop()
+    try run(spark, opts) finally spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.cve
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The warehouse layer: the `cvss_vs_cpes` join view, the CWE catalog
@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
 object Warehouse {
 
   val Database = "cvedb"
+
+  /** Python-str boolean rendering — 'True'/'False', null-preserving
+    * (cve_manager.py:258). THE single definition; the CSV sink, the CPE
+    * flatten, and the oracle comparison boundary all share it. */
+  def pythonBool(c: Column): Column =
+    when(c, "True").when(!c, "False")
   /** CVE fact tables, truncated on refresh; `cwe` (dimension) survives
     * (cve_manager.py:363-384 truncates cpe, cve_problem, cvss only). */
   val FactTables = Seq("cvss", "cve_problem", "cpe")
@@ -115,8 +121,7 @@ object Warehouse {
   private def pyStr(df: DataFrame): DataFrame =
     df.select(df.schema.fields.map { f =>
       f.dataType.typeName match {
-        case "boolean" =>
-          when(col(f.name), "True").when(!col(f.name), "False").as(f.name)
+        case "boolean" => pythonBool(col(f.name)).as(f.name)
         case _ => col(f.name).cast("string").as(f.name)
       }
     }.toSeq: _*)

@@ -111,7 +111,7 @@ object CveOps {
   private def renderBools(df: DataFrame): DataFrame =
     df.select(df.schema.fields.map { f =>
       if (f.dataType.typeName == "boolean")
-        when(col(f.name), "True").when(!col(f.name), "False").as(f.name)
+        Warehouse.pythonBool(col(f.name)).as(f.name)
       else col(f.name)
     }.toSeq: _*)
 

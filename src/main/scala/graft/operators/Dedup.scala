@@ -176,15 +176,13 @@ object Dedup {
     QueryDef(
       "q47_dedup_components",
       (s, dir) => {
-        // Iterative min-label propagation to fixpoint: each vertex takes the
-        // min of its own and its neighbors' labels per round, converging to
-        // the component's min doc_id in O(diameter) joins. Near-dup graphs
-        // are forests of tiny clusters, so diameter is small; at 100 TB the
-        // same loop runs with persisted frames (large-star/small-star is
-        // the constant-factor upgrade, same shuffle pattern).
-        // Persist the EDGES (the expensive subtree): sym's two union
-        // branches and every loop iteration then reread the cached pairs
-        // instead of re-running the whole shingle pipeline.
+        // Min-label propagation WITH pointer jumping: each round a vertex
+        // takes the min of its own label, its neighbors' labels, and its
+        // label's label (path halving), so convergence is O(log diameter)
+        // joins — 30 rounds covers any graph. Fails loudly if not converged
+        // rather than returning silently-wrong components. Persist the
+        // EDGES (the expensive subtree): union branches and every loop
+        // iteration reread the cached pairs, not the shingle pipeline.
         val edges = jaccardPairs(Tables.load(s, dir, "documents"))
           .select("a", "b").persist()
         val sym = edges.unionByName(
@@ -193,11 +191,16 @@ object Dedup {
           .withColumn("lbl", col("v")).persist()
         var converged = false
         var iter = 0
-        while (!converged && iter < 20) {
+        while (!converged && iter < 30) {
           val nbrMin = sym.join(labels, sym("b") === labels("v"))
             .groupBy(sym("a").as("nv")).agg(min("lbl").as("nlbl"))
-          val next = labels.join(nbrMin, labels("v") === col("nv"), "left")
-            .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          val hop = labels.select(col("v").as("hv"), col("lbl").as("hlbl"))
+          val next = labels
+            .join(nbrMin, labels("v") === col("nv"), "left")
+            .join(hop, labels("lbl") === col("hv"), "left")
+            .select(labels("v"), least(col("lbl"),
+              coalesce(col("nlbl"), col("lbl")),
+              coalesce(col("hlbl"), col("lbl"))).as("lbl"))
             .persist()
           converged = next.join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
             .filter(col("lbl") < col("old")).isEmpty
@@ -205,8 +208,13 @@ object Dedup {
           labels = next
           iter += 1
         }
+        require(converged, s"component labels not converged after $iter rounds")
+        // Materialize + truncate lineage so every intermediate cache can be
+        // dropped NOW instead of living for the session.
+        val result = labels.localCheckpoint(true)
+        labels.unpersist()
         edges.unpersist()
-        labels.select(col("v").as("doc_id"), col("lbl").as("component"))
+        result.select(col("v").as("doc_id"), col("lbl").as("component"))
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE $shingleCte,

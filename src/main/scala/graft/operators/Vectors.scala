@@ -146,10 +146,11 @@ object Vectors {
       Some(s"""WITH $normCte,
               |par AS (SELECT least($SrpMaxRows, greatest($SrpMinRows,
               |               CAST(ceil(log2(count(*))) AS INT) - 1)) AS r FROM vn),
+              |dimp AS (SELECT len(en) AS dim FROM vn LIMIT 1),
               |pl AS (
               |  SELECT j, [CASE WHEN strpos('89abcdef', substr(md5('srp:' || j || ':' || i), 1, 1)) > 0
-              |             THEN 1.0 ELSE -1.0 END for i in range(0, 64)] AS p
-              |  FROM range(0, ${SrpBands * SrpMaxRows}) t(j)),
+              |             THEN 1.0 ELSE -1.0 END for i in range(0, dim)] AS p
+              |  FROM range(0, ${SrpBands * SrpMaxRows}) t(j), dimp),
               |bits AS (
               |  SELECT vec_id, j,
               |         CASE WHEN ${dotSql("en", "p")} >= 0 THEN '1' ELSE '0' END AS bit

@@ -24,13 +24,18 @@ object Streams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // Same guard as Tables.events — without the nanos conf the stream fails
+    // at start with an opaque [PARQUET_TYPE_ILLEGAL].
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "build the session via graft.Sessions (needs spark.sql.legacy.parquet.nanosAsLong=true)")
     // File-stream sources need a directory basePath; events.parquet is a
     // single file in the testdata, so stream the dir with a glob filter.
     spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
 
   /** Tumbling hourly counts with a 1-hour watermark — the streaming twin of
     * q20. Append mode: a window is emitted once the watermark passes its

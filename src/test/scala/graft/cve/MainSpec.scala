@@ -33,6 +33,17 @@ class MainSpec extends AnyFunSuite {
     assert(o.cve === Some("2024"))
   }
 
+  test("parse: value flags fail fast on a missing value or bad score") {
+    assertThrows[IllegalArgumentException](Main.parse(Seq("-sc", "-p")))
+    assertThrows[IllegalArgumentException](Main.parse(Seq("-cve")))
+    assertThrows[IllegalArgumentException](Main.parse(Seq("-sc", "abc")))
+  }
+
+  test("non-numeric -cwe reports the reference's hint instead of crashing") {
+    val outLines = runCli("-db", "nonexistent_db", "-cwe", "CWE-119")
+    assert(outLines.exists(_.contains("Hint: Use just the number")))
+  }
+
   test("no actionable flags -> usage hint") {
     assert(runCli().exists(_.contains("Choose an option")))
   }
