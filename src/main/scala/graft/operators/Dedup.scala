@@ -142,6 +142,48 @@ object Dedup {
        |  JOIN sizes zb ON zb.doc_id = p.b
        |  WHERE p.inter / (za.sz + zb.sz - p.inter) >= $tau)""".stripMargin
 
+  /** Connected components of an undirected edge list `(a, b)`: returns
+    * `(v, lbl)` with lbl = min vertex id of v's component.
+    *
+    * Min-label propagation WITH pointer jumping: each round a vertex takes
+    * the min of its own label, its neighbors' labels, and its label's label
+    * (path halving), so convergence is O(log diameter) joins — `maxRounds`
+    * = 30 covers any graph that fits an address space. Fails loudly if not
+    * converged rather than returning silently-wrong components. The result
+    * is localCheckpoint'd so every intermediate cache is dropped here, not
+    * at session end. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val sym = edges.unionByName(
+      edges.select(col("b").as("a"), col("a").as("b")))
+    // Each round is localCheckpoint'd: materializes the (small) label
+    // frame AND truncates lineage, so the plan stays constant-size across
+    // iterations (an un-truncated loop compounds two joins per round into
+    // an exponential analyzer/plan blowup). Superseded checkpoint blocks
+    // are dropped by the ContextCleaner once unreferenced.
+    var labels = sym.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxRounds) {
+      val nbrMin = sym.join(labels, sym("b") === labels("v"))
+        .groupBy(sym("a").as("nv")).agg(min("lbl").as("nlbl"))
+      val hop = labels.select(col("v").as("hv"), col("lbl").as("hlbl"))
+      val next = labels
+        .join(nbrMin, labels("v") === col("nv"), "left")
+        .join(hop, labels("lbl") === col("hv"), "left")
+        .select(labels("v"), least(col("lbl"),
+          coalesce(col("nlbl"), col("lbl")),
+          coalesce(col("hlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
+        .filter(col("lbl") < col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"component labels not converged after $iter rounds")
+    labels
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: canonical-content hash groupBy ──
@@ -176,43 +218,11 @@ object Dedup {
     QueryDef(
       "q47_dedup_components",
       (s, dir) => {
-        // Min-label propagation WITH pointer jumping: each round a vertex
-        // takes the min of its own label, its neighbors' labels, and its
-        // label's label (path halving), so convergence is O(log diameter)
-        // joins — 30 rounds covers any graph. Fails loudly if not converged
-        // rather than returning silently-wrong components. Persist the
-        // EDGES (the expensive subtree): union branches and every loop
-        // iteration reread the cached pairs, not the shingle pipeline.
+        // Edges persisted (the expensive subtree): union branches and every
+        // propagation round reread cached pairs, not the shingle pipeline.
         val edges = jaccardPairs(Tables.load(s, dir, "documents"))
           .select("a", "b").persist()
-        val sym = edges.unionByName(
-          edges.select(col("b").as("a"), col("a").as("b")))
-        var labels = sym.select(col("a").as("v")).distinct()
-          .withColumn("lbl", col("v")).persist()
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 30) {
-          val nbrMin = sym.join(labels, sym("b") === labels("v"))
-            .groupBy(sym("a").as("nv")).agg(min("lbl").as("nlbl"))
-          val hop = labels.select(col("v").as("hv"), col("lbl").as("hlbl"))
-          val next = labels
-            .join(nbrMin, labels("v") === col("nv"), "left")
-            .join(hop, labels("lbl") === col("hv"), "left")
-            .select(labels("v"), least(col("lbl"),
-              coalesce(col("nlbl"), col("lbl")),
-              coalesce(col("hlbl"), col("lbl"))).as("lbl"))
-            .persist()
-          converged = next.join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
-            .filter(col("lbl") < col("old")).isEmpty
-          labels.unpersist()
-          labels = next
-          iter += 1
-        }
-        require(converged, s"component labels not converged after $iter rounds")
-        // Materialize + truncate lineage so every intermediate cache can be
-        // dropped NOW instead of living for the session.
-        val result = labels.localCheckpoint(true)
-        labels.unpersist()
+        val result = connectedComponents(edges)
         edges.unpersist()
         result.select(col("v").as("doc_id"), col("lbl").as("component"))
           .orderBy("doc_id")

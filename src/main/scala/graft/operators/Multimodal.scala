@@ -105,6 +105,32 @@ object Multimodal {
            |       $fcols
            |FROM (SELECT doc_id, text, md5(text) AS h FROM documents)
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ── Frame sampling: chunk the payload into fixed frames, keep every
+    //    k-th, fingerprint each — the video-frame-sample plumbing shape
+    //    (chunk → stride-sample → per-frame feature), all codegen'd
+    //    built-ins, no decode dependency. ──
+    QueryDef(
+      "q53_frame_sample",
+      (s, dir) => {
+        val Frame = 32
+        val Stride = 4
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(expr(
+            s"""transform(
+               |  filter(sequence(0, int(ceil(length(text) / $Frame.0)) - 1),
+               |         i -> i % $Stride = 0),
+               |  i -> struct(i AS frame_idx,
+               |              md5(substring(text, i * $Frame + 1, $Frame)) AS sig))""".stripMargin
+          )).as("f"))
+          .select(col("doc_id"), col("f.frame_idx"), col("f.sig"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""SELECT doc_id, i AS frame_idx, md5(substr(text, i * 32 + 1, 32)) AS sig
+             |FROM (SELECT doc_id, text,
+             |             unnest(range(0, CAST(ceil(length(text) / 32.0) AS INT))) AS i
+             |      FROM documents)
+             |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }
