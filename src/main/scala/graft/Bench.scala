@@ -17,10 +17,14 @@ object Bench {
     }
     // A failed query benches as -1 (sentinel) and lands in "errors" — a
     // crash at sf0.1 must be visible, never recorded as a fast timing.
+    // toRdd.count() materializes EVERY output column: a plain count() lets
+    // Catalyst prune the projected compute, so expensive expressions would
+    // bench as free (caught when a simhash fold benched 0.4s but cost 60s
+    // materialized).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }

@@ -79,10 +79,15 @@ case class DotProduct(left: Expression, right: Expression)
 
 object GraftFunctions {
   /** Idempotent per-session registration; call from any entry point, then
-    * invoke via `call_function("graft_dot", a, b)`. */
-  def register(spark: SparkSession): Unit =
+    * invoke via `call_function("graft_dot", ...)` etc. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (children: Seq[Expression]) => SimHash60(children.head))
+  }
 }

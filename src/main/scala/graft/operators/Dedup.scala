@@ -184,6 +184,38 @@ object Dedup {
     labels
   }
 
+  val SimBits = 60 // 15 hex digits of md5; stays clear of the bigint sign bit
+  val SimBands = 4
+  val SimBandBits: Int = SimBits / SimBands // 15 → 32768 bucket keys per band
+  val SimMaxHamming = 3 // must stay < SimBands for the pigeonhole guarantee
+
+  /** 60-bit SimHash per document via the codegen'd graft_simhash60
+    * expression (graft.functions.SimHash60): one MD5 per word in a tight
+    * loop, no explode, no shuffle. The declarative higher-order-aggregate
+    * formulation of the same math runs interpreted at ~60 ms/doc — scan
+    * speed only comes from the custom expression here. */
+  def simhashed(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("graft_simhash60", split(trim(col("text")), " ")).as("simhash"))
+  }
+
+  // def, not val: referenced from `defs` above, which would otherwise read
+  // it before object-initialization reaches it (a null into the SQL).
+  /** DuckDB twin of `simhashed` as a CTE ending in `sim(doc_id, simhash)`. */
+  def simhashCte: String =
+    s"""sim AS (
+       |  SELECT doc_id,
+       |         list_reduce([CASE WHEN bs[j + 1] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END
+       |                      for j in range(0, $SimBits)], (x, y) -> x + y) AS simhash
+       |  FROM (
+       |    SELECT doc_id,
+       |           [list_sum([CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(1 + j // 4 AS INT), 1)) - 1)
+       |                                 >> CAST(3 - j % 4 AS INT)) & 1 = 1
+       |                      THEN 1 ELSE -1 END for h in hs]) for j in range(0, $SimBits)] AS bs
+       |    FROM (SELECT doc_id, list_transform(string_split(trim(text), ' '), x -> md5(x)) AS hs
+       |          FROM documents)))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: canonical-content hash groupBy ──
@@ -280,42 +312,51 @@ object Dedup {
            |ORDER BY a, b""".stripMargin
       }),
 
-    // ── SimHash: 16-bit signed-bit-sum fingerprint, shuffle-free ──
+    // ── SimHash: 60-bit signed-bit-sum fingerprint, shuffle-free ──
     QueryDef(
       "q24_simhash",
+      (s, dir) => simhashed(Tables.load(s, dir, "documents"))
+        .select("doc_id", "simhash").orderBy("doc_id"),
+      Some(s"WITH $simhashCte\nSELECT doc_id, simhash FROM sim ORDER BY doc_id")),
+
+    // ── SimHash near-dup pairs: band-blocked Hamming search ──
+    QueryDef(
+      "q54_simhash_pairs",
       (s, dir) => {
-        // Per-document fold over the word array (higher-order aggregate —
-        // no explode, no shuffle). Bit j comes from hex digit j/4 of
-        // md5(word); the signed sum over words decides the output bit.
-        val bitSums = (0 until 16).map { j =>
-          val pos = 1 + j / 4
-          val shift = 1 << (3 - j % 4)
-          expr(s"""aggregate(w, 0, (acc, x) -> acc +
-                  |  (CASE WHEN CAST(floor((locate(substr(md5(x), $pos, 1), '0123456789abcdef') - 1) / $shift) AS INT) % 2 = 1
-                  |        THEN 1 ELSE -1 END))""".stripMargin).as(s"bs$j")
-        }
-        val simhash = (0 until 16)
-          .map(j => s"(CASE WHEN bs$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-        Tables.load(s, dir, "documents")
-          .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-          .select(col("doc_id") +: bitSums: _*)
-          .select(col("doc_id"), expr(s"CAST($simhash AS BIGINT)").as("simhash"))
-          .orderBy("doc_id")
+        // The search half of SimHash dedup: block on the fingerprint's 4
+        // 15-bit bands (a ≤3-bit-distant pair must agree on ≥1 band —
+        // pigeonhole), equi-join bucket-mates, verify Hamming distance via
+        // bit_count(xor). 2^15 values per band keeps buckets O(1)-ish at
+        // corpus scale — widen the fingerprint to grow further.
+        // Materialize the fingerprints ONCE: without the barrier the
+        // optimizer inlines the whole simhash fold into every band-key
+        // expression and the join's residual, re-evaluating it per
+        // candidate pair (measured 300x slowdown).
+        val sim = simhashed(Tables.load(s, dir, "documents"))
+          .select("doc_id", "simhash").localCheckpoint(true)
+        val bx = sim.select(col("doc_id"), col("simhash"), explode(array(
+          (0 until SimBands).map(k => struct(lit(k).as("bi"),
+            expr(s"(simhash >> ${k * SimBandBits}) & ${(1 << SimBandBits) - 1}").as("key"))): _*)).as("e"))
+          .select(col("doc_id"), col("simhash"), col("e.bi").as("bi"), col("e.key").as("key"))
+        bx.as("x").join(bx.as("y"),
+            col("x.bi") === col("y.bi") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= SimMaxHamming)
+          .orderBy("a", "b")
       },
-      Some {
-        val bitSums = (0 until 16).map { j =>
-          val pos = 1 + j / 4
-          val shift = 1 << (3 - j % 4)
-          s"""list_sum([CASE WHEN CAST(floor((strpos('0123456789abcdef', substr(md5(x), $pos, 1)) - 1) / $shift) AS INT) % 2 = 1
-             |          THEN 1 ELSE -1 END for x in w]) AS bs$j""".stripMargin
-        }.mkString(",\n")
-        val simhash = (0 until 16)
-          .map(j => s"(CASE WHEN bs$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-        s"""SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM (
-           |  SELECT doc_id,
-           |$bitSums
-           |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents))
-           |ORDER BY doc_id""".stripMargin
-      })
+      Some(s"""WITH $simhashCte,
+              |bx AS (
+              |  SELECT doc_id, simhash, k AS bi,
+              |         (simhash >> (k * $SimBandBits)) & ${(1 << SimBandBits) - 1} AS key
+              |  FROM sim, range(0, $SimBands) t(k))
+              |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+              |       bit_count(xor(x.simhash, y.simhash)) AS hamming
+              |FROM bx x JOIN bx y ON x.bi = y.bi AND x.key = y.key AND x.doc_id < y.doc_id
+              |WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimMaxHamming
+              |ORDER BY a, b""".stripMargin))
   )
+
 }
