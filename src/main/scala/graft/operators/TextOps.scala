@@ -238,6 +238,33 @@ object TextOps {
              |WHERE strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 <
              |      CASE lang WHEN 'en' THEN 8 WHEN 'de' THEN 4 WHEN 'fr' THEN 4
              |                WHEN 'es' THEN 2 ELSE 1 END
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── Top-k per group via a custom typed Aggregator (UDAF surface) ──
+    QueryDef(
+      "q55_topk_aggregator",
+      (s, dir) => {
+        import s.implicits._
+        // Bounded O(k) partial-aggregation state per group — no per-group
+        // sort shuffle (graft.functions.TopKAggregator). The window
+        // formulation is the oracle: identical results, different plan.
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("score"))
+          .as[(String, Long, Long)]
+        ds.groupByKey(_._1)
+          .mapValues(t => graft.functions.Scored(t._2, t._3))
+          .agg(new graft.functions.TopKAggregator(3).toColumn.name("top"))
+          .flatMap { case (lang, items) =>
+            items.zipWithIndex.map { case (it, i) => (lang, i + 1L, it.doc_id, it.score) }
+          }
+          .toDF("lang", "rk", "doc_id", "score")
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, rk, doc_id, score FROM (
+             |  SELECT lang, doc_id, n_chars AS score,
+             |         row_number() OVER (PARTITION BY lang
+             |                            ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin))
   )
 }

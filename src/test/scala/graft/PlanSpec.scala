@@ -76,6 +76,10 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles.size <= 2, s"corpus-side shuffle suspected: ${shuffles.size}")
   }
 
+  test("q55 typed top-k aggregator plans without a window (bounded state, no per-group sort)") {
+    assert(collectAll("q55_topk_aggregator") { case w: WindowExec => w }.isEmpty)
+  }
+
   test("q49 salted aggregation is exactly two stages") {
     val shuffles = collectAll("q49_salted_agg") { case e: ShuffleExchangeExec => e }
     // salt-group exchange + key re-agg exchange (+ nothing else before sort)
