@@ -86,6 +86,27 @@ object Streams {
       }
   }
 
+  /** Watermarked stream-stream interval join: each purchase joined to the
+    * errors that follow it within `windowMinutes` for the same user. Both
+    * sides carry watermarks and the join condition bounds event-time skew,
+    * so state for rows older than watermark + window is evicted — the
+    * unbounded-state hazard of stream-stream joins is contained. */
+  def purchaseErrorJoin(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    val e = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+      .withWatermark("e_ts", "10 minutes")
+    p.join(e, expr(
+      s"""p_user = e_user AND
+         |e_ts >= p_ts AND e_ts <= p_ts + INTERVAL $windowMinutes MINUTES""".stripMargin))
+      .select(col("p_id"), col("e_id"), col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("e_ts")).as("e_us"))
+  }
+
   /** Drain the stream with Trigger.AvailableNow into an in-memory table and
     * return it (spec/driver harness; production would writeStream to a sink). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {

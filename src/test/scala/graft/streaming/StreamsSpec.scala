@@ -36,6 +36,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < batch.size) // trailing windows held in state
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val got = Streams.runToMemory(spark,
+      Streams.purchaseErrorJoin(Streams.readEventsStream(spark, dir), 240), "ssjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_ns").as("p_ns"), col("event_id").as("p_id"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts_ns").as("e_ns"), col("event_id").as("e_id"))
+    val W = 240L * 60 * 1000000000L
+    val batch = p.join(e, col("p_user") === col("e_user") &&
+        col("e_ns") >= col("p_ns") && col("e_ns") <= col("p_ns") + W)
+      .collect().map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("e_id"))).toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("sessionize (flatMapGroupsWithState) matches the batch lag/gap formulation") {
     val gapMin = 30
     val got = Streams.sessionize(Streams.readEventsStream(spark, dir), gapMin)
