@@ -131,6 +131,29 @@ object Multimodal {
              |FROM (SELECT doc_id, text,
              |             unnest(range(0, CAST(ceil(length(text) / 32.0) AS INT))) AS i
              |      FROM documents)
-             |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin))
+             |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // ── Resize: variable-length payload resampled onto a FIXED 16-cell
+    //    grid (the thumbnail/resize plumbing shape) — each cell covers an
+    //    equal fraction of the payload, fingerprinted to one hex "pixel". ──
+    QueryDef(
+      "q56_resize_grid",
+      (s, dir) => {
+        val G = 16
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), expr(
+            s"""array_join(transform(sequence(0, ${G - 1}), i ->
+               |  substring(md5(substring(text,
+               |    CAST(i * length(text) div $G AS INT) + 1,
+               |    CAST((i + 1) * length(text) div $G AS INT) - CAST(i * length(text) div $G AS INT))), 1, 1)), '')""".stripMargin
+          ).as("pixels"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  array_to_string([substr(md5(substr(text,
+             |      CAST((i * length(text)) // 16 AS INT) + 1,
+             |      CAST(((i + 1) * length(text)) // 16 AS INT) - CAST((i * length(text)) // 16 AS INT))), 1, 1)
+             |    for i in range(0, 16)], '') AS pixels
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
