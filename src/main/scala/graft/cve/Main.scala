@@ -117,6 +117,18 @@ object Main {
       Warehouse.saveCwe(spark, db, Warehouse.cweCatalog(spark, path))
     }
     // Query modes: -cpe elif -cwe elif (-cve or -sc > 0) — cve_manager.py:668-679.
+    // Query errors (e.g. missing warehouse tables) report and return, like
+    // the reference's print-and-continue handling (cve_manager.py:449-450).
+    try runQueries(spark, o, out)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        out("Error while Querying Database")
+        out(e.getSimpleMessage.linesIterator.next())
+    }
+  }
+
+  private def runQueries(spark: SparkSession, o: Opts, out: String => Unit): Unit = {
+    val db = o.database
     if (o.cpe.isDefined) {
       out("CPE queries")
       val rows = Queries.byCpe(spark.table(s"$db.cvss_vs_cpes"),

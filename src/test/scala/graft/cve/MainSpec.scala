@@ -44,6 +44,11 @@ class MainSpec extends AnyFunSuite {
     assert(outLines.exists(_.contains("Hint: Use just the number")))
   }
 
+  test("query against a missing warehouse reports, not crashes (print-and-continue)") {
+    val outLines = runCli("-db", "graft_no_such_db", "-cve", "2024-0001")
+    assert(outLines.exists(_ === "Error while Querying Database"))
+  }
+
   test("no actionable flags -> usage hint") {
     assert(runCli().exists(_.contains("Choose an option")))
   }
