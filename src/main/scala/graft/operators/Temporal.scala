@@ -148,6 +148,43 @@ object Temporal {
              |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ── Funnel: first signup → first subsequent purchase per user ──
+    QueryDef(
+      "q57_funnel",
+      (s, dir) => {
+        // Two conditional aggregations over ONE shuffle each: the user's
+        // first signup, then the first purchase at-or-after it. No
+        // per-user sequence materialization — min() under a predicate is
+        // all a 2-step funnel needs, and partial aggregation keeps it
+        // map-side combining at any scale.
+        val ev = Tables.events(s, dir)
+        val first = ev.groupBy("user_id")
+          .agg(min(when(col("event_type") === "signup", col("ts_ns"))).as("s_ns"))
+          .filter(col("s_ns").isNotNull)
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(first, Seq("user_id"))
+          .filter(col("ts_ns") >= col("s_ns"))
+          .groupBy("user_id").agg(min("ts_ns").as("p_ns"))
+        first.join(conv, Seq("user_id"), "left")
+          .select(col("user_id"),
+            expr("s_ns div 1000").as("s_us"),
+            expr("p_ns div 1000").as("p_us"),
+            col("p_ns").isNotNull.as("converted"))
+          .orderBy("user_id")
+      },
+      Some("""WITH first AS (
+             |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+             |  FROM events GROUP BY user_id HAVING s_ts IS NOT NULL),
+             |conv AS (
+             |  SELECT e.user_id, min(e.ts) AS p_ts
+             |  FROM events e JOIN first f ON e.user_id = f.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts >= f.s_ts
+             |  GROUP BY e.user_id)
+             |SELECT f.user_id, epoch_us(f.s_ts) AS s_us, epoch_us(c.p_ts) AS p_us,
+             |       c.p_ts IS NOT NULL AS converted
+             |FROM first f LEFT JOIN conv c ON f.user_id = c.user_id
+             |ORDER BY f.user_id""".stripMargin)),
+
     // ── Exact percentiles per group (sort-based; engine extension) ──
     QueryDef(
       "q50_percentiles",
