@@ -99,14 +99,26 @@ object Main {
     if (o.tr) { out("Truncating NIST NVD imported data"); Warehouse.truncateFacts(spark, db) }
     if (o.process) {
       out("Processing downloaded data")
+      // Per-file envelope report, newest year first (files.sort(reverse=True)
+      // + the per-file prints, cve_manager.py:233-244). listFeedFiles is
+      // already descending; each probe is a single-task job over one feed
+      // file, so the loop stays linear in file count (~1/year).
+      Ingest.listFeedFiles(o.input)
+        .filter(f => f.endsWith(".json") || f.endsWith(".json.zip"))
+        .foreach { f =>
+          out(s"\nProcessing $f")
+          val one =
+            if (f.endsWith(".zip")) Ingest.readZippedFeeds(spark, s"${o.input}/$f")
+            else Flatten.readFeed(spark, s"${o.input}/$f")
+          Flatten.feedMetadata(one).collect().foreach { r =>
+            out(s"CVE_data_timestamp: ${r.get(0)}")
+            out(s"CVE_data_version: ${r.get(1)}")
+            out(s"CVE_data_format: ${r.get(2)}")
+            out(s"CVE_data_number of CVEs: ${r.get(3)}")
+            out(s"CVE_data_type: ${r.get(4)}")
+          }
+        }
       val feed = Ingest.readFeedDir(spark, o.input)
-      Flatten.feedMetadata(feed).collect().foreach { r =>
-        out(s"CVE_data_timestamp: ${r.get(0)}")
-        out(s"CVE_data_version: ${r.get(1)}")
-        out(s"CVE_data_format: ${r.get(2)}")
-        out(s"CVE_data_number of CVEs: ${r.get(3)}")
-        out(s"CVE_data_type: ${r.get(4)}")
-      }
       val (cvss, problems, cpes) =
         (Flatten.cvss(feed), Flatten.problems(feed), Flatten.cpes(feed))
       if (o.csv) Warehouse.writeWarehouseCsvs(cvss, problems, cpes, o.results)

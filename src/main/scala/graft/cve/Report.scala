@@ -33,10 +33,17 @@ object Report {
     }
     out("\nRelated Common Weakness Enumerations (CWE)")
     out("-------------------------------------------")
+    // Only labels whose lstrip('CWE-') is all-digits are printed — the
+    // reference silently skips the rest, e.g. NVD-CWE-noinfo
+    // (cve_manager.py:416-424). lstrip strips the leading CHARACTER SET
+    // {C,W,E,-}, hence dropWhile, not stripPrefix.
     problems.toLocalIterator().forEachRemaining { r =>
       val problem = fmt(r.getAs[Any]("problem"))
-      val resolved = fmt(r.getAs[Any]("resolved"))
-      out(if (resolved == problem) problem else s"$problem $resolved")
+      val stripped = problem.dropWhile(c => "CWE-".indexOf(c) >= 0)
+      if (stripped.nonEmpty && stripped.forall(_.isDigit)) {
+        val resolved = fmt(r.getAs[Any]("resolved"))
+        out(if (resolved == problem) problem else s"$problem $resolved")
+      }
     }
     out("\nRelated Common Platform Enumerations (CPE)")
     out("-------------------------------------------")

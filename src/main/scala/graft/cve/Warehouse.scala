@@ -165,27 +165,48 @@ object Warehouse {
       rd("cve_cpes.csv", NvdSchema.cpeTable))
   }
 
-  /** S10: comma-CSV export of score/date query results, derived filename
-    * `CVEs_score<sc>_<dt>.csv` (cve_manager.py:467-471). */
+  /** Distributed write, flat-file result: Spark's csv() sink always lands a
+    * DIRECTORY of part files, but the reference's downstream contract is a
+    * single flat file at the exact derived path (cve_manager.py:467-471) —
+    * so write coalesce(1) to a scratch dir, promote the lone part file to
+    * the exact path, drop the scratch dir. Query exports are human-scale
+    * result sets (already filtered/ordered), so coalesce(1) is safe here;
+    * the bulk warehouse CSVs (writeWarehouseCsvs) stay multi-part. */
+  private def writeSingleCsv(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val scratch = path + ".spark-staging"
+    df.coalesce(1)
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(scratch)
+    val fs = new Path(scratch).getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(scratch)).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $scratch"))
+    val dest = new Path(path)
+    fs.delete(dest, true)
+    require(fs.rename(part, dest), s"rename $part -> $dest failed")
+    fs.delete(new Path(scratch), true)
+  }
+
+  /** S10: comma-CSV export of score/date query results, a single flat file
+    * named `CVEs_score<sc>_<dt>.csv` (cve_manager.py:467-471). */
   def exportScoreDateCsv(
       rows: DataFrame, outDir: String, score: String, date: Option[String]): String = {
     val path = s"$outDir/CVEs_score${score}_${date.getOrElse("False")}.csv"
-    rows.coalesce(1).toDF(
-        "CVE", "CVSSv3 Score", "CVSSv3 Vector String", "CVSSv2 Score",
-        "CVSSv2 Vector String", "Published Date")
-      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    writeSingleCsv(rows.toDF(
+      "CVE", "CVSSv3 Score", "CVSSv3 Vector String", "CVSSv2 Score",
+      "CVSSv2 Vector String", "Published Date"), path)
     path
   }
 
-  /** S10: comma-CSV export of CPE query results, derived filename
+  /** S10: comma-CSV export of CPE query results, a single flat file named
     * `<cpe>_<sc>_<dt>.csv` (cve_manager.py:525-529). */
   def exportCpeCsv(
       rows: DataFrame, outDir: String, cpe: String, score: String,
       date: Option[String]): String = {
     val path = s"$outDir/${cpe}_${score}_${date.getOrElse("False")}.csv"
-    rows.coalesce(1).toDF(
-        "CPE", "CVE", "CVSSv3 Score", "CVSSv2 Score", "Published Date")
-      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    writeSingleCsv(rows.toDF(
+      "CPE", "CVE", "CVSSv3 Score", "CVSSv2 Score", "Published Date"), path)
     path
   }
 }

@@ -212,15 +212,17 @@ object CveOps {
       Some(s"""WITH $cweCte
               |SELECT * FROM cwec WHERE cwe_id = 119 ORDER BY cwe_id LIMIT 1""".stripMargin)),
 
-    // ── S5: feed-envelope metadata probe ──
+    // ── S5: feed-envelope metadata probe (total-ordered: a multi-file feed
+    //    dir yields one row per feed, and the hash-compare needs an order) ──
     QueryDef(
       "q44_feed_meta",
-      (s, _) => Flatten.feedMetadata(feed(s)),
+      (s, _) => Flatten.feedMetadata(feed(s)).orderBy("feed_timestamp"),
       Some(s"""SELECT CVE_data_timestamp AS feed_timestamp,
               |       CVE_data_version AS feed_version,
               |       CVE_data_format AS feed_format,
               |       CVE_data_numberOfCVEs AS feed_count,
               |       CVE_data_type AS feed_type
-              |FROM read_json('$FixtureFeed')""".stripMargin))
+              |FROM read_json('$FixtureFeed')
+              |ORDER BY feed_timestamp""".stripMargin))
   )
 }

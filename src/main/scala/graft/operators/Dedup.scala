@@ -149,35 +149,52 @@ object Dedup {
     * the min of its own label, its neighbors' labels, and its label's label
     * (path halving), so convergence is O(log diameter) joins — `maxRounds`
     * = 30 covers any graph that fits an address space. Fails loudly if not
-    * converged rather than returning silently-wrong components. The result
-    * is localCheckpoint'd so every intermediate cache is dropped here, not
-    * at session end. */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    * converged rather than returning silently-wrong components.
+    *
+    * Per round: ONE propagation job (the checkpoint materialization) plus a
+    * cheap convergence scan over the just-materialized blocks — the old
+    * label rides along as `old`, so no second join recomputes anything.
+    *
+    * `reliable = true` swaps localCheckpoint for reliable `checkpoint` into
+    * `sc.getCheckpointDir`: localCheckpoint pins blocks to executors, so on
+    * a real cluster an executor loss kills the lineage-truncated frame —
+    * reliable checkpoints survive it at the cost of a distributed-FS write
+    * per round. Local/bench runs keep the executor-memory default. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30,
+      reliable: Boolean = false): DataFrame = {
+    if (reliable) require(
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true requires sparkContext.setCheckpointDir(...)")
+    // Each round is barrier'd: materializes the (small) label frame AND
+    // truncates lineage, so the plan stays constant-size across iterations
+    // (an un-truncated loop compounds two joins per round into an
+    // exponential analyzer/plan blowup). Superseded checkpoint blocks are
+    // dropped by the ContextCleaner once unreferenced.
+    def barrier(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val sym = edges.unionByName(
       edges.select(col("b").as("a"), col("a").as("b")))
-    // Each round is localCheckpoint'd: materializes the (small) label
-    // frame AND truncates lineage, so the plan stays constant-size across
-    // iterations (an un-truncated loop compounds two joins per round into
-    // an exponential analyzer/plan blowup). Superseded checkpoint blocks
-    // are dropped by the ContextCleaner once unreferenced.
-    var labels = sym.select(col("a").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint(true)
+    var labels = barrier(sym.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxRounds) {
       val nbrMin = sym.join(labels, sym("b") === labels("v"))
         .groupBy(sym("a").as("nv")).agg(min("lbl").as("nlbl"))
       val hop = labels.select(col("v").as("hv"), col("lbl").as("hlbl"))
-      val next = labels
+      val next = barrier(labels
         .join(nbrMin, labels("v") === col("nv"), "left")
         .join(hop, labels("lbl") === col("hv"), "left")
         .select(labels("v"), least(col("lbl"),
           coalesce(col("nlbl"), col("lbl")),
-          coalesce(col("hlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), Seq("v"))
-        .filter(col("lbl") < col("old")).isEmpty
-      labels = next
+          coalesce(col("hlbl"), col("lbl"))).as("lbl"),
+          labels("lbl").as("old")))
+      // Convergence read off the frame we just built (coalesce covers the
+      // empty-graph case) — a scan of local blocks, not another join job.
+      converged = next.agg(coalesce(
+        max(when(col("lbl") < col("old"), lit(1)).otherwise(lit(0))),
+        lit(0))).head().getInt(0) == 0
+      labels = next.select("v", "lbl")
       iter += 1
     }
     require(converged, s"component labels not converged after $iter rounds")

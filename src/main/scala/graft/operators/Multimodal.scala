@@ -116,11 +116,15 @@ object Multimodal {
       (s, dir) => {
         val Frame = 32
         val Stride = 4
+        // Empty payload must emit zero frames: Spark's sequence(0, -1)
+        // defaults to step -1 and yields [0, -1] (DuckDB's range(0, 0) is
+        // empty), so the bound is clamped to >= 0 and a `i < n_frames`
+        // predicate drops the phantom row.
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), explode(expr(
             s"""transform(
-               |  filter(sequence(0, int(ceil(length(text) / $Frame.0)) - 1),
-               |         i -> i % $Stride = 0),
+               |  filter(sequence(0, greatest(int(ceil(length(text) / $Frame.0)), 1) - 1),
+               |         i -> i % $Stride = 0 AND i < int(ceil(length(text) / $Frame.0))),
                |  i -> struct(i AS frame_idx,
                |              md5(substring(text, i * $Frame + 1, $Frame)) AS sig))""".stripMargin
           )).as("f"))

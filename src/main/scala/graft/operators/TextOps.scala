@@ -136,14 +136,17 @@ object TextOps {
         // independent engine reproduces it bit-for-bit (ln() would differ
         // in the last ulp across libm implementations).
         val docs = Tables.load(s, dir, "documents")
-        val nDocs = docs.count()
+        // N folded into the plan as a broadcast 1-row aggregate (no
+        // separate driver count() job — one plan, one run).
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
         val words = docs
           .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
           .filter(col("w") =!= "")
         val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
         val scored = tf.join(dfreq, Seq("w"))
-          .withColumn("score", col("tf") * (lit(nDocs.toDouble) / col("df")))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score", col("tf") * (col("n_docs") / col("df")))
         val byDoc = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("score").desc, col("w"))
         scored
@@ -201,14 +204,17 @@ object TextOps {
             expr(s"(cum - tokens) div $Budget").as("pack_id"))
           .orderBy("doc_id")
       },
+      // CAST both windowed-sum outputs to BIGINT: DuckDB's sum(BIGINT)
+      // returns HUGEINT, which pandas materializes as float64 and the
+      // hash-compare then diverges from Spark's int64 on equal values.
       Some("""WITH t AS (
              |  SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS tokens
              |  FROM documents),
              |c AS (
              |  SELECT doc_id, tokens,
-             |         sum(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |         CAST(sum(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
              |  FROM t)
-             |SELECT doc_id, tokens, cum, (cum - tokens) // 2048 AS pack_id
+             |SELECT doc_id, tokens, cum, CAST((cum - tokens) // 2048 AS BIGINT) AS pack_id
              |FROM c ORDER BY doc_id""".stripMargin)),
 
     // ── Deterministic stratified sampling (training-data mixture weights) ──

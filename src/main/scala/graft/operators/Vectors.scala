@@ -167,27 +167,12 @@ object Vectors {
               |WHERE sim >= $NearDupTau
               |ORDER BY a, b""".stripMargin)),
 
-    // ── IVF ANN: sqrt(N) data-derived centroids, narrow argmax assignment ──
+    // ── IVF ANN: two-level (coarse/fine) centroids, narrow argmax assignment ──
     QueryDef(
       "q34_ivf_ann",
       (s, dir) => {
-        val emb = withNormalized(Tables.embeddings(s, dir)).select(col("vec_id"), col("en"))
-        val n = emb.count()
-        val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
-        val step = math.max(1L, n / k)
-        // Data-derived deterministic seeds, k ∝ sqrt(N) (k-means|| would
-        // refine these; seeding is the parameter, the plan is the structure).
-        val cents = emb.filter(col("vec_id") % step === 0)
-          .select(col("vec_id").as("cid"), col("en").as("cn"))
-        val centArr = cents.agg(
-          array_sort(collect_list(struct(col("cid"), col("cn")))).as("cents"))
-        // Assignment is a NARROW projection: broadcast the (single-row)
-        // centroid array, argmax via array_max over struct(csim, -cid) —
-        // ties pick the smallest cid. No Exchange touches the corpus.
-        val assigned = emb.crossJoin(broadcast(centArr))
-          .withColumn("best", array_max(transform(col("cents"),
-            c => struct(dot(col("en"), c("cn")).as("csim"), (-c("cid")).as("negcid")))))
-          .select(col("vec_id"), col("en"), (-col("best.negcid")).as("cid"))
+        val (assigned, _) = ivfAssigned(withNormalized(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("en")))
         val qrow = assigned.filter(col("vec_id") === 0)
           .select(col("cid").as("qcid"), col("en").as("qn"))
         assigned.join(broadcast(qrow), col("cid") === col("qcid"))
@@ -198,22 +183,82 @@ object Vectors {
       },
       Some(s"""WITH $normCte,
               |par AS (
-              |  SELECT n, greatest(1, n // k) AS step FROM (
-              |    SELECT count(*) AS n,
-              |           greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
-              |    FROM vn)),
+              |  SELECT n, k, greatest(1, n // k) AS step,
+              |         greatest(2, CAST(ceil(sqrt(k)) AS BIGINT)) AS k1,
+              |         greatest(1, k // greatest(2, CAST(ceil(sqrt(k)) AS BIGINT))) AS step1
+              |  FROM (SELECT count(*) AS n,
+              |               greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+              |        FROM vn)),
               |cents AS (
-              |  SELECT list_sort(list(struct_pack(cid := vec_id, cn := en))) AS cents
-              |  FROM vn, par WHERE vec_id % par.step = 0),
+              |  SELECT vec_id AS cid, en AS cn FROM vn, par WHERE vec_id % par.step = 0),
+              |coarse AS (
+              |  SELECT list_sort(list(struct_pack(ccid := cid, cn := cn))) AS cc
+              |  FROM cents, par WHERE (cid // par.step) % par.step1 = 0),
+              |fassign AS (
+              |  SELECT -(list_sort([struct_pack(csim := ${dotSql("cn", "c.cn")},
+              |                                  negccid := -c.ccid) for c in cc])[-1].negccid) AS ccid,
+              |         cid, cn
+              |  FROM cents, coarse),
+              |fcells AS (
+              |  SELECT ccid, list_sort(list(struct_pack(cid := cid, cn := cn))) AS fc
+              |  FROM fassign GROUP BY ccid),
+              |cassign AS (
+              |  SELECT vec_id, en,
+              |         -(list_sort([struct_pack(csim := ${dotSql("en", "c.cn")},
+              |                                  negccid := -c.ccid) for c in cc])[-1].negccid) AS ccid
+              |  FROM vn, coarse),
               |assigned AS (
               |  SELECT vec_id, en,
-              |         -(list_sort([struct_pack(
-              |              csim := ${dotSql("en", "c.cn")},
-              |              negcid := -c.cid) for c in cents])[-1].negcid) AS cid
-              |  FROM vn, cents),
+              |         -(list_sort([struct_pack(csim := ${dotSql("en", "f.cn")},
+              |                                  negcid := -f.cid) for f in fc])[-1].negcid) AS cid
+              |  FROM cassign JOIN fcells USING (ccid)),
               |q AS (SELECT cid AS qcid, en AS qn FROM assigned WHERE vec_id = 0)
               |SELECT a.vec_id, ${dotSql("a.en", "q.qn")} AS sim
               |FROM assigned a, q WHERE a.cid = q.qcid AND a.vec_id <> 0
               |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin))
   )
+
+  /** Two-level IVF assignment over a normalized corpus `(vec_id, en)`:
+    * returns (assigned = (vec_id, en, cid), fineCells).
+    *
+    * k = ⌈√N⌉ fine cells as usual, but — unlike a single-level IVF — no
+    * single row ever holds them all (at 10¹¹ vectors × 768 dims that row is
+    * ~2 GB, over Spark's array limits and resident on every executor).
+    * Instead:
+    *   - the ONLY broadcast-as-one-row array is the k1 = ⌈√k⌉ ≈ N^(1/4)
+    *     COARSE centroids (≈ 560 entries at 10¹¹ vectors — a few MB);
+    *   - the fine level is a KEYED FRAME of k1 rows, one per coarse cell,
+    *     each holding its ≈ k/k1 ≈ N^(1/4) fine centroids — broadcast hash
+    *     joined to the corpus on the coarse cell id, so every per-row array
+    *     is N^(1/4)-bounded and the corpus still sees no Exchange.
+    * Assignment stays a narrow two-hop argmax: coarse cell via the broadcast
+    * array, fine cell via the joined cell's centroid list. Seeds are
+    * deterministic strides (k-means|| would refine them; the seeding is the
+    * parameter, the plan is the structure). */
+  def ivfAssigned(emb: DataFrame): (DataFrame, DataFrame) = {
+    val n = emb.count()
+    val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val step = math.max(1L, n / k)
+    val k1 = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val step1 = math.max(1L, k / k1)
+    val cents = emb.filter(col("vec_id") % step === 0)
+      .select(col("vec_id").as("cid"), col("en").as("cn"))
+    val coarseArr = cents.filter(expr(s"(cid div $step) % $step1 = 0"))
+      .agg(array_sort(collect_list(struct(col("cid").as("ccid"), col("cn")))).as("cc"))
+    // Argmax via array_max over struct(csim, -id): ties pick the smallest id.
+    def argmaxNeg(v: Column, cells: Column, id: String): Column =
+      -array_max(transform(cells,
+        c => struct(dot(v, c("cn")).as("csim"), (-c(id)).as("neg"))))("neg")
+    val fineCells = cents.crossJoin(broadcast(coarseArr))
+      .select(argmaxNeg(col("cn"), col("cc"), "ccid").as("ccid"), col("cid"), col("cn"))
+      .groupBy("ccid")
+      .agg(array_sort(collect_list(struct(col("cid"), col("cn")))).as("fc"))
+    val assigned = emb.crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"), col("en"),
+        argmaxNeg(col("en"), col("cc"), "ccid").as("ccid"))
+      .join(broadcast(fineCells), Seq("ccid"))
+      .select(col("vec_id"), col("en"),
+        argmaxNeg(col("en"), col("fc"), "cid").as("cid"))
+    (assigned, fineCells)
+  }
 }

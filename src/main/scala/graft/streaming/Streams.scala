@@ -24,15 +24,20 @@ object Streams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def readEventsStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // Same guard as Tables.events — without the nanos conf the stream fails
     // at start with an opaque [PARQUET_TYPE_ILLEGAL].
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "build the session via graft.Sessions (needs spark.sql.legacy.parquet.nanosAsLong=true)")
     // File-stream sources need a directory basePath; events.parquet is a
     // single file in the testdata, so stream the dir with a glob filter.
-    spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // maxFilesPerTrigger splits the backlog into multiple micro-batches
+    // (the multi-batch path StreamsSpec drives for sessionize).
+    val rd = spark.readStream.schema(eventsSchema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => rd.option("maxFilesPerTrigger", n))
+    rd.parquet(dir)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
@@ -54,17 +59,31 @@ object Streams {
 
   /** Gap-based sessionization via flatMapGroupsWithState — the custom-state
     * surface. Events are grouped per user; a gap > `gapMinutes` starts a new
-    * session. State is the open session; with AvailableNow the single batch
-    * closes everything at end-of-input. */
-  def sessionize(events: DataFrame, gapMinutes: Int): Dataset[SessionOut] = {
+    * session. Multi-batch correct: the open session STAYS in state across
+    * micro-batches (a later batch's events extend it), and is emitted by an
+    * event-time timeout once the watermark passes `last event + gap` — i.e.
+    * once no in-order event can extend it. Sessions still open when the
+    * stream drains are (correctly) never emitted: they aren't closed yet.
+    * `lateness` is the watermark delay for out-of-order events. */
+  def sessionize(events: DataFrame, gapMinutes: Int,
+      lateness: String = "0 seconds"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    events.selectExpr("user_id", "ts_ns div 1000 AS ts_us")
-      .as[(Long, Long)]
+    events
+      .withWatermark("ts", lateness)
+      // `ts` must survive the projection: the event-time-timeout checker
+      // requires the watermarked attribute in the stateful op's child.
+      .selectExpr("user_id", "ts_ns div 1000 AS ts_us", "ts")
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Int), SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, _, state: GroupState[(Long, Long, Int)]) if state.hasTimedOut =>
+          // Watermark passed last+gap with no extending event: close it.
+          val (st, last, n) = state.get
+          state.remove()
+          Iterator.single(SessionOut(user, st, last, n))
         case (user, rows, state: GroupState[(Long, Long, Int)]) =>
           // Per-user fan-in: sort this batch's timestamps, fold into
           // (start, last, n) sessions, emitting on every gap break.
@@ -80,8 +99,13 @@ object Streams {
                 cur = (t, t, 1)
             }
           }
-          // Single-batch (AvailableNow) semantics: close the open session.
-          if (cur != null) { out += SessionOut(user, cur._1, cur._2, cur._3); state.remove() }
+          if (cur != null) {
+            state.update(cur)
+            // Timeout fires when the watermark passes last+gap; clamp above
+            // the current watermark (Spark rejects non-future timestamps).
+            state.setTimeoutTimestamp(
+              math.max((cur._2 + gapUs) / 1000L, state.getCurrentWatermarkMs() + 1L))
+          }
           out.iterator
       }
   }

@@ -71,9 +71,34 @@ class PlanSpec extends AnyFunSuite {
     assert(collectAll("q34_ivf_ann") { case w: WindowExec => w }.isEmpty,
       "windowed argmax crept back in")
     assert(collectAll("q34_ivf_ann") { case j: SortMergeJoinExec => j }.isEmpty)
-    // only the tiny centroid-array aggregation may exchange
-    val shuffles = collectAll("q34_ivf_ann") { case e: ShuffleExchangeExec => e }
-    assert(shuffles.size <= 2, s"corpus-side shuffle suspected: ${shuffles.size}")
+    assert(collectAll("q34_ivf_ann") {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, "corpus must join its centroid cell by broadcast, not shuffle")
+    // Hash exchanges may only move CENTROID rows (cid/cn/ccid); a corpus row
+    // (vec_id, en) inside one means the corpus is being shuffled.
+    val hashShuffles = collectAll("q34_ivf_ann") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    hashShuffles.foreach { e =>
+      val names = e.output.map(_.name).toSet
+      assert(!names.contains("vec_id"), s"corpus rows in a hash exchange: $names")
+    }
+  }
+
+  test("q34 IVF centroids never concentrate in one row (two-level scale guard)") {
+    // The fine level must be a multi-row keyed frame: one row per coarse
+    // cell, each N^(1/4)-bounded — NOT a single collect_list of all ~sqrt(N)
+    // centroids (a ~2 GB row at 10^11 vectors).
+    val emb = graft.operators.Vectors.withNormalized(Tables.embeddings(spark, dir))
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("en"))
+    val (_, fineCells) = graft.operators.Vectors.ivfAssigned(emb)
+    val cells = fineCells.select(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("fc")).as("sz")).collect().map(_.getInt(0))
+    assert(cells.length > 1, "all centroids in a single row/cell")
+    assert(cells.max < cells.sum, "one cell holds every centroid")
   }
 
   test("q55 typed top-k aggregator plans without a window (bounded state, no per-group sort)") {

@@ -62,6 +62,8 @@ class MainSpec extends AnyFunSuite {
     try {
       val ingest = runCli("-p", "-csv", "-idb", "-i", in, "-o", results,
         "-db", db, "-icwe", CveOps.FixtureCwe)
+      // per-file envelope report precedes the metadata (cve_manager.py:235)
+      assert(ingest.exists(_ === "\nProcessing nvdcve-1.1-2024.json"))
       assert(ingest.exists(_.startsWith("CVE_data_number of CVEs: 8")))
       assert(new java.io.File(s"$results/cve_cvss_scores.csv").isDirectory)
 
@@ -74,7 +76,8 @@ class MainSpec extends AnyFunSuite {
 
       val cpeOut = runCli("-db", db, "-cpe", "globex", "-sc", "4", "-csv", "-o", results)
       assert(cpeOut.exists(_.contains("CVE-2023-0002")))
-      assert(new java.io.File(s"$results/globex_4_False.csv").isDirectory)
+      // a flat FILE at the exact derived path (cve_manager.py:525-529)
+      assert(new java.io.File(s"$results/globex_4_False.csv").isFile)
 
       val cweOut = runCli("-db", db, "-cwe", "119")
       assert(cweOut.exists(_.contains("Improper Restriction of Operations")))

@@ -84,18 +84,27 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rows(cp1) === rows(cp0))
   }
 
-  test("export CSVs: derived filenames per the reference") {
+  test("export CSVs: single flat FILE at the derived path, like the reference") {
     val out = Files.createTempDirectory("whexp").toString
     val rows = Queries.byScoreDate(Flatten.cvss(feed), 7.0, Some("2020-01-01"))
       .orderBy("cve")
     val p = Warehouse.exportScoreDateCsv(rows, out, "7", Some("2020-01-01"))
     assert(p.endsWith("/CVEs_score7_2020-01-01.csv"))
-    assert(firstLine(p) ===
+    // the reference writes a FILE, not a directory of part files
+    // (cve_manager.py:467-471); downstream scripts open it directly
+    val f = new File(p)
+    assert(f.isFile && !f.isDirectory)
+    assert(!new File(p + ".spark-staging").exists()) // scratch dir cleaned up
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val lines = try src.getLines().toList finally src.close()
+    assert(lines.head ===
       "CVE,CVSSv3 Score,CVSSv3 Vector String,CVSSv2 Score,CVSSv2 Vector String,Published Date")
+    assert(lines.size > 1)
     val view = Warehouse.cvssVsCpes(Flatten.cvss(feed), Flatten.cpes(feed))
     val p2 = Warehouse.exportCpeCsv(
       Queries.byCpe(view, "acme", 7.0, None).orderBy("cve"), out, "acme", "7", None)
     assert(p2.endsWith("/acme_7_False.csv")) // str(False) date segment, like the reference
+    assert(new File(p2).isFile)
   }
 
   test("catalog lifecycle: create db, save facts + view, truncate facts, cwe survives") {

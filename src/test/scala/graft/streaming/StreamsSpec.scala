@@ -54,15 +54,11 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
-  test("sessionize (flatMapGroupsWithState) matches the batch lag/gap formulation") {
-    val gapMin = 30
-    val got = Streams.sessionize(Streams.readEventsStream(spark, dir), gapMin)
-    val gotSet = Streams.runToMemory(spark, got.toDF(), "sessions")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
-
+  /** Batch-oracle sessions via the lag/gap window formulation. */
+  private def batchSessions(df: org.apache.spark.sql.DataFrame, gapMin: Int)
+      : Set[(Long, Long, Long, Int)] = {
     val w = Window.partitionBy("user_id").orderBy("ts_us")
-    val batch = Tables.events(spark, dir)
-      .selectExpr("user_id", "ts_ns div 1000 AS ts_us")
+    df.selectExpr("user_id", "ts div 1000 AS ts_us")
       .withColumn("brk", when(
         col("ts_us") - lag("ts_us", 1).over(w) > gapMin * 60L * 1000000L, 1).otherwise(0))
       .withColumn("sid", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -70,7 +66,62 @@ class StreamsSpec extends AnyFunSuite {
       .agg(min("ts_us").as("st"), max("ts_us").as("en"), count(lit(1)).cast("int").as("n"))
       .select("user_id", "st", "en", "n")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+  }
 
-    assert(gotSet === batch)
+  /** The last (open-ended) session per user — the only ones the stream may
+    * legitimately still hold in state when it drains. */
+  private def trailing(batch: Set[(Long, Long, Long, Int)]): Set[(Long, Long, Long, Int)] =
+    batch.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
+
+  test("sessionize (flatMapGroupsWithState) matches the batch lag/gap formulation") {
+    val gapMin = 30
+    val got = Streams.sessionize(Streams.readEventsStream(spark, dir), gapMin)
+    val gotSet = Streams.runToMemory(spark, got.toDF(), "sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    val batch = batchSessions(
+      spark.read.parquet(s"$dir/events.parquet"), gapMin)
+    // Every emitted session is a real batch session (never split/merged),
+    // and every gap-closed session was emitted; only still-open trailing
+    // sessions may be held back in state.
+    assert(gotSet.subsetOf(batch))
+    assert((batch -- trailing(batch)).subsetOf(gotSet))
+    assert(gotSet.nonEmpty)
+  }
+
+  test("sessionize does not split sessions at micro-batch boundaries") {
+    val gapMin = 30
+    val raw = spark.read.parquet(s"$dir/events.parquet") // ts = LongType nanos
+    val batch = batchSessions(raw, gapMin)
+    // Split inside the longest session so at least one session is
+    // guaranteed to straddle the file (= micro-batch) boundary.
+    val longest = batch.maxBy(s => s._3 - s._2)
+    val midNs = (longest._2 + longest._3) / 2 * 1000L
+
+    // Two time-ordered files; maxFilesPerTrigger=1 -> one micro-batch each,
+    // so sessions spanning midNs cross a batch boundary. The r2 sessionize
+    // closed state at every batch end and split exactly these sessions.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toFile
+    tmp.deleteOnExit()
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(tmp, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+      val dest = new java.io.File(tmp, name)
+      assert(part.renameTo(dest))
+      dest.setLastModified(if (name < "b") 1000000L else 2000000L)
+    }
+    land(raw.filter(col("ts") <= midNs), "a.parquet")
+    land(raw.filter(col("ts") > midNs), "b.parquet")
+
+    val got = Streams.sessionize(
+      Streams.readEventsStream(spark, tmp.getPath, "*.parquet", Some(1)), gapMin)
+    val gotSet = Streams.runToMemory(spark, got.toDF(), "sessions_mb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    val spanning = batch.filter(s => s._2 <= midNs / 1000 && s._3 > midNs / 1000)
+    assert(spanning.nonEmpty, "split point must actually cross sessions")
+    assert(gotSet.subsetOf(batch)) // no session split at the batch boundary
+    assert((batch -- trailing(batch)).subsetOf(gotSet))
   }
 }
