@@ -177,8 +177,17 @@ object Warehouse {
     val scratch = path + ".spark-staging"
     df.coalesce(1)
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(scratch)
-    val fs = new Path(scratch).getFileSystem(
+    // Promote via the RAW filesystem: ChecksumFileSystem shadows every
+    // rename/delete with a RELATIVE ".<name>.crc" path, and a ':' in the
+    // derived filename (any -cpe value with a colon, e.g. a cpe:2.3 prefix)
+    // parses as a URI scheme there and throws — the reference writes such
+    // names fine, so must we. Raw FS skips the crc shadow entirely.
+    val fs0 = new Path(scratch).getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = fs0 match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
     val part = fs.listStatus(new Path(scratch)).map(_.getPath)
       .find(_.getName.startsWith("part-"))
       .getOrElse(throw new IllegalStateException(s"no part file under $scratch"))

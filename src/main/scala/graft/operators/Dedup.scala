@@ -286,6 +286,48 @@ object Dedup {
               |SELECT v AS doc_id, min(r) AS component
               |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin)),
 
+    // ── Dedup keep-set: one canonical representative per near-dup cluster ──
+    QueryDef(
+      "q58_dedup_keep",
+      (s, dir) => {
+        // The end product of the dedup pipeline: every document labeled
+        // with its near-dup component (singleton docs are their own
+        // component) and a keep flag = "is the min doc_id of the
+        // component". Downstream training jobs filter keep = 1. The
+        // component map is tiny relative to the corpus (only docs that
+        // appear in some near-dup pair), so the label join broadcasts at
+        // any scale; the keep flag is a window keyed by component —
+        // shuffled, never concentrated.
+        val docs = Tables.load(s, dir, "documents")
+        val edges = jaccardPairs(docs).select("a", "b").persist()
+        val comp = connectedComponents(edges)
+        edges.unpersist()
+        val labeled = docs.select(col("doc_id"))
+          .join(broadcast(comp.select(col("v").as("doc_id"), col("lbl"))),
+            Seq("doc_id"), "left")
+          .withColumn("component", coalesce(col("lbl"), col("doc_id")))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        labeled
+          .withColumn("keep",
+            when(min("doc_id").over(w) === col("doc_id"), 1).otherwise(0))
+          .select("doc_id", "component", "keep")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |${jaccardPairsCtes()},
+              |sym AS (SELECT a, b FROM jp UNION ALL SELECT b, a FROM jp),
+              |reach(v, r) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b),
+              |comp AS (SELECT v, min(r) AS lbl FROM reach GROUP BY v)
+              |SELECT doc_id, component,
+              |       CASE WHEN min(doc_id) OVER (PARTITION BY component) = doc_id
+              |            THEN 1 ELSE 0 END AS keep
+              |FROM (SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS component
+              |      FROM documents d LEFT JOIN comp c ON c.v = d.doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     // ── MinHash + LSH: banded signatures → bucket join → verified Jaccard ──
     QueryDef(
       "q23_minhash_lsh",

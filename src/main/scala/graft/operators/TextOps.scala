@@ -217,6 +217,49 @@ object TextOps {
              |SELECT doc_id, tokens, cum, CAST((cum - tokens) // 2048 AS BIGINT) AS pack_id
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // ── Per-language quality-percentile filter (corpus curation cut) ──
+    QueryDef(
+      "q60_quality_filter",
+      (s, dir) => {
+        // The curation step that consumes q27's quality score: keep only
+        // documents at or above their language's median score. The
+        // per-language thresholds are a 4-row aggregate — broadcast to the
+        // corpus scan, so the filter costs one extra narrow projection at
+        // any scale (the only shuffle is the tiny threshold aggregation).
+        // Exact `percentile` matches DuckDB's quantile_cont bit-for-bit
+        // (same (n-1)*q linear interpolation — proven by q50).
+        val scored = Tables.load(s, dir, "documents")
+          .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
+          .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
+          .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+          .withColumn("avg_wlen", col("n_alpha") / col("n_words"))
+          .withColumn("stop_ratio",
+            expr(s"(${cntSql("p", " the ")} + ${cntSql("p", " a ")})") / col("n_words"))
+          .withColumn("score", expr(
+            "3.0e-1 * least(n_words / 1.0e2, 1.0e0) + 4.0e-1 * (1.0e0 - stop_ratio) + 3.0e-1 * least(avg_wlen / 8.0e0, 1.0e0)"))
+          .select(col("doc_id"), col("lang"), col("score"))
+        val thr = scored.groupBy("lang")
+          .agg(expr("percentile(score, 5.0e-1)").as("thr"))
+        scored.join(broadcast(thr), Seq("lang"))
+          .filter(col("score") >= col("thr"))
+          .select("doc_id", "lang", "score", "thr")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, lang,
+              |         3.0e-1 * least(n_words / 1.0e2, 1.0e0)
+              |           + 4.0e-1 * (1.0e0 - (${cntSql("p", " the ")} + ${cntSql("p", " a ")}) / n_words)
+              |           + 3.0e-1 * least((n_alpha / n_words) / 8.0e0, 1.0e0) AS score
+              |  FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p,
+              |               len(string_split(trim(text), ' '))::BIGINT AS n_words,
+              |               length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS n_alpha
+              |        FROM documents)),
+              |thr AS (SELECT lang, quantile_cont(score, 5.0e-1) AS thr FROM scored GROUP BY lang)
+              |SELECT s.doc_id, s.lang, s.score, t.thr
+              |FROM scored s JOIN thr t USING (lang)
+              |WHERE s.score >= t.thr
+              |ORDER BY doc_id""".stripMargin)),
+
     // ── Deterministic stratified sampling (training-data mixture weights) ──
     QueryDef(
       "q52_stratified_sample",

@@ -84,6 +84,56 @@ object Vectors {
     }
   }
 
+  /** SRP-LSH candidate pairs `(a, b)` with a < b over a normalized corpus
+    * `(vec_id, en)`: 8 bands of r sign bits (r from `srpRows(n)`), bucket
+    * equi-join, distinct. Shared by q33 (near-dup) and q59 (kNN join) —
+    * the blocking structure is the same; only the verification differs. */
+  def srpCandidates(emb: DataFrame, n: Long, dim: Int): DataFrame = {
+    val r = srpRows(n)
+    val planes = (0 until SrpBands * r).map(j => srpPlane(j, dim))
+    def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
+    val bitCols = planes.zipWithIndex.map { case (p, j) =>
+      when(dot(col("en"), planeLit(p)) >= 0, "1").otherwise("0").as(s"bit$j")
+    }
+    val withBits = emb.select(col("vec_id") +: bitCols: _*)
+    val bands = (0 until SrpBands).map { k =>
+      struct(lit(k).as("bi"),
+        concat((k * r until (k + 1) * r).map(j => col(s"bit$j")): _*).as("key"))
+    }
+    val bx = withBits
+      .select(col("vec_id"), explode(array(bands: _*)).as("e"))
+      .select(col("vec_id"), col("e.bi").as("bi"), col("e.key").as("key"))
+    bx.as("x").join(bx.as("y"),
+        col("x.bi") === col("y.bi") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+  }
+
+  /** DuckDB twin of `srpCandidates` as a CTE chain ending in `cand(a, b)`;
+    * prepend `$normCte`. */
+  private def srpCandCtes: String =
+    s"""par AS (SELECT least($SrpMaxRows, greatest($SrpMinRows,
+       |               CAST(ceil(log2(count(*))) AS INT) - 1)) AS r FROM vn),
+       |dimp AS (SELECT len(en) AS dim FROM vn LIMIT 1),
+       |pl AS (
+       |  SELECT j, [CASE WHEN strpos('89abcdef', substr(md5('srp:' || j || ':' || i), 1, 1)) > 0
+       |             THEN 1.0 ELSE -1.0 END for i in range(0, dim)] AS p
+       |  FROM range(0, ${SrpBands * SrpMaxRows}) t(j), dimp),
+       |bits AS (
+       |  SELECT vec_id, j,
+       |         CASE WHEN ${dotSql("en", "p")} >= 0 THEN '1' ELSE '0' END AS bit
+       |  FROM vn, pl, par WHERE j < $SrpBands * par.r),
+       |bx AS (
+       |  SELECT vec_id, j // par.r AS bi, string_agg(bit, '' ORDER BY j) AS key
+       |  FROM bits, par GROUP BY vec_id, j // par.r),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.key = y.key AND x.vec_id < y.vec_id)""".stripMargin
+
+  /** Neighbors reported per vector by the q59 kNN join. */
+  val KnnK = 3
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Brute-force cosine top-k (exact ANN baseline) ──
@@ -116,26 +166,7 @@ object Vectors {
           (row.getLong(0), row.getInt(1))
         }
         val emb = withNormalized(raw).select(col("vec_id"), col("en"))
-        val r = srpRows(n)
-        val planes = (0 until SrpBands * r).map(j => srpPlane(j, dim))
-        def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
-        val bitCols = planes.zipWithIndex.map { case (p, j) =>
-          when(dot(col("en"), planeLit(p)) >= 0, "1").otherwise("0").as(s"bit$j")
-        }
-        val withBits = emb.select(col("vec_id") +: bitCols: _*)
-        val bands = (0 until SrpBands).map { k =>
-          struct(lit(k).as("bi"),
-            concat((k * r until (k + 1) * r).map(j => col(s"bit$j")): _*).as("key"))
-        }
-        val bx = withBits
-          .select(col("vec_id"), explode(array(bands: _*)).as("e"))
-          .select(col("vec_id"), col("e.bi").as("bi"), col("e.key").as("key"))
-        val cand = bx.as("x").join(bx.as("y"),
-            col("x.bi") === col("y.bi") && col("x.key") === col("y.key") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-          .distinct()
-        cand
+        srpCandidates(emb, n, dim)
           .join(emb.select(col("vec_id").as("a"), col("en").as("na")), Seq("a"))
           .join(emb.select(col("vec_id").as("b"), col("en").as("nb")), Seq("b"))
           .withColumn("sim", dot(col("na"), col("nb")))
@@ -144,28 +175,55 @@ object Vectors {
           .orderBy("a", "b")
       },
       Some(s"""WITH $normCte,
-              |par AS (SELECT least($SrpMaxRows, greatest($SrpMinRows,
-              |               CAST(ceil(log2(count(*))) AS INT) - 1)) AS r FROM vn),
-              |dimp AS (SELECT len(en) AS dim FROM vn LIMIT 1),
-              |pl AS (
-              |  SELECT j, [CASE WHEN strpos('89abcdef', substr(md5('srp:' || j || ':' || i), 1, 1)) > 0
-              |             THEN 1.0 ELSE -1.0 END for i in range(0, dim)] AS p
-              |  FROM range(0, ${SrpBands * SrpMaxRows}) t(j), dimp),
-              |bits AS (
-              |  SELECT vec_id, j,
-              |         CASE WHEN ${dotSql("en", "p")} >= 0 THEN '1' ELSE '0' END AS bit
-              |  FROM vn, pl, par WHERE j < $SrpBands * par.r),
-              |bx AS (
-              |  SELECT vec_id, j // par.r AS bi, string_agg(bit, '' ORDER BY j) AS key
-              |  FROM bits, par GROUP BY vec_id, j // par.r),
-              |cand AS (
-              |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-              |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.key = y.key AND x.vec_id < y.vec_id)
+              |$srpCandCtes
               |SELECT a, b, sim FROM (
               |  SELECT c.a, c.b, ${dotSql("x.en", "y.en")} AS sim
               |  FROM cand c JOIN vn x ON x.vec_id = c.a JOIN vn y ON y.vec_id = c.b)
               |WHERE sim >= $NearDupTau
               |ORDER BY a, b""".stripMargin)),
+
+    // ── ANN kNN JOIN: top-k neighbors for EVERY vector, SRP-LSH blocked ──
+    QueryDef(
+      "q59_ann_knn_join",
+      (s, dir) => {
+        // The all-vectors variant of q33: same linear blocking structure
+        // (bucket equi-join, candidate volume O(N)), then a per-vector
+        // window top-k — keyed by vec_id, so the window shuffles but never
+        // concentrates (no global sort, no all-pairs). This is the "find
+        // near-duplicate neighbors for every document" pipeline shape.
+        val raw = Tables.embeddings(s, dir)
+        val (n, dim) = {
+          val row = raw.agg(count(lit(1)), first(size(col("e")))).head()
+          (row.getLong(0), row.getInt(1))
+        }
+        val emb = withNormalized(raw).select(col("vec_id"), col("en"))
+        val cand = srpCandidates(emb, n, dim)
+        val sym = cand.unionByName(
+          cand.select(col("b").as("a"), col("a").as("b")))
+        val scored = sym
+          .join(emb.select(col("vec_id").as("a"), col("en").as("na")), Seq("a"))
+          .join(emb.select(col("vec_id").as("b"), col("en").as("nb")), Seq("b"))
+          .withColumn("sim", dot(col("na"), col("nb")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("a").orderBy(col("sim").desc, col("b"))
+        scored
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= KnnK)
+          .select("a", "rnk", "b", "sim")
+          .orderBy("a", "rnk")
+      },
+      Some(s"""WITH $normCte,
+              |$srpCandCtes,
+              |sym AS (SELECT a, b FROM cand UNION ALL SELECT b AS a, a AS b FROM cand),
+              |scored AS (
+              |  SELECT s.a, s.b, ${dotSql("x.en", "y.en")} AS sim
+              |  FROM sym s JOIN vn x ON x.vec_id = s.a JOIN vn y ON y.vec_id = s.b)
+              |SELECT a, rnk, b, sim FROM (
+              |  SELECT a, b, sim,
+              |         CAST(row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS INTEGER) AS rnk
+              |  FROM scored)
+              |WHERE rnk <= $KnnK
+              |ORDER BY a, rnk""".stripMargin)),
 
     // ── IVF ANN: two-level (coarse/fine) centroids, narrow argmax assignment ──
     QueryDef(

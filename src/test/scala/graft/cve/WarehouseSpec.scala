@@ -105,6 +105,14 @@ class WarehouseSpec extends AnyFunSuite {
       Queries.byCpe(view, "acme", 7.0, None).orderBy("cve"), out, "acme", "7", None)
     assert(p2.endsWith("/acme_7_False.csv")) // str(False) date segment, like the reference
     assert(new File(p2).isFile)
+    // ':' in the derived name (e.g. -cpe "cpe:2.3:a:acme") must not crash:
+    // ChecksumFileSystem's relative ".<name>.crc" shadow path would parse
+    // the colon as a URI scheme — the raw-FS promote path avoids it.
+    val p3 = Warehouse.exportCpeCsv(
+      Queries.byCpe(view, "acme", 7.0, None).orderBy("cve"), out, "acme:2.3", "7", None)
+    assert(p3.endsWith("/acme:2.3_7_False.csv"))
+    assert(new File(p3).isFile)
+    assert(!new File(p3 + ".spark-staging").exists())
   }
 
   test("catalog lifecycle: create db, save facts + view, truncate facts, cwe survives") {
