@@ -89,5 +89,9 @@ object GraftFunctions {
       FunctionIdentifier("graft_simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
       (children: Seq[Expression]) => SimHash60(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_minhash12"),
+      new ExpressionInfo(classOf[MinHash12].getName, "graft_minhash12"),
+      (children: Seq[Expression]) => MinHash12(children.head))
   }
 }

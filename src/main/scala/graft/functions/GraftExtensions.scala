@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
       (children: Seq[Expression]) => SimHash60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash12"),
+      new ExpressionInfo(classOf[MinHash12].getName, "graft_minhash12"),
+      (children: Seq[Expression]) => MinHash12(children.head)))
   }
 }

@@ -29,6 +29,11 @@ object Dedup {
   val NumHashes = 12
   val Bands = 4 // rows per band = NumHashes / Bands = 3
 
+  // q62 decontamination: benchmark stand-in = doc_id < BenchDocs; a doc is
+  // contaminated at >= ContamK distinct shared shingles.
+  val BenchDocs = 10
+  val ContamK = 5
+
   /** Word n-gram shingles per document, WITH duplicates — narrow, no
     * shuffle. Callers that need set semantics either `.distinct()` (one
     * shuffle) or dedupe inside their own aggregation (collect_set). */
@@ -52,12 +57,25 @@ object Dedup {
       |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
       |    WHERE len(w) >= 3))""".stripMargin
 
-  /** MinHash signatures: NumHashes column-wise mins of md5("<seed>|<shingle>")
-    * in one aggregation (single shuffle, map-side partial min). */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
-    val sigCols = (0 until NumHashes).map(i =>
-      min(md5(concat_ws("|", lit(i.toString), col("s")))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  /** MinHash signatures straight off the document scan via the codegen'd
+    * graft_minhash12 expression (graft.functions.MinHash12): all NumHashes
+    * column-wise mins of md5("<seed>|<shingle>") computed in one pass per
+    * document — ZERO shuffle and no shingle explode (the declarative
+    * explode→groupBy twin funneled O(words) rows per doc through a hash
+    * aggregate to take 12 mins). Documents with < ShingleN words have no
+    * shingles and are dropped, like the shingle pipeline's size filter. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // The shingle filter is a CHEAP predicate on the word count — filtering
+    // on the signature itself (size(sig)) would re-evaluate the full md5
+    // loop once in the Filter and once in the Project. The 12 element_at
+    // references share one evaluation via whole-stage codegen's
+    // subexpression elimination (identical subtrees in one Project).
+    val sig = call_function("graft_minhash12", split(trim(col("text")), " "))
+    docs
+      .filter(size(split(trim(col("text")), " ")) >= ShingleN)
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => element_at(sig, i + 1).as(s"h$i")): _*)
   }
 
   /** LSH bands: hash each run of (NumHashes/Bands) signature slots. */
@@ -328,15 +346,44 @@ object Dedup {
               |      FROM documents d LEFT JOIN comp c ON c.v = d.doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    // ── Benchmark decontamination: shingle overlap vs a held-out set ──
+    QueryDef(
+      "q62_contamination",
+      (s, dir) => {
+        // The eval-set decontamination pass of a training pipeline: flag
+        // corpus docs sharing >= ContamK distinct shingles with ANY
+        // benchmark doc (here: doc_id < 10 stands in for the benchmark).
+        // The benchmark shingle set is small BY NATURE (eval sets are
+        // thousands of docs, not billions), so it broadcasts; the corpus
+        // side is a narrow scan + broadcast equi-join + one partial
+        // aggregation keyed by doc_id — no corpus shuffle beyond the
+        // matched rows. At 100 TB the cost is the scan, as it should be.
+        val docs = Tables.load(s, dir, "documents")
+        val sh = shingles(docs)
+        val bench = sh.filter(col("doc_id") < BenchDocs)
+          .select("s").distinct()
+        sh.filter(col("doc_id") >= BenchDocs)
+          .join(broadcast(bench), Seq("s"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= ContamK)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shingleCte,
+              |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < $BenchDocs)
+              |SELECT doc_id, count(*) AS n_shared
+              |FROM sh JOIN bench USING (s)
+              |WHERE doc_id >= $BenchDocs
+              |GROUP BY doc_id HAVING count(*) >= $ContamK
+              |ORDER BY doc_id""".stripMargin)),
+
     // ── MinHash + LSH: banded signatures → bucket join → verified Jaccard ──
     QueryDef(
       "q23_minhash_lsh",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        // Signatures tolerate duplicate shingles (column-wise min is
-        // duplicate-insensitive), so the signature path skips the distinct
-        // shuffle; exact-Jaccard verification needs set semantics.
-        val cand = lshCandidates(lshBands(minhashSignatures(shinglesRaw(docs))))
+        // Signature path: codegen'd per-doc minhash, no explode, no
+        // shuffle; exact-Jaccard verification still needs shingle sets.
+        val cand = lshCandidates(lshBands(minhashSignatures(docs)))
         verifyJaccard(cand, shingles(docs)).orderBy("a", "b")
       },
       Some {

@@ -31,6 +31,12 @@ object TextOps {
   private def scoreSql(p: String, ms: Seq[String]): String =
     ms.map(cntSql(p, _)).mkString("(", " + ", ")")
 
+  // q61 redaction patterns — the Java/RE2 common subset (classes + brace
+  // quantifiers only), passed via the Column API on the Spark side so no
+  // SQL-literal backslash mangling can diverge the two engines.
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val NumRe = "[0-9]{4,}"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Language ID: n-gram/marker heuristic ──
@@ -216,6 +222,44 @@ object TextOps {
              |  FROM t)
              |SELECT doc_id, tokens, cum, CAST((cum - tokens) // 2048 AS BIGINT) AS pack_id
              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ── PII redaction: email + long-digit-run scrub (narrow scan) ──
+    QueryDef(
+      "q61_redact",
+      (s, dir) => {
+        // Redaction order matters and is pinned: emails first (they contain
+        // digit runs), then standalone digit runs — deterministic in both
+        // engines. The corpus text has no PII, so the harness query
+        // deterministically injects one email + one numeric id per doc in
+        // the prologue; the OPERATOR is the two-pass regexp_replace, a pure
+        // codegen'd projection that runs at scan speed at any scale.
+        val raw = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com ref "),
+          (col("doc_id") * 7919 + 1000000).cast("string"))
+        val noEmail = regexp_replace(col("raw"), EmailRe, "<EMAIL>")
+        Tables.load(s, dir, "documents")
+          .withColumn("raw", raw)
+          .select(
+            col("doc_id"),
+            md5(regexp_replace(noEmail, NumRe, "<NUM>")).as("clean_fp"),
+            size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0)))
+              .cast("long").as("n_email"),
+            size(regexp_extract_all(noEmail, lit(NumRe), lit(0)))
+              .cast("long").as("n_num"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |       md5(regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>', 'g'),
+              |                          '$NumRe', '<NUM>', 'g')) AS clean_fp,
+              |       len(regexp_extract_all(raw, '$EmailRe'))::BIGINT AS n_email,
+              |       len(regexp_extract_all(regexp_replace(raw, '$EmailRe', '<EMAIL>', 'g'),
+              |                              '$NumRe'))::BIGINT AS n_num
+              |FROM (SELECT doc_id,
+              |             text || ' contact user' || doc_id || '@example.com ref '
+              |                  || (doc_id * 7919 + 1000000) AS raw
+              |      FROM documents)
+              |ORDER BY doc_id""".stripMargin)),
 
     // ── Per-language quality-percentile filter (corpus curation cut) ──
     QueryDef(

@@ -101,6 +101,21 @@ class PlanSpec extends AnyFunSuite {
     assert(cells.max < cells.sum, "one cell holds every centroid")
   }
 
+  test("q60 quality thresholds broadcast back over the corpus (no sort-merge)") {
+    assert(collectAll("q60_quality_filter") { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "per-language threshold join must broadcast")
+    assert(collectAll("q60_quality_filter") { case j: SortMergeJoinExec => j }.isEmpty)
+  }
+
+  test("q58/q59 never plan a cartesian/nested-loop product (blocking stays equi-join)") {
+    Seq("q58_dedup_keep", "q59_ann_knn_join").foreach { q =>
+      assert(collectAll(q) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, s"$q: non-equi product in the plan")
+    }
+  }
+
   test("q55 typed top-k aggregator plans without a window (bounded state, no per-group sort)") {
     assert(collectAll("q55_topk_aggregator") { case w: WindowExec => w }.isEmpty)
   }
