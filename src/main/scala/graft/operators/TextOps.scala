@@ -223,6 +223,34 @@ object TextOps {
              |SELECT doc_id, tokens, cum, CAST((cum - tokens) // 2048 AS BIGINT) AS pack_id
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // ── Mixture composition: per-(source, lang) doc/token shares ──
+    QueryDef(
+      "q63_mixture_stats",
+      (s, dir) => {
+        // The mixture dashboard a data-curation run starts from: documents
+        // and tokens per (source, language) cell plus each cell's share of
+        // corpus tokens. One partial+final aggregation; the corpus total is
+        // a broadcast 1-row aggregate over the (tiny) grouped frame — never
+        // a global single-partition window, never a second corpus scan.
+        val grp = Tables.load(s, dir, "documents")
+          .select(col("source"), col("lang"),
+            size(split(trim(col("text")), " ")).cast("long").as("t"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"))
+        val tot = grp.agg(sum("n_tokens").cast("double").as("tot"))
+        grp.crossJoin(broadcast(tot))
+          .withColumn("token_share", col("n_tokens") / col("tot"))
+          .select("source", "lang", "n_docs", "n_tokens", "token_share")
+          .orderBy("source", "lang")
+      },
+      Some("""WITH grp AS (
+             |  SELECT source, lang, count(*) AS n_docs,
+             |         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source, lang),
+             |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM grp)
+             |SELECT source, lang, n_docs, n_tokens, n_tokens / tot AS token_share
+             |FROM grp, tot ORDER BY source, lang""".stripMargin)),
+
     // ── PII redaction: email + long-digit-run scrub (narrow scan) ──
     QueryDef(
       "q61_redact",

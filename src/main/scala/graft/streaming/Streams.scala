@@ -131,6 +131,19 @@ object Streams {
         unix_micros(col("p_ts")).as("p_us"), unix_micros(col("e_ts")).as("e_us"))
   }
 
+  /** Streaming exact dedup — the streaming twin of q21's hash dedup: keep
+    * the first occurrence of each (user_id, ts_ns, event_type) key, with
+    * state bounded by the watermark (dropDuplicatesWithinWatermark evicts
+    * keys once the watermark passes them + `lateness`, so state is
+    * O(events per watermark window), never O(stream)). A duplicate landing
+    * across micro-batch boundaries inside the window is still dropped —
+    * pinned by the spec's two-file re-ingest run. */
+  def dedupEvents(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("user_id", "ts_ns", "event_type")
+      .select(col("event_id"), col("user_id"), col("ts_ns"), col("event_type"))
+
   /** Drain the stream with Trigger.AvailableNow into an in-memory table and
     * return it (spec/driver harness; production would writeStream to a sink). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {

@@ -89,6 +89,22 @@ class StreamsSpec extends AnyFunSuite {
     assert(gotSet.nonEmpty)
   }
 
+  /** Land frames as time-ordered parquet files in a temp dir (file N gets
+    * mtime N so maxFilesPerTrigger=1 replays them as ordered micro-batches). */
+  private def landBatches(frames: Seq[org.apache.spark.sql.DataFrame]): java.io.File = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mb").toFile
+    tmp.deleteOnExit()
+    frames.zipWithIndex.foreach { case (df, i) =>
+      val stage = new java.io.File(tmp, s"stage_$i")
+      df.coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+      val dest = new java.io.File(tmp, s"$i.parquet")
+      assert(part.renameTo(dest))
+      dest.setLastModified((i + 1) * 1000000L)
+    }
+    tmp
+  }
+
   test("sessionize does not split sessions at micro-batch boundaries") {
     val gapMin = 30
     val raw = spark.read.parquet(s"$dir/events.parquet") // ts = LongType nanos
@@ -101,18 +117,8 @@ class StreamsSpec extends AnyFunSuite {
     // Two time-ordered files; maxFilesPerTrigger=1 -> one micro-batch each,
     // so sessions spanning midNs cross a batch boundary. The r2 sessionize
     // closed state at every batch end and split exactly these sessions.
-    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toFile
-    tmp.deleteOnExit()
-    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val stage = new java.io.File(tmp, s"stage_$name")
-      df.coalesce(1).write.parquet(stage.getPath)
-      val part = stage.listFiles().find(_.getName.startsWith("part-")).get
-      val dest = new java.io.File(tmp, name)
-      assert(part.renameTo(dest))
-      dest.setLastModified(if (name < "b") 1000000L else 2000000L)
-    }
-    land(raw.filter(col("ts") <= midNs), "a.parquet")
-    land(raw.filter(col("ts") > midNs), "b.parquet")
+    val tmp = landBatches(Seq(
+      raw.filter(col("ts") <= midNs), raw.filter(col("ts") > midNs)))
 
     val got = Streams.sessionize(
       Streams.readEventsStream(spark, tmp.getPath, "*.parquet", Some(1)), gapMin)
@@ -123,5 +129,27 @@ class StreamsSpec extends AnyFunSuite {
     assert(spanning.nonEmpty, "split point must actually cross sessions")
     assert(gotSet.subsetOf(batch)) // no session split at the batch boundary
     assert((batch -- trailing(batch)).subsetOf(gotSet))
+  }
+
+  test("streaming exact dedup drops cross-batch duplicates; output keys = batch distinct") {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // The same file landed twice -> every key arrives again in a SECOND
+    // micro-batch (maxFilesPerTrigger=1). A dedup that kept per-batch state
+    // only would emit everything twice.
+    val tmp = landBatches(Seq(raw, raw))
+    val got = Streams.runToMemory(spark,
+      Streams.dedupEvents(
+        Streams.readEventsStream(spark, tmp.getPath, "*.parquet", Some(1))),
+      "dedup_mb")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_ns"),
+        r.getAs[String]("event_type")))
+    // no key emitted twice
+    assert(got.length === got.toSet.size)
+    // emitted keys are exactly the batch-distinct keys (second arrivals are
+    // duplicates within the watermark, or late — dropped either way)
+    val batchKeys = raw.select(col("user_id"), col("ts").as("ts_ns"), col("event_type"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got.toSet === batchKeys)
   }
 }
