@@ -25,5 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash12"),
       new ExpressionInfo(classOf[MinHash12].getName, "graft_minhash12"),
       (children: Seq[Expression]) => MinHash12(children.head)))
+    // Declarative aggregate(zip_with(...)) dot folds → codegen'd DotProduct
+    // (bit-identical; see DotFoldRewrite).
+    ext.injectOptimizerRule(_ => DotFoldRewrite)
   }
 }

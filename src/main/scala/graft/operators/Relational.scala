@@ -360,6 +360,26 @@ object Relational {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY lvl, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
+    // ── Cube = all 4 grouping sets in one pass (engine extension) ──
+    QueryDef(
+      "q64_cube",
+      (s, dir) => {
+        // Same partial+final aggregation shape as rollup, one more grouping
+        // set: Spark expands the cube map-side, so the corpus is still read
+        // once and shuffled once on the expanded grouping keys.
+        Tables.load(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+            grouping_id(col("l_returnflag"), col("l_linestatus")).as("lvl"))
+          .orderBy(col("lvl"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  GROUPING(l_returnflag, l_linestatus) AS lvl
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY lvl, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
     // ── Pivot = conditional aggregation (engine extension) ──
     QueryDef(
       "q46_pivot",
