@@ -311,24 +311,28 @@ object Dedup {
         // The end product of the dedup pipeline: every document labeled
         // with its near-dup component (singleton docs are their own
         // component) and a keep flag = "is the min doc_id of the
-        // component". Downstream training jobs filter keep = 1. The
-        // component map is tiny relative to the corpus (only docs that
-        // appear in some near-dup pair), so the label join broadcasts at
-        // any scale; the keep flag is a window keyed by component —
-        // shuffled, never concentrated.
+        // component". Downstream training jobs filter keep = 1.
+        //
+        // 100 TB shape: the keep decision is computed ON THE COMPONENT MAP
+        // (a per-component min over comp, which holds only docs that appear
+        // in some near-dup pair), never as a corpus-wide window — a window
+        // keyed by component would shuffle the whole corpus even though
+        // singletons trivially keep themselves. The corpus sees exactly one
+        // join, keyed on doc_id; no broadcast assumption on comp (AQE
+        // broadcasts it when it is in fact small).
         val docs = Tables.load(s, dir, "documents")
         val edges = jaccardPairs(docs).select("a", "b").persist()
         val comp = connectedComponents(edges)
         edges.unpersist()
-        val labeled = docs.select(col("doc_id"))
-          .join(broadcast(comp.select(col("v").as("doc_id"), col("lbl"))),
-            Seq("doc_id"), "left")
-          .withColumn("component", coalesce(col("lbl"), col("doc_id")))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
-        labeled
-          .withColumn("keep",
-            when(min("doc_id").over(w) === col("doc_id"), 1).otherwise(0))
-          .select("doc_id", "component", "keep")
+        // lbl IS the component's min doc_id (min-label propagation), so
+        // membership alone decides keep: a doc in comp keeps iff it is the
+        // label; a doc not in comp is a singleton and keeps itself.
+        docs.select(col("doc_id"))
+          .join(comp.select(col("v").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("lbl"), col("doc_id")).as("component"),
+            when(col("lbl").isNull || col("lbl") === col("doc_id"), 1)
+              .otherwise(0).as("keep"))
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE $shingleCte,

@@ -197,16 +197,20 @@ object Vectors {
           (row.getLong(0), row.getInt(1))
         }
         val emb = withNormalized(raw).select(col("vec_id"), col("en"))
-        val cand = srpCandidates(emb, n, dim)
-        val sym = cand.unionByName(
-          cand.select(col("b").as("a"), col("a").as("b")))
-        val scored = sym
+        // Score each a<b pair ONCE, then mirror the scored rows — sim is
+        // exactly symmetric (element products commute, same fold order), so
+        // this halves the dot products and one join pass vs scoring the
+        // symmetrized candidate set.
+        val scored = srpCandidates(emb, n, dim)
           .join(emb.select(col("vec_id").as("a"), col("en").as("na")), Seq("a"))
           .join(emb.select(col("vec_id").as("b"), col("en").as("nb")), Seq("b"))
           .withColumn("sim", dot(col("na"), col("nb")))
+          .select("a", "b", "sim")
+        val sym = scored.unionByName(scored.select(
+          col("b").as("a"), col("a").as("b"), col("sim")))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("a").orderBy(col("sim").desc, col("b"))
-        scored
+        sym
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= KnnK)
           .select("a", "rnk", "b", "sim")
