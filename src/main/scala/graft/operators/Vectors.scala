@@ -296,7 +296,14 @@ object Vectors {
     * Assignment stays a narrow two-hop argmax: coarse cell via the broadcast
     * array, fine cell via the joined cell's centroid list. Seeds are
     * deterministic strides (k-means|| would refine them; the seeding is the
-    * parameter, the plan is the structure). */
+    * parameter, the plan is the structure).
+    *
+    * Memory envelope: the fine-cell frame totals ~√N·dim doubles across its
+    * k1 rows (≈2.4 GB at 10¹¹ × 768) — within broadcast limits with no
+    * single row anywhere near the array cap. The next rung, if centroids
+    * outgrow broadcast entirely (10¹²+), is the same plan with the
+    * fine-cell join left to AQE (one linear corpus shuffle on ccid replaces
+    * the broadcast); the code path is identical minus the hint. */
   def ivfAssigned(emb: DataFrame): (DataFrame, DataFrame) = {
     val n = emb.count()
     val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
