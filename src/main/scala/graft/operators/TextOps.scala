@@ -361,6 +361,46 @@ object TextOps {
              |                WHEN 'es' THEN 2 ELSE 1 END
              |ORDER BY doc_id""".stripMargin)),
 
+    // ── Weighted mixture resampling: fractional up/down-sampling rates ──
+    QueryDef(
+      "q65_mixture_resample",
+      (s, dir) => {
+        // q52 can only THIN a stratum; mixture rebalancing also needs rates
+        // above 1 ("sample web at 2.25x"). Rates are expressed in 16ths per
+        // source (36/16/8/28 = 2.25x / 1x / 0.5x / 1.75x by source index
+        // mod 4): every doc emits floor(rate) guaranteed copies plus one
+        // probabilistic copy decided by the md5-nibble predicate — fully
+        // deterministic, no RNG, stable under repartitioning. The explode
+        // fan-out is ceil(rate) <= 3 rows per doc, so the operator is a
+        // narrow projection whose output volume is exactly the mixture
+        // spec — no shuffle anywhere.
+        val r16 = expr(
+          """CASE CAST(substring(source, 4) AS INT) % 4
+            |  WHEN 0 THEN 36 WHEN 1 THEN 16 WHEN 2 THEN 8 ELSE 28 END""".stripMargin)
+        val nib = expr(
+          "locate(substr(md5(cast(doc_id AS string)), 1, 1), '0123456789abcdef') - 1")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), r16.as("r16"), nib.as("nib"))
+          .select(col("doc_id"), col("source"), col("r16"), col("nib"),
+            explode(expr("sequence(0, r16 div 16)")).as("c"))
+          .filter(col("c") < expr("r16 div 16") || col("nib") < expr("r16 % 16"))
+          .select(col("doc_id"), col("source"), col("c").cast("long").as("copy_id"))
+          .orderBy("doc_id", "copy_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, source,
+             |         CASE CAST(substr(source, 4) AS INT) % 4
+             |           WHEN 0 THEN 36 WHEN 1 THEN 16 WHEN 2 THEN 8 ELSE 28 END AS r16,
+             |         strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+             |  FROM documents),
+             |sel AS (
+             |  SELECT doc_id, source, r16, nib,
+             |         unnest(range(0, r16 // 16 + 1)) AS c
+             |  FROM base)
+             |SELECT doc_id, source, c AS copy_id
+             |FROM sel WHERE c < r16 // 16 OR nib < r16 % 16
+             |ORDER BY doc_id, copy_id""".stripMargin)),
+
     // ── Top-k per group via a custom typed Aggregator (UDAF surface) ──
     QueryDef(
       "q55_topk_aggregator",

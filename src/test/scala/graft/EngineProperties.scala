@@ -77,4 +77,23 @@ object EngineProperties extends Properties("graft") {
       }.toMap
       got == want
     }
+
+  // The codegen'd MinHash12 must agree with the declarative
+  // explode→groupBy formulation it replaced, on arbitrary word lists —
+  // the q23 oracle only exercises the testdata's vocabulary.
+  property("graft_minhash12 equals the explode/groupBy min-md5 signature") =
+    Prop.forAll(Gen.listOfN(4, Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)))) { docs =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val fast = graft.operators.Dedup.minhashSignatures(df)
+        .collect().map(r => r.getLong(0) -> (1 to 12).map(r.getString).toVector).toMap
+      val slow = graft.operators.Dedup.shinglesRaw(df)
+        .groupBy("doc_id")
+        .agg(min(md5(concat_ws("|", lit("0"), col("s")))).as("h0"),
+          (1 until 12).map(i =>
+            min(md5(concat_ws("|", lit(i.toString), col("s")))).as(s"h$i")): _*)
+        .collect().map(r => r.getLong(0) -> (1 to 12).map(r.getString).toVector).toMap
+      fast == slow
+    }
 }
