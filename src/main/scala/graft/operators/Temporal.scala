@@ -185,6 +185,81 @@ object Temporal {
              |FROM first f LEFT JOIN conv c ON f.user_id = c.user_id
              |ORDER BY f.user_id""".stripMargin)),
 
+    // ── Gap-based sessionization, batch formulation (lag → break → cumsum) ──
+    QueryDef(
+      "q67_sessions",
+      (s, dir) => {
+        // The batch twin of streaming/Streams.sessionize, as an oracled
+        // query: a 30-min silence starts a new session. Both windows are
+        // keyed by user_id (shuffled, never concentrated) with an explicit
+        // ROWS frame and a (ts_ns, event_id) total order, so the cumsum is
+        // engine-deterministic even under timestamp ties.
+        val GapNs = 30L * 60 * 1000000000L
+        val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        Tables.events(s, dir)
+          .withColumn("brk",
+            when(col("ts_ns") - lag("ts_ns", 1).over(w) > GapNs, 1).otherwise(0))
+          .withColumn("sid",
+            sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sid")
+          .agg(expr("min(ts_ns) div 1000").as("s_us"),
+            expr("max(ts_ns) div 1000").as("e_us"),
+            count(lit(1)).as("n_events"))
+          .select("user_id", "s_us", "e_us", "n_events")
+          .orderBy("user_id", "s_us")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events),
+             |b AS (
+             |  SELECT user_id, event_id, ts_ns,
+             |         CASE WHEN ts_ns - lag(ts_ns, 1) OVER
+             |                (PARTITION BY user_id ORDER BY ts_ns, event_id)
+             |              > 1800000000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e),
+             |sids AS (
+             |  SELECT user_id, ts_ns,
+             |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+             |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             |  FROM b)
+             |SELECT user_id, min(ts_ns) // 1000 AS s_us, max(ts_ns) // 1000 AS e_us,
+             |       count(*) AS n_events
+             |FROM sids GROUP BY user_id, sid
+             |ORDER BY user_id, s_us""".stripMargin)),
+
+    // ── Retention cohorts: users active N days after their first day ──
+    QueryDef(
+      "q66_retention",
+      (s, dir) => {
+        // The third classic event-analytics shape next to sessions (q16/
+        // streaming) and funnels (q57): cohort = a user's first active day,
+        // retention(cohort, age) = fraction of the cohort active age days
+        // later. Day ids are pure integer div on epoch nanos (portable,
+        // no tz). Three keyed aggregations, all partial+final; the cohort
+        // size frame is day-cardinality small and joins broadcast under
+        // AQE — nothing here touches more than (user, day) distinct rows.
+        val d = Tables.events(s, dir)
+          .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+          .distinct()
+        val c = d.groupBy("user_id").agg(min("day").as("cohort_day"))
+        val sz = c.groupBy("cohort_day").agg(count(lit(1)).as("n_cohort"))
+        d.join(c, Seq("user_id"))
+          .withColumn("age", col("day") - col("cohort_day"))
+          .groupBy("cohort_day", "age").agg(count(lit(1)).as("n_active"))
+          .join(sz, Seq("cohort_day"))
+          .withColumn("retention", col("n_active") / col("n_cohort").cast("double"))
+          .select("cohort_day", "age", "n_active", "retention")
+          .orderBy("cohort_day", "age")
+      },
+      Some("""WITH d AS (
+             |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+             |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+             |sz AS (SELECT cohort_day, count(*) AS n_cohort FROM c GROUP BY cohort_day)
+             |SELECT c.cohort_day, d.day - c.cohort_day AS age, count(*) AS n_active,
+             |       count(*) / CAST(sz.n_cohort AS DOUBLE) AS retention
+             |FROM d JOIN c USING (user_id) JOIN sz USING (cohort_day)
+             |GROUP BY c.cohort_day, d.day - c.cohort_day, sz.n_cohort
+             |ORDER BY cohort_day, age""".stripMargin)),
+
     // ── Exact percentiles per group (sort-based; engine extension) ──
     QueryDef(
       "q50_percentiles",
