@@ -342,6 +342,65 @@ object Relational {
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ── INTERSECT (set semantics; plans as an aggregate + left-semi) ──
+    QueryDef(
+      "q68_intersect",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+          .filter(col("c_acctbal") > 5000).select(col("c_nationkey").as("nationkey"))
+        val sup = Tables.load(s, dir, "supplier")
+          .filter(col("s_acctbal") > 5000).select(col("s_nationkey").as("nationkey"))
+        c.intersect(sup).orderBy("nationkey")
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+             |INTERSECT
+             |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+             |ORDER BY nationkey""".stripMargin)),
+
+    // ── EXCEPT (set semantics; plans as an aggregate + left-anti) ──
+    QueryDef(
+      "q69_except",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+          .filter(col("c_acctbal") > 5000).select(col("c_nationkey").as("nationkey"))
+        val sup = Tables.load(s, dir, "supplier")
+          .filter(col("s_acctbal") > 9000).select(col("s_nationkey").as("nationkey"))
+        c.except(sup).orderBy("nationkey")
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+             |EXCEPT
+             |SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+             |ORDER BY nationkey""".stripMargin)),
+
+    // ── FULL OUTER join (aggregated sides; nulls coalesced to 0 so the
+    //    compare never crosses the nullable-int → float64 pandas boundary) ──
+    QueryDef(
+      "q70_full_outer",
+      (s, dir) => {
+        val nc = Tables.load(s, dir, "customer")
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+          .filter(col("n_cust") > 20)
+        val ns = Tables.load(s, dir, "supplier")
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        nc.join(ns, Seq("nationkey"), "full_outer")
+          .select(col("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH nc AS (
+             |  SELECT c_nationkey AS nationkey, count(*) AS n_cust
+             |  FROM customer GROUP BY 1 HAVING count(*) > 20),
+             |ns AS (
+             |  SELECT s_nationkey AS nationkey, count(*) AS n_supp
+             |  FROM supplier GROUP BY 1)
+             |SELECT coalesce(nc.nationkey, ns.nationkey) AS nationkey,
+             |       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+             |FROM nc FULL OUTER JOIN ns ON nc.nationkey = ns.nationkey
+             |ORDER BY nationkey""".stripMargin)),
+
     // ── ROLLUP grouping sets (engine extension; single shuffle, the
     //    higher levels aggregate the partials of the lower) ──
     QueryDef(
