@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Dataset-maintenance operators. The reference's only maintenance verbs
+  * are truncate/reload (cve_manager.py's -tr path); a lake-scale engine
+  * also needs COMPACTION: streaming sinks and fine-grained ingest leave
+  * thousands of small part files per partition, and at 100 TB the file
+  * count — not the bytes — becomes the scan bottleneck (driver-side
+  * listing, per-file open cost, tiny row groups defeating column pruning).
+  */
+object Maintenance {
+
+  /** Compact a parquet dataset directory to ~`targetBytes` output files.
+    *
+    * Sizing comes from the file inventory (sum of part-file lengths), the
+    * rewrite is a `coalesce` — NO shuffle: coalesce only merges input
+    * splits, so compaction costs one read + one write of the data, the
+    * floor for any rewrite. Data lands in a staging dir first and is
+    * swapped in afterwards, so a crash mid-write leaves the original
+    * intact; the swap itself (delete originals + rename staged files) is
+    * not transactional — production tables would layer a table format's
+    * commit protocol on top, the operator here is the rewrite engine
+    * underneath it.
+    *
+    * Returns (partFilesBefore, partFilesAfter). */
+  def compactParquet(spark: SparkSession, dir: String, targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new Path(dir)
+    // Raw FS: same ChecksumFileSystem ':'/crc-shadow hazard as
+    // Warehouse.writeSingleCsv, and crc shadows of deleted parts would
+    // otherwise linger next to the swapped-in files.
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+    def parts() = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val before = parts()
+    val total = before.map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val staging = new Path(dir + ".compact-staging")
+    fs.delete(staging, true)
+    // Executes the read fully into staging BEFORE any original is touched.
+    spark.read.parquet(dir).coalesce(n)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    before.foreach(s => fs.delete(s.getPath, false))
+    fs.listStatus(staging)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .foreach { s =>
+        val dest = new Path(p, s.getPath.getName)
+        require(fs.rename(s.getPath, dest), s"rename ${s.getPath} -> $dest failed")
+      }
+    fs.delete(staging, true)
+    (before.length, parts().length)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  test("compactParquet merges small files without changing content, original survives staging") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/docs"
+    // The small-files shape: 40 part files for ~500 rows.
+    src.repartition(40).write.parquet(dir)
+    def partFiles() = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    assert(partFiles().length >= 30)
+    val beforeRows = spark.read.parquet(dir).count()
+    val beforeHash = spark.read.parquet(dir)
+      .agg(sum(expr("crc32(concat_ws('|', doc_id, text))"))).head().getLong(0)
+
+    val (nBefore, nAfter) = Maintenance.compactParquet(spark, dir, 1L << 20)
+    assert(nBefore === partFiles().length.max(nBefore)) // inventory was real
+    assert(nAfter < nBefore)
+    assert(partFiles().length === nAfter)
+    assert(!new java.io.File(dir + ".compact-staging").exists())
+    // content identical: same rows, same multiset hash
+    assert(spark.read.parquet(dir).count() === beforeRows)
+    val afterHash = spark.read.parquet(dir)
+      .agg(sum(expr("crc32(concat_ws('|', doc_id, text))"))).head().getLong(0)
+    assert(afterHash === beforeHash)
+  }
+}

@@ -131,6 +131,40 @@ class StreamsSpec extends AnyFunSuite {
     assert((batch -- trailing(batch)).subsetOf(gotSet))
   }
 
+  test("hourlyCounts drops late rows once the watermark is in force (batch N+2)") {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+    // Late-record FILTERING uses the previous batch's watermark while
+    // EVICTION uses the current one (Spark keeps both), so a replay right
+    // after the first batch is legitimately merged — the filter watermark
+    // is still 0 then. Three batches pin the real contract:
+    //   batch 0: all data (collects event-time stats);
+    //   batch 1: a replay of the last 30 min — its windows end after the
+    //     watermark, stay in state, are never emitted (invisible);
+    //   batch 2: a replay > 2h older than the watermark — by now the
+    //     filter watermark is max ts - 1h, so every row must be dropped;
+    //     admitted rows would inflate windows emitted at this commit.
+    val recent = raw.filter(col("ts") >= maxNs - 1800L * 1000000000L)
+    val late = raw.filter(col("ts") < maxNs - 2L * 3600 * 1000000000L)
+    assert(late.count() > 0 && recent.count() > 0)
+    val tmp = landBatches(Seq(raw, recent, late))
+    val got = Streams.runToMemory(spark,
+      Streams.hourlyCounts(
+        Streams.readEventsStream(spark, tmp.getPath, "*.parquet", Some(1))),
+      "hourly_late")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+    // every (window, type) key emitted exactly once, values = batch over
+    // the ORIGINAL data only (the late replay contributed nothing)
+    assert(got.map(_._1).distinct.length === got.length)
+    val batch = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(unix_micros(col("h")), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    got.foreach { case (k, v) => assert(batch(k) === v, s"window $k diverges") }
+  }
+
   test("streaming exact dedup drops cross-batch duplicates; output keys = batch distinct") {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     // The same file landed twice -> every key arrives again in a SECOND
