@@ -116,6 +116,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q65 resampling is a pure narrow fan-out: no hash shuffle before the determinism sort") {
+    val hashShuffles = collectAll("q65_mixture_resample") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashShuffles.isEmpty, "resampling must not shuffle — it is a predicate + bounded explode")
+  }
+
+  test("q67 session windows are keyed by user (no global single-partition window)") {
+    val windows = collectAll("q67_sessions") { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, "unkeyed window = all rows to one partition"))
+  }
+
   test("q55 typed top-k aggregator plans without a window (bounded state, no per-group sort)") {
     assert(collectAll("q55_topk_aggregator") { case w: WindowExec => w }.isEmpty)
   }
