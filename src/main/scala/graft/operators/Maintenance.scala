@@ -38,6 +38,13 @@ object Maintenance {
     def parts() = fs.listStatus(p)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
     val before = parts()
+    // A partition-dir layout has NO top-level part files; reading through
+    // it and renaming staged files into the root would flatten the
+    // partition columns into a corrupt mixed layout. Compact each leaf
+    // partition directory individually instead.
+    require(before.nonEmpty,
+      s"$dir has no top-level part files (partitioned layout or empty); " +
+        "compact leaf partition directories individually")
     val total = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     val staging = new Path(dir + ".compact-staging")

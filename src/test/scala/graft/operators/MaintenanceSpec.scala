@@ -31,4 +31,16 @@ class MaintenanceSpec extends AnyFunSuite {
       .agg(sum(expr("crc32(concat_ws('|', doc_id, text))"))).head().getLong(0)
     assert(afterHash === beforeHash)
   }
+
+  test("compactParquet refuses a partitioned layout instead of flattening it") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-part").toString + "/docs"
+    src.write.partitionBy("lang").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compactParquet(spark, dir, 1L << 20)
+    }
+    assert(e.getMessage.contains("partition"))
+    // untouched: partition dirs still present, reads fine
+    assert(spark.read.parquet(dir).count() === src.count())
+  }
 }
