@@ -273,6 +273,51 @@ object Dedup {
              |      FROM documents)
              |GROUP BY h ORDER BY h""".stripMargin)),
 
+    // ── Best-of-group dedup: keep the highest-quality copy, not the first ──
+    QueryDef(
+      "q72_dedup_best",
+      (s, dir) => {
+        // q21/q58 keep the min doc_id; real curation keeps the BEST copy.
+        // Rank within each canonical-hash group by the q27 quality score
+        // (bit-portable double math), tie-broken by doc_id. The window is
+        // keyed by the 16-byte hash — shuffled, never concentrated.
+        val scored = Tables.load(s, dir, "documents")
+          .withColumn("h",
+            md5(concat_ws(" ", sort_array(split(trim(col("text")), " ")))))
+          .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
+          .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
+          .withColumn("n_alpha",
+            length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+          .withColumn("score", expr(
+            """3.0e-1 * least(n_words / 1.0e2, 1.0e0)
+              | + 4.0e-1 * (1.0e0 - ((length(p) - length(replace(p, ' the ', ''))) / 5
+              |                       + (length(p) - length(replace(p, ' a ', ''))) / 3) / n_words)
+              | + 3.0e-1 * least((n_alpha / n_words) / 8.0e0, 1.0e0)""".stripMargin))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("h").orderBy(col("score").desc, col("doc_id"))
+        scored
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select("doc_id", "h", "score")
+          .orderBy("doc_id")
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id,
+             |         md5(array_to_string(list_sort(string_split(trim(text), ' ')), ' ')) AS h,
+             |         3.0e-1 * least(n_words / 1.0e2, 1.0e0)
+             |           + 4.0e-1 * (1.0e0 - ((length(p) - length(replace(p, ' the ', ''))) / 5
+             |                                 + (length(p) - length(replace(p, ' a ', ''))) / 3) / n_words)
+             |           + 3.0e-1 * least((n_alpha / n_words) / 8.0e0, 1.0e0) AS score
+             |  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+             |               len(string_split(trim(text), ' '))::BIGINT AS n_words,
+             |               length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS n_alpha
+             |        FROM documents))
+             |SELECT doc_id, h, score FROM (
+             |  SELECT doc_id, h, score,
+             |         row_number() OVER (PARTITION BY h ORDER BY score DESC, doc_id) AS rnk
+             |  FROM scored)
+             |WHERE rnk = 1 ORDER BY doc_id""".stripMargin)),
+
     // ── n-gram Jaccard near-dup via inverted-index pair generation ──
     QueryDef(
       "q22_ngram_jaccard",

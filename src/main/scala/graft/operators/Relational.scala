@@ -401,6 +401,36 @@ object Relational {
              |FROM nc FULL OUTER JOIN ns ON nc.nationkey = ns.nationkey
              |ORDER BY nationkey""".stripMargin)),
 
+    // ── Correlated scalar subqueries through the SQL entry point ──
+    QueryDef(
+      "q71_scalar_subquery",
+      (s, dir) => {
+        // The spark.sql(...) surface with TWO correlated scalar subqueries
+        // — Catalyst de-correlates each into an aggregate + join, so the
+        // plan is the same shuffled-aggregate shape as the hand-written
+        // DataFrame version (no per-row re-execution anywhere). The
+        // comparison is multiplied out (price * cnt > 2 * total) because
+        // a correlated AVG would hit engine-divergent average typing
+        // (Spark decimal avg vs DuckDB double avg); the exact
+        // DECIMAL-sum-cast-double is the established portable form.
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders_v o
+          WHERE o_totalprice *
+                (SELECT count(*) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+              > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders o
+             |WHERE o_totalprice *
+             |      (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+             |    > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ── ROLLUP grouping sets (engine extension; single shuffle, the
     //    higher levels aggregate the partials of the lower) ──
     QueryDef(
