@@ -62,4 +62,30 @@ object Maintenance {
     fs.delete(staging, true)
     (before.length, parts().length)
   }
+
+  /** Compact every LEAF partition directory of a partition-dir dataset
+    * (`lang=en/`, `year=2024/month=1/`, ...) independently — partition
+    * values stay directory-encoded, so each leaf is just a flat parquet
+    * dir and `compactParquet` applies as-is. Driver-side recursion is one
+    * `listStatus` per directory (the same cost any scan's file index
+    * pays); the rewrites themselves are per-leaf Spark jobs, so partition
+    * count scales the number of small jobs, never one job's size.
+    *
+    * Returns (partFilesBefore, partFilesAfter) summed over leaves. */
+  def compactPartitioned(spark: SparkSession, dir: String, targetBytes: Long): (Int, Int) = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: Path): Seq[Path] = {
+      val children = fs.listStatus(p)
+      val dirs = children.filter(_.isDirectory).map(_.getPath)
+        .filterNot(_.getName.endsWith(".compact-staging"))
+      if (dirs.isEmpty) Seq(p)
+      else dirs.toIndexedSeq.flatMap(leaves)
+    }
+    val results = leaves(root)
+      .filter(l => fs.listStatus(l).exists(s =>
+        s.isFile && s.getPath.getName.startsWith("part-")))
+      .map(l => compactParquet(spark, l.toString, targetBytes))
+    (results.map(_._1).sum, results.map(_._2).sum)
+  }
 }

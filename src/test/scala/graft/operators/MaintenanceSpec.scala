@@ -32,6 +32,19 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(afterHash === beforeHash)
   }
 
+  test("compactPartitioned compacts each leaf dir; partition column survives") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-leaf").toString + "/docs"
+    src.repartition(10).write.partitionBy("lang").parquet(dir)
+    val beforeRows = spark.read.parquet(dir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nBefore, nAfter) = Maintenance.compactPartitioned(spark, dir, 1L << 20)
+    assert(nAfter < nBefore)
+    val afterRows = spark.read.parquet(dir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterRows === beforeRows) // per-partition content intact
+  }
+
   test("compactParquet refuses a partitioned layout instead of flattening it") {
     val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft-compact-part").toString + "/docs"
