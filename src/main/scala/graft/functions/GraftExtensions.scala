@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash12"),
       new ExpressionInfo(classOf[MinHash12].getName, "graft_minhash12"),
       (children: Seq[Expression]) => MinHash12(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2norm"),
+      new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
+      (children: Seq[Expression]) => L2Normalize(children.head)))
     // Declarative aggregate(zip_with(...)) dot folds → codegen'd DotProduct
     // (bit-identical; see DotFoldRewrite).
     ext.injectOptimizerRule(_ => DotFoldRewrite)

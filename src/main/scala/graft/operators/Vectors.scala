@@ -39,12 +39,13 @@ object Vectors {
     * loop inside whole-stage codegen (graft.functions.DotProduct). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  /** Adds `en` = e / ||e||2 (per-element division, fold-order norm). */
+  /** Adds `en` = e / ||e||2 via the codegen'd L2Normalize expression —
+    * bit-identical to the `transform(e, x -> x / sqrt(dot(e, e)))` pair it
+    * replaces (same fold-order norm, same per-element double division),
+    * but a primitive loop instead of an interpreted HigherOrderFunction. */
   def withNormalized(df: DataFrame): DataFrame = {
     GraftFunctions.register(df.sparkSession) // idempotent; dot() needs it
-    df.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-      .withColumn("en", transform(col("e"), x => x / col("nrm")))
-      .drop("nrm")
+    df.withColumn("en", call_function("graft_l2norm", col("e")))
   }
 
   /** DuckDB twin of `dot` (same left fold ⇒ same doubles). */
