@@ -332,6 +332,83 @@ object TextOps {
               |WHERE s.score >= t.thr
               |ORDER BY doc_id""".stripMargin)),
 
+    // ── End-to-end curation pipeline: dedup-keep → quality cut → pack ──
+    QueryDef(
+      "q73_curation_pipeline",
+      (s, dir) => {
+        // The operators composed the way a training-data run actually
+        // chains them — exact-dedup keep (min doc_id per canonical hash),
+        // per-language median quality cut on the kept set, then
+        // token-budget sequence packing of the survivors — as ONE
+        // declarative plan Catalyst optimizes end-to-end (the scan is
+        // read once; the hash window, threshold broadcast, and two-stage
+        // prefix sum reuse the shapes verified by q21/q60/q51).
+        val Budget = 2048L
+        val BlockSize = 64L
+        val W = org.apache.spark.sql.expressions.Window
+        val kept = Tables.load(s, dir, "documents")
+          .withColumn("h",
+            md5(concat_ws(" ", sort_array(split(trim(col("text")), " ")))))
+          .withColumn("keeper", min("doc_id").over(W.partitionBy("h")))
+          .filter(col("doc_id") === col("keeper"))
+        val scored = kept
+          .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
+          .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
+          .withColumn("n_alpha",
+            length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+          .withColumn("avg_wlen", col("n_alpha") / col("n_words"))
+          .withColumn("stop_ratio",
+            expr(s"(${cntSql("p", " the ")} + ${cntSql("p", " a ")})") / col("n_words"))
+          .withColumn("score", expr(
+            "3.0e-1 * least(n_words / 1.0e2, 1.0e0) + 4.0e-1 * (1.0e0 - stop_ratio) + 3.0e-1 * least(avg_wlen / 8.0e0, 1.0e0)"))
+        val thr = scored.groupBy("lang")
+          .agg(expr("percentile(score, 5.0e-1)").as("thr"))
+        val surv = scored.join(broadcast(thr), Seq("lang"))
+          .filter(col("score") >= col("thr"))
+          .select(col("doc_id"), col("lang"), col("n_words").as("tokens"))
+          .withColumn("block", expr(s"doc_id div $BlockSize"))
+        val wB = W.partitionBy("block").orderBy("doc_id")
+          .rowsBetween(W.unboundedPreceding, 0)
+        val within = surv.withColumn("bcum", sum("tokens").over(wB))
+        val offsets = surv.groupBy("block").agg(sum("tokens").as("bsum"))
+          .withColumn("off", coalesce(
+            sum("bsum").over(W.orderBy("block").rowsBetween(W.unboundedPreceding, -1)),
+            lit(0L)))
+          .select("block", "off")
+        within.join(broadcast(offsets), Seq("block"))
+          .withColumn("cum", col("bcum") + col("off"))
+          .select(col("doc_id"), col("lang"), col("tokens"), col("cum"),
+            expr(s"(cum - tokens) div $Budget").as("pack_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH kept AS (
+              |  SELECT doc_id, lang, text FROM (
+              |    SELECT doc_id, lang, text,
+              |           min(doc_id) OVER (PARTITION BY
+              |             md5(array_to_string(list_sort(string_split(trim(text), ' ')), ' '))) AS keeper
+              |    FROM documents)
+              |  WHERE doc_id = keeper),
+              |scored AS (
+              |  SELECT doc_id, lang, n_words,
+              |         3.0e-1 * least(n_words / 1.0e2, 1.0e0)
+              |           + 4.0e-1 * (1.0e0 - (${cntSql("p", " the ")} + ${cntSql("p", " a ")}) / n_words)
+              |           + 3.0e-1 * least((n_alpha / n_words) / 8.0e0, 1.0e0) AS score
+              |  FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p,
+              |               len(string_split(trim(text), ' '))::BIGINT AS n_words,
+              |               length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS n_alpha
+              |        FROM kept)),
+              |thr AS (SELECT lang, quantile_cont(score, 5.0e-1) AS thr FROM scored GROUP BY lang),
+              |surv AS (
+              |  SELECT s.doc_id, s.lang, s.n_words AS tokens
+              |  FROM scored s JOIN thr t USING (lang) WHERE s.score >= t.thr),
+              |c AS (
+              |  SELECT doc_id, lang, tokens,
+              |         CAST(sum(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              |  FROM surv)
+              |SELECT doc_id, lang, tokens, cum,
+              |       CAST((cum - tokens) // 2048 AS BIGINT) AS pack_id
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
     // ── Deterministic stratified sampling (training-data mixture weights) ──
     QueryDef(
       "q52_stratified_sample",
