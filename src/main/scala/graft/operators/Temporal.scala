@@ -185,6 +185,27 @@ object Temporal {
              |FROM first f LEFT JOIN conv c ON f.user_id = c.user_id
              |ORDER BY f.user_id""".stripMargin)),
 
+    // ── JSON property extraction from a string column (no schema'd read) ──
+    QueryDef(
+      "q74_json_extract",
+      (s, dir) => {
+        // events.props is a JSON STRING — the "semi-structured column in a
+        // relational table" shape. get_json_object is a codegen'd path
+        // walk, so extraction is a narrow scan; the filter on the
+        // extracted value stays in the same stage (no UDF, no re-parse).
+        Tables.events(s, dir)
+          .withColumn("k",
+            get_json_object(col("props"), "$.k").cast("long"))
+          .filter(col("k") > 90)
+          .select("event_id", "event_type", "k")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type, k FROM (
+             |  SELECT event_id, event_type,
+             |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events)
+             |WHERE k > 90 ORDER BY event_id""".stripMargin)),
+
     // ── Gap-based sessionization, batch formulation (lag → break → cumsum) ──
     QueryDef(
       "q67_sessions",
