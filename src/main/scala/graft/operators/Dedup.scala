@@ -278,12 +278,16 @@ object Dedup {
       "q72_dedup_best",
       (s, dir) => {
         // q21/q58 keep the min doc_id; real curation keeps the BEST copy.
-        // Rank within each canonical-hash group by the q27 quality score
-        // (bit-portable double math), tie-broken by doc_id. The window is
-        // keyed by the 16-byte hash — shuffled, never concentrated.
+        // The group key is the VOCABULARY hash (sorted distinct words) —
+        // not q21's word-multiset hash, under which the quality score is
+        // constant (it is permutation- and multiset-determined) and
+        // "best" would degenerate to min-id. Same-vocabulary variants
+        // (repetition, padding) score differently, so the rank genuinely
+        // picks by quality, tie-broken by doc_id. The window is keyed by
+        // the 16-byte hash — shuffled, never concentrated.
         val scored = Tables.load(s, dir, "documents")
           .withColumn("h",
-            md5(concat_ws(" ", sort_array(split(trim(col("text")), " ")))))
+            md5(concat_ws(" ", sort_array(array_distinct(split(trim(col("text")), " "))))))
           .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
           .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
           .withColumn("n_alpha",
@@ -303,7 +307,7 @@ object Dedup {
       },
       Some("""WITH scored AS (
              |  SELECT doc_id,
-             |         md5(array_to_string(list_sort(string_split(trim(text), ' ')), ' ')) AS h,
+             |         md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS h,
              |         3.0e-1 * least(n_words / 1.0e2, 1.0e0)
              |           + 4.0e-1 * (1.0e0 - ((length(p) - length(replace(p, ' the ', ''))) / 5
              |                                 + (length(p) - length(replace(p, ' a ', ''))) / 3) / n_words)

@@ -80,6 +80,31 @@ class DedupSpec extends AnyFunSuite {
       s"expected fewer jobs than the join+isEmpty formulation: new=$newJobs old=$oldJobs")
   }
 
+  test("best-of-group keeps the higher-quality same-vocabulary copy, not the lower doc_id") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Same vocabulary {alpha beta gamma}, different repetition: doc 2's
+    // longer rendering scores higher on the q72 length term, so it must
+    // beat doc 1 despite the larger doc_id. Doc 3 is a singleton. The
+    // testdata contains no vocab-dups, so this is the discrimination case
+    // the oracle can't exercise.
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma alpha beta gamma alpha beta gamma"),
+      (3L, "delta epsilon zeta eta theta completely different words here")
+    ).toDF("doc_id", "text")
+    val scored = docs
+      .withColumn("h",
+        md5(concat_ws(" ", sort_array(array_distinct(split(trim(col("text")), " "))))))
+      .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
+      .withColumn("score", expr("3.0e-1 * least(n_words / 1.0e2, 1.0e0)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy(col("score").desc, col("doc_id"))
+    val kept = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L)) // quality wins over doc_id order
+  }
+
   test("reliable=true requires a checkpoint dir, then converges identically") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
