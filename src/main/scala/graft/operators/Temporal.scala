@@ -185,6 +185,33 @@ object Temporal {
              |FROM first f LEFT JOIN conv c ON f.user_id = c.user_id
              |ORDER BY f.user_id""".stripMargin)),
 
+    // ── RANGE-frame window: rolling 1-hour per-user sum over event time ──
+    QueryDef(
+      "q75_rolling_range",
+      (s, dir) => {
+        // The RANGE frame surface (value-based bounds, peers included —
+        // q16/q67 cover ROWS frames): each event's trailing-hour spend per
+        // user. Keyed by user_id, ordered by epoch-micros BIGINT, so the
+        // frame bound is pure integer arithmetic in both engines; the
+        // summed value goes through exact DECIMAL accumulation.
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("ts_ns div 1000").as("ts_us"),
+            col("value").cast(DecimalType(18, 2)).as("v"))
+          .withColumn("hour_sum", sum("v").over(w).cast("double"))
+          .select("event_id", "user_id", "ts_us", "hour_sum")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, ts_us,
+             |       CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts_us
+             |            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+             |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+             |             CAST(value AS DECIMAL(18,2)) AS v
+             |      FROM events)
+             |ORDER BY event_id""".stripMargin)),
+
     // ── JSON property extraction from a string column (no schema'd read) ──
     QueryDef(
       "q74_json_extract",
