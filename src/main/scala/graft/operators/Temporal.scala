@@ -314,8 +314,8 @@ object Temporal {
       (s, dir) => {
         // Exact linear-interpolated percentiles (one shuffle on the group
         // key, per-group sort). For 100 TB dashboards the approximate
-        // t-digest/approx_percentile twin trades exactness for a mergeable
-        // sketch — exact is the oracle-checkable reference point.
+        // mergeable-sketch twin is q76_approx_quantile — exact is the
+        // oracle-checkable reference point.
         Tables.events(s, dir)
           .groupBy("event_type")
           .agg(
@@ -328,6 +328,36 @@ object Temporal {
              |       quantile_cont(value, 0.25) AS q25,
              |       quantile_cont(value, 0.5) AS q50,
              |       quantile_cont(value, 0.9) AS q90
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ── Mergeable-sketch percentiles (the 100 TB form of q50) ──
+    QueryDef(
+      "q76_approx_quantile",
+      (s, dir) => {
+        // approx_percentile's Greenwald-Khanna sketch has BOUNDED state
+        // (O(accuracy · log n) tuples) and merges across partitions — the
+        // scale-safe percentile surface named in SURVEY §7.5, vs exact
+        // `percentile` whose buffer holds every distinct value. Sketches
+        // are not bit-reproducible across engines, so the oracled contract
+        // is the sketch's rank-error GUARANTEE: with accuracy 10000 the
+        // rank error is ≤ n/10000, so each approx quantile must land inside
+        // the exact [p−0.01, p+0.01] quantile envelope (100× slack). The
+        // exact envelope is the test-scale cross-check; at 100 TB only the
+        // sketch side runs.
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            expr("approx_percentile(value, array(0.25, 0.5, 0.9), 10000)").as("ap"),
+            expr("percentile(value, array(0.24, 0.26, 0.49, 0.51, 0.89, 0.91))").as("ex"))
+          .select(col("event_type"),
+            when(
+              col("ap")(0).between(col("ex")(0), col("ex")(1)) &&
+                col("ap")(1).between(col("ex")(2), col("ex")(3)) &&
+                col("ap")(2).between(col("ex")(4), col("ex")(5)),
+              "ok").otherwise("fail").as("within_bound"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, 'ok' AS within_bound
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
