@@ -13,8 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet footer schemas, inferred once per path then reused: every
+    * `spark.read.parquet` without an explicit schema launches a footer-read
+    * job at DATAFRAME CONSTRUCTION time, so each catalog query paid one
+    * driver-side job before its real action (JobCountSpec pins the zero-job
+    * contract). Keyed by path — a different sf dir infers fresh. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). The session must be built with

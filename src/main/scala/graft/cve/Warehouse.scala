@@ -35,11 +35,18 @@ object Warehouse {
     * reference's csv.reader row indexing, so any MITRE-export header naming
     * works. multiLine + RFC4180 quote-escape handle embedded commas/newlines
     * (the Changelog's CWE-processing bug). */
+  private val cweSchemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
   def cweCatalog(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read
+    // Header/schema read cached per path: with header=true every plain
+    // .csv() call launches a header-scan job at DataFrame construction
+    // (JobCountSpec pins construction at zero jobs).
+    def rd = spark.read
       .option("header", "true").option("multiLine", "true")
       .option("escape", "\"")
-      .csv(path)
+    val schema = cweSchemaCache.getOrElseUpdate(path, rd.csv(path).schema)
+    val raw = rd.schema(schema).csv(path)
     val c = raw.columns
     raw.select(
       col(c(0)).cast("int").as("cwe_id"),

