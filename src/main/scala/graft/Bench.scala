@@ -21,22 +21,40 @@ object Bench {
     // Catalyst prune the projected compute, so expensive expressions would
     // bench as free (caught when a simhash fold benched 0.4s but cost 60s
     // materialized).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -1.0, ok)
+    //
+    // Aggregation rule: MIN of 3 interleaved passes per query. PERF.md
+    // records a 44–49 s machine-load spread across single-pass runs — wider
+    // than most round-over-round deltas — so a single sample can't tell a
+    // regression from scheduler noise. Min-of-3 reports each plan's
+    // least-contended run. Passes are interleaved (full catalog per pass,
+    // catalog order) and every pass builds a FRESH DataFrame, so no
+    // QueryExecution/shuffle output is ever reused across samples.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val passes = 3
+    val samples = (1 to passes).map { _ =>
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) sec else -1.0)
+      }.toMap
+    }
+    val results = names.map { name =>
+      val vs = samples.map(_(name))
+      // Any failed pass marks the query failed — a flaky crash must surface.
+      (name, if (vs.exists(_ < 0)) -1.0 else vs.min, !vs.exists(_ < 0))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$passes","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

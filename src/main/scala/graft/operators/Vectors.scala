@@ -162,6 +162,48 @@ object Vectors {
   /** Neighbors reported per vector by the q59 kNN join. */
   val KnnK = 3
 
+  // ── Multi-probe IVF (q77) parameters ──
+  /** Coarse cells probed by the query (nprobe at the coarse level). */
+  val ProbeCoarse = 2
+  /** Fine cells probed across the probed coarse cells' centroid lists. */
+  val ProbeFine = 3
+
+  /** DuckDB twin of `ivfIndex`: CTE chain `par → cents → coarse → fassign →
+    * fcells → cassign → assigned` (prepend `$normCte`). Shared by q34
+    * (single-probe) and q77 (multi-probe) so the index construction is
+    * oracle-identical across both. */
+  private def ivfCtes: String =
+    s"""par AS (
+       |  SELECT n, k, greatest(1, n // k) AS step,
+       |         greatest(2, CAST(ceil(sqrt(k)) AS BIGINT)) AS k1,
+       |         greatest(1, k // greatest(2, CAST(ceil(sqrt(k)) AS BIGINT))) AS step1
+       |  FROM (SELECT count(*) AS n,
+       |               greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+       |        FROM vn)),
+       |cents AS (
+       |  SELECT vec_id AS cid, en AS cn FROM vn, par WHERE vec_id % par.step = 0),
+       |coarse AS (
+       |  SELECT list_sort(list(struct_pack(ccid := cid, cn := cn))) AS cc
+       |  FROM cents, par WHERE (cid // par.step) % par.step1 = 0),
+       |fassign AS (
+       |  SELECT -(list_sort([struct_pack(csim := ${dotSql("cn", "c.cn")},
+       |                                  negccid := -c.ccid) for c in cc])[-1].negccid) AS ccid,
+       |         cid, cn
+       |  FROM cents, coarse),
+       |fcells AS (
+       |  SELECT ccid, list_sort(list(struct_pack(cid := cid, cn := cn))) AS fc
+       |  FROM fassign GROUP BY ccid),
+       |cassign AS (
+       |  SELECT vec_id, en,
+       |         -(list_sort([struct_pack(csim := ${dotSql("en", "c.cn")},
+       |                                  negccid := -c.ccid) for c in cc])[-1].negccid) AS ccid
+       |  FROM vn, coarse),
+       |assigned AS (
+       |  SELECT vec_id, en,
+       |         -(list_sort([struct_pack(csim := ${dotSql("en", "f.cn")},
+       |                                  negcid := -f.cid) for f in fc])[-1].negcid) AS cid
+       |  FROM cassign JOIN fcells USING (ccid))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Brute-force cosine top-k (exact ANN baseline) ──
@@ -266,39 +308,63 @@ object Vectors {
           .limit(5)
       },
       Some(s"""WITH $normCte,
-              |par AS (
-              |  SELECT n, k, greatest(1, n // k) AS step,
-              |         greatest(2, CAST(ceil(sqrt(k)) AS BIGINT)) AS k1,
-              |         greatest(1, k // greatest(2, CAST(ceil(sqrt(k)) AS BIGINT))) AS step1
-              |  FROM (SELECT count(*) AS n,
-              |               greatest(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
-              |        FROM vn)),
-              |cents AS (
-              |  SELECT vec_id AS cid, en AS cn FROM vn, par WHERE vec_id % par.step = 0),
-              |coarse AS (
-              |  SELECT list_sort(list(struct_pack(ccid := cid, cn := cn))) AS cc
-              |  FROM cents, par WHERE (cid // par.step) % par.step1 = 0),
-              |fassign AS (
-              |  SELECT -(list_sort([struct_pack(csim := ${dotSql("cn", "c.cn")},
-              |                                  negccid := -c.ccid) for c in cc])[-1].negccid) AS ccid,
-              |         cid, cn
-              |  FROM cents, coarse),
-              |fcells AS (
-              |  SELECT ccid, list_sort(list(struct_pack(cid := cid, cn := cn))) AS fc
-              |  FROM fassign GROUP BY ccid),
-              |cassign AS (
-              |  SELECT vec_id, en,
-              |         -(list_sort([struct_pack(csim := ${dotSql("en", "c.cn")},
-              |                                  negccid := -c.ccid) for c in cc])[-1].negccid) AS ccid
-              |  FROM vn, coarse),
-              |assigned AS (
-              |  SELECT vec_id, en,
-              |         -(list_sort([struct_pack(csim := ${dotSql("en", "f.cn")},
-              |                                  negcid := -f.cid) for f in fc])[-1].negcid) AS cid
-              |  FROM cassign JOIN fcells USING (ccid)),
+              |$ivfCtes,
               |q AS (SELECT cid AS qcid, en AS qn FROM assigned WHERE vec_id = 0)
               |SELECT a.vec_id, ${dotSql("a.en", "q.qn")} AS sim
               |FROM assigned a, q WHERE a.cid = q.qcid AND a.vec_id <> 0
+              |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // ── Multi-probe IVF ANN: nprobe=2 coarse cells, 3 fine cells probed ──
+    QueryDef(
+      "q77_ivf_multiprobe",
+      (s, dir) => {
+        // q34 probes exactly the query's own cell (nprobe=1) — recall-limited
+        // when the true neighbors sit just across a Voronoi boundary. Here
+        // the query ranks ALL coarse centroids (broadcast array — the same
+        // N^(1/4)-bounded structure assignment uses), keeps the top
+        // ProbeCoarse cells, ranks the fine centroids of just those cells,
+        // keeps the top ProbeFine, and scans only those cells' vectors.
+        // Every probe frame is ≤3 rows; the corpus-side work is one
+        // broadcast hash join on cid — identical scale posture to q34, with
+        // recall growing in nprobe instead of fixed at one cell.
+        val emb = withNormalized(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("en"))
+        val (assigned, fineCells, coarseArr) = ivfIndex(emb)
+        val qrow = emb.filter(col("vec_id") === 0).select(col("en").as("qn"))
+        val topc = qrow.crossJoin(broadcast(coarseArr))
+          .select(col("qn"), explode(col("cc")).as("c"))
+          .select(col("c.ccid").as("ccid"), dot(col("qn"), col("c.cn")).as("csim"))
+          .orderBy(col("csim").desc, col("ccid"))
+          .limit(ProbeCoarse)
+          .select("ccid")
+        val topf = broadcast(topc).join(fineCells, Seq("ccid"))
+          .crossJoin(broadcast(qrow))
+          .select(col("qn"), explode(col("fc")).as("f"))
+          .select(col("f.cid").as("cid"), dot(col("qn"), col("f.cn")).as("fsim"))
+          .orderBy(col("fsim").desc, col("cid"))
+          .limit(ProbeFine)
+          .select("cid")
+        assigned.join(broadcast(topf), Seq("cid"))
+          .crossJoin(broadcast(qrow))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), dot(col("en"), col("qn")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some(s"""WITH $normCte,
+              |$ivfCtes,
+              |q AS (SELECT en AS qn FROM vn WHERE vec_id = 0),
+              |cprobe AS (
+              |  SELECT c.ccid AS ccid, ${dotSql("qn", "c.cn")} AS csim
+              |  FROM (SELECT unnest(cc) AS c, qn FROM coarse, q)),
+              |topc AS (SELECT ccid FROM cprobe ORDER BY csim DESC, ccid LIMIT $ProbeCoarse),
+              |fprobe AS (
+              |  SELECT f.cid AS cid, ${dotSql("qn", "f.cn")} AS fsim
+              |  FROM (SELECT unnest(fc) AS f, qn FROM fcells JOIN topc USING (ccid), q)),
+              |topf AS (SELECT cid FROM fprobe ORDER BY fsim DESC, cid LIMIT $ProbeFine)
+              |SELECT a.vec_id, ${dotSql("a.en", "q.qn")} AS sim
+              |FROM assigned a JOIN topf USING (cid), q
+              |WHERE a.vec_id <> 0
               |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin))
   )
 
@@ -327,6 +393,14 @@ object Vectors {
     * fine-cell join left to AQE (one linear corpus shuffle on ccid replaces
     * the broadcast); the code path is identical minus the hint. */
   def ivfAssigned(emb: DataFrame): (DataFrame, DataFrame) = {
+    val (assigned, fineCells, _) = ivfIndex(emb)
+    (assigned, fineCells)
+  }
+
+  /** `ivfAssigned` plus the broadcast coarse-centroid array (1-row frame
+    * `cc`) — q77's multi-probe needs to rank the coarse cells the same way
+    * assignment does. */
+  def ivfIndex(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // (n → k, step, k1, step1) folded into the plan as a broadcast 1-row
     // aggregate — exactly the oracle's `par` CTE shape — instead of a
     // driver-side emb.count() job (VERDICT r3 #4). count(1) prunes every
@@ -356,6 +430,6 @@ object Vectors {
       .join(broadcast(fineCells), Seq("ccid"))
       .select(col("vec_id"), col("en"),
         argmaxNeg(col("en"), col("fc"), "cid").as("cid"))
-    (assigned, fineCells)
+    (assigned, fineCells, coarseArr)
   }
 }
