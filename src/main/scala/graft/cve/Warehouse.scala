@@ -102,6 +102,113 @@ object Warehouse {
       if (spark.catalog.tableExists(s"$db.$t")) spark.sql(s"TRUNCATE TABLE $db.$t")
     }
 
+  // ── JDBC warehouse (S9's literal bulk load/query path) ──
+
+  /** Resolve an explicit driver class where the URL needs one. Derby 10.16
+    * splits the engine across jars and service-loader discovery can miss
+    * `EmbeddedDriver` under Spark's executor classloaders — pin it. */
+  private def jdbcDriverFor(url: String): Option[String] =
+    if (url.startsWith("jdbc:derby:")) Some("org.apache.derby.jdbc.EmbeddedDriver")
+    else None
+
+  /** Run one DDL statement over a raw JDBC connection (view create/drop —
+    * Spark's JDBC source only speaks tables). */
+  private def execJdbc(url: String, sql: String, ignoreMissing: Boolean = false): Unit = {
+    jdbcDriverFor(url).foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // 42X05 = table/view not found, 42Y55 = DROP on a missing object.
+      try st.execute(sql)
+      catch {
+        case e: java.sql.SQLException
+            if ignoreMissing && Set("42X05", "42Y55", "X0X05")(e.getSQLState) => ()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  private def jdbcWrite(df: DataFrame, url: String, table: String,
+      keyTypes: String, numPartitions: Int): Unit = {
+    val w0 = df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      // Caps writer fan-in: one connection per partition, so a wide cluster
+      // write can't open thousands of connections against the database.
+      .option("numPartitions", numPartitions)
+      .option("batchsize", 1000)
+    val w1 = if (keyTypes.isEmpty) w0 else w0.option("createTableColumnTypes", keyTypes)
+    jdbcDriverFor(url).fold(w1)(d => w1.option("driver", d))
+      .mode(SaveMode.Overwrite).save()
+  }
+
+  /** S9's named approach made literal (BASELINE: "Spark SQL + JDBC source
+    * for bulk load/query"; the reference COPYs its CSVs into PostgreSQL,
+    * cve_manager.py:335-360): the same three fact tables + the
+    * `cvss_vs_cpes` view over Spark's JDBC source. Engine-agnostic (any
+    * JDBC URL whose driver is on the classpath); spec-tested against
+    * embedded Derby (`jdbc:derby:<dir>;create=true` — derby*.jar ships
+    * with Spark, zero new dependencies).
+    *
+    * Predicate/join columns are pinned to VARCHAR via
+    * `createTableColumnTypes`: Spark's default StringType mapping on Derby
+    * is CLOB, which forbids `=` comparisons — the view join and any pushed
+    * equality filter would throw, and a LOB join key is un-indexable at any
+    * scale. Free-text columns (description, CWE prose) stay CLOB.
+    *
+    * Scale posture: the writer is distributed (`numPartitions` connections
+    * in parallel), the reader parallelizes via `readJdbc`'s
+    * partition-column bounds; the database itself is the bottleneck by
+    * design, exactly as with the reference's PostgreSQL. */
+  def saveFactsJdbc(url: String, cvss: DataFrame, problems: DataFrame,
+      cpes: DataFrame, numPartitions: Int = 8): Unit = {
+    // The view depends on cvss/cpe: drop it first or Overwrite's DROP TABLE
+    // on the refresh path fails with a Derby dependency error.
+    execJdbc(url, "DROP VIEW cvss_vs_cpes", ignoreMissing = true)
+    jdbcWrite(cvss, url, "cvss", "cve VARCHAR(32)", numPartitions)
+    jdbcWrite(problems, url, "cve_problem", "cve VARCHAR(32)", numPartitions)
+    jdbcWrite(cpes, url, "cpe",
+      "cve VARCHAR(32), cpe23uri VARCHAR(1024), vulnerable VARCHAR(8)",
+      numPartitions)
+    // J1 as a database view (cve_manager.py:79-90). Spark's writer quotes
+    // column identifiers (lowercase preserved) but not the table name
+    // (Derby uppercases it) — mirror that quoting here.
+    execJdbc(url,
+      """CREATE VIEW cvss_vs_cpes
+        |  ("cve","base_score_3","base_severity_3","base_score","severity",
+        |   "cpe23uri","description","published_date") AS
+        |SELECT c."cve", c."base_score_3", c."base_severity_3",
+        |       c."base_score", c."severity", p."cpe23uri",
+        |       c."description", c."published_date"
+        |FROM cpe p JOIN cvss c ON p."cve" = c."cve"
+        |WHERE p."vulnerable" = 'True'""".stripMargin)
+  }
+
+  /** The cwe dimension over JDBC (dimension survives fact refresh, D4). */
+  def saveCweJdbc(url: String, cwe: DataFrame, numPartitions: Int = 1): Unit =
+    jdbcWrite(cwe, url, "cwe", "name VARCHAR(512)", numPartitions)
+
+  /** Bulk query path: read a warehouse table or view back as a DataFrame.
+    * Pass `partitionColumn` + bounds to shard the read across executors
+    * (numeric/date/timestamp column; Spark turns the bounds into per-task
+    * range predicates) — the single-connection default is only right for
+    * dimension-sized tables. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      partitionColumn: Option[String] = None,
+      lowerBound: Option[String] = None, upperBound: Option[String] = None,
+      numPartitions: Int = 1): DataFrame = {
+    val r0 = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    val r1 = jdbcDriverFor(url).fold(r0)(d => r0.option("driver", d))
+    val r2 = partitionColumn.fold(r1) { pc =>
+      r1.option("partitionColumn", pc)
+        .option("lowerBound", lowerBound.getOrElse(
+          throw new IllegalArgumentException("partitionColumn needs lowerBound")))
+        .option("upperBound", upperBound.getOrElse(
+          throw new IllegalArgumentException("partitionColumn needs upperBound")))
+        .option("numPartitions", numPartitions)
+    }
+    r2.load()
+  }
+
   // ── CSV sinks ──
 
   /** Exact reference header rows (cve_manager.py:227-229) — duplicate names

@@ -128,4 +128,53 @@ class WarehouseSpec extends AnyFunSuite {
     assert(spark.table(s"$db.cwe").count() === 4) // dimension survives refresh
     Warehouse.dropDatabase(spark, db)
   }
+
+  test("JDBC warehouse (S9 bulk load/query): facts + view + cwe round-trip through embedded Derby") {
+    val home = Files.createTempDirectory("derbywh").toString
+    System.setProperty("derby.system.home", home) // derby.log stays out of the repo
+    val url = s"jdbc:derby:$home/cvedb;create=true"
+    val (cvss0, pr0, cp0) =
+      (Flatten.cvss(feed), Flatten.problems(feed), Flatten.cpes(feed))
+    val cwe0 = Warehouse.cweCatalog(spark, CveOps.FixtureCwe)
+    Warehouse.saveFactsJdbc(url, cvss0, pr0, cp0, numPartitions = 2)
+    Warehouse.saveCweJdbc(url, cwe0)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(v => Option(v).map(_.toString).orNull)).toSet
+    val cvss1 = Warehouse.readJdbc(spark, url, "cvss")
+    val pr1 = Warehouse.readJdbc(spark, url, "cve_problem")
+    val cp1 = Warehouse.readJdbc(spark, url, "cpe")
+    val cwe1 = Warehouse.readJdbc(spark, url, "cwe")
+    // typed round-trip: names, types (dates, doubles, booleans), and values
+    assert(cvss1.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      NvdSchema.cvssTable.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(rows(cvss1) === rows(cvss0))
+    assert(rows(pr1) === rows(pr0))
+    assert(rows(cp1) === rows(cp0))
+    assert(rows(cwe1) === rows(cwe0))
+
+    // the query families read back identically through the JDBC source
+    assert(rows(Queries.byScoreDate(cvss1, 9.0, Some("2020-01-01"))) ===
+      rows(Queries.byScoreDate(cvss0, 9.0, Some("2020-01-01"))))
+    assert(rows(Queries.byCve(cvss1, "CVE-2024")) ===
+      rows(Queries.byCve(cvss0, "CVE-2024")))
+    assert(rows(Queries.cweLookup(pr1, cwe1)) === rows(Queries.cweLookup(pr0, cwe0)))
+    // J1 as a DATABASE view this time (cve_manager.py:79-90)
+    val view1 = Warehouse.readJdbc(spark, url, "cvss_vs_cpes")
+    assert(rows(Queries.byCpe(view1, "acme", 7.0, None)) ===
+      rows(Queries.byCpe(Warehouse.cvssVsCpes(cvss0, cp0), "acme", 7.0, None)))
+
+    // refresh path: a second bulk load succeeds with the view in place
+    // (drop-view-first ordering) and reproduces the same warehouse
+    Warehouse.saveFactsJdbc(url, cvss0, pr0, cp0, numPartitions = 2)
+    assert(rows(Warehouse.readJdbc(spark, url, "cvss")) === rows(cvss0))
+
+    // sharded bulk read: per-task range predicates on the partition column
+    val sharded = Warehouse.readJdbc(spark, url, "cvss",
+      partitionColumn = Some("published_date"),
+      lowerBound = Some("2019-01-01"), upperBound = Some("2025-01-01"),
+      numPartitions = 3)
+    assert(sharded.rdd.getNumPartitions === 3)
+    assert(rows(sharded) === rows(cvss0))
+  }
 }
