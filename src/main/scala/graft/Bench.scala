@@ -29,7 +29,11 @@ object Bench {
     // least-contended run. Passes are interleaved (full catalog per pass,
     // catalog order) and every pass builds a FRESH DataFrame, so no
     // QueryExecution/shuffle output is ever reused across samples.
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args = query-name filter (local iteration on a subset);
+    // default benches the full catalog, exactly as the driver invokes it.
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.isEmpty) names0 else names0.filter(args.toSet)
+    require(names.nonEmpty, s"no catalog query matches ${args.mkString(", ")}")
     val passes = 3
     val samples = (1 to passes).map { _ =>
       names.map { name =>
@@ -54,7 +58,15 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$passes","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$passes","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO land the line in a file: three rounds of captured stdout
+    // artifacts arrived truncated (BENCH_r0{3,4,5}.json lost q01-q13 and
+    // the total), so the file is the canonical copy.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -53,6 +53,13 @@ object Temporal {
           ++ valueCols.map(c => col(s"__carry.$c").as(c)): _*)
   }
 
+  /** Histogram resolution for `histQuantiles` — same power-of-two bucket
+    * count as TextOps.HistK (exact-double edges k/K over the group range),
+    * giving a ≤(mx−mn)/4096 quantile granularity with O(1)-in-the-corpus
+    * aggregation state. Declared ABOVE `defs`, which interpolates it into
+    * q76's oracle SQL at object init (CLAUDE.md: object-init order). */
+  val QuantK: Int = TextOps.HistK
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Tumbling time-bucket aggregation (streaming's batch twin) ──
@@ -330,34 +337,114 @@ object Temporal {
              |       quantile_cont(value, 0.9) AS q90
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
-    // ── Mergeable-sketch percentiles (the 100 TB form of q50) ──
+    // ── Bounded-state approximate quantiles (the 100 TB form of q50) ──
     QueryDef(
       "q76_approx_quantile",
       (s, dir) => {
-        // approx_percentile's Greenwald-Khanna sketch has BOUNDED state
-        // (O(accuracy · log n) tuples) and merges across partitions — the
-        // scale-safe percentile surface named in SURVEY §7.5, vs exact
-        // `percentile` whose buffer holds every distinct value. Sketches
-        // are not bit-reproducible across engines, so the oracled contract
-        // is the sketch's rank-error GUARANTEE: with accuracy 10000 the
-        // rank error is ≤ n/10000, so each approx quantile must land inside
-        // the exact [p−0.01, p+0.01] quantile envelope (100× slack). The
-        // exact envelope is the test-scale cross-check; at 100 TB only the
-        // sketch side runs.
-        Tables.events(s, dir)
-          .groupBy("event_type")
-          .agg(
-            expr("approx_percentile(value, array(0.25, 0.5, 0.9), 10000)").as("ap"),
-            expr("percentile(value, array(0.24, 0.26, 0.49, 0.51, 0.89, 0.91))").as("ex"))
-          .select(col("event_type"),
-            when(
-              col("ap")(0).between(col("ex")(0), col("ex")(1)) &&
-                col("ap")(1).between(col("ex")(2), col("ex")(3)) &&
-                col("ap")(2).between(col("ex")(4), col("ex")(5)),
-              "ok").otherwise("fail").as("within_bound"))
+        // The scale-safe percentile surface named in SURVEY §7.5:
+        // `histQuantiles` generalizes TextOps.histMedianThr to arbitrary
+        // ranks — an equi-width K-bucket histogram over each group's
+        // [min, max], quantile_p = lower bucket edge at rank ⌈p·n/100⌉.
+        // Aggregation state is ≤ groups × K counters (partial+final
+        // mergeable), NO exact Percentile aggregate anywhere in the plan
+        // (pinned by ScaleBoundsSpec), and every arithmetic step is
+        // IEEE-deterministic in both engines, so unlike a GK sketch the
+        // result is hash-green against an independent oracle. The
+        // sketch-flavored twin (`approxQuantileSketch`, Spark's mergeable
+        // approx_percentile) carries its rank-error contract in
+        // ApproxQuantileSpec at test scale — cross-engine a sketch is not
+        // bit-reproducible, so it can't be THE oracled surface.
+        histQuantiles(
+            Tables.events(s, dir).select("event_type", "value"),
+            "event_type", "value", Seq(25, 50, 90))
           .orderBy("event_type")
       },
-      Some("""SELECT event_type, 'ok' AS within_bound
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+      Some(s"""WITH ev AS (SELECT event_type, value FROM events),
+              |rng AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+              |        FROM ev GROUP BY event_type),
+              |hist AS (
+              |  SELECT ev.event_type, mn, mx,
+              |         CASE WHEN mx = mn THEN 0
+              |              ELSE least(CAST(floor((value - mn) / (mx - mn) * $QuantK) AS BIGINT), ${QuantK - 1}) END AS b,
+              |         count(*) AS c
+              |  FROM ev JOIN rng USING (event_type)
+              |  GROUP BY ev.event_type, mn, mx, b),
+              |hcum AS (
+              |  SELECT event_type, mn, mx, b, c,
+              |         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              |         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+              |  FROM hist),
+              |sel AS (
+              |  SELECT event_type, mn, mx,
+              |         min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN b END) AS b25,
+              |         min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN b END) AS b50,
+              |         min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN b END) AS b90
+              |  FROM hcum GROUP BY event_type, mn, mx)
+              |SELECT event_type,
+              |       mn + b25 * (mx - mn) / $QuantK AS q25,
+              |       mn + b50 * (mx - mn) / $QuantK AS q50,
+              |       mn + b90 * (mx - mn) / $QuantK AS q90
+              |FROM sel ORDER BY event_type""".stripMargin))
   )
+
+  /** Bounded-state approximate quantiles per group, at arbitrary ranks:
+    * the generalization of `TextOps.histMedianThr` from p=50 over [0,1] to
+    * any percentile list over any value range (VERDICT r4/r5 "what's
+    * wrong #1" fix).
+    *
+    * Two scan-speed passes: (1) per-group min/max (partial+final agg,
+    * broadcast back — the group frame is dashboard-sized); (2) equi-width
+    * K-bucket counts, again partial+final. The per-group histogram
+    * (≤ K rows) then yields quantile_p = lower edge of the bucket holding
+    * the rank-⌈p·n/100⌉ order statistic, so the true order statistic lies
+    * in [q_p, q_p + (mx−mn)/K) — the accuracy contract ApproxQuantileSpec
+    * pins. State never exceeds groups × K counters at ANY corpus size, vs
+    * exact `percentile` whose buffer holds every distinct value.
+    *
+    * Determinism: bucket index and edge reconstruction use only IEEE
+    * add/sub/mul/div on exact inputs — bit-identical across engines, so
+    * the result is hash-comparable to an independent SQL oracle (a GK /
+    * KLL / t-digest sketch is not). Output: (group, q<p>...) one column
+    * per requested percentile. */
+  def histQuantiles(rows: DataFrame, groupCol: String, valueCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be integral in [1,100]: $pcts")
+    val K = QuantK
+    val v = col(valueCol)
+    val ranges = rows.groupBy(groupCol).agg(min(v).as("mn"), max(v).as("mx"))
+    val hist = rows.join(broadcast(ranges), Seq(groupCol))
+      .withColumn("b", when(col("mx") === col("mn"), lit(0L)).otherwise(
+        least(floor((v - col("mn")) / (col("mx") - col("mn")) * K), lit(K - 1L))))
+      .groupBy(col(groupCol), col("mn"), col("mx"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(groupCol).orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val hcum = hist
+      .withColumn("cum", sum("c").over(wc))
+      .withColumn("n", sum("c").over(Window.partitionBy(groupCol)))
+    val bs = pcts.map { p =>
+      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("b"))).as(s"b$p")
+    }
+    hcum.groupBy(col(groupCol), col("mn"), col("mx"))
+      .agg(bs.head, bs.tail: _*)
+      .select(col(groupCol) +: pcts.map { p =>
+        (col("mn") + col(s"b$p") * (col("mx") - col("mn")) / K).as(s"q$p")
+      }: _*)
+  }
+
+  /** Sketch-only quantile surface: Spark's mergeable Greenwald-Khanna
+    * `approx_percentile`, O(accuracy · log n) state, and — the point — NO
+    * exact Percentile aggregate anywhere in its plan (both pinned by
+    * ApproxQuantileSpec). The sketch's rank-error guarantee (≤ n/accuracy
+    * ranks) is cross-checked against exact order statistics in the spec at
+    * test scale; at 100 TB only this sketch side ever runs. Not oracled:
+    * GK merge results are engine- and merge-order-specific, so a DuckDB
+    * hash comparison would be meaningless — `histQuantiles` (q76) is the
+    * deterministic oracled twin. */
+  def approxQuantileSketch(rows: DataFrame, groupCol: String,
+      valueCol: String, probs: Seq[Double], accuracy: Int = 10000): DataFrame =
+    rows.groupBy(groupCol).agg(
+      expr(s"approx_percentile($valueCol, array(${probs.mkString(", ")}), $accuracy)")
+        .as("qs"))
 }

@@ -79,8 +79,8 @@ class ScaleBoundsSpec extends AnyFunSuite {
     }
   }
 
-  test("quality-cut plans carry no exact Percentile aggregate (bounded state)") {
-    Seq("q60_quality_filter", "q73_curation_pipeline").foreach { q =>
+  test("quality-cut and quantile plans carry no exact Percentile aggregate (bounded state)") {
+    Seq("q60_quality_filter", "q73_curation_pipeline", "q76_approx_quantile").foreach { q =>
       val plan = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.executedPlan.toString
       assert(!plan.toLowerCase.contains("percentile"),
