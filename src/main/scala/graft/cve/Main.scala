@@ -21,7 +21,7 @@ object Main {
       year: Option[String] = None, csv: Boolean = false,
       icwe: Option[String] = None, idb: Boolean = false,
       input: String = "nvd/", results: String = "results/",
-      database: String = "cvedb",
+      database: String = "cvedb", jdbcUrl: Option[String] = None,
       cd: Boolean = false, dd: Boolean = false, ct: Boolean = false,
       tr: Boolean = false,
       cve: Option[String] = None, cpe: Option[String] = None,
@@ -52,6 +52,8 @@ object Main {
         val (v, t2) = value(f, t); loop(t2, o.copy(results = v))
       case (f @ ("-db" | "--database")) :: t =>
         val (v, t2) = value(f, t); loop(t2, o.copy(database = v))
+      case (f @ ("-jdbc" | "--jdbc-url")) :: t =>
+        val (v, t2) = value(f, t); loop(t2, o.copy(jdbcUrl = Some(v)))
       case ("-cd" | "--create_database") :: t => loop(t, o.copy(cd = true))
       case ("-dd" | "--drop_database") :: t => loop(t, o.copy(dd = true))
       case ("-ct" | "--create_tables") :: t => loop(t, o.copy(ct = true))
@@ -80,14 +82,27 @@ object Main {
   }
 
   /** Full dispatch with the reference's ordering; factored out of main() so
-    * tests can drive it with an existing session and captured stdout. */
+    * tests can drive it with an existing session and captured stdout.
+    *
+    * With `--jdbc-url` every warehouse touch-point — DDL, bulk load,
+    * truncate, and all three query families — routes through the JDBC store
+    * (`Warehouse.saveFactsJdbc`/`readJdbc`), reproducing the reference's
+    * actual workflow: `-idb` COPYs into PostgreSQL (cve_manager.py:335-360)
+    * and every query then hits that database (cve_manager.py:387-504).
+    * Without it, the same surface runs on the partitioned parquet catalog. */
   def run(spark: SparkSession, o: Opts, out: String => Unit = println): Unit = {
     val db = o.database
-    if (o.dd) { out("Dropping the database"); Warehouse.dropDatabase(spark, db) }
-    if (o.cd) { out("Creating the database"); Warehouse.createDatabase(spark, db) }
+    if (o.dd) {
+      out("Dropping the database")
+      o.jdbcUrl.fold(Warehouse.dropDatabase(spark, db))(Warehouse.dropWarehouseJdbc)
+    }
+    if (o.cd) {
+      out("Creating the database")
+      o.jdbcUrl.fold(Warehouse.createDatabase(spark, db))(Warehouse.createDatabaseJdbc)
+    }
     if (o.ct) {
       out("Creating the necessary schema of the database")
-      createEmptyTables(spark, db)
+      o.jdbcUrl.fold(createEmptyTables(spark, db))(createEmptyTablesJdbc(spark, _))
     }
     if (o.download) {
       out("Downloading NIST NVD")
@@ -96,7 +111,10 @@ object Main {
         case Left(err) => out(err)
       }
     }
-    if (o.tr) { out("Truncating NIST NVD imported data"); Warehouse.truncateFacts(spark, db) }
+    if (o.tr) {
+      out("Truncating NIST NVD imported data")
+      o.jdbcUrl.fold(Warehouse.truncateFacts(spark, db))(Warehouse.truncateFactsJdbc)
+    }
     if (o.process) {
       out("Processing downloaded data")
       // Per-file envelope report, newest year first (files.sort(reverse=True)
@@ -122,11 +140,18 @@ object Main {
       val (cvss, problems, cpes) =
         (Flatten.cvss(feed), Flatten.problems(feed), Flatten.cpes(feed))
       if (o.csv) Warehouse.writeWarehouseCsvs(cvss, problems, cpes, o.results)
-      if (o.idb) Warehouse.saveFacts(spark, db, cvss, problems, cpes)
+      if (o.idb) o.jdbcUrl match {
+        case Some(url) => Warehouse.saveFactsJdbc(url, cvss, problems, cpes)
+        case None => Warehouse.saveFacts(spark, db, cvss, problems, cpes)
+      }
     }
     o.icwe.foreach { path =>
       out("Importing CWE data")
-      Warehouse.saveCwe(spark, db, Warehouse.cweCatalog(spark, path))
+      val cat = Warehouse.cweCatalog(spark, path)
+      o.jdbcUrl match {
+        case Some(url) => Warehouse.saveCweJdbc(url, cat)
+        case None => Warehouse.saveCwe(spark, db, cat)
+      }
     }
     // Query modes: -cpe elif -cwe elif (-cve or -sc > 0) — cve_manager.py:668-679.
     // Query errors (e.g. missing warehouse tables) report and return, like
@@ -136,14 +161,25 @@ object Main {
       case e: org.apache.spark.sql.AnalysisException =>
         out("Error while Querying Database")
         out(e.getSimpleMessage.linesIterator.next())
+      // A missing table over JDBC surfaces at schema-resolution time
+      // (Spark probes `SELECT * WHERE 1=0` eagerly) as a SparkException
+      // wrapping the driver's SQLException; a raw connection failure as the
+      // SQLException itself. Both get the reference's print-and-continue.
+      case e @ (_: java.sql.SQLException | _: org.apache.spark.SparkException) =>
+        out("Error while Querying Database")
+        out(e.getMessage.linesIterator.next())
     }
   }
 
   private def runQueries(spark: SparkSession, o: Opts, out: String => Unit): Unit = {
     val db = o.database
+    // Query-side table resolver: the catalog warehouse or, with --jdbc-url,
+    // the database store the load path populated.
+    def tbl(name: String): DataFrame =
+      o.jdbcUrl.fold(spark.table(s"$db.$name"))(Warehouse.readJdbc(spark, _, name))
     if (o.cpe.isDefined) {
       out("CPE queries")
-      val rows = Queries.byCpe(spark.table(s"$db.cvss_vs_cpes"),
+      val rows = Queries.byCpe(tbl("cvss_vs_cpes"),
           o.cpe.get, o.score, o.date)
         .orderBy("cpe23uri", "cve")
       Report.cpeListing(rows, o.date.isDefined, out)
@@ -157,7 +193,7 @@ object Main {
       o.cwe.get.toIntOption match {
         case Some(id) =>
           Report.cweReport(
-            Queries.byCwe(spark.table(s"$db.cwe"), id)
+            Queries.byCwe(tbl("cwe"), id)
               .orderBy("cwe_id").limit(1).collect().headOption,
             o.cwe.get, out)
         case None =>
@@ -168,16 +204,15 @@ object Main {
       out("CVE queries")
       o.cve match {
         case Some(c) =>
-          val cvss = spark.table(s"$db.cvss")
           Report.cveReport(
-            Queries.byCve(cvss, c).orderBy("cve").limit(1).collect().headOption,
+            Queries.byCve(tbl("cvss"), c).orderBy("cve").limit(1).collect().headOption,
             Queries.cweLookup(
-              Queries.problemsFor(spark.table(s"$db.cve_problem"), c),
-              spark.table(s"$db.cwe")).orderBy("problem"),
-            Queries.cpesFor(spark.table(s"$db.cpe"), c).orderBy("cpe23uri"),
+              Queries.problemsFor(tbl("cve_problem"), c),
+              tbl("cwe")).orderBy("problem"),
+            Queries.cpesFor(tbl("cpe"), c).orderBy("cpe23uri"),
             out)
         case None =>
-          val rows = Queries.byScoreDate(spark.table(s"$db.cvss"), o.score, o.date)
+          val rows = Queries.byScoreDate(tbl("cvss"), o.score, o.date)
             .orderBy("cve")
           Report.scoreDateListing(rows, o.date.isDefined, out)
           if (o.csv)
@@ -198,13 +233,23 @@ object Main {
   /** D3: the 4 warehouse tables + join view, empty (cve_manager.py:147-168). */
   def createEmptyTables(spark: SparkSession, db: String): Unit = {
     Warehouse.createDatabase(spark, db)
-    def empty(schema: org.apache.spark.sql.types.StructType): DataFrame =
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     Warehouse.saveFacts(spark, db,
-      empty(NvdSchema.cvssTable), empty(NvdSchema.cveProblemTable),
-      empty(NvdSchema.cpeTable))
-    Warehouse.saveCwe(spark, db, empty(NvdSchema.cweTable))
+      empty(spark, NvdSchema.cvssTable), empty(spark, NvdSchema.cveProblemTable),
+      empty(spark, NvdSchema.cpeTable))
+    Warehouse.saveCwe(spark, db, empty(spark, NvdSchema.cweTable))
   }
+
+  /** D3 over JDBC: same 4 tables + the database view, empty. */
+  def createEmptyTablesJdbc(spark: SparkSession, url: String): Unit = {
+    Warehouse.saveFactsJdbc(url,
+      empty(spark, NvdSchema.cvssTable), empty(spark, NvdSchema.cveProblemTable),
+      empty(spark, NvdSchema.cpeTable), numPartitions = 1)
+    Warehouse.saveCweJdbc(url, empty(spark, NvdSchema.cweTable))
+  }
+
+  private def empty(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   def main(args: Array[String]): Unit = {
     val opts = try parse(args.toSeq) catch {

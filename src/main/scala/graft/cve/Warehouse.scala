@@ -111,18 +111,22 @@ object Warehouse {
     if (url.startsWith("jdbc:derby:")) Some("org.apache.derby.jdbc.EmbeddedDriver")
     else None
 
+  // SQLStates ignorable on idempotent DDL: 42X05/X0X05 = missing table/view,
+  // 42Y55 = DROP on a missing object, X0Y32 = CREATE of an existing object.
+  private val MissingObject = Set("42X05", "42Y55", "X0X05")
+  private val ExistingObject = Set("X0Y32")
+
   /** Run one DDL statement over a raw JDBC connection (view create/drop —
     * Spark's JDBC source only speaks tables). */
-  private def execJdbc(url: String, sql: String, ignoreMissing: Boolean = false): Unit = {
+  private def execJdbc(url: String, sql: String,
+      ignorable: Set[String] = Set.empty): Unit = {
     jdbcDriverFor(url).foreach(Class.forName)
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
-      // 42X05 = table/view not found, 42Y55 = DROP on a missing object.
       try st.execute(sql)
       catch {
-        case e: java.sql.SQLException
-            if ignoreMissing && Set("42X05", "42Y55", "X0X05")(e.getSQLState) => ()
+        case e: java.sql.SQLException if ignorable(e.getSQLState) => ()
       } finally st.close()
     } finally conn.close()
   }
@@ -135,6 +139,11 @@ object Warehouse {
       // write can't open thousands of connections against the database.
       .option("numPartitions", numPartitions)
       .option("batchsize", 1000)
+      // Overwrite TRUNCATEs in place when the table exists (Derby 10.7+)
+      // instead of drop/recreate: a mid-refresh failure or concurrent reader
+      // never sees the table gone, dependent views stay valid, and the
+      // refresh matches the reference's D4 truncate-and-reload semantics.
+      .option("truncate", true)
     val w1 = if (keyTypes.isEmpty) w0 else w0.option("createTableColumnTypes", keyTypes)
     jdbcDriverFor(url).fold(w1)(d => w1.option("driver", d))
       .mode(SaveMode.Overwrite).save()
@@ -160,13 +169,15 @@ object Warehouse {
     * design, exactly as with the reference's PostgreSQL. */
   def saveFactsJdbc(url: String, cvss: DataFrame, problems: DataFrame,
       cpes: DataFrame, numPartitions: Int = 8): Unit = {
-    // The view depends on cvss/cpe: drop it first or Overwrite's DROP TABLE
-    // on the refresh path fails with a Derby dependency error.
-    execJdbc(url, "DROP VIEW cvss_vs_cpes", ignoreMissing = true)
+    // Refresh truncates in place (see jdbcWrite), so the dependent view
+    // never has to be dropped — it's created once and survives reloads.
+    // cpe23uri gets headroom over any observed URI (max ~300 chars in the
+    // wild) but stays VARCHAR: Derby CLOB forbids LIKE, and the reference
+    // filters it with substring match (cve_manager.py:485-504).
     jdbcWrite(cvss, url, "cvss", "cve VARCHAR(32)", numPartitions)
     jdbcWrite(problems, url, "cve_problem", "cve VARCHAR(32)", numPartitions)
     jdbcWrite(cpes, url, "cpe",
-      "cve VARCHAR(32), cpe23uri VARCHAR(1024), vulnerable VARCHAR(8)",
+      "cve VARCHAR(32), cpe23uri VARCHAR(4096), vulnerable VARCHAR(8)",
       numPartitions)
     // J1 as a database view (cve_manager.py:79-90). Spark's writer quotes
     // column identifiers (lowercase preserved) but not the table name
@@ -179,12 +190,39 @@ object Warehouse {
         |       c."base_score", c."severity", p."cpe23uri",
         |       c."description", c."published_date"
         |FROM cpe p JOIN cvss c ON p."cve" = c."cve"
-        |WHERE p."vulnerable" = 'True'""".stripMargin)
+        |WHERE p."vulnerable" = 'True'""".stripMargin,
+      ignorable = ExistingObject)
   }
 
   /** The cwe dimension over JDBC (dimension survives fact refresh, D4). */
   def saveCweJdbc(url: String, cwe: DataFrame, numPartitions: Int = 1): Unit =
     jdbcWrite(cwe, url, "cwe", "name VARCHAR(512)", numPartitions)
+
+  /** D1 over JDBC: open one connection and close it. Database existence is
+    * the URL's business (embedded Derby materialises on `;create=true`; a
+    * server-managed database is the DBA's, like the reference's PG
+    * `createdb` needing a superuser connection, cve_manager.py:95-112). */
+  def createDatabaseJdbc(url: String): Unit = {
+    jdbcDriverFor(url).foreach(Class.forName)
+    java.sql.DriverManager.getConnection(url).close()
+  }
+
+  /** D2 over JDBC: drop the warehouse objects (view first — it depends on
+    * the fact tables). The database container itself stays, as above. */
+  def dropWarehouseJdbc(url: String): Unit = {
+    execJdbc(url, "DROP VIEW cvss_vs_cpes", ignorable = MissingObject)
+    (FactTables :+ "cwe").foreach { t =>
+      execJdbc(url, s"DROP TABLE $t", ignorable = MissingObject)
+    }
+  }
+
+  /** D4 over JDBC: truncate the CVE fact tables in place (not the cwe
+    * dimension) — the literal twin of the reference's TRUNCATE loop
+    * (cve_manager.py:363-384). */
+  def truncateFactsJdbc(url: String): Unit =
+    FactTables.foreach { t =>
+      execJdbc(url, s"TRUNCATE TABLE $t", ignorable = MissingObject)
+    }
 
   /** Bulk query path: read a warehouse table or view back as a DataFrame.
     * Pass `partitionColumn` + bounds to shard the read across executors

@@ -84,6 +84,54 @@ class MainSpec extends AnyFunSuite {
     } finally Warehouse.dropDatabase(spark, db)
   }
 
+  test("end-to-end over JDBC (--jdbc-url): load Derby -> every query mode -> refresh semantics") {
+    val url = graft.DerbyTestHome.freshDbUrl("clijdbc")
+    val results = Files.createTempDirectory("clijdbcout").toString + "/"
+    val in = Files.createTempDirectory("clijdbcin").toString
+    Files.copy(new java.io.File(CveOps.FixtureFeed).toPath,
+      new java.io.File(s"$in/nvdcve-1.1-2024.json").toPath)
+
+    // D3 first: empty schema, then the bulk load refreshes it in place —
+    // the reference's -ct then -p -idb workflow (cve_manager.py:147,335).
+    val ct = runCli("-ct", "-jdbc", url)
+    assert(ct.exists(_.contains("Creating the necessary schema")))
+    val ingest = runCli("-p", "-idb", "-i", in, "-jdbc", url,
+      "-icwe", CveOps.FixtureCwe)
+    assert(ingest.exists(_.startsWith("CVE_data_number of CVEs: 8")))
+
+    // every query family reads back from the DATABASE store
+    val point = runCli("-jdbc", url, "-cve", "2024-0001")
+    assert(point.exists(_.contains("CVE-2024-0001")))
+    assert(point.exists(_.contains("Out-of-bounds Write"))) // resolved CWE name
+
+    val listing = runCli("-jdbc", url, "-sc", "8.5")
+    assert(listing.count(_.startsWith("CVE-")) === 3)
+
+    val cpeOut = runCli("-jdbc", url, "-cpe", "globex", "-sc", "4", "-csv", "-o", results)
+    assert(cpeOut.exists(_.contains("CVE-2023-0002"))) // via the DB view
+    assert(new java.io.File(s"$results/globex_4_False.csv").isFile)
+
+    val cweOut = runCli("-jdbc", url, "-cwe", "119")
+    assert(cweOut.exists(_.contains("Improper Restriction of Operations")))
+
+    // D4 twin: -tr truncates the facts in place; cwe dimension survives
+    runCli("-tr", "-jdbc", url)
+    val empty = runCli("-jdbc", url, "-sc", "0.1")
+    assert(!empty.exists(_.startsWith("CVE-")))
+    val cweStill = runCli("-jdbc", url, "-cwe", "119")
+    assert(cweStill.exists(_.contains("Improper Restriction of Operations")))
+
+    // missing store reports, not crashes (SQLException path)
+    val gone = runCli("-jdbc", graft.DerbyTestHome.freshDbUrl("clijdbc2"),
+      "-cve", "2024-0001")
+    assert(gone.exists(_ === "Error while Querying Database"))
+
+    // D2 twin: drop removes view + tables
+    runCli("-dd", "-jdbc", url)
+    val dropped = runCli("-jdbc", url, "-sc", "0.1")
+    assert(dropped.exists(_ === "Error while Querying Database"))
+  }
+
   test("precedence: -cpe wins over -cwe and -cve; -cwe wins over -cve") {
     val db = "graft_cli_db2"
     val in = Files.createTempDirectory("cliin2").toString

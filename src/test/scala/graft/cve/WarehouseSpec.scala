@@ -130,9 +130,7 @@ class WarehouseSpec extends AnyFunSuite {
   }
 
   test("JDBC warehouse (S9 bulk load/query): facts + view + cwe round-trip through embedded Derby") {
-    val home = Files.createTempDirectory("derbywh").toString
-    System.setProperty("derby.system.home", home) // derby.log stays out of the repo
-    val url = s"jdbc:derby:$home/cvedb;create=true"
+    val url = graft.DerbyTestHome.freshDbUrl("derbywh")
     val (cvss0, pr0, cp0) =
       (Flatten.cvss(feed), Flatten.problems(feed), Flatten.cpes(feed))
     val cwe0 = Warehouse.cweCatalog(spark, CveOps.FixtureCwe)
