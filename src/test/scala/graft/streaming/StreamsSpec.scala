@@ -165,6 +165,40 @@ class StreamsSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(batch(k) === v, s"window $k diverges") }
   }
 
+  test("hourlyValueHistogram + histMedian match the batch twin; thresholds bracket the rank element") {
+    val got = Streams.histMedian(
+      Streams.runToMemory(spark,
+        Streams.hourlyValueHistogram(Streams.readEventsStream(spark, dir)), "vhist"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+    val ev = Tables.events(spark, dir)
+    val batch = Streams.histMedian(Streams.batchValueHistogram(ev))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+    // Same finisher over the streaming sink and the batch histogram: every
+    // watermark-emitted window must agree exactly, every window closed by
+    // the watermark must have been emitted, trailing windows stay in state.
+    val maxTsUs = ev.agg(max(expr("ts_ns div 1000"))).head().getLong(0)
+    val watermarkUs = maxTsUs - 3600L * 1000000L
+    got.foreach { case (k, v) => assert(batch(k) === v, s"window $k diverges") }
+    val mustEmit = batch.keys.filter { case (h, _) => h + 3600L * 1000000L < watermarkUs }
+    mustEmit.foreach(k => assert(got.contains(k), s"closed window $k missing"))
+    assert(got.nonEmpty && got.size < batch.size)
+
+    // The threshold is the LOWER EDGE of the bucket holding rank ⌈n/2⌉, so
+    // the rank element itself must sit in [thr, thr + bucket width) — the
+    // cross-check that the bounded-state median means what it claims.
+    val width = Streams.HistValueHi / graft.operators.TextOps.HistK
+    val rankEl = ev
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"), col("event_type"))
+      .agg(expr("sort_array(collect_list(value))[cast((count(*) + 1) div 2 as int) - 1]").as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    got.foreach { case (k, thr) =>
+      val v = rankEl(k)
+      assert(thr <= v && v < thr + width, s"rank element $v outside [$thr, ${thr + width}) for $k")
+    }
+  }
+
   test("streaming exact dedup drops cross-batch duplicates; output keys = batch distinct") {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     // The same file landed twice -> every key arrives again in a SECOND
