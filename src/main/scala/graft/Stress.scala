@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reproducible scale-stress harness backing the PERF.md stress rows — the
+  * r3 connected-components stress was run ad-hoc and could not be re-run
+  * with different flags (the r4/r5 verdicts asked twice for the
+  * reliable-checkpoint delta). Modes:
+  *
+  *   cc <edges> <vertices> [reliable]
+  *     Random graph (deterministic xxhash64 endpoints — avg degree
+  *     2*edges/vertices; 2M/1M is the adversarial label-propagation shape:
+  *     one giant component plus fringe), through
+  *     `Dedup.connectedComponents`, optionally with reliable checkpoints
+  *     (per-round distributed-FS writes instead of executor-pinned blocks).
+  *
+  *   annknn <sfDir> <mult>
+  *     q59's SRP blocking + per-vector top-k at 1x and <mult>x the sf's
+  *     embeddings table. The <mult>x corpus keeps the cluster geometry:
+  *     each vector spawns mult jittered copies (additive noise ~0.5 of the
+  *     vector norm, xxhash64-derived — same label mixture, not exact
+  *     duplicates). Reports candidate pairs/vec and the max per-vector
+  *     candidate count at both scales — the two numbers that certify the
+  *     blocking stays linear and the vec_id-keyed window never
+  *     concentrates.
+  */
+object Stress {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Sessions.builder(s"local[$cpus]", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.headOption match {
+      case Some("cc") =>
+        val edges = args(1).toLong
+        val vertices = args(2).toLong
+        val reliable = args.length > 3 && args(3) == "reliable"
+        cc(spark, edges, vertices, reliable)
+      case Some("annknn") =>
+        annKnn(spark, args(1), args(2).toInt)
+      case other =>
+        sys.error(s"usage: cc <edges> <vertices> [reliable] | annknn <sfDir> <mult> (got $other)")
+    }
+    spark.stop()
+  }
+
+  def cc(spark: SparkSession, numEdges: Long, numVertices: Long,
+      reliable: Boolean): Unit = {
+    if (reliable)
+      spark.sparkContext.setCheckpointDir("/tmp/graft_stress_ckpt")
+    val edges = spark.range(numEdges).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(numVertices)).as("a"),
+      pmod(xxhash64(col("id"), lit(2)), lit(numVertices)).as("b"))
+    val t0 = System.nanoTime()
+    val comps = operators.Dedup.connectedComponents(edges, reliable = reliable)
+    val n = comps.agg(countDistinct("lbl")).head().getLong(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"mode":"cc","edges":$numEdges,"vertices":$numVertices,"reliable":$reliable,"components":$n,"sec":$sec%.1f}""")
+  }
+
+  /** One jittered copy per (vector, rep>0); rep 0 keeps the original. Noise
+    * per component is uniform ±0.9*rms(e) (rms = nrm/sqrt(64)), so the copy
+    * stays in its parent's cluster (cos ≈ 0.9) without being a near-exact
+    * duplicate — a "same distribution, mult-x count" corpus. */
+  def inflate(spark: SparkSession, dir: String, mult: Int): DataFrame = {
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"),
+        explode(sequence(lit(0), lit(mult - 1))).as("rep"))
+      .select((col("vec_id") * mult + col("rep")).as("vec_id"), col("label"),
+        expr("""CASE WHEN rep = 0 THEN e ELSE
+               |  transform(e, (x, i) ->
+               |    x + 0.9 * (sqrt(aggregate(e, cast(0.0 as double), (a, y) -> a + y*y)) / 8.0)
+               |          * ((pmod(xxhash64(vec_id * 100 + rep, i), 10000) / 5000.0) - 1.0))
+               |END""".stripMargin).cast("array<float>").as("embedding"))
+  }
+
+  def annKnn(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val bigDir = "/tmp/graft_stress_emb"
+    inflate(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/embeddings.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val raw = Tables.embeddings(spark, dir)
+      val n = raw.count()
+      val emb = operators.Vectors.withNormalized(raw).select(col("vec_id"), col("en"))
+      val cand = operators.Vectors
+        .srpCandidates(emb, operators.Vectors.srpParams(raw))
+      // Per-vector candidate fan-in: each (a,b) pair lands on both ends —
+      // this is exactly the row count entering q59's vec_id-keyed window.
+      val stats = cand.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").count()
+        .agg(count(lit(1)).as("touched"), sum("count").as("cand2"),
+          max("count").as("maxPerVec"))
+        .head()
+      val pairs = stats.getLong(1) / 2
+      val perVec = stats.getLong(1).toDouble / n
+      val q59sec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q59_ann_knn_join")(spark, dir)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"""{"mode":"annknn","corpus":"$tag","n":$n,"pairs":$pairs,"pairs_per_vec":$perVec%.1f,"max_per_vec":${stats.getLong(2)},"q59_sec_min3":$q59sec%.1f}""")
+    }
+  }
+}
