@@ -97,5 +97,9 @@ object GraftFunctions {
       FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
       (children: Seq[Expression]) => L2Normalize(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_repstats"),
+      new ExpressionInfo(classOf[RepStats].getName, "graft_repstats"),
+      (children: Seq[Expression]) => RepStats(children.head))
   }
 }

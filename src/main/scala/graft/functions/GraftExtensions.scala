@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
       (children: Seq[Expression]) => L2Normalize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_repstats"),
+      new ExpressionInfo(classOf[RepStats].getName, "graft_repstats"),
+      (children: Seq[Expression]) => RepStats(children.head)))
     // Declarative aggregate(zip_with(...)) dot folds → codegen'd DotProduct
     // (bit-identical; see DotFoldRewrite).
     ext.injectOptimizerRule(_ => DotFoldRewrite)

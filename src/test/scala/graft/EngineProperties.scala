@@ -78,6 +78,29 @@ object EngineProperties extends Properties("graft") {
       got == want
     }
 
+  // The codegen'd RepStats must agree with the declarative
+  // array_distinct/filter triple it replaced, on arbitrary word lists —
+  // the q78 oracle only exercises the testdata's vocabulary.
+  property("graft_repstats equals the declarative distinct/bigram/top-count triple") =
+    Prop.forAll(Gen.listOfN(5, doc)) { docs =>
+      import spark.implicits._
+      graft.functions.GraftFunctions.register(spark)
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+        .withColumn("ws", split(trim(col("text")), " "))
+      val fast = df.select(col("doc_id"), call_function("graft_repstats", col("ws")))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      val slow = df.select(col("doc_id"),
+          size(array_distinct(col("ws"))).cast("long"),
+          expr("""size(array_distinct(CASE WHEN size(ws) < 2 THEN array()
+                 |ELSE transform(slice(ws, 1, size(ws) - 1),
+                 |               (w, i) -> concat(w, ' ', element_at(ws, i + 2)))
+                 |END))""".stripMargin).cast("long"),
+          expr("array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w))))").cast("long"))
+        .collect().map(r => r.getLong(0) -> Vector(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      fast == slow
+    }
+
   // The codegen'd MinHash12 must agree with the declarative
   // explode→groupBy formulation it replaced, on arbitrary word lists —
   // the q23 oracle only exercises the testdata's vocabulary.

@@ -146,6 +146,14 @@ class PlanSpec extends AnyFunSuite {
     assert(hashShuffles.isEmpty, "resampling must not shuffle — it is a predicate + bounded explode")
   }
 
+  test("q78 repetition ratios are a pure narrow scan: no hash shuffle before the determinism sort") {
+    val hashShuffles = collectAll("q78_repetition") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashShuffles.isEmpty, "per-doc repetition metrics must not shuffle — all compute is within-row")
+  }
+
   test("q67 session windows are keyed by user (no global single-partition window)") {
     val windows = collectAll("q67_sessions") { case w: WindowExec => w }
     assert(windows.nonEmpty)
