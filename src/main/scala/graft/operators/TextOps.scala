@@ -612,6 +612,46 @@ object TextOps {
              |         row_number() OVER (PARTITION BY lang
              |                            ORDER BY n_chars DESC, doc_id) AS rk
              |  FROM documents)
-             |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin))
+             |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)),
+
+    // ── Exact-N per-stratum deterministic sample ──
+    QueryDef(
+      "q79_stratified_topn",
+      (s, dir) => {
+        import s.implicits._
+        // q52 thins each stratum by a RATE; epoch/eval-set construction
+        // needs an exact COUNT per stratum. Deterministic "random" pick:
+        // the 20 docs with the smallest 60-bit md5(doc_id) key per lang —
+        // no RNG, stable under repartitioning, reproducible on any engine.
+        // Selection reuses the bounded TopKAggregator (score = -hkey, so
+        // top-k-by-score = smallest-hash-first): O(N) partial state with
+        // map-side combine, never a per-stratum window — with 4 langs and
+        // a 100 TB corpus, a lang-keyed window would concentrate a quarter
+        // of the corpus per task (the q58 lesson), while this plans as an
+        // ordinary partial+final aggregation.
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            expr("-cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)")
+              .as("score"))
+          .as[(String, Long, Long)]
+        ds.groupByKey(_._1)
+          .mapValues(t => graft.functions.Scored(t._2, t._3))
+          .agg(new graft.functions.TopKAggregator(20).toColumn.name("top"))
+          .flatMap { case (lang, items) =>
+            items.zipWithIndex.map { case (it, i) => (lang, i + 1L, it.doc_id, -it.score) }
+          }
+          .toDF("lang", "rk", "doc_id", "hkey")
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH keyed AS (
+             |  SELECT lang, doc_id,
+             |         list_reduce([(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+             |                      for i in range(1, 16)], (a, b) -> a * 16 + b) AS hkey
+             |  FROM documents)
+             |SELECT lang, rk, doc_id, hkey FROM (
+             |  SELECT lang, doc_id, hkey,
+             |         row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rk
+             |  FROM keyed)
+             |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin))
   )
 }

@@ -164,6 +164,10 @@ class PlanSpec extends AnyFunSuite {
     assert(collectAll("q55_topk_aggregator") { case w: WindowExec => w }.isEmpty)
   }
 
+  test("q79 exact-N stratified sample plans without a window (4 huge strata would concentrate)") {
+    assert(collectAll("q79_stratified_topn") { case w: WindowExec => w }.isEmpty)
+  }
+
   test("q49 salted aggregation is exactly two stages") {
     val shuffles = collectAll("q49_salted_agg") { case e: ShuffleExchangeExec => e }
     // salt-group exchange + key re-agg exchange (+ nothing else before sort)
