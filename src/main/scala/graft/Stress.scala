@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   *     candidate count at both scales — the two numbers that certify the
   *     blocking stays linear and the vec_id-keyed window never
   *     concentrates.
+  *
+  *   lsh <sfDir> <mult>
+  *     The dedup-family twin of annknn: MinHash-LSH candidate volume at 1x
+  *     and <mult>x the sf's documents table. Each doc spawns mult copies
+  *     whose words are resampled (with replacement, xxhash64-positioned)
+  *     from the SAME doc — length and vocabulary distributions preserved,
+  *     word order (and therefore the shingle set) broken, so copies are
+  *     fresh same-distribution docs, not near-duplicates. Reports LSH
+  *     candidate pairs/doc, the max per-doc fan-in, and q23's end-to-end
+  *     wall at both scales.
   */
 object Stress {
 
@@ -42,6 +52,8 @@ object Stress {
         cc(spark, edges, vertices, reliable)
       case Some("annknn") =>
         annKnn(spark, args(1), args(2).toInt)
+      case Some("lsh") =>
+        lsh(spark, args(1), args(2).toInt)
       case other =>
         sys.error(s"usage: cc <edges> <vertices> [reliable] | annknn <sfDir> <mult> (got $other)")
     }
@@ -77,6 +89,45 @@ object Stress {
                |    x + 0.9 * (sqrt(aggregate(e, cast(0.0 as double), (a, y) -> a + y*y)) / 8.0)
                |          * ((pmod(xxhash64(vec_id * 100 + rep, i), 10000) / 5000.0) - 1.0))
                |END""".stripMargin).cast("array<float>").as("embedding"))
+  }
+
+  /** mult copies per doc, words resampled with replacement from the same
+    * doc (deterministic xxhash64 positions; rep 0 keeps the original). */
+  def inflateDocs(spark: SparkSession, dir: String, mult: Int): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("od"), col("text"), col("lang"), col("source"),
+        explode(sequence(lit(0), lit(mult - 1))).as("rep"))
+      .withColumn("doc_id", col("od") * mult + col("rep"))
+      .withColumn("ws", split(trim(col("text")), " "))
+      .withColumn("text", when(col("rep") === 0, col("text")).otherwise(expr(
+        """array_join(transform(sequence(0, size(ws) - 1),
+          |  j -> element_at(ws, cast(pmod(xxhash64(doc_id, j), size(ws)) AS int) + 1)), ' ')""".stripMargin)))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  def lsh(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val bigDir = "/tmp/graft_stress_docs"
+    inflateDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val cand = operators.Dedup.lshCandidates(
+        operators.Dedup.lshBands(operators.Dedup.minhashSignatures(docs)))
+      val stats = cand.select(explode(array(col("a"), col("b"))).as("d"))
+        .groupBy("d").count()
+        .agg(coalesce(sum("count"), lit(0L)).as("cand2"),
+          coalesce(max("count"), lit(0L)).as("maxPerDoc"))
+        .head()
+      val q23sec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q23_minhash_lsh")(spark, dir)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"""{"mode":"lsh","corpus":"$tag","n":$n,"pairs":${stats.getLong(0) / 2},"pairs_per_doc":${stats.getLong(0).toDouble / n}%.2f,"max_per_doc":${stats.getLong(1)},"q23_sec_min3":$q23sec%.1f}""")
+    }
   }
 
   def annKnn(spark: SparkSession, sfDir: String, mult: Int): Unit = {
