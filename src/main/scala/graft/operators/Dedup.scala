@@ -78,11 +78,14 @@ object Dedup {
         (0 until NumHashes).map(i => element_at(sig, i + 1).as(s"h$i")): _*)
   }
 
-  /** LSH bands: hash each run of (NumHashes/Bands) signature slots. */
+  /** LSH bands: hash each run of (NumHashes/Bands) signature slots. Slots
+    * are bigints — cast to decimal strings explicitly (DuckDB's BIGINT →
+    * VARCHAR cast renders identically). */
   def lshBands(sigs: DataFrame): DataFrame = {
     val rows = NumHashes / Bands
     val bandCols = (0 until Bands).map { b =>
-      md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)).as(s"band$b")
+      md5(concat_ws("|",
+        (0 until rows).map(r => col(s"h${b * rows + r}").cast("string")): _*)).as(s"band$b")
     }
     sigs.select(col("doc_id") +: bandCols: _*)
   }
@@ -101,8 +104,18 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard for given (a, b) candidate pairs over shingle sets. */
-  def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+  /** Exact Jaccard for given (a, b) candidate pairs over shingle sets.
+    * Takes RAW (with-duplicates) shingles and restricts them to the docs
+    * that actually appear in a candidate pair BEFORE the set-dedup: LSH
+    * candidates touch ~pairs/doc · 2 docs, so the distinct (the only
+    * corpus-wide shuffle this verification used to run) shrinks from
+    * O(corpus shingles) to O(candidate-doc shingles) — at 10× sf0.1 that
+    * is 1,278 of 50,000 docs. AQE broadcasts the tiny candidate-doc list
+    * into the restriction join, so the corpus side stays a narrow scan. */
+  def verifyJaccard(cand: DataFrame, shRaw: DataFrame): DataFrame = {
+    val candDocs = cand
+      .select(explode(array(col("a"), col("b"))).as("doc_id")).distinct()
+    val sh = shRaw.join(candDocs, Seq("doc_id")).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.select(col("doc_id").as("a"), col("s").as("sa")), Seq("a"))
@@ -408,15 +421,19 @@ object Dedup {
         // benchmark doc (here: doc_id < 10 stands in for the benchmark).
         // The benchmark shingle set is small BY NATURE (eval sets are
         // thousands of docs, not billions), so it broadcasts; the corpus
-        // side is a narrow scan + broadcast equi-join + one partial
-        // aggregation keyed by doc_id — no corpus shuffle beyond the
-        // matched rows. At 100 TB the cost is the scan, as it should be.
+        // side stays RAW shingles — a narrow scan into the broadcast
+        // equi-join — and the set-dedup (n_shared counts DISTINCT shared
+        // shingles) runs on the matched rows only. The previous shape
+        // dedup'd the whole corpus's shingles first: a full corpus
+        // shuffle to serve a query whose output touches ~nothing. At
+        // 100 TB the cost is the scan, as it should be.
         val docs = Tables.load(s, dir, "documents")
-        val sh = shingles(docs)
-        val bench = sh.filter(col("doc_id") < BenchDocs)
+        val raw = shinglesRaw(docs)
+        val bench = raw.filter(col("doc_id") < BenchDocs)
           .select("s").distinct()
-        sh.filter(col("doc_id") >= BenchDocs)
+        raw.filter(col("doc_id") >= BenchDocs)
           .join(broadcast(bench), Seq("s"))
+          .select("doc_id", "s").distinct()
           .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= ContamK)
           .orderBy("doc_id")
@@ -435,22 +452,35 @@ object Dedup {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         // Signature path: codegen'd per-doc minhash, no explode, no
-        // shuffle; exact-Jaccard verification still needs shingle sets.
+        // shuffle; exact-Jaccard verification materializes shingle sets
+        // for CANDIDATE docs only (verifyJaccard restricts before the
+        // set-dedup — no corpus-wide distinct anywhere in this query).
         val cand = lshCandidates(lshBands(minhashSignatures(docs)))
-        verifyJaccard(cand, shingles(docs)).orderBy("a", "b")
+        verifyJaccard(cand, shinglesRaw(docs)).orderBy("a", "b")
       },
       Some {
         val rows = NumHashes / Bands
-        val sigCols = (0 until NumHashes)
-          .map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+        // Same hash family as graft_minhash12, in exact HUGEINT arithmetic:
+        // H = 15-hex-nibble fold of md5(s), slot i = min (A_i*H + B_i) mod
+        // (2^61-1) with the SAME A/B constants interpolated as literals.
+        val M = graft.functions.MinHash12.M61
+        val sigCols = graft.functions.MinHash12.MulAdd.zipWithIndex
+          .map { case ((a, b), i) =>
+            s"min(CAST((${a}::HUGEINT * hh + ${b}) % $M AS BIGINT)) AS h$i"
+          }.mkString(", ")
         val bandCols = (0 until Bands).map { b =>
-          val parts = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || '|' || ")
+          val parts = (0 until rows).map(r => s"h${b * rows + r}::VARCHAR").mkString(" || '|' || ")
           s"md5($parts) AS band$b"
         }.mkString(", ")
         val bx = (0 until Bands)
           .map(b => s"SELECT doc_id, $b AS bi, band$b AS bh FROM banded").mkString("\n  UNION ALL ")
         s"""WITH $shingleCte,
-           |sigs AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+           |shh AS (
+           |  SELECT doc_id,
+           |         list_reduce([(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1)::BIGINT
+           |                      for i in range(1, 16)], (x, y) -> x * 16 + y) AS hh
+           |  FROM sh),
+           |sigs AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
            |banded AS (SELECT doc_id, $bandCols FROM sigs),
            |bx AS (
            |  $bx),

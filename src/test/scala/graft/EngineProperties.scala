@@ -101,22 +101,30 @@ object EngineProperties extends Properties("graft") {
       fast == slow
     }
 
-  // The codegen'd MinHash12 must agree with the declarative
-  // explode→groupBy formulation it replaced, on arbitrary word lists —
+  // The codegen'd MinHash12 (one md5 per shingle + Carter-Wegman slot
+  // hashes with a branch-light 61-bit Mersenne reduction) must agree with
+  // an INDEPENDENT reference: shingle hashes from Spark's own md5+conv,
+  // slot mins via exact BigInt (A*H + B) mod (2^61-1) — the same integers
+  // the DuckDB oracle derives with HUGEINT. Arbitrary word lists, because
   // the q23 oracle only exercises the testdata's vocabulary.
-  property("graft_minhash12 equals the explode/groupBy min-md5 signature") =
+  property("graft_minhash12 equals the BigInt Carter-Wegman reference") =
     Prop.forAll(Gen.listOfN(4, Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)))) { docs =>
       import spark.implicits._
+      import graft.functions.MinHash12
       val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
         .toDF("doc_id", "text")
       val fast = graft.operators.Dedup.minhashSignatures(df)
-        .collect().map(r => r.getLong(0) -> (1 to 12).map(r.getString).toVector).toMap
-      val slow = graft.operators.Dedup.shinglesRaw(df)
-        .groupBy("doc_id")
-        .agg(min(md5(concat_ws("|", lit("0"), col("s")))).as("h0"),
-          (1 until 12).map(i =>
-            min(md5(concat_ws("|", lit(i.toString), col("s")))).as(s"h$i")): _*)
-        .collect().map(r => r.getLong(0) -> (1 to 12).map(r.getString).toVector).toMap
+        .collect().map(r => r.getLong(0) -> (1 to 12).map(r.getLong).toVector).toMap
+      val hs = graft.operators.Dedup.shinglesRaw(df)
+        .select(col("doc_id"),
+          expr("cast(conv(substr(md5(s), 1, 15), 16, 10) AS bigint)").as("hh"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val M = BigInt(MinHash12.M61)
+      val slow = hs.groupBy(_._1).map { case (d, rows) =>
+        d -> MinHash12.MulAdd.map { case (a, b) =>
+          rows.map { case (_, h) => ((BigInt(a) * BigInt(h) + BigInt(b)) mod M).toLong }.min
+        }.toVector
+      }
       fast == slow
     }
 }
