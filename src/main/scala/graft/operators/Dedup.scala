@@ -34,6 +34,10 @@ object Dedup {
   val BenchDocs = 10
   val ContamK = 5
 
+  /** q80 incremental dedup: verified-Jaccard threshold for calling a new
+    * batch doc a duplicate of the corpus (or of an earlier batch doc). */
+  val IncTau = 0.5
+
   /** Word n-gram shingles per document, WITH duplicates — narrow, no
     * shuffle. Callers that need set semantics either `.distinct()` (one
     * shuffle) or dedupe inside their own aggregation (collect_set). */
@@ -90,13 +94,18 @@ object Dedup {
     sigs.select(col("doc_id") +: bandCols: _*)
   }
 
-  /** Candidate pairs: docs sharing any band bucket (equi-join, a<b). */
-  def lshCandidates(banded: DataFrame): DataFrame = {
-    val bx = banded.select(
+  /** (doc_id, bi, bh) band-bucket rows — the LSH index shape shared by
+    * full-corpus pairing (q23) and incremental pairing (q80). */
+  def bandExplode(banded: DataFrame): DataFrame =
+    banded.select(
         col("doc_id"),
         explode(array((0 until Bands).map(b =>
           struct(lit(b).as("bi"), col(s"band$b").as("bh"))): _*)).as("e"))
       .select(col("doc_id"), col("e.bi").as("bi"), col("e.bh").as("bh"))
+
+  /** Candidate pairs: docs sharing any band bucket (equi-join, a<b). */
+  def lshCandidates(banded: DataFrame): DataFrame = {
+    val bx = bandExplode(banded)
     bx.as("x").join(bx.as("y"),
         col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -263,6 +272,37 @@ object Dedup {
        |                      THEN 1 ELSE -1 END for h in hs]) for j in range(0, $SimBits)] AS bs
        |    FROM (SELECT doc_id, list_transform(string_split(trim(text), ' '), x -> md5(x)) AS hs
        |          FROM documents)))""".stripMargin
+
+  /** DuckDB twin of `minhashSignatures`→`lshBands`→`bandExplode` as a CTE
+    * chain `shh`/`sigs`/`banded`/`bx` (prepend a `sh(doc_id, s)` CTE).
+    * Same hash family as graft_minhash12, in exact HUGEINT arithmetic:
+    * H = 15-hex-nibble fold of md5(s), slot i = min (A_i·H + B_i) mod
+    * (2^61−1) with the SAME A/B constants interpolated as literals.
+    * Shared by q23 (full-corpus pairs) and q80 (incremental pairs).
+    * A def, not a val: referenced from `defs` (object-init order). */
+  def lshCtes: String = {
+    val rows = NumHashes / Bands
+    val M = graft.functions.MinHash12.M61
+    val sigCols = graft.functions.MinHash12.MulAdd.zipWithIndex
+      .map { case ((a, b), i) =>
+        s"min(CAST((${a}::HUGEINT * hh + ${b}) % $M AS BIGINT)) AS h$i"
+      }.mkString(", ")
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until rows).map(r => s"h${b * rows + r}::VARCHAR").mkString(" || '|' || ")
+      s"md5($parts) AS band$b"
+    }.mkString(", ")
+    val bx = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS bi, band$b AS bh FROM banded").mkString("\n  UNION ALL ")
+    s"""shh AS (
+       |  SELECT doc_id,
+       |         list_reduce([(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1)::BIGINT
+       |                      for i in range(1, 16)], (x, y) -> x * 16 + y) AS hh
+       |  FROM sh),
+       |sigs AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
+       |banded AS (SELECT doc_id, $bandCols FROM sigs),
+       |bx AS (
+       |  $bx)""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -458,48 +498,85 @@ object Dedup {
         val cand = lshCandidates(lshBands(minhashSignatures(docs)))
         verifyJaccard(cand, shinglesRaw(docs)).orderBy("a", "b")
       },
-      Some {
-        val rows = NumHashes / Bands
-        // Same hash family as graft_minhash12, in exact HUGEINT arithmetic:
-        // H = 15-hex-nibble fold of md5(s), slot i = min (A_i*H + B_i) mod
-        // (2^61-1) with the SAME A/B constants interpolated as literals.
-        val M = graft.functions.MinHash12.M61
-        val sigCols = graft.functions.MinHash12.MulAdd.zipWithIndex
-          .map { case ((a, b), i) =>
-            s"min(CAST((${a}::HUGEINT * hh + ${b}) % $M AS BIGINT)) AS h$i"
-          }.mkString(", ")
-        val bandCols = (0 until Bands).map { b =>
-          val parts = (0 until rows).map(r => s"h${b * rows + r}::VARCHAR").mkString(" || '|' || ")
-          s"md5($parts) AS band$b"
-        }.mkString(", ")
-        val bx = (0 until Bands)
-          .map(b => s"SELECT doc_id, $b AS bi, band$b AS bh FROM banded").mkString("\n  UNION ALL ")
-        s"""WITH $shingleCte,
-           |shh AS (
-           |  SELECT doc_id,
-           |         list_reduce([(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1)::BIGINT
-           |                      for i in range(1, 16)], (x, y) -> x * 16 + y) AS hh
-           |  FROM sh),
-           |sigs AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
-           |banded AS (SELECT doc_id, $bandCols FROM sigs),
-           |bx AS (
-           |  $bx),
-           |cand AS (
-           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-           |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id),
-           |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-           |inter AS (
-           |  SELECT c.a, c.b, count(*) AS inter
-           |  FROM cand c
-           |  JOIN sh sa ON sa.doc_id = c.a
-           |  JOIN sh sb ON sb.doc_id = c.b AND sa.s = sb.s
-           |  GROUP BY c.a, c.b)
-           |SELECT i.a, i.b, i.inter, i.inter / (za.sz + zb.sz - i.inter) AS jaccard
-           |FROM inter i
-           |JOIN sizes za ON za.doc_id = i.a
-           |JOIN sizes zb ON zb.doc_id = i.b
-           |ORDER BY a, b""".stripMargin
-      }),
+      Some(s"""WITH $shingleCte,
+              |$lshCtes,
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.a, c.b, count(*) AS inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.doc_id = c.a
+              |  JOIN sh sb ON sb.doc_id = c.b AND sa.s = sb.s
+              |  GROUP BY c.a, c.b)
+              |SELECT i.a, i.b, i.inter, i.inter / (za.sz + zb.sz - i.inter) AS jaccard
+              |FROM inter i
+              |JOIN sizes za ON za.doc_id = i.a
+              |JOIN sizes zb ON zb.doc_id = i.b
+              |ORDER BY a, b""".stripMargin)),
+
+    // ── Incremental dedup: a new crawl batch vs the standing corpus ──
+    QueryDef(
+      "q80_incremental_dedup",
+      (s, dir) => {
+        // The production shape of LSH dedup: a standing corpus already has
+        // its band index (here derived in-query; in a pipeline it is the
+        // persisted state), and each incoming crawl BATCH (stand-in:
+        // doc_id % 4 = 0) is deduplicated against that index plus itself —
+        // WITHOUT re-pairing the corpus. The bucket join keeps the batch
+        // on one side, so candidate volume scales with the BATCH, not
+        // corpus², and verification (exact Jaccard at IncTau) touches
+        // candidate docs only. Decision is the standard greedy pass: a
+        // batch doc is a dup if it verifies against ANY existing doc, or
+        // against an earlier-id batch doc (whether or not that doc was
+        // itself kept) — deterministic, no clustering needed.
+        val docs = Tables.load(s, dir, "documents")
+        val bx = bandExplode(lshBands(minhashSignatures(docs)))
+        val bxBatch = bx.filter(col("doc_id") % 4 === 0)
+        val cand = bx.as("x").join(bxBatch.as("y"),
+            col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") =!= col("y.doc_id") &&
+              (col("x.doc_id") % 4 =!= 0 || col("x.doc_id") < col("y.doc_id")))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        val dup = verifyJaccard(cand, shinglesRaw(docs))
+          .filter(col("jaccard") >= IncTau)
+          .groupBy(col("b").as("doc_id")).agg(min("a").as("dup_of"))
+        docs.filter(col("doc_id") % 4 === 0).select("doc_id")
+          .join(dup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of"),
+            when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shingleCte,
+              |$lshCtes,
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |  FROM bx x JOIN bx y
+              |    ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id <> y.doc_id
+              |   AND y.doc_id % 4 = 0
+              |   AND (x.doc_id % 4 <> 0 OR x.doc_id < y.doc_id)),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.a, c.b, count(*) AS inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.doc_id = c.a
+              |  JOIN sh sb ON sb.doc_id = c.b AND sa.s = sb.s
+              |  GROUP BY c.a, c.b),
+              |dup AS (
+              |  SELECT b AS doc_id, min(a) AS dup_of FROM (
+              |    SELECT i.a, i.b,
+              |           i.inter / (za.sz + zb.sz - i.inter) AS jaccard
+              |    FROM inter i
+              |    JOIN sizes za ON za.doc_id = i.a
+              |    JOIN sizes zb ON zb.doc_id = i.b)
+              |  WHERE jaccard >= $IncTau GROUP BY b)
+              |SELECT d.doc_id, dup.dup_of,
+              |       CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS keep
+              |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+              |WHERE d.doc_id % 4 = 0
+              |ORDER BY d.doc_id""".stripMargin)),
 
     // ── SimHash: 60-bit signed-bit-sum fingerprint, shuffle-free ──
     QueryDef(

@@ -113,7 +113,7 @@ class PlanSpec extends AnyFunSuite {
     // where f is a 1-row frame (a grouping-free aggregate or a limit-1) —
     // bounded by construction. Forbid cartesian products outright and
     // require every BNLJ's build side to be provably 1-row.
-    Seq("q58_dedup_keep", "q59_ann_knn_join").foreach { q =>
+    Seq("q58_dedup_keep", "q59_ann_knn_join", "q80_incremental_dedup").foreach { q =>
       assert(collectAll(q) {
         case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
       }.isEmpty, s"$q: cartesian product in the plan")
