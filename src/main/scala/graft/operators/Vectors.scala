@@ -62,6 +62,14 @@ object Vectors {
   /** Cosine near-dup report threshold for q33. */
   val NearDupTau = 0.45
 
+  /** q81 semantic-dedup: prune threshold and per-cell representative cap.
+    * Each vector is compared only against the SemCap lowest-id vectors of
+    * its IVF cell, so pair volume is ≤ N·SemCap — linear at any corpus
+    * size (an UNCAPPED within-cell all-pairs over √N-sized cells would be
+    * O(N^1.5)). */
+  val SemTau = 0.25
+  val SemCap = 8
+
   // ── SRP-LSH (q33) parameters ──
   val SrpBands = 8
   val SrpMaxRows = 16 // caps planes at SrpBands * SrpMaxRows = 128
@@ -365,7 +373,52 @@ object Vectors {
               |SELECT a.vec_id, ${dotSql("a.en", "q.qn")} AS sim
               |FROM assigned a JOIN topf USING (cid), q
               |WHERE a.vec_id <> 0
-              |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin))
+              |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // ── Semantic dedup: within-IVF-cell cosine pruning (SemDeDup-style) ──
+    QueryDef(
+      "q81_semdedup",
+      (s, dir) => {
+        // Embedding-level dedup the way the SemDeDup recipe does it:
+        // cluster, then prune vectors too close to a cluster-mate, keeping
+        // the lowest id. Clustering reuses the q34 two-level IVF
+        // assignment (corpus side stays narrow); pruning compares each
+        // vector only against the SemCap lowest-id REPRESENTATIVES of its
+        // cell — a documented approximation that caps pair volume at
+        // N·SemCap (uncapped within-cell all-pairs over √N-sized cells is
+        // O(N^1.5), a scale cliff). The rank window is keyed by cid, so it
+        // shuffles but never concentrates; cos ≥ SemTau against an
+        // earlier-id representative marks a drop.
+        val (assigned, _) = ivfAssigned(
+          withNormalized(Tables.embeddings(s, dir)).select(col("vec_id"), col("en")))
+        val wCell = org.apache.spark.sql.expressions.Window
+          .partitionBy("cid").orderBy("vec_id")
+        val cells = assigned.withColumn("rk", row_number().over(wCell))
+        val reps = cells.filter(col("rk") <= SemCap)
+          .select(col("cid"), col("vec_id").as("rid"), col("en").as("ren"))
+        val dup = cells.join(reps, Seq("cid"))
+          .filter(col("rid") < col("vec_id") && dot(col("ren"), col("en")) >= SemTau)
+          .select("vec_id").distinct()
+        assigned.select("vec_id", "cid")
+          .join(dup.withColumn("d", lit(1)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cid"),
+            when(col("d").isNull, 1).otherwise(0).as("keep"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $normCte,
+              |$ivfCtes,
+              |cells AS (
+              |  SELECT vec_id, en, cid,
+              |         row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rk
+              |  FROM assigned),
+              |reps AS (SELECT cid, vec_id AS rid, en AS ren FROM cells WHERE rk <= $SemCap),
+              |dup AS (
+              |  SELECT DISTINCT c.vec_id
+              |  FROM cells c JOIN reps r ON r.cid = c.cid AND r.rid < c.vec_id
+              |  WHERE ${dotSql("r.ren", "c.en")} >= $SemTau)
+              |SELECT a.vec_id, a.cid, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+              |FROM assigned a LEFT JOIN dup d ON d.vec_id = a.vec_id
+              |ORDER BY a.vec_id""".stripMargin))
   )
 
   /** Two-level IVF assignment over a normalized corpus `(vec_id, en)`:

@@ -160,6 +160,12 @@ class PlanSpec extends AnyFunSuite {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, "unkeyed window = all rows to one partition"))
   }
 
+  test("q81 semdedup rank window is keyed by cell (no global single-partition window)") {
+    val windows = collectAll("q81_semdedup") { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, "unkeyed window = all rows to one partition"))
+  }
+
   test("q55 typed top-k aggregator plans without a window (bounded state, no per-group sort)") {
     assert(collectAll("q55_topk_aggregator") { case w: WindowExec => w }.isEmpty)
   }
