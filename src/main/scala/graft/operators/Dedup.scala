@@ -214,8 +214,14 @@ object Dedup {
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val sym = edges.unionByName(
       edges.select(col("b").as("a"), col("a").as("b")))
-    var labels = barrier(sym.select(col("a").as("v")).distinct()
-      .withColumn("lbl", col("v")))
+    // Round-0 propagation folded into init: lbl = min(v, min neighbor),
+    // computed by the same single shuffle the old `distinct()` init cost —
+    // every graph converges one full barrier round earlier (the invariant
+    // only needs lbl to start ≥ the component min, which min(v, nbrs)
+    // satisfies).
+    var labels = barrier(sym.groupBy(col("a").as("v"))
+      .agg(min("b").as("nb"))
+      .select(col("v"), least(col("v"), col("nb")).as("lbl")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxRounds) {
