@@ -584,6 +584,35 @@ object Dedup {
               |WHERE d.doc_id % 4 = 0
               |ORDER BY d.doc_id""".stripMargin)),
 
+    // ── Boilerplate mining: most frequent cross-document 8-grams ──
+    QueryDef(
+      "q82_boilerplate",
+      (s, dir) => {
+        // The corpus-level twin of q78's within-doc repetition: long
+        // n-grams shared across MANY documents are boilerplate (headers,
+        // license blocks, templates) — the standard signal for span
+        // removal. One hash shuffle builds (8-gram → distinct-doc count)
+        // with partial aggregation; the top-20 report is a
+        // TakeOrderedAndProject, never a global sort. Document frequency
+        // (distinct docs, not occurrences) is the boilerplate measure: a
+        // doc repeating its own phrase is q78's business, not this one's.
+        shinglesRaw(Tables.load(s, dir, "documents"), 8)
+          .groupBy("s").agg(countDistinct("doc_id").as("df"))
+          .filter(col("df") >= 3)
+          .orderBy(col("df").desc, col("s"))
+          .limit(20)
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+             |  WHERE len(string_split(trim(text), ' ')) >= 8),
+             |sh8 AS (
+             |  SELECT doc_id,
+             |         unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS s
+             |  FROM w)
+             |SELECT s, count(DISTINCT doc_id) AS df FROM sh8
+             |GROUP BY s HAVING df >= 3
+             |ORDER BY df DESC, s LIMIT 20""".stripMargin)),
+
     // ── SimHash: 60-bit signed-bit-sum fingerprint, shuffle-free ──
     QueryDef(
       "q24_simhash",
