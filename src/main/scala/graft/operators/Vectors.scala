@@ -418,7 +418,72 @@ object Vectors {
               |  WHERE ${dotSql("r.ren", "c.en")} >= $SemTau)
               |SELECT a.vec_id, a.cid, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
               |FROM assigned a LEFT JOIN dup d ON d.vec_id = a.vec_id
-              |ORDER BY a.vec_id""".stripMargin))
+              |ORDER BY a.vec_id""".stripMargin)),
+
+    // ── SQ8 quantized ANN: int8 scan + exact re-rank ──
+    QueryDef(
+      "q83_sq8_ann",
+      (s, dir) => {
+        // The memory-bound scale technique for vector search: store each
+        // normalized vector as per-dim uint8 codes (4× smaller than f32,
+        // 8× than f64 — at 10¹¹×768 the difference between a corpus that
+        // fits executor memory and one that doesn't), scan the QUANTIZED
+        // corpus for a top-20 candidate set, then re-rank only those 20
+        // against the exact vectors. Quantization is the repo's
+        // floor-bucket map (exact-double arithmetic, engine-portable —
+        // round() would diverge at half-way points); scoring uses the
+        // DEQUANTIZED values so the approx scan is a plain graft_dot and
+        // the oracle reproduces every double bit-for-bit. The per-dim
+        // [mn,mx] range table is a broadcast 1-row frame (in-plan, no
+        // driver probe), dim-bounded at any corpus size.
+        val emb = withNormalized(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("en"))
+        val rng = emb.select(posexplode(col("en")).as(Seq("i", "x")))
+          .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+          .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx")))).as("rg"))
+        val dq = emb.crossJoin(broadcast(rng))
+          .withColumn("dq", expr(
+            """transform(en, (x, i) ->
+              |  CASE WHEN rg[i].mx = rg[i].mn THEN rg[i].mn
+              |       ELSE rg[i].mn
+              |            + least(floor((x - rg[i].mn) * 2.55e2 / (rg[i].mx - rg[i].mn)), 2.54e2)
+              |              * (rg[i].mx - rg[i].mn) / 2.55e2
+              |  END)""".stripMargin))
+          .select("vec_id", "dq")
+        val qdq = dq.filter(col("vec_id") === 0).select(col("dq").as("qdq"))
+        val top20 = dq.filter(col("vec_id") =!= 0).crossJoin(broadcast(qdq))
+          .select(col("vec_id"), dot(col("dq"), col("qdq")).as("asim"))
+          .orderBy(col("asim").desc, col("vec_id")).limit(20)
+        val qn = emb.filter(col("vec_id") === 0).select(col("en").as("qn"))
+        top20.join(emb, Seq("vec_id")).crossJoin(broadcast(qn))
+          .select(col("vec_id"), dot(col("en"), col("qn")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      },
+      Some(s"""WITH $normCte,
+              |rng AS (
+              |  SELECT s.i AS i, min(s.v) AS mn, max(s.v) AS mx FROM (
+              |    SELECT unnest([struct_pack(i := i, v := en[i])
+              |                   for i in range(1, len(en) + 1)]) AS s
+              |    FROM vn)
+              |  GROUP BY s.i),
+              |rgl AS (SELECT list_sort(list(struct_pack(i := i, mn := mn, mx := mx))) AS rg FROM rng),
+              |dq AS (
+              |  SELECT vec_id,
+              |         [CASE WHEN rg[i].mx = rg[i].mn THEN rg[i].mn
+              |               ELSE rg[i].mn
+              |                    + least(floor((en[i] - rg[i].mn) * 2.55e2 / (rg[i].mx - rg[i].mn)), 2.54e2)
+              |                      * (rg[i].mx - rg[i].mn) / 2.55e2
+              |          END for i in range(1, len(en) + 1)] AS dq
+              |  FROM vn, rgl),
+              |qd AS (SELECT dq AS qdq FROM dq WHERE vec_id = 0),
+              |top20 AS (
+              |  SELECT vec_id, ${dotSql("dq", "qdq")} AS asim
+              |  FROM dq, qd WHERE vec_id <> 0
+              |  ORDER BY asim DESC, vec_id LIMIT 20),
+              |q AS (SELECT en AS qn FROM vn WHERE vec_id = 0)
+              |SELECT t.vec_id, ${dotSql("x.en", "qn")} AS sim
+              |FROM top20 t JOIN vn x ON x.vec_id = t.vec_id, q
+              |ORDER BY sim DESC, t.vec_id LIMIT 5""".stripMargin))
   )
 
   /** Two-level IVF assignment over a normalized corpus `(vec_id, en)`:
