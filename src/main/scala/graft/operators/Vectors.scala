@@ -450,11 +450,14 @@ object Vectors {
               |              * (rg[i].mx - rg[i].mn) / 2.55e2
               |  END)""".stripMargin))
           .select("vec_id", "dq")
-        val qdq = dq.filter(col("vec_id") === 0).select(col("dq").as("qdq"))
+        // limit(1) after the unique-key filter: semantically a no-op, but
+        // it makes the broadcast build side PROVABLY 1-row in the physical
+        // plan (GlobalLimit), which the no-unbounded-product pin checks.
+        val qdq = dq.filter(col("vec_id") === 0).limit(1).select(col("dq").as("qdq"))
         val top20 = dq.filter(col("vec_id") =!= 0).crossJoin(broadcast(qdq))
           .select(col("vec_id"), dot(col("dq"), col("qdq")).as("asim"))
           .orderBy(col("asim").desc, col("vec_id")).limit(20)
-        val qn = emb.filter(col("vec_id") === 0).select(col("en").as("qn"))
+        val qn = emb.filter(col("vec_id") === 0).limit(1).select(col("en").as("qn"))
         top20.join(emb, Seq("vec_id")).crossJoin(broadcast(qn))
           .select(col("vec_id"), dot(col("en"), col("qn")).as("sim"))
           .orderBy(col("sim").desc, col("vec_id")).limit(5)

@@ -113,7 +113,8 @@ class PlanSpec extends AnyFunSuite {
     // where f is a 1-row frame (a grouping-free aggregate or a limit-1) —
     // bounded by construction. Forbid cartesian products outright and
     // require every BNLJ's build side to be provably 1-row.
-    Seq("q58_dedup_keep", "q59_ann_knn_join", "q80_incremental_dedup").foreach { q =>
+    Seq("q58_dedup_keep", "q59_ann_knn_join", "q80_incremental_dedup",
+        "q83_sq8_ann").foreach { q =>
       assert(collectAll(q) {
         case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
       }.isEmpty, s"$q: cartesian product in the plan")
@@ -131,6 +132,9 @@ class PlanSpec extends AnyFunSuite {
           case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
             if a.groupingExpressions.isEmpty => a
           case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+          // A reused broadcast duplicates an exchange proven at its
+          // original site — the first BNLJ over it already ran this check.
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
         }
         assert(oneRow.nonEmpty,
           s"$q: BNLJ build side is not a provably-1-row frame:\n$build")
@@ -144,6 +148,15 @@ class PlanSpec extends AnyFunSuite {
         if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
     }
     assert(hashShuffles.isEmpty, "resampling must not shuffle — it is a predicate + bounded explode")
+  }
+
+  test("q82 boilerplate report plans as TakeOrderedAndProject, never a global sort") {
+    assert(collectAll("q82_boilerplate") {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "top-20 report must be TakeOrderedAndProject")
+    assert(collectAll("q82_boilerplate") {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }.isEmpty, "a global sort of the n-gram table defeats the bounded report")
   }
 
   test("q78 repetition ratios are a pure narrow scan: no hash shuffle before the determinism sort") {
