@@ -652,6 +652,43 @@ object TextOps {
              |  SELECT lang, doc_id, hkey,
              |         row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rk
              |  FROM keyed)
-             |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin))
+             |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin)),
+
+    // ── Unigram corpus-familiarity score (model-free fluency proxy) ──
+    QueryDef(
+      "q84_unigram_familiarity",
+      (s, dir) => {
+        // The lexicon-based stand-in for perplexity filtering: docs made of
+        // corpus-common words score high, docs of rare/garbled tokens score
+        // low. familiarity = Σ_w count(w) / (n_words × total_words) — all
+        // INTEGER sums (exact, order-free in both engines) with ONE double
+        // division at the end; a log-probability formulation would hit
+        // libm ulp drift across engines (the ln() hazard) for no extra
+        // discriminative power at filter time. Two linear shuffles: the
+        // unigram table (vocab-sized — AQE broadcasts it back), then the
+        // per-doc aggregation.
+        val words = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val uni = words.groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = uni.agg(sum("c").as("tot"))
+        words.join(uni, Seq("w"))
+          .groupBy("doc_id").agg(sum("c").as("sumc"), count(lit(1)).as("nw"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("sumc"),
+            expr("sumc / (nw * tot)").as("familiarity"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, w FROM (
+             |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+             |  WHERE w <> ''),
+             |uni AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM uni)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS sumc,
+             |       CAST(sum(c) AS BIGINT) / (count(*) * tot) AS familiarity
+             |FROM words JOIN uni USING (w), tot
+             |GROUP BY doc_id, tot
+             |ORDER BY doc_id""".stripMargin))
   )
 }
