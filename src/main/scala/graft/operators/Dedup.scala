@@ -613,6 +613,70 @@ object Dedup {
              |GROUP BY s HAVING df >= 3
              |ORDER BY df DESC, s LIMIT 20""".stripMargin)),
 
+    // ── Boilerplate span removal: strip frequent 8-gram spans from docs ──
+    QueryDef(
+      "q85_boilerplate_strip",
+      (s, dir) => {
+        // The transform half of q82's report: every occurrence of a
+        // cross-document-frequent 8-gram (df ≥ 3) is removed from the text
+        // — token positions covered by ANY boilerplate span are dropped
+        // and the doc is re-assembled from the survivors. Shapes: one hash
+        // shuffle builds the boilerplate set (small by nature — AQE
+        // broadcasts it into the position join), cover-expansion is a ≤8×
+        // narrow explode of START positions only, and re-assembly is one
+        // doc_id-keyed aggregation. Docs under 8 words pass through
+        // untouched; a doc that is pure boilerplate comes out NULL.
+        val docs = Tables.load(s, dir, "documents")
+        val w = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+        val pos = w.select(col("doc_id"),
+          posexplode(col("w")).as(Seq("i", "wd")))
+        val sh8 = w.filter(size(col("w")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 8), i -> struct(i AS i, concat_ws(' ', slice(w, i + 1, 8)) AS s))")).as("p"))
+          .select(col("doc_id"), col("p.i").as("i"), col("p.s").as("s"))
+        val bp = sh8.groupBy("s").agg(countDistinct("doc_id").as("df"))
+          .filter(col("df") >= 3).select("s")
+        val cov = sh8.join(bp, Seq("s"))
+          .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("ci"))
+          .distinct()
+        val kept = pos.join(cov,
+            pos("doc_id") === cov("doc_id") && pos("i") === cov("ci"), "left_anti")
+          .groupBy("doc_id")
+          .agg(concat_ws(" ", expr("transform(array_sort(collect_list(struct(i, wd))), x -> x.wd)")).as("cleaned"),
+            count(lit(1)).as("n_kept"))
+        docs.select(col("doc_id"), size(split(trim(col("text")), " ")).cast("long").as("n0"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("cleaned"),
+            (col("n0") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+             |pos AS (
+             |  SELECT doc_id, p.i AS i, p.wd AS wd FROM (
+             |    SELECT doc_id, unnest([struct_pack(i := i - 1, wd := w[i])
+             |                           for i in range(1, len(w) + 1)]) AS p
+             |    FROM w)),
+             |sh8 AS (
+             |  SELECT doc_id, p.i AS i, p.s AS s FROM (
+             |    SELECT doc_id, unnest([struct_pack(i := i - 1, s := array_to_string(w[i:i+7], ' '))
+             |                           for i in range(1, len(w) - 6)]) AS p
+             |    FROM w WHERE len(w) >= 8)),
+             |bp AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df FROM sh8 GROUP BY s)
+             |       WHERE df >= 3),
+             |cov AS (
+             |  SELECT DISTINCT doc_id, ci FROM (
+             |    SELECT doc_id, unnest([i + d for d in range(0, 8)]) AS ci
+             |    FROM sh8 JOIN bp USING (s))),
+             |kept AS (
+             |  SELECT p.doc_id, string_agg(p.wd, ' ' ORDER BY p.i) AS cleaned,
+             |         count(*) AS n_kept
+             |  FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.ci = p.i
+             |  WHERE c.ci IS NULL GROUP BY p.doc_id)
+             |SELECT d.doc_id, k.cleaned,
+             |       len(string_split(trim(d.text), ' '))::BIGINT - coalesce(k.n_kept, 0)::BIGINT AS n_removed
+             |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ── SimHash: 60-bit signed-bit-sum fingerprint, shuffle-free ──
     QueryDef(
       "q24_simhash",
