@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   *     fresh same-distribution docs, not near-duplicates. Reports LSH
   *     candidate pairs/doc, the max per-doc fan-in, and q23's end-to-end
   *     wall at both scales.
+  *
+  *   curate <sfDir> <mult>
+  *     The flagship end-to-end: `Curate.run` (exact dedup → near-dup
+  *     keep-set → redact → quality cut → pack → parquet) at 1x and
+  *     <mult>x (same inflation as `lsh`). Reports wall and the stage
+  *     stats line at both scales — the whole-pipeline scaling number.
   */
 object Stress {
 
@@ -54,6 +60,8 @@ object Stress {
         annKnn(spark, args(1), args(2).toInt)
       case Some("lsh") =>
         lsh(spark, args(1), args(2).toInt)
+      case Some("curate") =>
+        curate(spark, args(1), args(2).toInt)
       case other =>
         sys.error(s"usage: cc <edges> <vertices> [reliable] | annknn <sfDir> <mult> (got $other)")
     }
@@ -127,6 +135,19 @@ object Stress {
         (System.nanoTime() - t0) / 1e9
       }.min
       println(f"""{"mode":"lsh","corpus":"$tag","n":$n,"pairs":${stats.getLong(0) / 2},"pairs_per_doc":${stats.getLong(0).toDouble / n}%.2f,"max_per_doc":${stats.getLong(1)},"q23_sec_min3":$q23sec%.1f}""")
+    }
+  }
+
+  def curate(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val bigDir = "/tmp/graft_stress_docs"
+    inflateDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val out = s"/tmp/graft_stress_curated_$tag"
+      val t0 = System.nanoTime()
+      val stats = Curate.run(spark, dir, out, 2048L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"mode":"curate","corpus":"$tag","sec":$sec%.1f,"stats":$stats}""")
     }
   }
 
