@@ -68,10 +68,19 @@ object Stress {
     spark.stop()
   }
 
+  /** Per-invocation scratch dir: mode + inputs in the name, so a concurrent
+    * run (or a stale corpus from a previous run with different mult/sfDir)
+    * can never be silently measured as this run's data. */
+  private def scratch(mode: String, parts: Any*): String = {
+    val tag = parts.map(_.toString.replaceAll("[^A-Za-z0-9.]+", "-")).mkString("_")
+    s"/tmp/graft_stress_${mode}_$tag"
+  }
+
   def cc(spark: SparkSession, numEdges: Long, numVertices: Long,
       reliable: Boolean): Unit = {
     if (reliable)
-      spark.sparkContext.setCheckpointDir("/tmp/graft_stress_ckpt")
+      spark.sparkContext.setCheckpointDir(
+        scratch("cc-ckpt", numEdges, numVertices))
     val edges = spark.range(numEdges).select(
       pmod(xxhash64(col("id"), lit(1)), lit(numVertices)).as("a"),
       pmod(xxhash64(col("id"), lit(2)), lit(numVertices)).as("b"))
@@ -115,7 +124,7 @@ object Stress {
   }
 
   def lsh(spark: SparkSession, sfDir: String, mult: Int): Unit = {
-    val bigDir = "/tmp/graft_stress_docs"
+    val bigDir = scratch("lsh", sfDir, mult)
     inflateDocs(spark, sfDir, mult).write.mode("overwrite")
       .parquet(s"$bigDir/documents.parquet")
     Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
@@ -139,11 +148,11 @@ object Stress {
   }
 
   def curate(spark: SparkSession, sfDir: String, mult: Int): Unit = {
-    val bigDir = "/tmp/graft_stress_docs"
+    val bigDir = scratch("curate", sfDir, mult)
     inflateDocs(spark, sfDir, mult).write.mode("overwrite")
       .parquet(s"$bigDir/documents.parquet")
     Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
-      val out = s"/tmp/graft_stress_curated_$tag"
+      val out = scratch("curate-out", sfDir, mult, tag)
       val t0 = System.nanoTime()
       val stats = Curate.run(spark, dir, out, 2048L)
       val sec = (System.nanoTime() - t0) / 1e9
@@ -152,7 +161,7 @@ object Stress {
   }
 
   def annKnn(spark: SparkSession, sfDir: String, mult: Int): Unit = {
-    val bigDir = "/tmp/graft_stress_emb"
+    val bigDir = scratch("annknn", sfDir, mult)
     inflate(spark, sfDir, mult).write.mode("overwrite")
       .parquet(s"$bigDir/embeddings.parquet")
     Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>

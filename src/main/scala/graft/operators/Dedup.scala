@@ -62,12 +62,16 @@ object Dedup {
       |    WHERE len(w) >= 3))""".stripMargin
 
   /** MinHash signatures straight off the document scan via the codegen'd
-    * graft_minhash12 expression (graft.functions.MinHash12): all NumHashes
-    * column-wise mins of md5("<seed>|<shingle>") computed in one pass per
-    * document — ZERO shuffle and no shingle explode (the declarative
-    * explode→groupBy twin funneled O(words) rows per doc through a hash
-    * aggregate to take 12 mins). Documents with < ShingleN words have no
-    * shingles and are dropped, like the shingle pipeline's size filter. */
+    * graft_minhash12 expression (graft.functions.MinHash12): each shingle
+    * is hashed ONCE (H = first 15 md5 hex digits, a 60-bit value) and slot
+    * i of the signature is the min over shingles of the Carter-Wegman
+    * universal hash (A_i * H + B_i) mod (2^61 - 1) — NumHashes mins in one
+    * pass per document, ZERO shuffle and no shingle explode (the
+    * declarative explode→groupBy twin funneled O(words) rows per doc
+    * through a hash aggregate to take 12 mins; the retired per-slot-md5
+    * family did 12 md5s per shingle, ~10× the hashing work — see
+    * MinHash12.scala). Documents with < ShingleN words have no shingles
+    * and are dropped, like the shingle pipeline's size filter. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // The shingle filter is a CHEAP predicate on the word count — filtering

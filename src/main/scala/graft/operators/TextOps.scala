@@ -660,13 +660,17 @@ object TextOps {
       (s, dir) => {
         // The lexicon-based stand-in for perplexity filtering: docs made of
         // corpus-common words score high, docs of rare/garbled tokens score
-        // low. familiarity = Σ_w count(w) / (n_words × total_words) — all
-        // INTEGER sums (exact, order-free in both engines) with ONE double
-        // division at the end; a log-probability formulation would hit
-        // libm ulp drift across engines (the ln() hazard) for no extra
-        // discriminative power at filter time. Two linear shuffles: the
-        // unigram table (vocab-sized — AQE broadcasts it back), then the
-        // per-doc aggregation.
+        // low. familiarity = (Σ_w count(w)) / n_words / total_words — all
+        // INTEGER sums (exact, order-free in both engines) with the two
+        // divisions applied SEQUENTIALLY in the same order in both
+        // engines: a bigint product n_words × total_words would silently
+        // wrap in Spark's non-ANSI mode (while raising in DuckDB) once
+        // total_words × max_doc_words nears 2^63 — exactly the corpus
+        // sizes this score targets. A log-probability formulation would
+        // hit libm ulp drift across engines (the ln() hazard) for no
+        // extra discriminative power at filter time. Two linear shuffles:
+        // the unigram table (vocab-sized — AQE broadcasts it back), then
+        // the per-doc aggregation.
         val words = Tables.load(s, dir, "documents")
           .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
           .filter(col("w") =!= "")
@@ -676,7 +680,7 @@ object TextOps {
           .groupBy("doc_id").agg(sum("c").as("sumc"), count(lit(1)).as("nw"))
           .crossJoin(broadcast(tot))
           .select(col("doc_id"), col("sumc"),
-            expr("sumc / (nw * tot)").as("familiarity"))
+            expr("sumc / nw / tot").as("familiarity"))
           .orderBy("doc_id")
       },
       Some("""WITH words AS (
@@ -686,7 +690,7 @@ object TextOps {
              |uni AS (SELECT w, count(*) AS c FROM words GROUP BY w),
              |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM uni)
              |SELECT doc_id, CAST(sum(c) AS BIGINT) AS sumc,
-             |       CAST(sum(c) AS BIGINT) / (count(*) * tot) AS familiarity
+             |       CAST(sum(c) AS BIGINT) / count(*) / tot AS familiarity
              |FROM words JOIN uni USING (w), tot
              |GROUP BY doc_id, tot
              |ORDER BY doc_id""".stripMargin))

@@ -24,9 +24,15 @@ import graft.functions.GraftFunctions
   *   - q25 brute-force kNN: broadcast of 1 query row + scan +
   *     TakeOrderedAndProject (exact baseline, no full sort);
   *   - q33 near-dup: random-hyperplane (SRP) LSH — 8 bands of
-  *     r = clamp(4, 16, ceil(log2 N) - 1) sign bits, so buckets number
+  *     r = clamp(4, 32, ceil(log2 N) - 1) sign bits, so buckets number
   *     ~2^r ≈ N/2 per band and expected bucket size stays O(1): candidate
-  *     volume is ~10 pairs/doc at every tested sf (linear), never O(N²);
+  *     volume is ~10 pairs/doc at every tested sf (linear), never O(N²).
+  *     The 32-bit cap covers corpora to ~10^10 vectors (the r6 cap of 16
+  *     was a measured cliff: past ~130k vectors 2^16 buckets/band fill up
+  *     and occupancy — hence pair volume — grows linearly, 10 → 34
+  *     pairs/vec at 200k). Only the first r of the 32 rows per band are
+  *     COMPUTED (lazy CASE on the broadcast r), so small corpora don't
+  *     pay 256 dot products for keys they truncate anyway;
   *   - q34 IVF: ceil(sqrt(N)) data-derived centroids; assignment is a
   *     NARROW projection (argmax over a broadcast centroid array — no
   *     Exchange on the corpus side), probe touches one cell.
@@ -72,12 +78,16 @@ object Vectors {
 
   // ── SRP-LSH (q33) parameters ──
   val SrpBands = 8
-  val SrpMaxRows = 16 // caps planes at SrpBands * SrpMaxRows = 128
+  /** Sign bits per band cap: 2^32 buckets/band keeps expected bucket
+    * occupancy O(1) to ~10^10 vectors. Plane set size is
+    * SrpBands * SrpMaxRows = 256, but only r ≤ 32 rows per band are ever
+    * evaluated per vector (lazy CASE in `srpCandidates`). */
+  val SrpMaxRows = 32
   val SrpMinRows = 4
 
   /** Deterministic ±1 hyperplane components from MD5 — engine-portable:
     * component i of plane j is +1 iff the first hex nibble of
-    * md5("srp:j:i") is >= 8. Plane j = band*16 + row, a FIXED (band, row)
+    * md5("srp:j:i") is >= 8. Plane j = band*32 + row, a FIXED (band, row)
     * indexing independent of the data-derived r, so the whole plane set is
     * a compile-time-shaped structure the plan can carry. The oracle derives
     * the SAME planes with its own md5(), so no literals need to match
@@ -95,7 +105,7 @@ object Vectors {
   /** SRP parameters as a BROADCAST 1-ROW FRAME, not a driver probe: r (sign
     * bits per band, ⌈log₂N⌉-clamped so buckets number ~N/2 per band) from a
     * count aggregate, dim from a LIMIT-1 scan (no full-column read), and the
-    * full 8×16 plane set materialized ONCE in this row via the same
+    * full 8×32 plane set materialized ONCE in this row via the same
     * md5-derived ±1 construction as `srpPlane`. Folding the probe into the
     * plan removes the per-query driver `agg().head()` job flagged in
     * VERDICT r3 #4 — one plan, one run (JobCountSpec pins plan construction
@@ -114,18 +124,23 @@ object Vectors {
   }
 
   /** SRP-LSH candidate pairs `(a, b)` with a < b over a normalized corpus
-    * `(vec_id, en)`: 8 bands; all 16 sign bits per band are computed as flat
-    * codegen'd projections (at scale r = 16 anyway), and the band key keeps
-    * the first r of them (r rides in on the 1-ROW broadcast params frame —
-    * the only non-equi join anywhere on this path, and PlanSpec pins that
-    * every such product's build side is a provably-1-row subplan; the
-    * BLOCKING join below stays a bucket equi-join). Shared by q33
-    * (near-dup) and q59 (kNN join) — the blocking structure is the same;
-    * only the verification differs. */
+    * `(vec_id, en)`: 8 bands; the sign bits per band are codegen'd
+    * projections guarded by a lazy CASE on the broadcast r — rows ≥ r
+    * short-circuit to '0' without evaluating the dot product (CaseWhen
+    * codegen is branch-lazy), exactly mirroring the oracle's
+    * `WHERE j % SrpMaxRows < r` — and the band key keeps the first r of
+    * them (r rides in on the 1-ROW broadcast params frame — the only
+    * non-equi join anywhere on this path, and PlanSpec pins that every
+    * such product's build side is a provably-1-row subplan; the BLOCKING
+    * join below stays a bucket equi-join). Shared by q33 (near-dup) and
+    * q59 (kNN join) — the blocking structure is the same; only the
+    * verification differs. */
   def srpCandidates(emb: DataFrame, params: DataFrame): DataFrame = {
     val withP = emb.crossJoin(broadcast(params))
     val bitCols = (0 until SrpBands * SrpMaxRows).map { j =>
-      when(dot(col("en"), element_at(col("planes"), j + 1)) >= 0, "1")
+      when(col("r") > lit(j % SrpMaxRows),
+        when(dot(col("en"), element_at(col("planes"), j + 1)) >= 0, "1")
+          .otherwise("0"))
         .otherwise("0").as(s"bit$j")
     }
     val withBits = withP.select(Seq(col("vec_id"), col("r")) ++ bitCols: _*)
@@ -545,11 +560,14 @@ object Vectors {
       .select(argmaxNeg(col("cn"), col("cc"), "ccid").as("ccid"), col("cid"), col("cn"))
       .groupBy("ccid")
       .agg(array_sort(collect_list(struct(col("cid"), col("cn")))).as("fc"))
+    // ccid stays on the assigned frame: queries ignore it, but the index
+    // store (IndexStore.saveIvfIndex) partitions the persisted corpus by
+    // it so probes prune to one coarse cell.
     val assigned = emb.crossJoin(broadcast(coarseArr))
       .select(col("vec_id"), col("en"),
         argmaxNeg(col("en"), col("cc"), "ccid").as("ccid"))
       .join(broadcast(fineCells), Seq("ccid"))
-      .select(col("vec_id"), col("en"),
+      .select(col("vec_id"), col("en"), col("ccid"),
         argmaxNeg(col("en"), col("fc"), "cid").as("cid"))
     (assigned, fineCells, coarseArr)
   }
