@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SharedSpark, SparkEntry, Tables}
+
+/** The persisted-index contract: a batch deduped against the SAVED LSH
+  * state must equal the in-query q80 result; an IVF probe over the SAVED
+  * index must equal the in-query q34 result; and appending a batch to the
+  * store must equal rebuilding the store over the union — so the one-time
+  * corpus build really is one-time. */
+class IndexStoreSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-idx-$tag").toString
+
+  test("incremental dedup over the persisted LSH index == in-query q80") {
+    val docs = Tables.load(spark, sf, "documents")
+    val standing = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+
+    val path = tmp("lsh")
+    IndexStore.saveLshIndex(standing, path)
+    val got = IndexStore.incrementalDedup(batch,
+        IndexStore.loadLshBands(spark, path),
+        IndexStore.loadLshShingles(spark, path))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getInt(2)))
+
+    val want = SparkEntry.queries("q80_incremental_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getInt(2)))
+
+    assert(got.length === want.length)
+    assert(got.sameElements(want))
+  }
+
+  test("appendLshBatch == rebuilding the index over the union") {
+    val docs = Tables.load(spark, sf, "documents")
+    val standing = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+
+    val incr = tmp("lsh-incr")
+    IndexStore.saveLshIndex(standing, incr)
+    IndexStore.appendLshBatch(batch, incr)
+    val full = tmp("lsh-full")
+    IndexStore.saveLshIndex(docs, full)
+
+    def bandSet(p: String) = IndexStore.loadLshBands(spark, p)
+      .select("doc_id", "bi", "bh").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    def shSet(p: String) = IndexStore.loadLshShingles(spark, p)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    assert(bandSet(incr) === bandSet(full))
+    assert(shSet(incr) === shSet(full))
+  }
+
+  test("IVF search over the persisted index == in-query q34") {
+    val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("en"))
+    val path = tmp("ivf")
+    IndexStore.saveIvfIndex(emb, path)
+
+    val got = IndexStore.searchIvf(spark, path, queryVecId = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = SparkEntry.queries("q34_ivf_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(want))
+  }
+
+  test("persisted IVF vector table prunes to the probed coarse-cell partition") {
+    val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("en"))
+    val path = tmp("ivf-prune")
+    IndexStore.saveIvfIndex(emb, path)
+    val (assigned, _, _) = IndexStore.loadIvfIndex(spark, path)
+    // A literal ccid filter must reach the scan as a partition filter: the
+    // pruned read is what makes per-probe IO N^(3/4)-ish, not O(N).
+    val someCcid = assigned.select("ccid").limit(1).collect()(0).getLong(0)
+    val plan = assigned.filter(col("ccid") === someCcid)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*ccid[^\\]]*\\].*"),
+      s"expected a ccid partition filter in:\n$plan")
+  }
+}
