@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,37 +8,89 @@ import graft.operators.{Dedup, TextOps}
 
 /** End-to-end corpus curation as a CLI — the training-data twin of the
   * `graft.cve.Main` workflow tool. Chains the verified operator shapes
-  * (q21 exact dedup, q22/q47/q58 near-dup keep-set, q61 redaction, q60
-  * bounded-histogram quality cut, q51 √N-blocked packing) over any
-  * `documents.parquet` corpus and lands a curated+packed parquet plus one
-  * JSON stats line (also written to `<outDir>/stats.json`):
+  * (q21 exact dedup, q85 boilerplate strip, q22/q47/q58 near-dup keep-set,
+  * q62 decontamination, q61 redaction, q60 bounded-histogram quality cut,
+  * q51 √N-blocked packing) over any `documents.parquet` corpus and lands a
+  * curated+packed parquet plus one JSON stats line (also written to
+  * `<outDir>/stats.json`):
   *
-  *   sbt "runMain graft.Curate <docsDir> <outDir> [tokenBudget]"
+  *   sbt "runMain graft.Curate <docsDir> <outDir> [tokenBudget]
+  *        [--strip-boilerplate] [--bp-df N] [--bench <parquet>]
+  *        [--contam-k N] [--tau X]"
+  *
+  * The two transform stages the r6 verdict flagged as query-only are now
+  * pipeline stages, both OFF by default (the 5-stage default chain is
+  * unchanged — stress history stays comparable):
+  *   --strip-boilerplate   q85: remove cross-document-frequent 8-gram
+  *                         spans (df ≥ --bp-df, default 3) after exact
+  *                         dedup, BEFORE near-dup/quality — so template
+  *                         chrome neither glues unrelated docs into one
+  *                         near-dup component nor inflates quality scores.
+  *   --bench <parquet>     q62: drop docs sharing ≥ --contam-k (default 5)
+  *                         distinct shingles with any doc of the held-out
+  *                         eval set at <parquet> (a documents-shaped
+  *                         table). The benchmark shingle set broadcasts;
+  *                         the corpus side stays one narrow scan.
   *
   * Every stage is the library operator, not a reimplementation, so the
   * scale posture is exactly what the per-operator specs pin: one hash
-  * window for exact dedup, bounded-bucket LSH pairs + pointer-jumping CC
-  * for near-dups, codegen'd projections for redaction, groups×4096
+  * window for exact dedup, broadcast boilerplate set + one keyed
+  * re-assembly agg for the strip, bounded-bucket LSH pairs +
+  * pointer-jumping CC for near-dups, broadcast benchmark shingles for
+  * decontamination, codegen'd projections for redaction, groups×4096
   * histogram state for the cut, and a √N-bounded prefix sum for packing.
   */
 object Curate {
 
+  case class Config(
+      docsDir: String,
+      outDir: String,
+      budget: Long = 2048L,
+      stripBoilerplate: Boolean = false,
+      boilerDf: Int = Dedup.BoilerDf,
+      benchPath: Option[String] = None,
+      contamK: Int = Dedup.ContamK,
+      tau: Double = Dedup.JaccardTau)
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Curate <docsDir> <outDir> [tokenBudget]")
-    val budget = if (args.length > 2) args(2).toLong else 2048L
+    val cfg = parse(args.toList)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = Sessions.builder(s"local[$cpus]", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(run(spark, args(0), args(1), budget))
+    println(run(spark, cfg))
     spark.stop()
   }
 
-  /** Runs the pipeline; returns the JSON stats line. */
+  private def parse(args: List[String]): Config = {
+    val usage = "usage: Curate <docsDir> <outDir> [tokenBudget] " +
+      "[--strip-boilerplate] [--bp-df N] [--bench <parquet>] [--contam-k N] [--tau X]"
+    def loop(rest: List[String], cfg: Config): Config = rest match {
+      case Nil => cfg
+      case "--strip-boilerplate" :: t => loop(t, cfg.copy(stripBoilerplate = true))
+      case "--bp-df" :: v :: t => loop(t, cfg.copy(boilerDf = v.toInt))
+      case "--bench" :: v :: t => loop(t, cfg.copy(benchPath = Some(v)))
+      case "--contam-k" :: v :: t => loop(t, cfg.copy(contamK = v.toInt))
+      case "--tau" :: v :: t => loop(t, cfg.copy(tau = v.toDouble))
+      case v :: t if !v.startsWith("--") && cfg.budget == 2048L =>
+        loop(t, cfg.copy(budget = v.toLong))
+      case other => sys.error(s"$usage (unparsed: $other)")
+    }
+    args match {
+      case docsDir :: outDir :: rest => loop(rest, Config(docsDir, outDir))
+      case _ => sys.error(usage)
+    }
+  }
+
+  /** Positional-compat entry (Stress, older callers): the 5-stage chain. */
   def run(spark: SparkSession, docsDir: String, outDir: String,
-      budget: Long): String = {
-    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+      budget: Long): String =
+    run(spark, Config(docsDir, outDir, budget))
+
+  /** Runs the pipeline; returns the JSON stats line. */
+  def run(spark: SparkSession, cfg: Config): String = {
+    val docs = spark.read.parquet(s"${cfg.docsDir}/documents.parquet")
     val nIn = docs.count()
 
     // 1. Exact dedup: canonical word-multiset hash, min-id keeper (q21).
@@ -51,25 +103,50 @@ object Curate {
       .localCheckpoint(true) // barrier: three downstream consumers
     val nExact = exact.count()
 
-    // 2. Near-dup keep-set: inverted-index Jaccard pairs → connected
+    // 2. (optional) Boilerplate strip (q85): replace text with the
+    //    cover-stripped re-assembly; docs reduced to nothing drop out.
+    //    Runs BEFORE near-dup so shared template chrome can't glue
+    //    unrelated docs into one component. The cleaned frame fans out
+    //    to every downstream stage — barrier it (the q54/q73 pattern).
+    val stripped =
+      if (!cfg.stripBoilerplate) exact
+      else exact.drop("text")
+        .join(Dedup.boilerplateStrip(exact, cfg.boilerDf)
+            .filter(col("cleaned").isNotNull && trim(col("cleaned")) =!= "")
+            .select(col("doc_id"), col("cleaned").as("text")),
+          Seq("doc_id"))
+        .localCheckpoint(true)
+    val nStripped = if (cfg.stripBoilerplate) stripped.count() else nExact
+
+    // 3. Near-dup keep-set: inverted-index Jaccard pairs → connected
     //    components → keep the component label (its min doc_id) (q58).
-    val edges = Dedup.jaccardPairs(exact).select("a", "b").persist()
+    val edges = Dedup.jaccardPairs(stripped, cfg.tau).select("a", "b").persist()
     val comp = Dedup.connectedComponents(edges)
     edges.unpersist()
-    val kept = exact
+    val kept = stripped
       .join(comp.select(col("v").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
       .filter(col("lbl").isNull || col("lbl") === col("doc_id"))
       .drop("lbl")
     val nKept = kept.count()
 
-    // 3. PII redaction: emails first (they contain digit runs), then digit
+    // 4. (optional) Eval-set decontamination (q62): drop docs sharing
+    //    ≥ contamK distinct shingles with the held-out benchmark.
+    val decon = cfg.benchPath match {
+      case None => kept
+      case Some(bp) =>
+        kept.join(Dedup.contaminatedDocs(kept, spark.read.parquet(bp), cfg.contamK),
+          Seq("doc_id"), "left_anti")
+    }
+    val nDecon = if (cfg.benchPath.isDefined) decon.count() else nKept
+
+    // 5. PII redaction: emails first (they contain digit runs), then digit
     //    runs — the q61 two-pass order, a pure codegen'd projection.
-    val redacted = kept.withColumn("text",
+    val redacted = decon.withColumn("text",
       regexp_replace(
         regexp_replace(col("text"), TextOps.EmailRe, "<EMAIL>"),
         TextOps.NumRe, "<NUM>"))
 
-    // 4. Quality cut at the per-language bounded-histogram median (q60).
+    // 6. Quality cut at the per-language bounded-histogram median (q60).
     //    The scored frame fans out (threshold + filter join) — barrier it
     //    (the q54/q73 pattern).
     val scored = TextOps.qualityScored(redacted)
@@ -81,21 +158,21 @@ object Curate {
       .filter(col("score") >= col("thr"))
       .select("doc_id", "tokens")
 
-    // 5. Token-budget packing via the √N-blocked distributed prefix sum
+    // 7. Token-budget packing via the √N-blocked distributed prefix sum
     //    (q51) — pack_id = which budget-sized bin the doc starts in.
     val packed = TextOps.prefixSum(surv)
-      .withColumn("pack_id", expr(s"(cum - tokens) div $budget"))
+      .withColumn("pack_id", expr(s"(cum - tokens) div ${cfg.budget}"))
       .select("doc_id", "tokens", "pack_id")
 
     val out = redacted.join(packed, Seq("doc_id"))
-    out.write.mode("overwrite").parquet(s"$outDir/curated.parquet")
-    val written = spark.read.parquet(s"$outDir/curated.parquet")
+    out.write.mode("overwrite").parquet(s"${cfg.outDir}/curated.parquet")
+    val written = spark.read.parquet(s"${cfg.outDir}/curated.parquet")
     val nOut = written.count()
     val nPacks = written.agg(countDistinct("pack_id")).head().getLong(0)
 
     val json =
-      s"""{"docs_in":$nIn,"after_exact_dedup":$nExact,"after_neardup":$nKept,"after_quality_cut":$nOut,"packs":$nPacks,"token_budget":$budget,"out":"$outDir/curated.parquet"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/stats.json"),
+      s"""{"docs_in":$nIn,"after_exact_dedup":$nExact,"after_boilerplate":$nStripped,"after_neardup":$nKept,"after_decontam":$nDecon,"after_quality_cut":$nOut,"packs":$nPacks,"token_budget":${cfg.budget},"out":"${cfg.outDir}/curated.parquet"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"${cfg.outDir}/stats.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     json
   }

@@ -38,6 +38,11 @@ object Dedup {
     * batch doc a duplicate of the corpus (or of an earlier batch doc). */
   val IncTau = 0.5
 
+  /** q82/q85 boilerplate: span length (words) and the document-frequency
+    * threshold above which an n-gram counts as boilerplate. */
+  val BoilerN = 8
+  val BoilerDf = 3
+
   /** Word n-gram shingles per document, WITH duplicates — narrow, no
     * shuffle. Callers that need set semantics either `.distinct()` (one
     * shuffle) or dedupe inside their own aggregation (collect_set). */
@@ -51,6 +56,54 @@ object Dedup {
   /** Distinct word n-gram shingles per document. */
   def shingles(docs: DataFrame, n: Int = ShingleN): DataFrame =
     shinglesRaw(docs, n).distinct()
+
+  /** q85's core, reusable from the Curate pipeline: strip every occurrence
+    * of a cross-document-frequent BoilerN-gram (df ≥ minDf) from each
+    * document. Returns (doc_id, cleaned, n_removed); docs under BoilerN
+    * words pass through untouched, a pure-boilerplate doc comes out with
+    * cleaned = NULL. Shapes (pinned by the q85 oracle): one hash shuffle
+    * builds the boilerplate set (small by nature — AQE broadcasts it into
+    * the position join), cover-expansion is a ≤BoilerN× narrow explode of
+    * start positions, re-assembly is one doc_id-keyed aggregation. */
+  def boilerplateStrip(docs: DataFrame, minDf: Int = BoilerDf): DataFrame = {
+    val n = BoilerN
+    val w = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+    val pos = w.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("i", "wd")))
+    val sh8 = w.filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> struct(i AS i, concat_ws(' ', slice(w, i + 1, $n)) AS s))")).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.s").as("s"))
+    val bp = sh8.groupBy("s").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf).select("s")
+    val cov = sh8.join(bp, Seq("s"))
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("ci"))
+      .distinct()
+    val kept = pos.join(cov,
+        pos("doc_id") === cov("doc_id") && pos("i") === cov("ci"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", expr("transform(array_sort(collect_list(struct(i, wd))), x -> x.wd)")).as("cleaned"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), size(split(trim(col("text")), " ")).cast("long").as("n0"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cleaned"),
+        (col("n0") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** q62's core, reusable from the Curate pipeline: doc_ids of `docs`
+    * sharing ≥ k distinct shingles with ANY document of `bench` (the
+    * held-out eval set — small by nature, its shingle set broadcasts; the
+    * corpus side stays a raw narrow scan into the broadcast equi-join,
+    * set-dedup on matched rows only). */
+  def contaminatedDocs(docs: DataFrame, bench: DataFrame, k: Int = ContamK): DataFrame = {
+    val benchSh = shinglesRaw(bench).select("s").distinct()
+    shinglesRaw(docs)
+      .join(broadcast(benchSh), Seq("s"))
+      .select("doc_id", "s").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= k)
+      .select("doc_id")
+  }
 
   /** DuckDB twin of `shingles` as a CTE body (n = 3). */
   private val shingleCte =
@@ -600,13 +653,13 @@ object Dedup {
         // TakeOrderedAndProject, never a global sort. Document frequency
         // (distinct docs, not occurrences) is the boilerplate measure: a
         // doc repeating its own phrase is q78's business, not this one's.
-        shinglesRaw(Tables.load(s, dir, "documents"), 8)
+        shinglesRaw(Tables.load(s, dir, "documents"), BoilerN)
           .groupBy("s").agg(countDistinct("doc_id").as("df"))
-          .filter(col("df") >= 3)
+          .filter(col("df") >= BoilerDf)
           .orderBy(col("df").desc, col("s"))
           .limit(20)
       },
-      Some("""WITH w AS (
+      Some(s"""WITH w AS (
              |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
              |  WHERE len(string_split(trim(text), ' ')) >= 8),
              |sh8 AS (
@@ -614,7 +667,7 @@ object Dedup {
              |         unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS s
              |  FROM w)
              |SELECT s, count(DISTINCT doc_id) AS df FROM sh8
-             |GROUP BY s HAVING df >= 3
+             |GROUP BY s HAVING df >= $BoilerDf
              |ORDER BY df DESC, s LIMIT 20""".stripMargin)),
 
     // ── Boilerplate span removal: strip frequent 8-gram spans from docs ──
@@ -630,31 +683,9 @@ object Dedup {
         // narrow explode of START positions only, and re-assembly is one
         // doc_id-keyed aggregation. Docs under 8 words pass through
         // untouched; a doc that is pure boilerplate comes out NULL.
-        val docs = Tables.load(s, dir, "documents")
-        val w = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-        val pos = w.select(col("doc_id"),
-          posexplode(col("w")).as(Seq("i", "wd")))
-        val sh8 = w.filter(size(col("w")) >= 8)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(w) - 8), i -> struct(i AS i, concat_ws(' ', slice(w, i + 1, 8)) AS s))")).as("p"))
-          .select(col("doc_id"), col("p.i").as("i"), col("p.s").as("s"))
-        val bp = sh8.groupBy("s").agg(countDistinct("doc_id").as("df"))
-          .filter(col("df") >= 3).select("s")
-        val cov = sh8.join(bp, Seq("s"))
-          .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("ci"))
-          .distinct()
-        val kept = pos.join(cov,
-            pos("doc_id") === cov("doc_id") && pos("i") === cov("ci"), "left_anti")
-          .groupBy("doc_id")
-          .agg(concat_ws(" ", expr("transform(array_sort(collect_list(struct(i, wd))), x -> x.wd)")).as("cleaned"),
-            count(lit(1)).as("n_kept"))
-        docs.select(col("doc_id"), size(split(trim(col("text")), " ")).cast("long").as("n0"))
-          .join(kept, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("cleaned"),
-            (col("n0") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
-          .orderBy("doc_id")
+        boilerplateStrip(Tables.load(s, dir, "documents")).orderBy("doc_id")
       },
-      Some("""WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
              |pos AS (
              |  SELECT doc_id, p.i AS i, p.wd AS wd FROM (
              |    SELECT doc_id, unnest([struct_pack(i := i - 1, wd := w[i])
@@ -666,7 +697,7 @@ object Dedup {
              |                           for i in range(1, len(w) - 6)]) AS p
              |    FROM w WHERE len(w) >= 8)),
              |bp AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df FROM sh8 GROUP BY s)
-             |       WHERE df >= 3),
+             |       WHERE df >= $BoilerDf),
              |cov AS (
              |  SELECT DISTINCT doc_id, ci FROM (
              |    SELECT doc_id, unnest([i + d for d in range(0, 8)]) AS ci
