@@ -40,6 +40,15 @@ import org.apache.spark.sql.functions._
   *     keep-set → redact → quality cut → pack → parquet) at 1x and
   *     <mult>x (same inflation as `lsh`). Reports wall and the stage
   *     stats line at both scales — the whole-pipeline scaling number.
+  *
+  *   incdedup <sfDir> <mult>
+  *     The persisted-state claim (IndexStore): build the LSH index over a
+  *     1x and a <mult>x standing corpus (one-time cost, linear), then
+  *     dedupe the SAME fixed batch (the sf corpus's doc_id % 4 == 0 docs,
+  *     re-keyed disjoint) against each. Reports index-build wall and
+  *     per-batch dedup wall at both corpus sizes — the per-batch number
+  *     growing much slower than <mult> is what certifies that batches pay
+  *     for the batch, not for the corpus.
   */
 object Stress {
 
@@ -62,6 +71,8 @@ object Stress {
         lsh(spark, args(1), args(2).toInt)
       case Some("curate") =>
         curate(spark, args(1), args(2).toInt)
+      case Some("incdedup") =>
+        incDedup(spark, args(1), args(2).toInt)
       case other =>
         sys.error(s"usage: cc <edges> <vertices> [reliable] | annknn <sfDir> <mult> (got $other)")
     }
@@ -160,32 +171,72 @@ object Stress {
     }
   }
 
+  def incDedup(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    import operators.IndexStore
+    // Fixed batch at BOTH corpus sizes: the sf corpus's % 4 == 0 docs,
+    // re-keyed to negative ids so they're disjoint from any inflated id.
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 4 === 0)
+      .withColumn("doc_id", -col("doc_id") - 1)
+      .localCheckpoint(true)
+    val nBatch = batch.count()
+    Seq(("base", 1), (s"${mult}x", mult)).foreach { case (tag, m) =>
+      val corpus = inflateDocs(spark, sfDir, m)
+      val n = corpus.count()
+      val idx = scratch("incdedup-idx", sfDir, m)
+      val t0 = System.nanoTime()
+      IndexStore.saveLshIndex(corpus, idx)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val batchSec = (1 to 3).map { _ =>
+        val t1 = System.nanoTime()
+        IndexStore.incrementalDedup(batch,
+            IndexStore.loadLshBands(spark, idx),
+            IndexStore.loadLshShingles(spark, idx))
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t1) / 1e9
+      }.min
+      val dups = IndexStore.incrementalDedup(batch,
+          IndexStore.loadLshBands(spark, idx),
+          IndexStore.loadLshShingles(spark, idx))
+        .filter(col("keep") === 0).count()
+      println(f"""{"mode":"incdedup","corpus":"$tag","n":$n,"batch":$nBatch,"build_sec":$buildSec%.1f,"batch_sec_min3":$batchSec%.1f,"dups":$dups}""")
+    }
+  }
+
   def annKnn(spark: SparkSession, sfDir: String, mult: Int): Unit = {
     val bigDir = scratch("annknn", sfDir, mult)
     inflate(spark, sfDir, mult).write.mode("overwrite")
       .parquet(s"$bigDir/embeddings.parquet")
-    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+    Seq(("base", sfDir, 1), (s"${mult}x", bigDir, mult)).foreach { case (tag, dir, m) =>
       val raw = Tables.embeddings(spark, dir)
       val n = raw.count()
       val emb = operators.Vectors.withNormalized(raw).select(col("vec_id"), col("en"))
       val cand = operators.Vectors
         .srpCandidates(emb, operators.Vectors.srpParams(raw))
-      // Per-vector candidate fan-in: each (a,b) pair lands on both ends —
-      // this is exactly the row count entering q59's vec_id-keyed window.
-      val stats = cand.select(explode(array(col("a"), col("b"))).as("v"))
-        .groupBy("v").count()
-        .agg(count(lit(1)).as("touched"), sum("count").as("cand2"),
-          max("count").as("maxPerVec"))
+        .withColumn("sib", expr(s"(a div $m) = (b div $m)"))
+      // Sibling pairs (same inflation parent, cos ≈ 0.9 by construction)
+      // are TRUE near-duplicates the index is supposed to surface — their
+      // per-vector count grows with mult because the corpus really does
+      // contain mult-1 near-dups per vector (recall, not blocking decay).
+      // The blocking-linearity certificate is the CROSS-parent rate: at a
+      // bucket-healthy r it stays near the base rate at any corpus size.
+      val stats = cand
+        .select(col("sib"), explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"),
+          sum(when(col("sib"), 1L).otherwise(0L)).as("sibc"))
+        .agg(sum("c").as("cand2"), sum("sibc").as("sib2"),
+          max("c").as("maxPerVec"))
         .head()
-      val pairs = stats.getLong(1) / 2
-      val perVec = stats.getLong(1).toDouble / n
+      val pairs = stats.getLong(0) / 2
+      val perVec = stats.getLong(0).toDouble / n
+      val xPerVec = (stats.getLong(0) - stats.getLong(1)).toDouble / n
       val q59sec = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries("q59_ann_knn_join")(spark, dir)
           .queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }.min
-      println(f"""{"mode":"annknn","corpus":"$tag","n":$n,"pairs":$pairs,"pairs_per_vec":$perVec%.1f,"max_per_vec":${stats.getLong(2)},"q59_sec_min3":$q59sec%.1f}""")
+      println(f"""{"mode":"annknn","corpus":"$tag","n":$n,"pairs":$pairs,"pairs_per_vec":$perVec%.1f,"xpairs_per_vec":$xPerVec%.1f,"max_per_vec":${stats.getLong(2)},"q59_sec_min3":$q59sec%.1f}""")
     }
   }
 }

@@ -101,5 +101,9 @@ object GraftFunctions {
       FunctionIdentifier("graft_repstats"),
       new ExpressionInfo(classOf[RepStats].getName, "graft_repstats"),
       (children: Seq[Expression]) => RepStats(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_srpkeys"),
+      new ExpressionInfo(classOf[SrpKeys].getName, "graft_srpkeys"),
+      (children: Seq[Expression]) => SrpKeys(children(0), children(1), children(2)))
   }
 }

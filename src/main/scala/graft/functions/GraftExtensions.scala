@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_repstats"),
       new ExpressionInfo(classOf[RepStats].getName, "graft_repstats"),
       (children: Seq[Expression]) => RepStats(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_srpkeys"),
+      new ExpressionInfo(classOf[SrpKeys].getName, "graft_srpkeys"),
+      (children: Seq[Expression]) => SrpKeys(children(0), children(1), children(2))))
     // Declarative aggregate(zip_with(...)) dot folds → codegen'd DotProduct
     // (bit-identical; see DotFoldRewrite).
     ext.injectOptimizerRule(_ => DotFoldRewrite)

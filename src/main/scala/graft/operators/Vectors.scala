@@ -76,24 +76,32 @@ object Vectors {
   val SemTau = 0.25
   val SemCap = 8
 
-  // ── SRP-LSH (q33) parameters ──
-  val SrpBands = 8
+  // ── SRP-LSH (q33) parameters (single source of truth: functions.SrpKeys,
+  // whose codegen'd loop must agree with these) ──
+  val SrpBands: Int = graft.functions.SrpKeys.Bands
   /** Sign bits per band cap: 2^32 buckets/band keeps expected bucket
     * occupancy O(1) to ~10^10 vectors. Plane set size is
     * SrpBands * SrpMaxRows = 256, but only r ≤ 32 rows per band are ever
-    * evaluated per vector (lazy CASE in `srpCandidates`). */
-  val SrpMaxRows = 32
+    * evaluated per vector (the SrpKeys loop runs k < r). */
+  val SrpMaxRows: Int = graft.functions.SrpKeys.MaxRows
   val SrpMinRows = 4
+
+  /** Rows 0-15 of every band keep the original 16-aligned plane layout —
+    * band keys are BIT-IDENTICAL to the pre-lift engine for any corpus
+    * where r ≤ 16 (≈130k vectors), so lifting the cap re-rolled no plane
+    * luck at tested scales; rows 16-31 extend each band from the fresh
+    * 128..255 plane block. A FIXED (band, row) → plane indexing
+    * independent of the data-derived r, so the whole plane set is a
+    * compile-time-shaped structure the plan can carry. */
+  def srpPlaneIdx(band: Int, row: Int): Int =
+    graft.functions.SrpKeys.planeIdx(band, row)
 
   /** Deterministic ±1 hyperplane components from MD5 — engine-portable:
     * component i of plane j is +1 iff the first hex nibble of
-    * md5("srp:j:i") is >= 8. Plane j = band*32 + row, a FIXED (band, row)
-    * indexing independent of the data-derived r, so the whole plane set is
-    * a compile-time-shaped structure the plan can carry. The oracle derives
-    * the SAME planes with its own md5(), so no literals need to match
-    * across engines by accident. (Kept as the reference derivation for
-    * specs; the query path builds the same planes in-plan, see
-    * `srpParams`.) */
+    * md5("srp:j:i") is >= 8. The oracle derives the SAME planes with its
+    * own md5(), so no literals need to match across engines by accident.
+    * (Kept as the reference derivation for specs; the query path builds
+    * the same planes in-plan, see `srpParams`.) */
   def srpPlane(j: Int, dim: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dim) { i =>
@@ -124,34 +132,24 @@ object Vectors {
   }
 
   /** SRP-LSH candidate pairs `(a, b)` with a < b over a normalized corpus
-    * `(vec_id, en)`: 8 bands; the sign bits per band are codegen'd
-    * projections guarded by a lazy CASE on the broadcast r — rows ≥ r
-    * short-circuit to '0' without evaluating the dot product (CaseWhen
-    * codegen is branch-lazy), exactly mirroring the oracle's
-    * `WHERE j % SrpMaxRows < r` — and the band key keeps the first r of
-    * them (r rides in on the 1-ROW broadcast params frame — the only
-    * non-equi join anywhere on this path, and PlanSpec pins that every
-    * such product's build side is a provably-1-row subplan; the BLOCKING
-    * join below stays a bucket equi-join). Shared by q33 (near-dup) and
-    * q59 (kNN join) — the blocking structure is the same; only the
-    * verification differs. */
+    * `(vec_id, en)`: SrpBands band keys of r sign bits each, computed by
+    * the codegen'd graft_srpkeys expression (functions/SrpKeys) — one
+    * primitive loop of exactly SrpBands·r dot products per vector, with r
+    * riding in on the 1-ROW broadcast params frame (the only non-equi join
+    * anywhere on this path, and PlanSpec pins that every such product's
+    * build side is a provably-1-row subplan; the BLOCKING join below stays
+    * a bucket equi-join). The wide-Project formulation this replaced
+    * (SrpBands·SrpMaxRows = 256 CASE-guarded bit columns + per-band
+    * concat) measured ~+0.5 s per evaluation at sf0.1 once the row cap was
+    * lifted to 32 — generated-code bulk, not algorithm. Shared by q33
+    * (near-dup) and q59 (kNN join) — the blocking structure is the same;
+    * only the verification differs. */
   def srpCandidates(emb: DataFrame, params: DataFrame): DataFrame = {
-    val withP = emb.crossJoin(broadcast(params))
-    val bitCols = (0 until SrpBands * SrpMaxRows).map { j =>
-      when(col("r") > lit(j % SrpMaxRows),
-        when(dot(col("en"), element_at(col("planes"), j + 1)) >= 0, "1")
-          .otherwise("0"))
-        .otherwise("0").as(s"bit$j")
-    }
-    val withBits = withP.select(Seq(col("vec_id"), col("r")) ++ bitCols: _*)
-    val bands = (0 until SrpBands).map { k =>
-      struct(lit(k).as("bi"),
-        concat((k * SrpMaxRows until (k + 1) * SrpMaxRows).map(j => col(s"bit$j")): _*)
-          .substr(lit(1), col("r")).as("key"))
-    }
-    val bx = withBits
-      .select(col("vec_id"), explode(array(bands: _*)).as("e"))
-      .select(col("vec_id"), col("e.bi").as("bi"), col("e.key").as("key"))
+    GraftFunctions.register(emb.sparkSession)
+    val bx = emb.crossJoin(broadcast(params))
+      .select(col("vec_id"),
+        posexplode(call_function("graft_srpkeys",
+          col("en"), col("planes"), col("r"))).as(Seq("bi", "key")))
     bx.as("x").join(bx.as("y"),
         col("x.bi") === col("y.bi") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -160,27 +158,33 @@ object Vectors {
   }
 
   /** DuckDB twin of `srpParams` + `srpCandidates` as a CTE chain ending in
-    * `cand(a, b)`; prepend `$normCte`. Planes are (band, row)-indexed:
-    * plane j serves band j // 16, row j % 16; a band's key is its rows
-    * < r, in j order. */
-  private def srpCandCtes: String =
+    * `cand(a, b)`; prepend `$normCte`. The (band, row) → plane map mirrors
+    * `srpPlaneIdx`: planes < 128 serve band j // 16 row j % 16 (the
+    * original 16-aligned layout), planes ≥ 128 serve band (j-128) // 16
+    * row 16 + (j-128) % 16; a band's key is its rows < r, in row order. */
+  private def srpCandCtes: String = {
+    val legacy = 16 * SrpBands // 128: boundary between the two plane blocks
     s"""par AS (SELECT least($SrpMaxRows, greatest($SrpMinRows,
        |               CAST(ceil(log2(count(*))) AS INT) - 1)) AS r FROM vn),
        |dimp AS (SELECT len(en) AS dim FROM vn LIMIT 1),
        |pl AS (
-       |  SELECT j, [CASE WHEN strpos('89abcdef', substr(md5('srp:' || j || ':' || i), 1, 1)) > 0
-       |             THEN 1.0 ELSE -1.0 END for i in range(0, dim)] AS p
+       |  SELECT j,
+       |         CASE WHEN j < $legacy THEN j // 16 ELSE (j - $legacy) // 16 END AS bi,
+       |         CASE WHEN j < $legacy THEN j % 16 ELSE 16 + (j - $legacy) % 16 END AS rw,
+       |         [CASE WHEN strpos('89abcdef', substr(md5('srp:' || j || ':' || i), 1, 1)) > 0
+       |          THEN 1.0 ELSE -1.0 END for i in range(0, dim)] AS p
        |  FROM range(0, ${SrpBands * SrpMaxRows}) t(j), dimp),
        |bits AS (
-       |  SELECT vec_id, j,
+       |  SELECT vec_id, bi, rw,
        |         CASE WHEN ${dotSql("en", "p")} >= 0 THEN '1' ELSE '0' END AS bit
-       |  FROM vn, pl, par WHERE j % $SrpMaxRows < par.r),
+       |  FROM vn, pl, par WHERE rw < par.r),
        |bx AS (
-       |  SELECT vec_id, j // $SrpMaxRows AS bi, string_agg(bit, '' ORDER BY j) AS key
-       |  FROM bits GROUP BY vec_id, j // $SrpMaxRows),
+       |  SELECT vec_id, bi, string_agg(bit, '' ORDER BY rw) AS key
+       |  FROM bits GROUP BY vec_id, bi),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
        |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.key = y.key AND x.vec_id < y.vec_id)""".stripMargin
+  }
 
   /** Neighbors reported per vector by the q59 kNN join. */
   val KnnK = 3
@@ -533,10 +537,47 @@ object Vectors {
     (assigned, fineCells)
   }
 
+  /** Argmax over a centroid list via array_max of struct(csim, -id): ties
+    * pick the smallest id. */
+  private def argmaxNeg(v: Column, cells: Column, id: String): Column =
+    -array_max(transform(cells,
+      c => struct(dot(v, c("cn")).as("csim"), (-c(id)).as("neg"))))("neg")
+
+  /** The narrow two-hop assignment: coarse cell via the broadcast array,
+    * fine cell via the joined cell's centroid list — no Exchange on the
+    * corpus side. */
+  private def assignCells(emb: DataFrame, coarseArr: DataFrame,
+      fineCells: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"), col("en"),
+        argmaxNeg(col("en"), col("cc"), "ccid").as("ccid"))
+      .join(broadcast(fineCells), Seq("ccid"))
+      .select(col("vec_id"), col("en"), col("ccid"),
+        argmaxNeg(col("en"), col("fc"), "cid").as("cid"))
+
   /** `ivfAssigned` plus the broadcast coarse-centroid array (1-row frame
     * `cc`) — q77's multi-probe needs to rank the coarse cells the same way
-    * assignment does. */
-  def ivfIndex(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    * assignment does.
+    *
+    * `refine` > 0 runs that many Lloyd rounds over the FINE centroids
+    * (per-cell normalized mean of the assigned vectors, then reassign —
+    * spherical k-means, barrier'd per round like connectedComponents): the
+    * deterministic stride seeding is a structural placeholder, and on
+    * clustered real-world embeddings one or two rounds move the centroids
+    * onto the actual cluster structure (VectorsRefineSpec pins recall@5
+    * non-decreasing). Each round is one dim-exploded shuffle (the
+    * per-(cid, dim) mean) over the corpus — the same linear cost as one
+    * assignment pass — plus a localCheckpoint barrier so the loop's plan
+    * doesn't nest. refine = 0 (the catalog default) is exactly the
+    * zero-job plan construction the JobCountSpec pin covers; centroid ids
+    * keep their seed vec_ids across rounds, and a cell left empty by
+    * reassignment drops out (k shrinks — standard Lloyd behavior). The
+    * COARSE routing level stays fixed: it only partitions the fine
+    * centroids, and keeping it frozen preserves the broadcast structure
+    * (refined fine centroids are re-routed to their nearest coarse cell
+    * each round). */
+  def ivfIndex(emb: DataFrame, refine: Int = 0): (DataFrame, DataFrame, DataFrame) = {
+    GraftFunctions.register(emb.sparkSession)
     // (n → k, step, k1, step1) folded into the plan as a broadcast 1-row
     // aggregate — exactly the oracle's `par` CTE shape — instead of a
     // driver-side emb.count() job (VERDICT r3 #4). count(1) prunes every
@@ -552,23 +593,31 @@ object Vectors {
       .select(col("vec_id").as("cid"), col("en").as("cn"), col("step"), col("step1"))
     val coarseArr = cents.filter(expr("(cid div step) % step1 = 0"))
       .agg(array_sort(collect_list(struct(col("cid").as("ccid"), col("cn")))).as("cc"))
-    // Argmax via array_max over struct(csim, -id): ties pick the smallest id.
-    def argmaxNeg(v: Column, cells: Column, id: String): Column =
-      -array_max(transform(cells,
-        c => struct(dot(v, c("cn")).as("csim"), (-c(id)).as("neg"))))("neg")
-    val fineCells = cents.crossJoin(broadcast(coarseArr))
+    val fineCells0 = cents.crossJoin(broadcast(coarseArr))
       .select(argmaxNeg(col("cn"), col("cc"), "ccid").as("ccid"), col("cid"), col("cn"))
       .groupBy("ccid")
       .agg(array_sort(collect_list(struct(col("cid"), col("cn")))).as("fc"))
+    val fineCells = (1 to refine).foldLeft(fineCells0) { (fc, _) =>
+      // Lloyd round: normalized per-cell mean (dim-exploded — one linear
+      // shuffle keyed by (cid, dim), partial aggregation applies), then
+      // re-route the moved centroids to their nearest coarse cell.
+      val means = assignCells(emb, coarseArr, fc)
+        .select(col("cid"), posexplode(col("en")).as(Seq("i", "x")))
+        .groupBy("cid", "i").agg(sum("x").as("sx"), count(lit(1)).as("c"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("i"), (col("sx") / col("c")).as("m")))).as("ms"))
+        .select(col("cid"),
+          call_function("graft_l2norm", expr("transform(ms, s -> s.m)")).as("cn"))
+      means.crossJoin(broadcast(coarseArr))
+        .select(argmaxNeg(col("cn"), col("cc"), "ccid").as("ccid"), col("cid"), col("cn"))
+        .groupBy("ccid")
+        .agg(array_sort(collect_list(struct(col("cid"), col("cn")))).as("fc"))
+        .localCheckpoint(true)
+    }
     // ccid stays on the assigned frame: queries ignore it, but the index
     // store (IndexStore.saveIvfIndex) partitions the persisted corpus by
     // it so probes prune to one coarse cell.
-    val assigned = emb.crossJoin(broadcast(coarseArr))
-      .select(col("vec_id"), col("en"),
-        argmaxNeg(col("en"), col("cc"), "ccid").as("ccid"))
-      .join(broadcast(fineCells), Seq("ccid"))
-      .select(col("vec_id"), col("en"), col("ccid"),
-        argmaxNeg(col("en"), col("fc"), "cid").as("cid"))
+    val assigned = assignCells(emb, coarseArr, fineCells)
     (assigned, fineCells, coarseArr)
   }
 }
