@@ -200,6 +200,100 @@ object Streams {
       .select(unix_micros(col("h")).as("hour_us"), col("event_type"),
         col("b"), col("c"))
 
+  // ── Streaming incremental MinHash-LSH dedup (q80's streaming twin) ──
+
+  /** The testdata documents.parquet schema (file streams need one up
+    * front). */
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocsStream(spark: SparkSession, dir: String,
+      glob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val rd = spark.readStream.schema(docsSchema).option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => rd.option("maxFilesPerTrigger", n))
+    rd.parquet(dir)
+  }
+
+  final case class DupVerdict(doc_id: Long, dup_of: Long)
+
+  /** q80's streaming twin: the standing LSH band index lives in
+    * mapGroupsWithState state (keyed by band bucket), and every
+    * micro-batch's docs are deduplicated against it — corpus docs from
+    * earlier batches count regardless of id, same-batch docs by the
+    * earlier-id greedy rule, both verified by exact shingle Jaccard at
+    * `tau`, exactly q80's decision (StreamsSpec pins parity). A doc can
+    * emit one verdict per colliding bucket; the per-doc `dup_of` is the
+    * min over emissions (a stateless per-batch reduction downstream —
+    * production would fold it in foreachBatch).
+    *
+    * State = the band index plus each member's distinct shingle set, i.e.
+    * exactly the standing state `IndexStore.saveLshIndex` persists between
+    * batch runs — NoTimeout because a standing corpus index must never
+    * evict (it GROWS by design; durability across restarts is the
+    * IndexStore parquet layout, this is the in-stream form). Per-BUCKET
+    * state is LSH-bucket-sized (the same O(1)-occupancy argument as the
+    * batch blocking); the signature/band/shingle derivation is the same
+    * zero-shuffle codegen'd projection the batch path uses. */
+  def incrementalDedupStream(docs: DataFrame,
+      tau: Double = graft.operators.Dedup.IncTau): Dataset[DupVerdict] = {
+    import graft.operators.Dedup
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val n = Dedup.ShingleN
+    val rows = Dedup.NumHashes / Dedup.Bands
+    // One narrow projection carries everything a bucket needs: the band
+    // hashes (same md5-of-signature-slots construction as Dedup.lshBands)
+    // and the doc's distinct shingle set for verification.
+    val base = docs
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .withColumn("sig", call_function("graft_minhash12", col("w")))
+      .withColumn("sh", expr(
+        s"array_distinct(transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n))))"))
+    val bandCols = (0 until Dedup.Bands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r =>
+        element_at(col("sig"), b * rows + r + 1).cast("string")): _*)).as(s"band$b")
+    }
+    val bx = base
+      .select(Seq(col("doc_id"), col("sh")) ++ bandCols: _*)
+      .select(col("doc_id"), col("sh"),
+        explode(array((0 until Dedup.Bands).map(b =>
+          struct(lit(b).as("bi"), col(s"band$b").as("bh"))): _*)).as("e"))
+      .select(col("doc_id"), col("sh"), col("e.bi").as("bi"), col("e.bh").as("bh"))
+      .as[(Long, Seq[String], Int, String)]
+    bx.groupByKey(t => (t._3, t._4))
+      .flatMapGroupsWithState[Seq[(Long, Seq[String])], DupVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Seq[(Long, Seq[String])]]) =>
+          val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[String])]
+          state.getOption.getOrElse(Seq.empty)
+            .foreach { case (id, sh) => members += ((id, sh.toSet)) }
+          val out = scala.collection.mutable.ArrayBuffer.empty[DupVerdict]
+          // id order within the batch = q80's earlier-id greedy rule;
+          // members from earlier batches (the standing corpus) count
+          // regardless of id, like q80's corpus side.
+          rows.toArray.sortBy(_._1).foreach { case (id, shSeq, _, _) =>
+            val sh = shSeq.toSet
+            var best = Long.MaxValue
+            members.foreach { case (mid, msh) =>
+              if (mid != id && mid < best) {
+                val inter = if (msh.size < sh.size) msh.count(sh) else sh.count(msh)
+                val j = inter.toDouble / (msh.size + sh.size - inter)
+                if (j >= tau) best = mid
+              }
+            }
+            if (best != Long.MaxValue) out += DupVerdict(id, best)
+            members += ((id, sh))
+          }
+          state.update(members.map { case (id, sh) => (id, sh.toSeq) }.toSeq)
+          out.iterator
+      }
+  }
+
   /** Drain the stream with Trigger.AvailableNow into an in-memory table and
     * return it (spec/driver harness; production would writeStream to a sink). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {

@@ -220,4 +220,30 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got.toSet === batchKeys)
   }
+
+  test("streaming incremental LSH dedup across micro-batches matches q80") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // Micro-batch 1 = the standing corpus (doc_id % 4 != 0), micro-batch 2
+    // = the crawl batch (doc_id % 4 == 0) — the band index built by batch 1
+    // must survive in state and dedupe batch 2 against it, reproducing
+    // q80's (doc_id, dup_of, keep) exactly.
+    val tmp = landBatches(Seq(
+      docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0)))
+    val verdicts = Streams.runToMemory(spark,
+        Streams.incrementalDedupStream(
+          Streams.readDocsStream(spark, tmp.getPath, "*.parquet", Some(1))).toDF(),
+        "incdedup_mb")
+      .filter(col("doc_id") % 4 === 0) // corpus-internal dups not under test
+      .groupBy("doc_id").agg(min("dup_of").as("dup_of"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val want = graft.SparkEntry.queries("q80_incremental_dedup")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]), r.getInt(2)))
+    assert(want.nonEmpty && want.exists(_._3 == 0), "fixture must contain dups")
+    want.foreach {
+      case (id, _, 1) => assert(!verdicts.contains(id), s"doc $id wrongly flagged")
+      case (id, dupOf, _) => assert(verdicts.get(id) === dupOf, s"doc $id dup_of diverges")
+    }
+  }
 }
