@@ -196,14 +196,19 @@ object Dedup {
   }
 
   /** Inverted-index n-gram Jaccard pairs (the q22 formulation): ONE shuffle
-    * builds shingle → sorted doc set (collect_set dedupes in-agg, df capped
-    * at MaxDf), pairs are emitted within each bounded bucket, and doc sizes
-    * fall out of the same index. Returns (a, b, inter, jaccard) with a < b,
-    * jaccard >= tau. */
+    * builds shingle → sorted doc set with BOUNDED aggregation state (the
+    * CappedSetAggregator stops accumulating past MaxDf + 1 distinct ids —
+    * stop-shingles never hold more than 51 ids in a partial buffer, where
+    * collect_set held their full document list before the df filter could
+    * discard it; surviving buckets are bit-identical to
+    * sort_array(collect_set)), pairs are emitted within each bounded
+    * bucket, and doc sizes fall out of the same index. Returns (a, b,
+    * inter, jaccard) with a < b, jaccard >= tau. */
   def jaccardPairs(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
     val sh = shinglesRaw(docs)
+    val cappedSet = udaf(new graft.functions.CappedSetAggregator(MaxDf + 1))
     val buckets = sh.groupBy("s")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .agg(cappedSet(col("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, MaxDf))
     val sizes = buckets.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
