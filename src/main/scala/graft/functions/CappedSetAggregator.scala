@@ -1,9 +1,9 @@
 package graft.functions
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-
-final case class CappedSetBuf(items: Seq[Long])
 
 /** Typed UDAF: `collect_set` with the accumulation CAPPED at `cap`
   * distinct values — the bounded-state form of the inverted-index
@@ -24,20 +24,30 @@ final case class CappedSetBuf(items: Seq[Long])
   * WHICH ids survive in an over-cap buffer depends on partition merge
   * order (not deterministic) — harmless by construction, since every
   * over-cap bucket is discarded by the df filter.
+  *
+  * The buffer is a MUTATED ArrayBuffer (the Aggregator contract allows
+  * `reduce`/`merge` to modify and return their buffer): object-hash
+  * aggregation keeps it as a live object per group, so the per-row cost
+  * is one ≤cap linear membership probe and an amortized append — no
+  * per-row allocation. Kryo-encoded only when a buffer crosses a
+  * serialization boundary (sort-based fallback spill).
   */
 final class CappedSetAggregator(cap: Int)
-    extends Aggregator[Long, CappedSetBuf, Seq[Long]] {
+    extends Aggregator[Long, ArrayBuffer[Long], Seq[Long]] {
 
-  private def insert(items: Seq[Long], v: Long): Seq[Long] =
-    if (items.length >= cap || items.contains(v)) items else items :+ v
+  private def insert(items: ArrayBuffer[Long], v: Long): ArrayBuffer[Long] = {
+    if (items.length < cap && !items.contains(v)) items += v
+    items
+  }
 
-  override def zero: CappedSetBuf = CappedSetBuf(Nil)
-  override def reduce(b: CappedSetBuf, x: Long): CappedSetBuf =
-    CappedSetBuf(insert(b.items, x))
-  override def merge(a: CappedSetBuf, b: CappedSetBuf): CappedSetBuf =
-    CappedSetBuf(b.items.foldLeft(a.items)(insert))
-  override def finish(b: CappedSetBuf): Seq[Long] = b.items.sorted
-  override def bufferEncoder: Encoder[CappedSetBuf] = Encoders.product[CappedSetBuf]
+  override def zero: ArrayBuffer[Long] = ArrayBuffer.empty
+  override def reduce(b: ArrayBuffer[Long], x: Long): ArrayBuffer[Long] =
+    insert(b, x)
+  override def merge(a: ArrayBuffer[Long], b: ArrayBuffer[Long]): ArrayBuffer[Long] =
+    b.foldLeft(a)(insert)
+  override def finish(b: ArrayBuffer[Long]): Seq[Long] = b.toSeq.sorted
+  override def bufferEncoder: Encoder[ArrayBuffer[Long]] =
+    Encoders.kryo[ArrayBuffer[Long]]
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
