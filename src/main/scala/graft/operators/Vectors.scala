@@ -291,12 +291,18 @@ object Vectors {
         // Score each a<b pair ONCE, then mirror the scored rows — sim is
         // exactly symmetric (element products commute, same fold order), so
         // this halves the dot products and one join pass vs scoring the
-        // symmetrized candidate set.
+        // symmetrized candidate set. The mirror references `scored` twice;
+        // without a barrier the union's two branches each re-run the whole
+        // candidates+verify subtree (partial ReusedExchange doesn't cover
+        // it — measured 1.25 vs 0.75 s at sf0.1, and at corpus scale it is
+        // a strict 2× of the query's real work). localCheckpoint is the
+        // q54/q73 fan-out pattern; JobCountSpec lists q59 eager-by-design.
         val scored = srpCandidates(emb, srpParams(raw))
           .join(emb.select(col("vec_id").as("a"), col("en").as("na")), Seq("a"))
           .join(emb.select(col("vec_id").as("b"), col("en").as("nb")), Seq("b"))
           .withColumn("sim", dot(col("na"), col("nb")))
           .select("a", "b", "sim")
+          .localCheckpoint(true)
         val sym = scored.unionByName(scored.select(
           col("b").as("a"), col("a").as("b"), col("sim")))
         val w = org.apache.spark.sql.expressions.Window

@@ -32,11 +32,13 @@ class JobCountSpec extends AnyFunSuite {
   // Materialize at construction BY DESIGN: q47/q58's pointer-jumping loop
   // runs its bounded rounds eagerly (per-round lineage barrier), q54
   // localCheckpoints the simhash frame against CollapseProject inlining,
-  // and q73 localCheckpoints its scored frame against the 5-way downstream
-  // fan-out re-running the corpus window + regex scoring.
+  // q73 localCheckpoints its scored frame against the 5-way downstream
+  // fan-out re-running the corpus window + regex scoring, and q59
+  // localCheckpoints its scored pairs so the symmetric mirror's two
+  // branches don't each re-run the candidates+verify subtree.
   private val eagerByDesign = Set(
     "q47_dedup_components", "q58_dedup_keep", "q54_simhash_pairs",
-    "q73_curation_pipeline")
+    "q73_curation_pipeline", "q59_ann_knn_join")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached
