@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.IndexStore
+
+/** Standing-index workflow CLI — the persisted-state counterpart of
+  * `graft.Curate` (and the dedup/ANN analogue of the reference's
+  * load-once/query-many warehouse workflow, cve_manager.py:335-360 →
+  * 387-504):
+  *
+  *   sbt "runMain graft.Index build-lsh  <docsDir> <indexPath>"
+  *   sbt "runMain graft.Index dedupe     <batchDocsDir> <indexPath>
+  *        [--out <dir>] [--append-kept]"
+  *   sbt "runMain graft.Index build-ivf  <embDir> <indexPath> [--refine N]"
+  *   sbt "runMain graft.Index append-ivf <embDir> <indexPath>"
+  *   sbt "runMain graft.Index search     <indexPath> <vecId> <k>"
+  *
+  * `build-*` pays the one-time linear corpus cost; `dedupe` runs a crawl
+  * batch against the standing LSH state (per-batch cost measured flat
+  * across a 10× corpus — PERF.md `incdedup`), writes the verdict table,
+  * and with `--append-kept` folds the kept docs' band/shingle rows back
+  * into the index — the complete incremental-crawl loop. `search` probes
+  * the persisted IVF index reading one coarse-cell partition. Each mode
+  * prints one JSON summary line.
+  */
+object Index {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = Sessions.builder(s"local[$cpus]", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(run(spark, args.toList))
+    spark.stop()
+  }
+
+  /** Runs one mode; returns the JSON summary line (testable seam). */
+  def run(spark: org.apache.spark.sql.SparkSession, args: List[String]): String =
+    args match {
+      case "build-lsh" :: docsDir :: path :: Nil =>
+        val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+        val n = docs.count()
+        IndexStore.saveLshIndex(docs, path)
+        s"""{"mode":"build-lsh","docs":$n,"index":"$path"}"""
+
+      case "dedupe" :: batchDir :: path :: rest =>
+        val out = rest.sliding(2).collectFirst { case List("--out", v) => v }
+        val appendKept = rest.contains("--append-kept")
+        val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+          .localCheckpoint(true) // read once: verdicts + optional append
+        val verdicts = IndexStore.incrementalDedup(batch,
+            IndexStore.loadLshBands(spark, path),
+            IndexStore.loadLshShingles(spark, path))
+          .localCheckpoint(true) // decisions must precede the index append
+        val nBatch = batch.count()
+        val nDup = verdicts.filter(col("keep") === 0).count()
+        out.foreach(o => verdicts.write.mode("overwrite").parquet(o))
+        if (appendKept) {
+          val kept = batch.join(
+            verdicts.filter(col("keep") === 1).select("doc_id"), Seq("doc_id"))
+          IndexStore.appendLshBatch(kept, path)
+        }
+        s"""{"mode":"dedupe","batch":$nBatch,"dups":$nDup,"kept":${nBatch - nDup},"appended":$appendKept${out.map(o => s""","out":"$o"""").getOrElse("")}}"""
+
+      case "build-ivf" :: embDir :: path :: rest =>
+        val refine = rest.sliding(2)
+          .collectFirst { case List("--refine", v) => v.toInt }.getOrElse(0)
+        val emb = operators.Vectors.withNormalized(
+            spark.read.parquet(s"$embDir/embeddings.parquet")
+              .select(col("vec_id"),
+                col("embedding").cast("array<double>").as("e"), col("label")))
+          .select(col("vec_id"), col("en"))
+        val n = emb.count()
+        IndexStore.saveIvfIndex(emb, path, refine)
+        s"""{"mode":"build-ivf","vectors":$n,"refine":$refine,"index":"$path"}"""
+
+      case "append-ivf" :: embDir :: path :: Nil =>
+        val emb = operators.Vectors.withNormalized(
+            spark.read.parquet(s"$embDir/embeddings.parquet")
+              .select(col("vec_id"),
+                col("embedding").cast("array<double>").as("e"), col("label")))
+          .select(col("vec_id"), col("en"))
+        val n = emb.count()
+        IndexStore.appendIvfBatch(emb, path)
+        s"""{"mode":"append-ivf","vectors":$n,"index":"$path"}"""
+
+      case "search" :: path :: vecId :: k :: Nil =>
+        val hits = IndexStore.searchIvf(spark, path, vecId.toLong, k.toInt)
+          .collect()
+          .map(r => s"""{"vec_id":${r.getLong(0)},"sim":${r.getDouble(1)}}""")
+        s"""{"mode":"search","query":$vecId,"k":$k,"hits":[${hits.mkString(",")}]}"""
+
+      case other => sys.error(
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search ... (got $other)")
+    }
+}

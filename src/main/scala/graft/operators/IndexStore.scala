@@ -132,8 +132,8 @@ object IndexStore {
     * partitioned by coarse cell with rows sorted by fine cell — so a probe
     * reads one ccid partition and, within it, the cid row groups its
     * min/max stats select. */
-  def saveIvfIndex(emb: DataFrame, path: String): Unit = {
-    val (assigned, fineCells, coarseArr) = Vectors.ivfIndex(emb)
+  def saveIvfIndex(emb: DataFrame, path: String, refine: Int = 0): Unit = {
+    val (assigned, fineCells, coarseArr) = Vectors.ivfIndex(emb, refine)
     coarseArr.write.mode("overwrite").parquet(s"$path/ivf/coarse")
     fineCells.write.mode("overwrite").parquet(s"$path/ivf/cells")
     assigned
@@ -172,5 +172,24 @@ object IndexStore {
       .select(col("vec_id"), Vectors.dot(col("en"), col("qn")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Add a batch of vectors to a persisted IVF index WITHOUT rebuilding:
+    * the batch is assigned against the FROZEN centroid structure (the
+    * standard IVF add — centroids drift only when the owner re-trains,
+    * which is `saveIvfIndex`/`ivfIndex(refine = n)`'s job) and appended
+    * into the same ccid partition layout. Per-batch cost = one narrow
+    * assignment pass over the BATCH plus the append — independent of the
+    * standing corpus size, the same contract as `appendLshBatch`.
+    * `emb` must be (vec_id, en) normalized like the original build
+    * (`Vectors.withNormalized`). */
+  def appendIvfBatch(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cells = spark.read.parquet(s"$path/ivf/cells")
+    val coarse = spark.read.parquet(s"$path/ivf/coarse")
+    Vectors.assignWithIndex(emb, coarse, cells)
+      .sortWithinPartitions("cid", "vec_id")
+      .write.mode("append").partitionBy("ccid").parquet(s"$path/ivf/vectors")
   }
 }

@@ -549,6 +549,14 @@ object Vectors {
     -array_max(transform(cells,
       c => struct(dot(v, c("cn")).as("csim"), (-c(id)).as("neg"))))("neg")
 
+  /** Public seam for IndexStore.appendIvfBatch: assign vectors against an
+    * ALREADY-BUILT (loaded) centroid structure. */
+  def assignWithIndex(emb: DataFrame, coarseArr: DataFrame,
+      fineCells: DataFrame): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    assignCells(emb, coarseArr, fineCells)
+  }
+
   /** The narrow two-hop assignment: coarse cell via the broadcast array,
     * fine cell via the joined cell's centroid list — no Exchange on the
     * corpus side. */

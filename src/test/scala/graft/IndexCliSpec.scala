@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IndexStore, Vectors}
+
+/** The Index CLI must drive the complete incremental loop end-to-end:
+  * build → dedupe (verdicts == q80) → append-kept (index grows by exactly
+  * the kept docs' rows); and the IVF side: build → append assigns against
+  * the FROZEN centroids → search still probes one cell. */
+class IndexCliSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(s"graft-idxcli-$tag")
+
+  test("build-lsh → dedupe → --append-kept: the full incremental crawl loop") {
+    val base = tmp("loop")
+    val standingDir = base.resolve("standing"); val batchDir = base.resolve("batch")
+    val idx = base.resolve("idx").toString
+    val docs = Tables.load(spark, sf, "documents")
+    docs.filter(col("doc_id") % 4 =!= 0)
+      .write.parquet(s"$standingDir/documents.parquet")
+    docs.filter(col("doc_id") % 4 === 0)
+      .write.parquet(s"$batchDir/documents.parquet")
+
+    val b = Index.run(spark, List("build-lsh", standingDir.toString, idx))
+    assert(b.contains(""""mode":"build-lsh""""))
+
+    val out = base.resolve("verdicts").toString
+    val d = Index.run(spark,
+      List("dedupe", batchDir.toString, idx, "--out", out, "--append-kept"))
+    // Verdict table == q80 (the store path's equivalence, via the CLI).
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getInt(2))).toSet
+    val want = SparkEntry.queries("q80_incremental_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getInt(2))).toSet
+    assert(got === want)
+    val nKept = want.count(_._3 == 1); val nDup = want.size - nKept
+    assert(d.contains(s""""dups":$nDup""") && d.contains(s""""kept":$nKept"""))
+
+    // --append-kept grew the index by exactly the kept docs' band rows.
+    val bands = IndexStore.loadLshBands(spark, idx)
+    assert(bands.filter(col("doc_id") % 4 === 0)
+      .select("doc_id").distinct().count() === nKept)
+    // Re-deduping a shifted copy of the kept batch against the grown index
+    // flags every doc (its twin is now IN the index).
+    val shifted = spark.read.parquet(s"$batchDir/documents.parquet")
+      .join(spark.read.parquet(out).filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"))
+      .withColumn("doc_id", -col("doc_id") - 1)
+    val re = IndexStore.incrementalDedup(shifted,
+      IndexStore.loadLshBands(spark, idx), IndexStore.loadLshShingles(spark, idx))
+    assert(re.filter(col("keep") === 0).count() === nKept)
+  }
+
+  test("build-ivf → append-ivf assigns against frozen centroids; search probes the grown index") {
+    val base = tmp("ivf")
+    val standingDir = base.resolve("emb"); val idx = base.resolve("idx").toString
+    val emb = Tables.embeddings(spark, sf)
+    // standing = even vec_ids, batch = odd; both through the CLI seams.
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 0)
+      .write.parquet(s"$standingDir/embeddings.parquet")
+    val batchDir = base.resolve("embB")
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 1)
+      .write.parquet(s"$batchDir/embeddings.parquet")
+
+    Index.run(spark, List("build-ivf", standingDir.toString, idx))
+    val (before, cells, coarse) = IndexStore.loadIvfIndex(spark, idx)
+    val nBefore = before.count()
+    Index.run(spark, List("append-ivf", batchDir.toString, idx))
+
+    val (after, _, _) = IndexStore.loadIvfIndex(spark, idx)
+    assert(after.count() === nBefore +
+      spark.read.parquet(s"$batchDir/embeddings.parquet").count())
+    // Appended vectors carry the same (ccid, cid) the frozen structure
+    // assigns them — no centroid drift.
+    val batchN = Vectors.withNormalized(
+        spark.read.parquet(s"$batchDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"), col("label")))
+      .select(col("vec_id"), col("en"))
+    val expect = Vectors.assignWithIndex(batchN, coarse, cells)
+      .select("vec_id", "ccid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = after.join(batchN.select("vec_id"), Seq("vec_id"))
+      .select("vec_id", "ccid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored === expect)
+
+    // Search on an appended vector returns its cell-mates by exact cosine.
+    val someOdd = expect.head._1
+    val s = Index.run(spark, List("search", idx, someOdd.toString, "3"))
+    assert(s.contains(""""mode":"search"""") && s.contains(""""hits":[{"""))
+  }
+}
