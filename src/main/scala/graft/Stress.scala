@@ -162,12 +162,23 @@ object Stress {
     val bigDir = scratch("curate", sfDir, mult)
     inflateDocs(spark, sfDir, mult).write.mode("overwrite")
       .parquet(s"$bigDir/documents.parquet")
+    // Held-out eval set for the 7-stage chain's decontamination: the sf
+    // corpus's first docs (same at both scales, like incdedup's batch).
+    val benchPq = scratch("curate-bench", sfDir, mult)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 10).write.mode("overwrite").parquet(benchPq)
     Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
       val out = scratch("curate-out", sfDir, mult, tag)
       val t0 = System.nanoTime()
       val stats = Curate.run(spark, dir, out, 2048L)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"mode":"curate","corpus":"$tag","sec":$sec%.1f,"stats":$stats}""")
+      println(f"""{"mode":"curate","corpus":"$tag","stages":5,"sec":$sec%.1f,"stats":$stats}""")
+      val out7 = scratch("curate7-out", sfDir, mult, tag)
+      val t1 = System.nanoTime()
+      val stats7 = Curate.run(spark, Curate.Config(dir, out7,
+        stripBoilerplate = true, benchPath = Some(benchPq)))
+      val sec7 = (System.nanoTime() - t1) / 1e9
+      println(f"""{"mode":"curate","corpus":"$tag","stages":7,"sec":$sec7%.1f,"stats":$stats7}""")
     }
   }
 
