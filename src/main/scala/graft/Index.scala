@@ -14,7 +14,7 @@ import graft.operators.IndexStore
   *        [--out <dir>] [--append-kept]"
   *   sbt "runMain graft.Index build-ivf  <embDir> <indexPath> [--refine N]"
   *   sbt "runMain graft.Index append-ivf <embDir> <indexPath>"
-  *   sbt "runMain graft.Index search     <indexPath> <vecId> <k>"
+  *   sbt "runMain graft.Index search     <indexPath> <vecId> <k> [--probe]"
   *
   * `build-*` pays the one-time linear corpus cost; `dedupe` runs a crawl
   * batch against the standing LSH state (per-batch cost measured flat
@@ -86,11 +86,14 @@ object Index {
         IndexStore.appendIvfBatch(emb, path)
         s"""{"mode":"append-ivf","vectors":$n,"index":"$path"}"""
 
-      case "search" :: path :: vecId :: k :: Nil =>
-        val hits = IndexStore.searchIvf(spark, path, vecId.toLong, k.toInt)
-          .collect()
+      case "search" :: path :: vecId :: k :: rest if rest.forall(_ == "--probe") =>
+        val probed = rest.contains("--probe")
+        val df =
+          if (probed) IndexStore.searchIvfProbed(spark, path, vecId.toLong, k.toInt)
+          else IndexStore.searchIvf(spark, path, vecId.toLong, k.toInt)
+        val hits = df.collect()
           .map(r => s"""{"vec_id":${r.getLong(0)},"sim":${r.getDouble(1)}}""")
-        s"""{"mode":"search","query":$vecId,"k":$k,"hits":[${hits.mkString(",")}]}"""
+        s"""{"mode":"search","query":$vecId,"k":$k,"probed":$probed,"hits":[${hits.mkString(",")}]}"""
 
       case other => sys.error(
         s"usage: build-lsh|dedupe|build-ivf|append-ivf|search ... (got $other)")

@@ -174,6 +174,43 @@ object IndexStore {
       .limit(k)
   }
 
+  /** q77's multi-probe search over the PERSISTED index: rank the loaded
+    * coarse-centroid array, probe the top `probeCoarse` cells' fine
+    * centroid lists, keep the top `probeFine` fine cells, scan only those
+    * cells' vectors — every probe frame ≤probeFine rows, the corpus-side
+    * work one broadcast join on cid plus ccid partition pruning.
+    * Bit-identical to q77's in-query result for the same corpus
+    * (IndexStoreSpec pins it at q77's nprobe parameters). */
+  def searchIvfProbed(spark: SparkSession, path: String, queryVecId: Long,
+      k: Int, probeCoarse: Int = Vectors.ProbeCoarse,
+      probeFine: Int = Vectors.ProbeFine): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val (assigned, cells, coarse) = loadIvfIndex(spark, path)
+    val qrow = assigned.filter(col("vec_id") === queryVecId).limit(1)
+      .select(col("en").as("qn"))
+    val topc = qrow.crossJoin(broadcast(coarse))
+      .select(col("qn"), explode(col("cc")).as("c"))
+      .select(col("c.ccid").as("ccid"),
+        Vectors.dot(col("qn"), col("c.cn")).as("csim"))
+      .orderBy(col("csim").desc, col("ccid"))
+      .limit(probeCoarse)
+      .select("ccid")
+    val topf = broadcast(topc).join(cells, Seq("ccid"))
+      .crossJoin(broadcast(qrow))
+      .select(col("qn"), explode(col("fc")).as("f"))
+      .select(col("f.cid").as("cid"),
+        Vectors.dot(col("qn"), col("f.cn")).as("fsim"))
+      .orderBy(col("fsim").desc, col("cid"))
+      .limit(probeFine)
+      .select("cid")
+    assigned.join(broadcast(topf), Seq("cid"))
+      .crossJoin(broadcast(qrow))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), Vectors.dot(col("en"), col("qn")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Add a batch of vectors to a persisted IVF index WITHOUT rebuilding:
     * the batch is assigned against the FROZEN centroid structure (the
     * standard IVF add — centroids drift only when the owner re-trains,

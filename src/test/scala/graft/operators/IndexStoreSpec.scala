@@ -71,6 +71,18 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("multi-probe IVF search over the persisted index == in-query q77") {
+    val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("en"))
+    val path = tmp("ivf-mp")
+    IndexStore.saveIvfIndex(emb, path)
+    val got = IndexStore.searchIvfProbed(spark, path, queryVecId = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = SparkEntry.queries("q77_ivf_multiprobe")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(want))
+  }
+
   test("persisted IVF vector table prunes to the probed coarse-cell partition") {
     val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
       .select(col("vec_id"), col("en"))
