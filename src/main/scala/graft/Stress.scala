@@ -49,6 +49,13 @@ import org.apache.spark.sql.functions._
   *     per-batch dedup wall at both corpus sizes — the per-batch number
   *     growing much slower than <mult> is what certifies that batches pay
   *     for the batch, not for the corpus.
+  *
+  *   ivfsearch <sfDir> <mult>
+  *     The ANN-side twin of incdedup: build the persisted IVF index over
+  *     a 1x and a <mult>x corpus, then run the SAME single-probe searches
+  *     (vec_id 0, k = 5) against each. Reports build wall and per-query
+  *     search wall — the per-query number staying near-flat certifies
+  *     that probes read one coarse cell, not the corpus.
   */
 object Stress {
 
@@ -73,6 +80,8 @@ object Stress {
         curate(spark, args(1), args(2).toInt)
       case Some("incdedup") =>
         incDedup(spark, args(1), args(2).toInt)
+      case Some("ivfsearch") =>
+        ivfSearch(spark, args(1), args(2).toInt)
       case other =>
         sys.error(s"usage: cc <edges> <vertices> [reliable] | annknn <sfDir> <mult> (got $other)")
     }
@@ -211,6 +220,33 @@ object Stress {
           IndexStore.loadLshShingles(spark, idx))
         .filter(col("keep") === 0).count()
       println(f"""{"mode":"incdedup","corpus":"$tag","n":$n,"batch":$nBatch,"build_sec":$buildSec%.1f,"batch_sec_min3":$batchSec%.1f,"dups":$dups}""")
+    }
+  }
+
+  def ivfSearch(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    import operators.{IndexStore, Vectors}
+    val bigDir = scratch("ivfsearch", sfDir, mult)
+    inflate(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/embeddings.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val emb = Vectors.withNormalized(Tables.embeddings(spark, dir))
+        .select(col("vec_id"), col("en"))
+      val n = emb.count()
+      val idx = scratch("ivfsearch-idx", sfDir, mult, tag)
+      val t0 = System.nanoTime()
+      IndexStore.saveIvfIndex(emb, idx)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val searchSec = (1 to 3).map { _ =>
+        val t1 = System.nanoTime()
+        IndexStore.searchIvf(spark, idx, 0L, 5).queryExecution.toRdd.count()
+        (System.nanoTime() - t1) / 1e9
+      }.min
+      val probedSec = (1 to 3).map { _ =>
+        val t1 = System.nanoTime()
+        IndexStore.searchIvfProbed(spark, idx, 0L, 5).queryExecution.toRdd.count()
+        (System.nanoTime() - t1) / 1e9
+      }.min
+      println(f"""{"mode":"ivfsearch","corpus":"$tag","n":$n,"build_sec":$buildSec%.1f,"search_sec_min3":$searchSec%.2f,"probed_sec_min3":$probedSec%.2f}""")
     }
   }
 
