@@ -73,7 +73,8 @@ object Stress {
         val reliable = args.length > 3 && args(3) == "reliable"
         cc(spark, edges, vertices, reliable)
       case Some("annknn") =>
-        annKnn(spark, args(1), args(2).toInt)
+        annKnn(spark, args(1), args(2).toInt,
+          decor = args.length > 3 && args(3) == "decor")
       case Some("lsh") =>
         lsh(spark, args(1), args(2).toInt)
       case Some("curate") =>
@@ -109,6 +110,26 @@ object Stress {
     val n = comps.agg(countDistinct("lbl")).head().getLong(0)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"mode":"cc","edges":$numEdges,"vertices":$numVertices,"reliable":$reliable,"components":$n,"sec":$sec%.1f}""")
+  }
+
+  /** Decorrelated inflation: copy rep of a vector is its parent with the
+    * components CYCLICALLY ROTATED by a (vec_id, rep)-derived offset —
+    * norms and the per-component distribution are preserved exactly, but a
+    * copy is no longer aligned with its parent or its siblings (different
+    * offsets ⇒ ~random relative direction), so the corpus has mult× the
+    * count WITHOUT mult× near-duplicates. This is the sibling-free twin of
+    * `inflate`: candidate volume against it measures pure bucket-collision
+    * behavior, the blocking-linearity certificate. */
+  def inflateDecor(spark: SparkSession, dir: String, mult: Int): DataFrame = {
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"),
+        explode(sequence(lit(0), lit(mult - 1))).as("rep"))
+      .select((col("vec_id") * mult + col("rep")).as("vec_id"), col("label"),
+        expr("""CASE WHEN rep = 0 THEN e ELSE
+               |  transform(e, (x, i) ->
+               |    element_at(e, cast(pmod(i + pmod(xxhash64(vec_id, rep), size(e) - 1) + 1, size(e)) AS int) + 1))
+               |END""".stripMargin).cast("array<float>").as("embedding"))
   }
 
   /** One jittered copy per (vector, rep>0); rep 0 keeps the original. Noise
@@ -250,10 +271,11 @@ object Stress {
     }
   }
 
-  def annKnn(spark: SparkSession, sfDir: String, mult: Int): Unit = {
-    val bigDir = scratch("annknn", sfDir, mult)
-    inflate(spark, sfDir, mult).write.mode("overwrite")
-      .parquet(s"$bigDir/embeddings.parquet")
+  def annKnn(spark: SparkSession, sfDir: String, mult: Int,
+      decor: Boolean = false): Unit = {
+    val bigDir = scratch(if (decor) "annknn-decor" else "annknn", sfDir, mult)
+    (if (decor) inflateDecor(spark, sfDir, mult) else inflate(spark, sfDir, mult))
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
     Seq(("base", sfDir, 1), (s"${mult}x", bigDir, mult)).foreach { case (tag, dir, m) =>
       val raw = Tables.embeddings(spark, dir)
       val n = raw.count()
