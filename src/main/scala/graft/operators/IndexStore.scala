@@ -47,10 +47,15 @@ object IndexStore {
 
   // ── MinHash-LSH band index + shingle state ──
 
-  /** Band rows with the partition prefix: (doc_id, bi, bh, pfx). */
+  /** Band rows with the partition prefix: (doc_id, bi, bh, pfx). pfx is
+    * LETTER-PREFIXED ("p" + first 2 hex chars): Spark's partition-column
+    * type inference unifies the column type across all partition values,
+    * and a small index whose band hashes happened to produce only numeric
+    * prefixes would otherwise come back as INT ("07" → 7 → "7"), silently
+    * breaking the prefix equi-join against the batch's string pfx. */
   private def bandRows(docs: DataFrame): DataFrame =
     Dedup.bandExplode(Dedup.lshBands(Dedup.minhashSignatures(docs)))
-      .withColumn("pfx", substring(col("bh"), 1, 2))
+      .withColumn("pfx", concat(lit("p"), substring(col("bh"), 1, 2)))
 
   /** Build the standing corpus's LSH state at `path` (one-time, linear:
     * the same zero-shuffle signature scan q23 uses, plus one distinct for
@@ -102,7 +107,7 @@ object IndexStore {
     val batchBx = bandRows(batch)
     val cb =
       if (corpusBands.columns.contains("pfx")) corpusBands
-      else corpusBands.withColumn("pfx", substring(col("bh"), 1, 2))
+      else corpusBands.withColumn("pfx", concat(lit("p"), substring(col("bh"), 1, 2)))
     val candCorpus = cb.as("x").join(batchBx.as("y"),
         col("x.pfx") === col("y.pfx") && col("x.bi") === col("y.bi") &&
           col("x.bh") === col("y.bh"))
