@@ -130,6 +130,40 @@ object IndexStore {
         when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
   }
 
+  // ── Unigram LM state (q84's reference-corpus form) ──
+
+  /** Words of a documents frame, q84's exact tokenization. */
+  private def words(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+
+  /** Persist the unigram table of a REFERENCE corpus — the standing state
+    * behind production familiarity scoring, where new documents are scored
+    * against a frozen high-quality LM rather than against themselves. One
+    * linear shuffle; the table is vocab-sized. */
+  def saveUnigramLM(docs: DataFrame, path: String): Unit =
+    words(docs).groupBy("w").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$path/lm/unigrams")
+
+  /** q84's familiarity = (Σ_w count(w)) / n_words / total_words, with the
+    * counts read from the PERSISTED LM instead of derived from the scored
+    * corpus. Same integer-sum + sequential-division discipline as q84
+    * (order-free, overflow-safe, hash-exact); scored against its own
+    * corpus's LM it reproduces q84 bit-for-bit (IndexStoreSpec pins it).
+    * Inner-join semantics like q84: words unseen in the LM don't
+    * contribute to sumc OR n_words. The LM is vocab-sized — AQE broadcasts
+    * it; the corpus side is one narrow scan + one doc-keyed aggregation. */
+  def familiarity(docs: DataFrame, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val uni = spark.read.parquet(s"$path/lm/unigrams")
+    val tot = uni.agg(sum("c").cast("long").as("tot"))
+    words(docs).join(uni, Seq("w"))
+      .groupBy("doc_id").agg(sum("c").as("sumc"), count(lit(1)).as("nw"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("sumc"),
+        expr("sumc / nw / tot").as("familiarity"))
+  }
+
   // ── IVF index state ──
 
   /** Persist the q34/q77 two-level IVF index: coarse-centroid array (1

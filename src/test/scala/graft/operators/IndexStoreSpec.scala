@@ -71,6 +71,30 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("familiarity against the self-built persisted LM == in-query q84") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("lm")
+    IndexStore.saveUnigramLM(docs, path)
+    val got = IndexStore.familiarity(docs, path).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = SparkEntry.queries("q84_unigram_familiarity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(want))
+  }
+
+  test("familiarity against a foreign LM scores only LM-covered words") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta delta")).toDF("doc_id", "text")
+    val lmDocs = Seq((9L, "alpha alpha beta")).toDF("doc_id", "text")
+    val path = tmp("lm-foreign")
+    IndexStore.saveUnigramLM(lmDocs, path)
+    val got = IndexStore.familiarity(docs, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // doc 1: alpha(2) + beta(1) seen, gamma unseen → sumc 3, nw 2, tot 3;
+    // doc 2: no word in the LM → no row (inner-join semantics, like q84).
+    assert(got === List((1L, 3L, 3.0 / 2 / 3)))
+  }
+
   test("multi-probe IVF search over the persisted index == in-query q77") {
     val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
       .select(col("vec_id"), col("en"))
