@@ -693,6 +693,55 @@ object TextOps {
              |       CAST(sum(c) AS BIGINT) / count(*) / tot AS familiarity
              |FROM words JOIN uni USING (w), tot
              |GROUP BY doc_id, tot
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── Reference-LM familiarity + OOV novelty (frozen-corpus scoring) ──
+    QueryDef(
+      "q86_reference_familiarity",
+      (s, dir) => {
+        // The production form of q84: score EVERY document against a FROZEN
+        // reference slice's unigram LM (here the deterministic doc_id%5
+        // slice; in production the persisted IndexStore.saveUnigramLM table
+        // — IndexStoreSpec pins the two paths equal). Two signals per doc:
+        // familiarity over the LM-covered words (q84's integer-sum +
+        // sequential-division discipline, overflow-safe and hash-exact)
+        // and the OOV rate — the fraction of words the reference has never
+        // seen, a novelty/garbage detector familiarity alone can't give
+        // (a doc of all-unseen words simply vanishes from an inner join).
+        // LEFT join so unseen words count; familiarity of a fully-OOV doc
+        // is defined 0. Scale: the LM is vocab-sized (AQE broadcasts it);
+        // the corpus side is one narrow word explode + one doc_id-keyed
+        // aggregation — two linear shuffles, nothing corpus².
+        val words = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val uni = words.filter(col("doc_id") % 5 === 0)
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = uni.agg(sum("c").cast("long").as("tot"))
+        words.join(uni, Seq("w"), "left")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("nw"),
+            count(col("c")).as("nws"),
+            coalesce(sum("c"), lit(0L)).as("sumc"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("nw"), col("nws"),
+            expr("CASE WHEN nws = 0 THEN 0e0 ELSE sumc / nws / tot END")
+              .as("familiarity"),
+            expr("(nw - nws) / nw").as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, w FROM (
+             |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+             |  WHERE w <> ''),
+             |uni AS (SELECT w, count(*) AS c FROM words WHERE doc_id % 5 = 0 GROUP BY w),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM uni)
+             |SELECT doc_id, count(*) AS nw, count(c) AS nws,
+             |       CASE WHEN count(c) = 0 THEN 0e0
+             |            ELSE CAST(sum(c) AS BIGINT) / count(c) / tot END AS familiarity,
+             |       (count(*) - count(c)) / count(*) AS oov_rate
+             |FROM words LEFT JOIN uni USING (w), tot
+             |GROUP BY doc_id, tot
              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -82,6 +82,24 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("familiarity over the persisted slice LM == q86's covered-word score") {
+    // q86's reference slice (doc_id % 5 = 0) persisted via IndexStore, then
+    // the whole corpus scored against the store: familiarity must equal
+    // q86's for every doc the LM covers (q86's LEFT join additionally
+    // keeps fully-OOV docs at familiarity 0 — exactly the rows the inner
+    // join drops).
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("lm-slice")
+    IndexStore.saveUnigramLM(docs.filter(col("doc_id") % 5 === 0), path)
+    val got = IndexStore.familiarity(docs, path).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val q86 = SparkEntry.queries("q86_reference_familiarity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val want = q86.filter(_._2 > 0).map(t => (t._1, t._3))
+    assert(got.sameElements(want))
+    assert(q86.length >= got.length)
+  }
+
   test("familiarity against a foreign LM scores only LM-covered words") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma"), (2L, "delta delta")).toDF("doc_id", "text")
