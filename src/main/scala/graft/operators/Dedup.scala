@@ -25,6 +25,9 @@ object Dedup {
   val MaxDf = 50
   /** Jaccard report threshold for q22. */
   val JaccardTau = 0.1
+  /** Containment report threshold for q87: the smaller doc must be at
+    * least this covered by the intersection. */
+  val ContainTau = 0.5
 
   val NumHashes = 12
   val Bands = 4 // rows per band = NumHashes / Bands = 3
@@ -203,8 +206,9 @@ object Dedup {
     * discard it; surviving buckets are bit-identical to
     * sort_array(collect_set)), pairs are emitted within each bounded
     * bucket, and doc sizes fall out of the same index. Returns (a, b,
-    * inter, jaccard) with a < b, jaccard >= tau. */
-  def jaccardPairs(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
+    * inter, sza, szb) with a < b — the shared candidate core of q22's
+    * Jaccard and q87's containment scoring. */
+  private def indexedPairs(docs: DataFrame): DataFrame = {
     val sh = shinglesRaw(docs)
     val cappedSet = udaf(new graft.functions.CappedSetAggregator(MaxDf + 1))
     val buckets = sh.groupBy("s")
@@ -220,14 +224,31 @@ object Dedup {
     pairs
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+  }
+
+  /** (a, b, inter, jaccard) with a < b, jaccard >= tau. */
+  def jaccardPairs(docs: DataFrame, tau: Double = JaccardTau): DataFrame =
+    indexedPairs(docs)
       .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= tau)
       .select("a", "b", "inter", "jaccard")
-  }
 
-  /** DuckDB twin of `jaccardPairs` as a CTE chain ending in `jp(a, b, inter,
-    * jaccard)`; prepend `$shingleCte`. */
-  def jaccardPairsCtes(tau: Double = JaccardTau): String =
+  /** Asymmetric near-dup: containment = inter / min(|A|, |B|) over the
+    * same df-capped inverted index. Catches a small doc embedded inside a
+    * much larger one — a copied article wrapped in page chrome — where
+    * symmetric Jaccard stays low because the size union dominates (inter/
+    * min = 1.0 for a strict subset whose Jaccard is only |A|/|B|). Same
+    * single-shuffle, bounded-fan-out scale shape as jaccardPairs. */
+  def containmentPairs(docs: DataFrame, tau: Double = ContainTau): DataFrame =
+    indexedPairs(docs)
+      .withColumn("containment", col("inter") / least(col("sza"), col("szb")))
+      .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("containment") >= tau)
+      .select("a", "b", "inter", "jaccard", "containment")
+
+  /** Shared DuckDB core of `indexedPairs`: CTE chain ending in
+    * `pairs(a, b, inter)` + `sizes(doc_id, sz)`; prepend `$shingleCte`. */
+  private val pairCoreCtes: String =
     s"""informative AS (
        |  SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
        |  WHERE df >= 2 AND df <= $MaxDf),
@@ -236,13 +257,31 @@ object Dedup {
        |pairs AS (
        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
        |  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB twin of `jaccardPairs` as a CTE chain ending in `jp(a, b, inter,
+    * jaccard)`; prepend `$shingleCte`. */
+  def jaccardPairsCtes(tau: Double = JaccardTau): String =
+    s"""$pairCoreCtes,
        |jp AS (
        |  SELECT p.a, p.b, p.inter, p.inter / (za.sz + zb.sz - p.inter) AS jaccard
        |  FROM pairs p
        |  JOIN sizes za ON za.doc_id = p.a
        |  JOIN sizes zb ON zb.doc_id = p.b
        |  WHERE p.inter / (za.sz + zb.sz - p.inter) >= $tau)""".stripMargin
+
+  /** DuckDB twin of `containmentPairs`, ending in `cp(a, b, inter, jaccard,
+    * containment)`; prepend `$shingleCte`. */
+  def containmentPairsCtes(tau: Double = ContainTau): String =
+    s"""$pairCoreCtes,
+       |cp AS (
+       |  SELECT p.a, p.b, p.inter,
+       |         p.inter / (za.sz + zb.sz - p.inter) AS jaccard,
+       |         p.inter / least(za.sz, zb.sz) AS containment
+       |  FROM pairs p
+       |  JOIN sizes za ON za.doc_id = p.a
+       |  JOIN sizes zb ON zb.doc_id = p.b
+       |  WHERE p.inter / least(za.sz, zb.sz) >= $tau)""".stripMargin
 
   /** Connected components of an undirected edge list `(a, b)`: returns
     * `(v, lbl)` with lbl = min vertex id of v's component.
@@ -450,6 +489,16 @@ object Dedup {
       Some(s"""WITH $shingleCte,
               |${jaccardPairsCtes()}
               |SELECT a, b, inter, jaccard FROM jp ORDER BY a, b""".stripMargin)),
+
+    // ── Asymmetric containment near-dup (subset-duplicate detection) ──
+    QueryDef(
+      "q87_containment",
+      (s, dir) => containmentPairs(Tables.load(s, dir, "documents"))
+        .orderBy("a", "b"),
+      Some(s"""WITH $shingleCte,
+              |${containmentPairsCtes()}
+              |SELECT a, b, inter, jaccard, containment FROM cp
+              |ORDER BY a, b""".stripMargin)),
 
     // ── Connected components over the near-dup graph (dedup clustering) ──
     QueryDef(

@@ -9,6 +9,32 @@ import graft.SharedSpark
 class DedupSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
 
+  test("containment flags a strict-subset dup that Jaccard misses") {
+    import spark.implicits._
+    // Doc 2 is doc 1's opening paragraph verbatim inside ~10× more prose:
+    // every shingle of 2 appears in 1, so containment = 1.0, but Jaccard
+    // = |2|/|1| ≈ 0.1 — at q22's tau it is borderline noise, and any
+    // higher symmetric threshold drops it entirely. Doc 4 repeats doc 1's
+    // tail prose so the tail's shingles clear the df >= 2 informative
+    // filter (sizes are measured over informative shingles — without a
+    // second witness the tail would vanish from doc 1's size and Jaccard
+    // would read 1.0 too). Doc 3 is unrelated.
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val big = (1 to 100).map(i => s"w$i").mkString(" ")
+    val tail = (13 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small), (3L, "x1 x2 x3 x4 x5"), (4L, tail))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, tau = 0.9)
+      .select("a", "b", "jaccard", "containment")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((1L, 2L), (1L, 4L)))
+    val (_, _, j, c) = got.head
+    assert(c === 1.0)       // all 10 of doc 2's shingles are in doc 1
+    assert(j < 0.15)        // symmetric score can't see the subset-dup
+  }
+
   test("path graph of diameter 99 converges (O(log d) pointer jumping)") {
     import spark.implicits._
     // chain 0-1-2-...-99 plus a separate triangle {1000,1001,1002}
