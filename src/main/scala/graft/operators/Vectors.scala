@@ -76,6 +76,12 @@ object Vectors {
   val SemTau = 0.25
   val SemCap = 8
 
+  /** q88 product quantization: M subspaces × ~K stride-seeded codewords. */
+  val PqM = 8
+  val PqK = 16
+  /** ADC re-rank depth: candidates scored exactly after the coded scan. */
+  val PqRerank = 100
+
   // ── SRP-LSH (q33) parameters (single source of truth: functions.SrpKeys,
   // whose codegen'd loop must agree with these) ──
   val SrpBands: Int = graft.functions.SrpKeys.Bands
@@ -511,6 +517,86 @@ object Vectors {
               |q AS (SELECT en AS qn FROM vn WHERE vec_id = 0)
               |SELECT t.vec_id, ${dotSql("x.en", "qn")} AS sim
               |FROM top20 t JOIN vn x ON x.vec_id = t.vec_id, q
+              |ORDER BY sim DESC, t.vec_id LIMIT 5""".stripMargin)),
+
+    // ── PQ-ADC quantized ANN: product-quantized scan + exact re-rank ──
+    QueryDef(
+      "q88_pq_ann",
+      (s, dir) => {
+        // Product quantization, the rung below SQ8 on the memory ladder:
+        // each vector stored as PqM 4-bit codebook ids (PqM·log2(PqK) =
+        // 4 bytes/vector vs SQ8's dim bytes — at 10¹¹×768 that is ~400 GB
+        // of codes vs ~77 TB). Codebooks are per-subspace stride-seeded
+        // sub-vectors (the IVF seeding discipline: the seeding is the
+        // parameter, the plan is the structure); codes are L2 argmins
+        // computed as ||c||² − 2·x·c (the ||x||² term is constant per
+        // subspace — dropped, so every double is a codegen'd graft_dot
+        // and the oracle reproduces it bit-for-bit; ties break to the
+        // lowest codeword id via struct array_min). The ADC scan scores
+        // dot(query_exact, reconstruction) — the reconstruction IS the
+        // decode, so the approx scan is one graft_dot like q83's — then
+        // the top-PqRerank re-rank against exact vectors (a CONSTANT
+        // number of exact dots per query at any corpus size — the
+        // standard PQ accuracy knob; VectorsPqSpec pins recall@5 ≥ 0.8
+        // on the fixtures, measured 1.0 at sf0.1). The codebook is a
+        // broadcast 1-row frame of PqK·dim doubles (dim-bounded at any
+        // corpus size); the corpus side is a pure narrow scan.
+        val emb = withNormalized(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("en"))
+        val par = emb.agg(count(lit(1)).as("n"))
+          .withColumn("step", expr(s"greatest(CAST(1 AS BIGINT), n div $PqK)"))
+          .select("step")
+        val cb = emb.crossJoin(broadcast(par))
+          .filter(col("vec_id") % col("step") === 0)
+          .select(explode(expr(
+            s"""transform(sequence(0, ${PqM - 1}), s ->
+               |  struct(s AS s, vec_id AS cid,
+               |         slice(en, s * (size(en) div $PqM) + 1, size(en) div $PqM) AS cn))""".stripMargin)).as("c"))
+          .agg(array_sort(collect_list(col("c"))).as("cb"))
+        val coded = emb.crossJoin(broadcast(cb))
+          .withColumn("rx", expr(
+            s"""flatten(transform(sequence(0, ${PqM - 1}), s ->
+               |  array_min(transform(
+               |    filter(cb, c -> c.s = s),
+               |    c -> struct(
+               |      graft_dot(c.cn, c.cn)
+               |        - 2.0e0 * graft_dot(slice(en, s * (size(en) div $PqM) + 1, size(en) div $PqM), c.cn) AS d,
+               |      c.cid AS cid, c.cn AS cn))).cn))""".stripMargin))
+          .select("vec_id", "rx")
+        val qn = emb.filter(col("vec_id") === 0).limit(1).select(col("en").as("qn"))
+        val cand = coded.filter(col("vec_id") =!= 0).crossJoin(broadcast(qn))
+          .select(col("vec_id"), dot(col("rx"), col("qn")).as("asim"))
+          .orderBy(col("asim").desc, col("vec_id")).limit(PqRerank)
+        cand.join(emb, Seq("vec_id")).crossJoin(broadcast(qn))
+          .select(col("vec_id"), dot(col("en"), col("qn")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      },
+      Some(s"""WITH $normCte,
+              |par AS (SELECT greatest(CAST(1 AS BIGINT), count(*) // $PqK) AS step FROM vn),
+              |cbl AS (
+              |  SELECT list_sort(list(struct_pack(s := s, cid := cid, cn := cn))) AS cb FROM (
+              |    SELECT s, vec_id AS cid,
+              |           en[CAST(s * sub + 1 AS INT) : CAST(s * sub + sub AS INT)] AS cn
+              |    FROM (SELECT vec_id, en, len(en) // $PqM AS sub, unnest(range(0, $PqM)) AS s
+              |          FROM vn, par WHERE vec_id % step = 0))),
+              |coded AS (
+              |  SELECT vec_id,
+              |         flatten([(list_sort([struct_pack(
+              |             d := ${dotSql("c.cn", "c.cn")}
+              |                  - 2.0e0 * list_reduce(
+              |                      [en[CAST(s * (len(en) // $PqM) + i AS INT)] * c.cn[i]
+              |                       for i in range(1, len(c.cn) + 1)], (x, y) -> x + y),
+              |             cid := c.cid, cn := c.cn)
+              |           for c in cb if c.s = s])[1]).cn
+              |          for s in range(0, $PqM)]) AS rx
+              |  FROM vn, cbl),
+              |qd AS (SELECT en AS qn FROM vn WHERE vec_id = 0),
+              |cand AS (
+              |  SELECT vec_id, ${dotSql("rx", "qn")} AS asim
+              |  FROM coded, qd WHERE vec_id <> 0
+              |  ORDER BY asim DESC, vec_id LIMIT $PqRerank)
+              |SELECT t.vec_id, ${dotSql("x.en", "qn")} AS sim
+              |FROM cand t JOIN vn x ON x.vec_id = t.vec_id, qd
               |ORDER BY sim DESC, t.vec_id LIMIT 5""".stripMargin))
   )
 
