@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   *   <path>/ivf/coarse/       the 1-row coarse-centroid array `cc`
   *   <path>/ivf/cells/        (ccid, fc) fine-centroid lists
   *   <path>/ivf/vectors/      (vec_id, en, cid) partitioned by ccid
+  *   <path>/lm/unigrams/      (w, c) the frozen reference unigram LM
+  *   <path>/pq/codebook/      the 1-row per-subspace codebook `cb`
+  *   <path>/pq/codes/         (vec_id, codes) PqM codeword ids per vector
   *
   * Scale posture:
   *   - Incremental dedup against the store joins the persisted band index
@@ -248,6 +251,53 @@ object IndexStore {
       .select(col("vec_id"), Vectors.dot(col("en"), col("qn")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  // ── PQ code state ──
+
+  /** Persist q88's product-quantization state: the per-subspace codebook
+    * (1 row, PqK·dim doubles) and the corpus as PqM codeword ids per
+    * vector — the 4-bytes-of-codes-per-vector table a production ADC scan
+    * actually reads (the raw vectors stay in their own store, touched only
+    * for the constant-depth re-rank). `emb` must be (vec_id, en)
+    * normalized (`Vectors.withNormalized`). */
+  def savePqIndex(emb: DataFrame, path: String): Unit = {
+    val cb = Vectors.pqCodebook(emb)
+    cb.write.mode("overwrite").parquet(s"$path/pq/codebook")
+    Vectors.pqAssign(emb, cb)
+      .write.mode("overwrite").parquet(s"$path/pq/codes")
+  }
+
+  /** Append a batch's codes against the FROZEN codebook (the standard PQ
+    * add — the codebook drifts only when the owner re-trains, which is
+    * `savePqIndex`'s job). Per-batch cost = one narrow coding pass over
+    * the batch, independent of the standing corpus size. */
+  def appendPqBatch(emb: DataFrame, path: String): Unit = {
+    val cb = emb.sparkSession.read.parquet(s"$path/pq/codebook")
+    Vectors.pqAssign(emb, cb)
+      .write.mode("append").parquet(s"$path/pq/codes")
+  }
+
+  /** q88's ADC search over the PERSISTED codes: the approx scan reads ONLY
+    * the codes table (decoded against the loaded 1-row codebook); `emb` is
+    * touched for the query row and the PqRerank exact re-rank candidates.
+    * Bit-identical to in-query q88 for the same corpus — IndexStoreSpec
+    * pins it. */
+  def searchPq(emb: DataFrame, path: String, queryVecId: Long,
+      k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cb = spark.read.parquet(s"$path/pq/codebook")
+    val rx = Vectors.pqDecode(spark.read.parquet(s"$path/pq/codes"), cb)
+    val qn = emb.filter(col("vec_id") === queryVecId).limit(1)
+      .select(col("en").as("qn"))
+    val cand = rx.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qn))
+      .select(col("vec_id"), Vectors.dot(col("rx"), col("qn")).as("asim"))
+      .orderBy(col("asim").desc, col("vec_id")).limit(Vectors.PqRerank)
+    cand.join(emb, Seq("vec_id")).crossJoin(broadcast(qn))
+      .select(col("vec_id"), Vectors.dot(col("en"), col("qn")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
   }
 
   /** Add a batch of vectors to a persisted IVF index WITHOUT rebuilding:

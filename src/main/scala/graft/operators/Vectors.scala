@@ -543,26 +543,14 @@ object Vectors {
         // corpus size); the corpus side is a pure narrow scan.
         val emb = withNormalized(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("en"))
-        val par = emb.agg(count(lit(1)).as("n"))
-          .withColumn("step", expr(s"greatest(CAST(1 AS BIGINT), n div $PqK)"))
-          .select("step")
-        val cb = emb.crossJoin(broadcast(par))
-          .filter(col("vec_id") % col("step") === 0)
-          .select(explode(expr(
-            s"""transform(sequence(0, ${PqM - 1}), s ->
-               |  struct(s AS s, vec_id AS cid,
-               |         slice(en, s * (size(en) div $PqM) + 1, size(en) div $PqM) AS cn))""".stripMargin)).as("c"))
-          .agg(array_sort(collect_list(col("c"))).as("cb"))
-        val coded = emb.crossJoin(broadcast(cb))
-          .withColumn("rx", expr(
-            s"""flatten(transform(sequence(0, ${PqM - 1}), s ->
-               |  array_min(transform(
-               |    filter(cb, c -> c.s = s),
-               |    c -> struct(
-               |      graft_dot(c.cn, c.cn)
-               |        - 2.0e0 * graft_dot(slice(en, s * (size(en) div $PqM) + 1, size(en) div $PqM), c.cn) AS d,
-               |      c.cid AS cid, c.cn AS cn))).cn))""".stripMargin))
-          .select("vec_id", "rx")
+        val cb = pqCodebook(emb)
+        // Assign-then-decode — exactly the persisted-index path
+        // (IndexStore.savePqIndex stores pqAssign's codes; searchPq
+        // decodes them), so the catalog query exercises the same code the
+        // store replays. cid is unique per subspace ⇒ the decode's lookup
+        // returns the argmin's own cn: bit-identical to a fused
+        // argmin-keeps-cn formulation, and the oracle's.
+        val coded = pqDecode(pqAssign(emb, cb), cb)
         val qn = emb.filter(col("vec_id") === 0).limit(1).select(col("en").as("qn"))
         val cand = coded.filter(col("vec_id") =!= 0).crossJoin(broadcast(qn))
           .select(col("vec_id"), dot(col("rx"), col("qn")).as("asim"))
@@ -599,6 +587,50 @@ object Vectors {
               |FROM cand t JOIN vn x ON x.vec_id = t.vec_id, qd
               |ORDER BY sim DESC, t.vec_id LIMIT 5""".stripMargin))
   )
+
+  /** q88's PQ codebook as a broadcast 1-row frame `cb`: for each of the
+    * PqM subspaces, the ~PqK stride-seeded sub-vectors (cid = the seed's
+    * vec_id), sorted by (s, cid). PqK·dim doubles total — dim-bounded at
+    * any corpus size. */
+  def pqCodebook(emb: DataFrame): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val par = emb.agg(count(lit(1)).as("n"))
+      .withColumn("step", expr(s"greatest(CAST(1 AS BIGINT), n div $PqK)"))
+      .select("step")
+    emb.crossJoin(broadcast(par))
+      .filter(col("vec_id") % col("step") === 0)
+      .select(explode(expr(
+        s"""transform(sequence(0, ${PqM - 1}), s ->
+           |  struct(s AS s, vec_id AS cid,
+           |         slice(en, s * (size(en) div $PqM) + 1, size(en) div $PqM) AS cn))""".stripMargin)).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("cb"))
+  }
+
+  /** PQ codes (vec_id, codes): codes[s] = the L2-argmin codeword id of
+    * subspace s (||c||² − 2·x·c form — every double a codegen'd graft_dot;
+    * ties to the lowest cid). PqM ids per vector — the ENTIRE stored
+    * footprint of the coded corpus. */
+  def pqAssign(emb: DataFrame, cb: DataFrame): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    emb.crossJoin(broadcast(cb))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(0, ${PqM - 1}), s ->
+           |  array_min(transform(
+           |    filter(cb, c -> c.s = s),
+           |    c -> struct(
+           |      graft_dot(c.cn, c.cn)
+           |        - 2.0e0 * graft_dot(slice(en, s * (size(en) div $PqM) + 1, size(en) div $PqM), c.cn) AS d,
+           |      c.cid AS cid))).cid)""".stripMargin).as("codes"))
+  }
+
+  /** ADC decode: (vec_id, rx) with rx = the concatenation of each coded
+    * sub-centroid — the reconstruction the approx scan dots against the
+    * exact query. A narrow broadcast lookup; never touches raw vectors. */
+  def pqDecode(codes: DataFrame, cb: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(cb))
+      .select(col("vec_id"), expr(
+        s"""flatten(transform(sequence(0, ${PqM - 1}), s ->
+           |  filter(cb, c -> c.s = s AND c.cid = codes[s])[0].cn))""".stripMargin).as("rx"))
 
   /** Two-level IVF assignment over a normalized corpus `(vec_id, en)`:
     * returns (assigned = (vec_id, en, cid), fineCells).

@@ -113,6 +113,36 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(got === List((1L, 3L, 3.0 / 2 / 3)))
   }
 
+  test("ADC search over the persisted PQ codes == in-query q88") {
+    val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("en"))
+    val path = tmp("pq")
+    IndexStore.savePqIndex(emb, path)
+    val got = IndexStore.searchPq(emb, path, queryVecId = 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = SparkEntry.queries("q88_pq_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(want))
+  }
+
+  test("appendPqBatch codes against the frozen codebook == full-corpus codes") {
+    val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("en"))
+    val standing = emb.filter(col("vec_id") % 4 =!= 1)
+    val batch = emb.filter(col("vec_id") % 4 === 1)
+    val path = tmp("pq-incr")
+    IndexStore.savePqIndex(standing, path)
+    IndexStore.appendPqBatch(batch, path)
+    // Codes of appended vectors must equal coding the same vectors against
+    // the standing codebook directly (the frozen-codebook contract).
+    val cb = spark.read.parquet(s"$path/pq/codebook")
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    val stored = codeSet(spark.read.parquet(s"$path/pq/codes"))
+    val direct = codeSet(Vectors.pqAssign(emb, cb))
+    assert(stored === direct)
+  }
+
   test("multi-probe IVF search over the persisted index == in-query q77") {
     val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
       .select(col("vec_id"), col("en"))
