@@ -56,6 +56,15 @@ import org.apache.spark.sql.functions._
   *     (vec_id 0, k = 5) against each. Reports build wall and per-query
   *     search wall — the per-query number staying near-flat certifies
   *     that probes read one coarse cell, not the corpus.
+  *
+  *   pq <sfDir> <mult>
+  *     The q88 twin of ivfsearch: build the persisted PQ index (codebook +
+  *     codes) over a 1x and a <mult>x corpus, then run the SAME ADC search
+  *     (vec_id 0, k = 5) against each. Reports build wall, per-query
+  *     search wall, and recall@5 vs an exact brute-force scan of the same
+  *     corpus — the search cost is one coded linear scan (the table read
+  *     is codes, 4 B/vector) plus the constant-depth re-rank, and recall
+  *     is the number the re-rank depth buys.
   */
 object Stress {
 
@@ -83,6 +92,8 @@ object Stress {
         incDedup(spark, args(1), args(2).toInt)
       case Some("ivfsearch") =>
         ivfSearch(spark, args(1), args(2).toInt)
+      case Some("pq") =>
+        pqSearch(spark, args(1), args(2).toInt)
       case other =>
         sys.error(s"usage: cc <edges> <vertices> [reliable] | annknn <sfDir> <mult> (got $other)")
     }
@@ -268,6 +279,37 @@ object Stress {
         (System.nanoTime() - t1) / 1e9
       }.min
       println(f"""{"mode":"ivfsearch","corpus":"$tag","n":$n,"build_sec":$buildSec%.1f,"search_sec_min3":$searchSec%.2f,"probed_sec_min3":$probedSec%.2f}""")
+    }
+  }
+
+  def pqSearch(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    import operators.{IndexStore, Vectors}
+    val bigDir = scratch("pq", sfDir, mult)
+    inflate(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/embeddings.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val emb = Vectors.withNormalized(Tables.embeddings(spark, dir))
+        .select(col("vec_id"), col("en"))
+      val n = emb.count()
+      val idx = scratch("pq-idx", sfDir, mult, tag)
+      val t0 = System.nanoTime()
+      IndexStore.savePqIndex(emb, idx)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val searchSec = (1 to 3).map { _ =>
+        val t1 = System.nanoTime()
+        IndexStore.searchPq(emb, idx, 0L, 5).queryExecution.toRdd.count()
+        (System.nanoTime() - t1) / 1e9
+      }.min
+      val got = IndexStore.searchPq(emb, idx, 0L, 5)
+        .collect().map(_.getLong(0)).toSet
+      val qn = emb.filter(col("vec_id") === 0L).limit(1)
+        .select(col("en").as("qn"))
+      val exact = emb.filter(col("vec_id") =!= 0L).crossJoin(broadcast(qn))
+        .select(col("vec_id"), Vectors.dot(col("en"), col("qn")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+        .collect().map(_.getLong(0)).toSet
+      val recall = (got intersect exact).size / 5.0
+      println(f"""{"mode":"pq","corpus":"$tag","n":$n,"build_sec":$buildSec%.1f,"search_sec_min3":$searchSec%.2f,"recall5":$recall%.1f}""")
     }
   }
 

@@ -606,10 +606,13 @@ object Vectors {
       .agg(array_sort(collect_list(col("c"))).as("cb"))
   }
 
-  /** PQ codes (vec_id, codes): codes[s] = the L2-argmin codeword id of
-    * subspace s (||c||² − 2·x·c form — every double a codegen'd graft_dot;
-    * ties to the lowest cid). PqM ids per vector — the ENTIRE stored
-    * footprint of the coded corpus. */
+  /** PQ codes (vec_id, codes): codes[s] = the POSITION (within subspace
+    * s's cid-sorted codeword list) of the L2-argmin codeword (||c||² −
+    * 2·x·c form — every double a codegen'd graft_dot; ties to the lowest
+    * cid, whose position they are). PqM small ints per vector — the ENTIRE
+    * stored footprint of the coded corpus. Positions, not cids: the decode
+    * side turns into O(1) element_at lookups instead of a per-vector
+    * codebook filter. */
   def pqAssign(emb: DataFrame, cb: DataFrame): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     emb.crossJoin(broadcast(cb))
@@ -617,20 +620,29 @@ object Vectors {
         s"""transform(sequence(0, ${PqM - 1}), s ->
            |  array_min(transform(
            |    filter(cb, c -> c.s = s),
-           |    c -> struct(
+           |    (c, i) -> struct(
            |      graft_dot(c.cn, c.cn)
            |        - 2.0e0 * graft_dot(slice(en, s * (size(en) div $PqM) + 1, size(en) div $PqM), c.cn) AS d,
-           |      c.cid AS cid))).cid)""".stripMargin).as("codes"))
+           |      c.cid AS cid, i AS i))).i)""".stripMargin).as("codes"))
   }
+
+  /** The codebook re-shaped for decode: a 1-row frame `cbn` of per-subspace
+    * cn lists (cid-sorted — the positions `pqAssign` emits index into
+    * exactly this order). Derived ONCE per plan from the flat `cb`. */
+  private def pqNested(cb: DataFrame): DataFrame =
+    cb.select(expr(
+      s"""transform(sequence(0, ${PqM - 1}), s ->
+         |  transform(filter(cb, c -> c.s = s), c -> c.cn))""".stripMargin).as("cbn"))
 
   /** ADC decode: (vec_id, rx) with rx = the concatenation of each coded
     * sub-centroid — the reconstruction the approx scan dots against the
-    * exact query. A narrow broadcast lookup; never touches raw vectors. */
+    * exact query. Per vector: PqM element_at lookups into the broadcast
+    * nested codebook + one flatten; never touches raw vectors. */
   def pqDecode(codes: DataFrame, cb: DataFrame): DataFrame =
-    codes.crossJoin(broadcast(cb))
+    codes.crossJoin(broadcast(pqNested(cb)))
       .select(col("vec_id"), expr(
         s"""flatten(transform(sequence(0, ${PqM - 1}), s ->
-           |  filter(cb, c -> c.s = s AND c.cid = codes[s])[0].cn))""".stripMargin).as("rx"))
+           |  cbn[s][codes[s]]))""".stripMargin).as("rx"))
 
   /** Two-level IVF assignment over a normalized corpus `(vec_id, en)`:
     * returns (assigned = (vec_id, en, cid), fineCells).

@@ -137,7 +137,7 @@ class IndexStoreSpec extends AnyFunSuite {
     // the standing codebook directly (the frozen-codebook contract).
     val cb = spark.read.parquet(s"$path/pq/codebook")
     def codeSet(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+      df.collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
     val stored = codeSet(spark.read.parquet(s"$path/pq/codes"))
     val direct = codeSet(Vectors.pqAssign(emb, cb))
     assert(stored === direct)
