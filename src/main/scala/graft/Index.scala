@@ -15,14 +15,19 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index build-ivf  <embDir> <indexPath> [--refine N]"
   *   sbt "runMain graft.Index append-ivf <embDir> <indexPath>"
   *   sbt "runMain graft.Index search     <indexPath> <vecId> <k> [--probe]"
+  *   sbt "runMain graft.Index build-pq   <embDir> <indexPath>"
+  *   sbt "runMain graft.Index append-pq  <embDir> <indexPath>"
+  *   sbt "runMain graft.Index search-pq  <embDir> <indexPath> <vecId> <k>"
   *
   * `build-*` pays the one-time linear corpus cost; `dedupe` runs a crawl
   * batch against the standing LSH state (per-batch cost measured flat
   * across a 10× corpus — PERF.md `incdedup`), writes the verdict table,
   * and with `--append-kept` folds the kept docs' band/shingle rows back
   * into the index — the complete incremental-crawl loop. `search` probes
-  * the persisted IVF index reading one coarse-cell partition. Each mode
-  * prints one JSON summary line.
+  * the persisted IVF index reading one coarse-cell partition; `search-pq`
+  * ADC-scans the persisted position codes and re-ranks against the raw
+  * vectors at <embDir> (the store holds only codes — PERF.md `pq`). Each
+  * mode prints one JSON summary line.
   */
 object Index {
 
@@ -67,24 +72,35 @@ object Index {
       case "build-ivf" :: embDir :: path :: rest =>
         val refine = rest.sliding(2)
           .collectFirst { case List("--refine", v) => v.toInt }.getOrElse(0)
-        val emb = operators.Vectors.withNormalized(
-            spark.read.parquet(s"$embDir/embeddings.parquet")
-              .select(col("vec_id"),
-                col("embedding").cast("array<double>").as("e"), col("label")))
-          .select(col("vec_id"), col("en"))
+        val emb = loadEmb(spark, embDir)
         val n = emb.count()
         IndexStore.saveIvfIndex(emb, path, refine)
         s"""{"mode":"build-ivf","vectors":$n,"refine":$refine,"index":"$path"}"""
 
       case "append-ivf" :: embDir :: path :: Nil =>
-        val emb = operators.Vectors.withNormalized(
-            spark.read.parquet(s"$embDir/embeddings.parquet")
-              .select(col("vec_id"),
-                col("embedding").cast("array<double>").as("e"), col("label")))
-          .select(col("vec_id"), col("en"))
+        val emb = loadEmb(spark, embDir)
         val n = emb.count()
         IndexStore.appendIvfBatch(emb, path)
         s"""{"mode":"append-ivf","vectors":$n,"index":"$path"}"""
+
+      case "build-pq" :: embDir :: path :: Nil =>
+        val emb = loadEmb(spark, embDir)
+        val n = emb.count()
+        IndexStore.savePqIndex(emb, path)
+        s"""{"mode":"build-pq","vectors":$n,"index":"$path"}"""
+
+      case "append-pq" :: embDir :: path :: Nil =>
+        val emb = loadEmb(spark, embDir)
+        val n = emb.count()
+        IndexStore.appendPqBatch(emb, path)
+        s"""{"mode":"append-pq","vectors":$n,"index":"$path"}"""
+
+      case "search-pq" :: embDir :: path :: vecId :: k :: Nil =>
+        val emb = loadEmb(spark, embDir)
+        val hits = IndexStore.searchPq(emb, path, vecId.toLong, k.toInt)
+          .collect()
+          .map(r => s"""{"vec_id":${r.getLong(0)},"sim":${r.getDouble(1)}}""")
+        s"""{"mode":"search-pq","query":$vecId,"k":$k,"hits":[${hits.mkString(",")}]}"""
 
       case "search" :: path :: vecId :: k :: rest if rest.forall(_ == "--probe") =>
         val probed = rest.contains("--probe")
@@ -96,6 +112,16 @@ object Index {
         s"""{"mode":"search","query":$vecId,"k":$k,"probed":$probed,"hits":[${hits.mkString(",")}]}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq ... (got $other)")
     }
+
+  /** (vec_id, en) normalized from an embeddings.parquet dir — the load
+    * every vector-index mode shares. */
+  private def loadEmb(spark: org.apache.spark.sql.SparkSession,
+      embDir: String): org.apache.spark.sql.DataFrame =
+    operators.Vectors.withNormalized(
+        spark.read.parquet(s"$embDir/embeddings.parquet")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("e"), col("label")))
+      .select(col("vec_id"), col("en"))
 }

@@ -96,4 +96,17 @@ class IndexCliSpec extends AnyFunSuite {
     val s = Index.run(spark, List("search", idx, someOdd.toString, "3"))
     assert(s.contains(""""mode":"search"""") && s.contains(""""hits":[{"""))
   }
+
+  test("build-pq → search-pq through the CLI == in-query q88") {
+    val base = tmp("pq")
+    val idx = base.resolve("idx").toString
+    val b = Index.run(spark, List("build-pq", sf, idx))
+    assert(b.contains(""""mode":"build-pq""""))
+    val s = Index.run(spark, List("search-pq", sf, idx, "0", "5"))
+    val want = SparkEntry.queries("q88_pq_ann")(spark, sf)
+      .collect()
+      .map(r => s"""{"vec_id":${r.getLong(0)},"sim":${r.getDouble(1)}}""")
+      .mkString(",")
+    assert(s === s"""{"mode":"search-pq","query":0,"k":5,"hits":[$want]}""")
+  }
 }
