@@ -309,7 +309,21 @@ object Stress {
         .orderBy(col("sim").desc, col("vec_id")).limit(5)
         .collect().map(_.getLong(0)).toSet
       val recall = (got intersect exact).size / 5.0
-      println(f"""{"mode":"pq","corpus":"$tag","n":$n,"build_sec":$buildSec%.1f,"search_sec_min3":$searchSec%.2f,"recall5":$recall%.1f}""")
+      // IVFPQ: the same codes routed through coarse cells — the probed
+      // search reads ~probe/cells of the code table instead of all of it.
+      val t2 = System.nanoTime()
+      IndexStore.saveIvfPqIndex(emb, idx)
+      val ivfpqBuildSec = (System.nanoTime() - t2) / 1e9
+      val probedSec = (1 to 3).map { _ =>
+        val t3 = System.nanoTime()
+        IndexStore.searchIvfPq(emb, idx, 0L, 5, probeCoarse = 3)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t3) / 1e9
+      }.min
+      val probedGot = IndexStore.searchIvfPq(emb, idx, 0L, 5, probeCoarse = 3)
+        .collect().map(_.getLong(0)).toSet
+      val probedRecall = (probedGot intersect exact).size / 5.0
+      println(f"""{"mode":"pq","corpus":"$tag","n":$n,"build_sec":$buildSec%.1f,"search_sec_min3":$searchSec%.2f,"recall5":$recall%.1f,"ivfpq_build_sec":$ivfpqBuildSec%.1f,"probed_sec_min3":$probedSec%.2f,"probed_recall5":$probedRecall%.1f}""")
     }
   }
 

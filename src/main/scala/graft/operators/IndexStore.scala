@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   *   <path>/lm/unigrams/      (w, c) the frozen reference unigram LM
   *   <path>/pq/codebook/      the 1-row per-subspace codebook `cb`
   *   <path>/pq/codes/         (vec_id, codes) PqM codeword ids per vector
+  *   <path>/ivfpq/coarse/     routing copy of the coarse-centroid array
+  *   <path>/ivfpq/codebook/   whole-corpus PQ codebook (1 row)
+  *   <path>/ivfpq/codes/      (vec_id, codes) partitioned by ccid
   *
   * Scale posture:
   *   - Incremental dedup against the store joins the persisted band index
@@ -291,6 +294,67 @@ object IndexStore {
     val rx = Vectors.pqDecode(spark.read.parquet(s"$path/pq/codes"), cb)
     val qn = emb.filter(col("vec_id") === queryVecId).limit(1)
       .select(col("en").as("qn"))
+    val cand = rx.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qn))
+      .select(col("vec_id"), Vectors.dot(col("rx"), col("qn")).as("asim"))
+      .orderBy(col("asim").desc, col("vec_id")).limit(Vectors.PqRerank)
+    cand.join(emb, Seq("vec_id")).crossJoin(broadcast(qn))
+      .select(col("vec_id"), Vectors.dot(col("en"), col("qn")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+  }
+
+  // ── IVFPQ: coarse routing over position codes (the IVFADC layout) ──
+
+  /** Persist the combined IVF + PQ index: the coarse-centroid routing
+    * array (1 row) plus the corpus's POSITION CODES partitioned by coarse
+    * cell — the production ANN layout where a query reads only the probed
+    * cells' codes (N^(3/4)-ish of a 4 B/vector table) instead of flat-
+    * scanning either the vectors (q25) or all codes (`searchPq`). The
+    * codebook is trained on the WHOLE corpus (same as `savePqIndex` — so
+    * probing every cell reproduces the flat scan bit-for-bit, which is
+    * the spec's equivalence pin); routing reuses `Vectors.ivfIndex`'s
+    * coarse level. */
+  def saveIvfPqIndex(emb: DataFrame, path: String): Unit = {
+    val (assigned, _, coarseArr) = Vectors.ivfIndex(emb)
+    coarseArr.write.mode("overwrite").parquet(s"$path/ivfpq/coarse")
+    val cb = Vectors.pqCodebook(emb)
+    cb.write.mode("overwrite").parquet(s"$path/ivfpq/codebook")
+    Vectors.pqAssign(emb, cb)
+      .join(assigned.select("vec_id", "ccid"), Seq("vec_id"))
+      .repartition(col("ccid"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").partitionBy("ccid")
+      .parquet(s"$path/ivfpq/codes")
+  }
+
+  /** ADC search over the probed coarse cells only: rank the loaded coarse
+    * array against the query, read the top `probeCoarse` cells' code
+    * partitions (the ccid partition column prunes the scan — spec-pinned
+    * PartitionFilters), decode + approx-score those codes, exact re-rank.
+    * With `probeCoarse` >= the cell count this is bit-identical to
+    * `searchPq` (same codebook, same codes, same re-rank) — IndexStoreSpec
+    * pins that equivalence; at small probeCoarse it trades recall for a
+    * per-query read that shrinks as cells/corpus. */
+  def searchIvfPq(emb: DataFrame, path: String, queryVecId: Long, k: Int,
+      probeCoarse: Int): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val coarse = spark.read.parquet(s"$path/ivfpq/coarse")
+    val cb = spark.read.parquet(s"$path/ivfpq/codebook")
+    val codes = spark.read.parquet(s"$path/ivfpq/codes")
+      .select(col("vec_id"), col("codes"), col("ccid").cast("long").as("ccid"))
+    val qn = emb.filter(col("vec_id") === queryVecId).limit(1)
+      .select(col("en").as("qn"))
+    val topc = qn.crossJoin(broadcast(coarse))
+      .select(col("qn"), explode(col("cc")).as("c"))
+      .select(col("c.ccid").as("ccid"),
+        Vectors.dot(col("qn"), col("c.cn")).as("csim"))
+      .orderBy(col("csim").desc, col("ccid"))
+      .limit(probeCoarse)
+      .select("ccid")
+    val probedCodes = codes.join(broadcast(topc), Seq("ccid"))
+      .select("vec_id", "codes")
+    val rx = Vectors.pqDecode(probedCodes, cb)
     val cand = rx.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(qn))
       .select(col("vec_id"), Vectors.dot(col("rx"), col("qn")).as("asim"))

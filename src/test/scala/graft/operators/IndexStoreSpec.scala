@@ -155,6 +155,44 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("IVFPQ probing every coarse cell == the flat searchPq scan") {
+    val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("en"))
+    val path = tmp("ivfpq")
+    IndexStore.saveIvfPqIndex(emb, path)
+    IndexStore.savePqIndex(emb, path)
+    val nCells = spark.read.parquet(s"$path/ivfpq/coarse")
+      .selectExpr("size(cc)").collect()(0).getInt(0)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // Same whole-corpus codebook, same codes: scanning all cells IS the
+    // flat scan, bit for bit.
+    assert(hits(IndexStore.searchIvfPq(emb, path, 0L, 5, nCells))
+      .sameElements(hits(IndexStore.searchPq(emb, path, 0L, 5))))
+    // A real (partial) probe still lands >= 3 of the exact top-5 here.
+    val exact = hits(SparkEntry.queries("q25_knn_bruteforce")(spark, sf))
+      .map(_._1).toSet
+    val probed = hits(IndexStore.searchIvfPq(emb, path, 0L, 5, 2))
+      .map(_._1).toSet
+    assert((probed intersect exact).size >= 3,
+      s"probe-2 recall too low: $probed vs $exact")
+  }
+
+  test("IVFPQ code table prunes to the probed coarse-cell partitions") {
+    val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("en"))
+    val path = tmp("ivfpq-prune")
+    IndexStore.saveIvfPqIndex(emb, path)
+    val codes = spark.read.parquet(s"$path/ivfpq/codes")
+    val someCcid = codes.select(col("ccid").cast("long")).limit(1)
+      .collect()(0).getLong(0)
+    val plan = codes.filter(col("ccid") === someCcid)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*ccid[^\\]]*\\].*"),
+      s"expected a ccid partition filter in:\n$plan")
+  }
+
   test("persisted IVF vector table prunes to the probed coarse-cell partition") {
     val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
       .select(col("vec_id"), col("en"))
