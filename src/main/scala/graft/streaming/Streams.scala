@@ -294,6 +294,40 @@ object Streams {
       }
   }
 
+  /** q86's streaming form: score a document stream against the PERSISTED
+    * frozen reference LM (`IndexStore.saveUnigramLM`) — STATELESS by
+    * construction: a frozen LM makes every doc's score final on arrival,
+    * so the plan is a narrow per-row projection against a broadcast 1-row
+    * LM map (no watermark, no state store, append-mode clean — the
+    * degenerate-but-important streaming case where the right answer is NO
+    * state). Batch q86 reaches the same numbers through an explode + LM
+    * join + doc-keyed aggregation; here each doc is one row, so the
+    * per-doc sums are an in-row integer fold over map lookups — same
+    * integer-sum + sequential-division arithmetic, bit-identical outputs
+    * (StreamsSpec pins per-doc equality with q86 across micro-batches).
+    * Docs with no words emit nothing, like q86's explode. The LM map is
+    * vocab-sized — the same broadcast envelope as the batch join side. */
+  def familiarityStream(docs: DataFrame, lmPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val lm = spark.read.parquet(s"$lmPath/lm/unigrams")
+      .agg(map_from_entries(collect_list(struct(col("w"), col("c")))).as("lmm"),
+        sum("c").cast("long").as("tot"))
+    docs.crossJoin(broadcast(lm))
+      .withColumn("ws", expr("filter(split(trim(text), ' '), x -> x <> '')"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("cs", expr("transform(ws, x -> lmm[x])"))
+      .select(
+        col("doc_id"),
+        expr("CAST(size(ws) AS BIGINT)").as("nw"),
+        expr("CAST(size(filter(cs, c -> c IS NOT NULL)) AS BIGINT)").as("nws"),
+        expr("aggregate(cs, CAST(0 AS BIGINT), (a, c) -> a + coalesce(c, CAST(0 AS BIGINT)))").as("sumc"),
+        col("tot"))
+      .select(col("doc_id"), col("nw"), col("nws"),
+        expr("CASE WHEN nws = 0 THEN 0e0 ELSE sumc / nws / tot END")
+          .as("familiarity"),
+        expr("(nw - nws) / nw").as("oov_rate"))
+  }
+
   /** Drain the stream with Trigger.AvailableNow into an in-memory table and
     * return it (spec/driver harness; production would writeStream to a sink). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {

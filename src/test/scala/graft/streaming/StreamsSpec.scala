@@ -246,4 +246,29 @@ class StreamsSpec extends AnyFunSuite {
       case (id, dupOf, _) => assert(verdicts.get(id) === dupOf, s"doc $id dup_of diverges")
     }
   }
+
+  test("streaming familiarity vs the persisted LM matches batch q86 across micro-batches") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // Freeze q86's reference slice as the persisted LM, then stream the
+    // WHOLE corpus through in two micro-batches: per-doc scores must equal
+    // the batch q86 result bit-for-bit (stateless scoring — batch
+    // boundaries can't matter).
+    val lmPath = java.nio.file.Files.createTempDirectory("graft-lm-stream").toString
+    graft.operators.IndexStore.saveUnigramLM(
+      docs.filter(col("doc_id") % 5 === 0), lmPath)
+    val tmp = landBatches(Seq(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1)))
+    val got = Streams.runToMemory(spark,
+        Streams.familiarityStream(
+          Streams.readDocsStream(spark, tmp.getPath, "*.parquet", Some(1)), lmPath),
+        "familiarity_mb")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val want = graft.SparkEntry.queries("q86_reference_familiarity")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length === want.length)
+    assert(got.sameElements(want))
+  }
 }
