@@ -742,6 +742,54 @@ object TextOps {
              |       (count(*) - count(c)) / count(*) AS oov_rate
              |FROM words LEFT JOIN uni USING (w), tot
              |GROUP BY doc_id, tot
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── Vocabulary drift between corpus slices (distribution monitoring) ──
+    QueryDef(
+      "q89_vocab_drift",
+      (s, dir) => {
+        // Corpus-monitoring primitive: which words' usage RATES moved most
+        // between two slices (here the deterministic doc_id parity split —
+        // in production, consecutive crawl snapshots or source mixtures)?
+        // Rates are integer word counts over integer slice totals — the
+        // only doubles are the two divisions and one abs, in the same
+        // order in both engines, so the top-20 is hash-exact (no log-odds
+        // / KL formulation: ln() is the cross-engine ulp hazard, and rank
+        // order at filter time doesn't need it). One hash shuffle with
+        // map-side partials builds the vocab-sized count table (the two
+        // slice counts ride in ONE aggregation as conditional sums — not
+        // two scans + a join); the top-20 is TakeOrderedAndProject, no
+        // global sort.
+        val words = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val counts = words
+          .withColumn("sl", (col("doc_id") % 2 === 0).cast("int"))
+          .groupBy("w").agg(
+            sum(col("sl")).as("c_a"),
+            sum(lit(1) - col("sl")).as("c_b"))
+        val tot = counts.agg(sum("c_a").cast("long").as("na"),
+          sum("c_b").cast("long").as("nb"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("w"), col("c_a"), col("c_b"),
+            expr("c_a / na").as("rate_a"), expr("c_b / nb").as("rate_b"),
+            expr("abs(c_a / na - c_b / nb)").as("drift"))
+          .orderBy(col("drift").desc, col("w")).limit(20)
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, w FROM (
+             |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+             |  WHERE w <> ''),
+             |counts AS (
+             |  SELECT w,
+             |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+             |  FROM words GROUP BY w),
+             |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+             |               CAST(sum(c_b) AS BIGINT) AS nb FROM counts)
+             |SELECT w, c_a, c_b, c_a / na AS rate_a, c_b / nb AS rate_b,
+             |       abs(c_a / na - c_b / nb) AS drift
+             |FROM counts, tot
+             |ORDER BY drift DESC, w LIMIT 20""".stripMargin))
   )
 }
