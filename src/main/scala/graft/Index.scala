@@ -15,7 +15,7 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index build-ivf  <embDir> <indexPath> [--refine N]"
   *   sbt "runMain graft.Index append-ivf <embDir> <indexPath>"
   *   sbt "runMain graft.Index search     <indexPath> <vecId> <k> [--probe]"
-  *   sbt "runMain graft.Index build-pq   <embDir> <indexPath>"
+  *   sbt "runMain graft.Index build-pq   <embDir> <indexPath> [--refine N]"
   *   sbt "runMain graft.Index append-pq  <embDir> <indexPath>"
   *   sbt "runMain graft.Index search-pq  <embDir> <indexPath> <vecId> <k>"
   *
@@ -83,11 +83,13 @@ object Index {
         IndexStore.appendIvfBatch(emb, path)
         s"""{"mode":"append-ivf","vectors":$n,"index":"$path"}"""
 
-      case "build-pq" :: embDir :: path :: Nil =>
+      case "build-pq" :: embDir :: path :: rest =>
+        val refine = rest.sliding(2)
+          .collectFirst { case List("--refine", v) => v.toInt }.getOrElse(0)
         val emb = loadEmb(spark, embDir)
         val n = emb.count()
-        IndexStore.savePqIndex(emb, path)
-        s"""{"mode":"build-pq","vectors":$n,"index":"$path"}"""
+        IndexStore.savePqIndex(emb, path, refine)
+        s"""{"mode":"build-pq","vectors":$n,"refine":$refine,"index":"$path"}"""
 
       case "append-pq" :: embDir :: path :: Nil =>
         val emb = loadEmb(spark, embDir)

@@ -264,8 +264,8 @@ object IndexStore {
     * actually reads (the raw vectors stay in their own store, touched only
     * for the constant-depth re-rank). `emb` must be (vec_id, en)
     * normalized (`Vectors.withNormalized`). */
-  def savePqIndex(emb: DataFrame, path: String): Unit = {
-    val cb = Vectors.pqCodebook(emb)
+  def savePqIndex(emb: DataFrame, path: String, refine: Int = 0): Unit = {
+    val cb = Vectors.pqCodebook(emb, refine)
     cb.write.mode("overwrite").parquet(s"$path/pq/codebook")
     Vectors.pqAssign(emb, cb)
       .write.mode("overwrite").parquet(s"$path/pq/codes")

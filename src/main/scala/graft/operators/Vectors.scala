@@ -591,19 +591,58 @@ object Vectors {
   /** q88's PQ codebook as a broadcast 1-row frame `cb`: for each of the
     * PqM subspaces, the ~PqK stride-seeded sub-vectors (cid = the seed's
     * vec_id), sorted by (s, cid). PqK·dim doubles total — dim-bounded at
-    * any corpus size. */
-  def pqCodebook(emb: DataFrame): DataFrame = {
+    * any corpus size.
+    *
+    * `refine` > 0 runs that many Lloyd rounds per subspace (mean of the
+    * assigned sub-vectors per codeword, then reassign — the IVF `refine`
+    * discipline applied to PQ, where codebook quality IS the recall
+    * lever). Each round is one dim-exploded linear shuffle over the
+    * corpus + a localCheckpoint barrier; codewords keep their seed cid
+    * (stable sort identity), and a codeword left empty by reassignment
+    * drops out — standard Lloyd. refine = 0 (the catalog default) leaves
+    * q88's oracle-pinned plan untouched; Lloyd's objective guarantees
+    * reconstruction MSE is non-increasing per round (VectorsPqSpec pins
+    * it on clustered data). */
+  def pqCodebook(emb: DataFrame, refine: Int = 0): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val par = emb.agg(count(lit(1)).as("n"))
       .withColumn("step", expr(s"greatest(CAST(1 AS BIGINT), n div $PqK)"))
       .select("step")
-    emb.crossJoin(broadcast(par))
+    val cb0 = emb.crossJoin(broadcast(par))
       .filter(col("vec_id") % col("step") === 0)
       .select(explode(expr(
         s"""transform(sequence(0, ${PqM - 1}), s ->
            |  struct(s AS s, vec_id AS cid,
            |         slice(en, s * (size(en) div $PqM) + 1, size(en) div $PqM) AS cn))""".stripMargin)).as("c"))
       .agg(array_sort(collect_list(col("c"))).as("cb"))
+    (1 to refine).foldLeft(cb0) { (cb, _) =>
+      // Sub-vectors keyed by their assigned (s, pos) codeword.
+      val sub = emb.join(pqAssign(emb, cb), Seq("vec_id"))
+        .select(explode(expr(
+          s"""transform(sequence(0, ${PqM - 1}), s ->
+             |  struct(s AS s, codes[s] AS pos,
+             |         slice(en, s * (size(en) div $PqM) + 1, size(en) div $PqM) AS sv))""".stripMargin)).as("e"))
+        .select(col("e.s").as("s"), col("e.pos").as("pos"), col("e.sv").as("sv"))
+      // Per-(s, pos, dim) mean — one linear shuffle with partial agg.
+      val means = sub
+        .select(col("s"), col("pos"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("s", "pos", "i").agg(sum("x").as("sx"), count(lit(1)).as("c"))
+        .groupBy("s", "pos")
+        .agg(array_sort(collect_list(struct(col("i"),
+          (col("sx") / col("c")).as("m")))).as("ms"))
+        .select(col("s"), col("pos"), expr("transform(ms, t -> t.m)").as("cn"))
+      // Positions index the PREVIOUS round's (s, cid)-sorted order — carry
+      // each codeword's seed cid forward as its stable identity.
+      val posCid = cb.select(explode(expr(
+          s"""flatten(transform(sequence(0, ${PqM - 1}), s ->
+             |  transform(filter(cb, c -> c.s = s),
+             |    (c, i) -> struct(s AS s, i AS pos, c.cid AS cid))))""".stripMargin)).as("p"))
+        .select(col("p.s").as("s"), col("p.pos").as("pos"), col("p.cid").as("cid"))
+      means.join(posCid, Seq("s", "pos"))
+        .select(struct(col("s"), col("cid"), col("cn")).as("c"))
+        .agg(array_sort(collect_list(col("c"))).as("cb"))
+        .localCheckpoint(true)
+    }
   }
 
   /** PQ codes (vec_id, codes): codes[s] = the POSITION (within subspace
