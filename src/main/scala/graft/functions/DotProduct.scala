@@ -36,6 +36,12 @@ case class DotProduct(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
+  // Can return null (length mismatch, null element) even when both inputs
+  // are non-nullable — the BinaryExpression default (children's nullability)
+  // would let Catalyst fold IsNotNull away AND makes nullSafeCodeGen emit an
+  // assignment to a non-declared isNull slot (janino compile failure →
+  // silent interpreted fallback on non-nullable inputs, e.g. literal arrays).
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

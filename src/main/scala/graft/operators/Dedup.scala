@@ -46,6 +46,17 @@ object Dedup {
   val BoilerN = 8
   val BoilerDf = 3
 
+  /** q91 edit-similarity threshold: 1 - lev/max(len) ≥ EditTau. */
+  val EditTau = 0.5
+  /** q91 candidate gate: ≥ this many shared informative shingles before
+    * any Levenshtein runs. The inverted index emits every pair sharing
+    * ONE rare shingle — 1.13M pairs at sf0.1, where Levenshtein's
+    * O(len²)-per-pair cost is a measured cliff (the un-gated bench ran
+    * minutes, not seconds). inter ≥ 3 keeps every observed edit-dup at
+    * both test scales (min inter over sim≥0.5 pairs is exactly 3) and
+    * cuts candidates 110× (10.3k at sf0.1, ~2/doc — linear in corpus). */
+  val EditMinInter = 3
+
   /** Word n-gram shingles per document, WITH duplicates — narrow, no
     * shuffle. Callers that need set semantics either `.distinct()` (one
     * shuffle) or dedupe inside their own aggregation (collect_set). */
@@ -208,20 +219,34 @@ object Dedup {
     * bucket, and doc sizes fall out of the same index. Returns (a, b,
     * inter, sza, szb) with a < b — the shared candidate core of q22's
     * Jaccard and q87's containment scoring. */
-  private def indexedPairs(docs: DataFrame): DataFrame = {
-    val sh = shinglesRaw(docs)
+  /** df-capped inverted index: one bucket row per informative shingle,
+    * `ds` = its sorted doc_id set (2 ≤ |ds| ≤ MaxDf). */
+  private def dfCappedBuckets(docs: DataFrame): DataFrame = {
     val cappedSet = udaf(new graft.functions.CappedSetAggregator(MaxDf + 1))
-    val buckets = sh.groupBy("s")
+    shinglesRaw(docs).groupBy("s")
       .agg(cappedSet(col("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, MaxDf))
-    val sizes = buckets.select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = buckets.select(explode(expr(
+  }
+
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets.select(explode(expr(
         "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
       )).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+
+  /** (a, b, inter) with a < b, WITHOUT per-doc sizes: callers that only
+    * gate on the intersection count (q91) stop here — `indexedPairs` adds
+    * a sizes aggregation plus two joins that Catalyst cannot prune away
+    * once they're in the plan. */
+  private[graft] def interPairs(docs: DataFrame): DataFrame =
+    bucketPairs(dfCappedBuckets(docs))
+
+  private[graft] def indexedPairs(docs: DataFrame): DataFrame = {
+    val buckets = dfCappedBuckets(docs)
+    val sizes = buckets.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    bucketPairs(buckets)
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
   }
@@ -810,7 +835,135 @@ object Dedup {
               |       bit_count(xor(x.simhash, y.simhash)) AS hamming
               |FROM bx x JOIN bx y ON x.bi = y.bi AND x.key = y.key AND x.doc_id < y.doc_id
               |WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimMaxHamming
-              |ORDER BY a, b""".stripMargin))
+              |ORDER BY a, b""".stripMargin)),
+
+    // ── Edit-distance-verified near-dup (character-level Levenshtein) ──
+    QueryDef(
+      "q91_edit_distance",
+      (s, dir) => {
+        // Set-based measures (Jaccard, containment) are order-blind: two
+        // docs with the same vocabulary but scrambled sentences score as
+        // duplicates. Edit similarity is the order-AWARE verifier — the
+        // standard second opinion when near-dup removal must not collapse
+        // legitimate remixes. Shape: Levenshtein is O(len²) PER PAIR, so it
+        // can never run corpus-wide; candidates come from the same
+        // df-capped inverted index as q22 (one shuffle, bounded fan-out),
+        // TWICE gated before any text is compared: (1) inter ≥ EditMinInter
+        // shared shingles — the intersection count the index already
+        // aggregated, free to test, 110× fewer pairs (see EditMinInter);
+        // (2) a char-length-ratio bound prunes pairs that could not reach
+        // EditTau (lev ≥ |la-lb| ⇒ sim ≤ min/max). Similarity =
+        // (max_len - lev) / max_len: one integer subtraction + one
+        // division, hash-exact in both engines.
+        val docs = Tables.load(s, dir, "documents")
+        val t = docs.select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("len"))
+        interPairs(docs)
+          .filter(col("inter") >= EditMinInter).select("a", "b")
+          .join(t.select(col("doc_id").as("a"), col("text").as("ta"),
+            col("len").as("la")), Seq("a"))
+          .join(t.select(col("doc_id").as("b"), col("text").as("tb"),
+            col("len").as("lb")), Seq("b"))
+          .filter(least(col("la"), col("lb")) / greatest(col("la"), col("lb"))
+            >= EditTau)
+          // The gated frame is rows-tiny but compute-heavy (O(len²)/row):
+          // AQE coalesces it to ~10 skewed partitions, serializing the
+          // levenshtein pass (measured 2.65 → 0.70 s after spreading).
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+          .select("a", "b", "la", "lb", "lev")
+          // Barrier: the edit_sim filter below would otherwise be pushed
+          // under this projection and re-run the O(len²) levenshtein in
+          // the Filter AND the Project (CSE does not span operators).
+          // The gated frame is tiny (~2 rows/doc), so materializing it
+          // costs nothing next to a second levenshtein pass.
+          .localCheckpoint(true)
+          .withColumn("edit_sim",
+            (greatest(col("la"), col("lb")) - col("lev"))
+              / greatest(col("la"), col("lb")))
+          .filter(col("edit_sim") >= EditTau)
+          .select("a", "b", "lev", "edit_sim")
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $shingleCte,
+              |$pairCoreCtes,
+              |t AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM documents),
+              |c AS (
+              |  SELECT p.a, p.b, ta.text AS ta, tb.text AS tb,
+              |         ta.len AS la, tb.len AS lb
+              |  FROM pairs p
+              |  JOIN t ta ON ta.doc_id = p.a
+              |  JOIN t tb ON tb.doc_id = p.b
+              |  WHERE p.inter >= $EditMinInter
+              |    AND least(ta.len, tb.len) / greatest(ta.len, tb.len) >= $EditTau),
+              |v AS (
+              |  SELECT a, b, levenshtein(ta, tb)::BIGINT AS lev,
+              |         (greatest(la, lb) - levenshtein(ta, tb)::BIGINT) / greatest(la, lb) AS edit_sim
+              |  FROM c)
+              |SELECT a, b, lev, edit_sim FROM v
+              |WHERE edit_sim >= $EditTau ORDER BY a, b""".stripMargin)),
+
+    // ── Per-source duplication profile (curation dashboard) ──
+    QueryDef(
+      "q92_source_dup_profile",
+      (s, dir) => {
+        // The monitoring view of the q82/q85 boilerplate machinery: for
+        // each ingest SOURCE, what fraction of its token volume is covered
+        // by cross-document-frequent 8-grams? A template-heavy source
+        // (mirror site, scraped forum chrome) shows up as a high dup_rate
+        // slice long before per-pair dedup runs — the standard "which
+        // feed is polluting the mix" dashboard. Shapes are q85's: one
+        // shuffle for the boilerplate set (AQE-broadcast into the cover
+        // join), ≤8× narrow cover explode, then the report collapses to
+        // ONE tiny source-keyed aggregation (output rows = #sources).
+        // Counts are integer sums; the only double is the final division.
+        val n = BoilerN
+        val docs = Tables.load(s, dir, "documents")
+        val w = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+        val sh8 = w.filter(size(col("w")) >= n)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, size(w) - $n), i -> struct(i AS i, concat_ws(' ', slice(w, i + 1, $n)) AS s))")).as("p"))
+          .select(col("doc_id"), col("p.i").as("i"), col("p.s").as("s"))
+        val bp = sh8.groupBy("s").agg(countDistinct("doc_id").as("df"))
+          .filter(col("df") >= BoilerDf).select("s")
+        val cnt = sh8.join(bp, Seq("s"))
+          .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("ci"))
+          .distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        docs.select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), " ")).cast("long").as("nw"))
+          .join(cnt, Seq("doc_id"), "left")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum("nw").as("n_words"),
+            sum(coalesce(col("n_dup"), lit(0L))).as("n_dup"))
+          .withColumn("dup_rate", col("n_dup") / col("n_words"))
+          .orderBy("source")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+              |sh8 AS (
+              |  SELECT doc_id, p.i AS i, p.s AS s FROM (
+              |    SELECT doc_id, unnest([struct_pack(i := i - 1, s := array_to_string(w[i:i+7], ' '))
+              |                           for i in range(1, len(w) - 6)]) AS p
+              |    FROM w WHERE len(w) >= 8)),
+              |bp AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df FROM sh8 GROUP BY s)
+              |       WHERE df >= $BoilerDf),
+              |cnt AS (
+              |  SELECT doc_id, count(*) AS n_dup FROM (
+              |    SELECT DISTINCT doc_id, ci FROM (
+              |      SELECT doc_id, unnest([i + d for d in range(0, 8)]) AS ci
+              |      FROM sh8 JOIN bp USING (s)))
+              |  GROUP BY doc_id),
+              |d AS (SELECT doc_id, source,
+              |             len(string_split(trim(text), ' '))::BIGINT AS nw
+              |      FROM documents)
+              |SELECT source, count(*) AS n_docs,
+              |       CAST(sum(nw) AS BIGINT) AS n_words,
+              |       CAST(sum(coalesce(n_dup, 0)) AS BIGINT) AS n_dup,
+              |       CAST(sum(coalesce(n_dup, 0)) AS BIGINT)
+              |         / CAST(sum(nw) AS BIGINT) AS dup_rate
+              |FROM d LEFT JOIN cnt USING (doc_id)
+              |GROUP BY source ORDER BY source""".stripMargin))
   )
 
 }

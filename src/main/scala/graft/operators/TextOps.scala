@@ -125,6 +125,21 @@ object TextOps {
        |thr AS (SELECT lang, min(b) / ${HistK}.0e0 AS thr FROM hcum
        |        WHERE cum >= (n + 1) // 2 GROUP BY lang)""".stripMargin
 
+  // q90 rule-based filter (the Gopher-style document heuristics,
+  // Rae et al. 2021 §A1.1): hard per-document rules, each a cheap narrow
+  // expression, combined into a keep/drop decision. Parameterized so a
+  // deployment tunes them to its corpus; defaults are the published ones
+  // except MinWords (50 → 30: this synthetic corpus runs 10–99 words).
+  val MinWords = 30
+  val MaxWords = 100000
+  val WlenLo = 3.0
+  val WlenHi = 10.0
+  val AlphaTau = 0.8
+  /** Stop-word presence list: the rule wants ≥ StopMin DISTINCT list words
+    * in the doc (a proxy for "is natural prose", Gopher's 2-of-8 rule). */
+  val StopWords = Seq("a", "the", "and", "of", "to")
+  val StopMin = 2
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Language ID: n-gram/marker heuristic ──
@@ -790,6 +805,69 @@ object TextOps {
              |SELECT w, c_a, c_b, c_a / na AS rate_a, c_b / nb AS rate_b,
              |       abs(c_a / na - c_b / nb) AS drift
              |FROM counts, tot
-             |ORDER BY drift DESC, w LIMIT 20""".stripMargin))
+             |ORDER BY drift DESC, w LIMIT 20""".stripMargin)),
+
+    // ── Rule-based quality filter (Gopher-style document heuristics) ──
+    QueryDef(
+      "q90_rule_filter",
+      (s, dir) => {
+        // The HARD-rule sibling of q27's soft score: each document gets the
+        // published Gopher heuristics as explicit pass/fail flags plus the
+        // measurements behind them, so a pipeline can both filter (pass =
+        // 1) and audit WHY a slice is being dropped (per-rule failure
+        // rates are the standard curation dashboard). Rules: word count in
+        // [MinWords, MaxWords]; mean word length in [WlenLo, WlenHi];
+        // ≥ AlphaTau of words contain a letter; ≥ StopMin distinct
+        // stop-words present. Everything is one narrow codegen'd
+        // projection over the scan — no shuffle, no UDF; at 100 TB this
+        // runs at scan speed like q26-q29. Doubles appear only as final
+        // single divisions of integer counts (hash-exact); flags are ints.
+        Tables.load(s, dir, "documents")
+          .withColumn("w", split(trim(col("text")), " "))
+          .withColumn("n_words", size(col("w")).cast("long"))
+          .withColumn("n_wchars",
+            length(regexp_replace(trim(col("text")), " ", "")).cast("long"))
+          .withColumn("n_alpha_w",
+            expr("size(filter(w, x -> x rlike '[a-z]'))").cast("long"))
+          .withColumn("stop_hits", expr(
+            s"size(array_intersect(w, array(${StopWords.map("'" + _ + "'").mkString(", ")})))")
+            .cast("long"))
+          .withColumn("mean_wlen", col("n_wchars") / col("n_words"))
+          .withColumn("alpha_ratio", col("n_alpha_w") / col("n_words"))
+          .withColumn("r_words",
+            when(col("n_words").between(MinWords, MaxWords), 1).otherwise(0))
+          .withColumn("r_wlen", when(
+            col("mean_wlen") >= WlenLo && col("mean_wlen") <= WlenHi, 1)
+            .otherwise(0))
+          .withColumn("r_alpha",
+            when(col("alpha_ratio") >= AlphaTau, 1).otherwise(0))
+          .withColumn("r_stop", when(col("stop_hits") >= StopMin, 1).otherwise(0))
+          .withColumn("pass",
+            col("r_words") * col("r_wlen") * col("r_alpha") * col("r_stop"))
+          .select("doc_id", "n_words", "mean_wlen", "alpha_ratio", "stop_hits",
+            "r_words", "r_wlen", "r_alpha", "r_stop", "pass")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS w,
+              |         length(replace(trim(text), ' ', ''))::BIGINT AS n_wchars
+              |  FROM documents),
+              |m AS (
+              |  SELECT doc_id, len(w)::BIGINT AS n_words, n_wchars,
+              |         len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha_w,
+              |         len(list_intersect(w, [${StopWords.map("'" + _ + "'").mkString(", ")}]))::BIGINT AS stop_hits
+              |  FROM d),
+              |r AS (
+              |  SELECT doc_id, n_words, n_wchars / n_words AS mean_wlen,
+              |         n_alpha_w / n_words AS alpha_ratio, stop_hits,
+              |         CASE WHEN n_words BETWEEN $MinWords AND $MaxWords THEN 1 ELSE 0 END AS r_words,
+              |         CASE WHEN n_wchars / n_words >= $WlenLo AND n_wchars / n_words <= $WlenHi THEN 1 ELSE 0 END AS r_wlen,
+              |         CASE WHEN n_alpha_w / n_words >= $AlphaTau THEN 1 ELSE 0 END AS r_alpha,
+              |         CASE WHEN stop_hits >= $StopMin THEN 1 ELSE 0 END AS r_stop
+              |  FROM m)
+              |SELECT doc_id, n_words, mean_wlen, alpha_ratio, stop_hits,
+              |       r_words, r_wlen, r_alpha, r_stop,
+              |       r_words * r_wlen * r_alpha * r_stop AS pass
+              |FROM r ORDER BY doc_id""".stripMargin))
   )
 }

@@ -167,6 +167,14 @@ class PlanSpec extends AnyFunSuite {
     assert(hashShuffles.isEmpty, "per-doc repetition metrics must not shuffle — all compute is within-row")
   }
 
+  test("q90 rule filter is a pure narrow scan: no hash shuffle before the determinism sort") {
+    val hashShuffles = collectAll("q90_rule_filter") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashShuffles.isEmpty, "per-doc rule flags must not shuffle — all compute is within-row")
+  }
+
   test("q67 session windows are keyed by user (no global single-partition window)") {
     val windows = collectAll("q67_sessions") { case w: WindowExec => w }
     assert(windows.nonEmpty)

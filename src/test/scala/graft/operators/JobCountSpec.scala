@@ -33,12 +33,14 @@ class JobCountSpec extends AnyFunSuite {
   // runs its bounded rounds eagerly (per-round lineage barrier), q54
   // localCheckpoints the simhash frame against CollapseProject inlining,
   // q73 localCheckpoints its scored frame against the 5-way downstream
-  // fan-out re-running the corpus window + regex scoring, and q59
+  // fan-out re-running the corpus window + regex scoring, q59
   // localCheckpoints its scored pairs so the symmetric mirror's two
-  // branches don't each re-run the candidates+verify subtree.
+  // branches don't each re-run the candidates+verify subtree, and q91
+  // localCheckpoints its levenshtein frame so the edit_sim filter isn't
+  // pushed into a second O(len²) evaluation.
   private val eagerByDesign = Set(
     "q47_dedup_components", "q58_dedup_keep", "q54_simhash_pairs",
-    "q73_curation_pipeline", "q59_ann_knn_join")
+    "q73_curation_pipeline", "q59_ann_knn_join", "q91_edit_distance")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached
