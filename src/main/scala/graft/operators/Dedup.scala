@@ -963,7 +963,43 @@ object Dedup {
               |       CAST(sum(coalesce(n_dup, 0)) AS BIGINT)
               |         / CAST(sum(nw) AS BIGINT) AS dup_rate
               |FROM d LEFT JOIN cnt USING (doc_id)
-              |GROUP BY source ORDER BY source""".stripMargin))
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Cross-source near-dup overlap matrix ──
+    QueryDef(
+      "q93_source_overlap",
+      (s, dir) => {
+        // WHICH feeds copy each other: q22's verified near-dup pairs
+        // rolled up by ingest-source pair — the mirror-detection view a
+        // crawl operator reads before deciding which source to drop
+        // (q92 profiles boilerplate WITHIN a source; this catches whole
+        // documents duplicated ACROSS sources). Shapes add nothing to
+        // q22: two doc_id-keyed joins of the small source map into the
+        // pair frame, then one tiny source-pair aggregation (output rows
+        // ≤ sources²). The pair key is orientation-normalized
+        // (lexicographic least/greatest) so the matrix is one triangle.
+        // max() is order-insensitive — safe on doubles where a sum or
+        // avg across partitions would not be hash-stable.
+        val docs = Tables.load(s, dir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        jaccardPairs(docs)
+          .join(src.select(col("doc_id").as("a"), col("source").as("sa")), Seq("a"))
+          .join(src.select(col("doc_id").as("b"), col("source").as("sb")), Seq("b"))
+          .select(least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"), col("jaccard"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH $shingleCte,
+              |${jaccardPairsCtes()},
+              |src AS (SELECT doc_id, source FROM documents)
+              |SELECT least(x.source, y.source) AS src_a,
+              |       greatest(x.source, y.source) AS src_b,
+              |       CAST(count(*) AS BIGINT) AS n_pairs,
+              |       max(jaccard) AS max_jaccard
+              |FROM jp JOIN src x ON x.doc_id = jp.a JOIN src y ON y.doc_id = jp.b
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
 }

@@ -237,6 +237,13 @@ object Vectors {
        |                                  negcid := -f.cid) for f in fc])[-1].negcid) AS cid
        |  FROM cassign JOIN fcells USING (ccid))""".stripMargin
 
+  /** q94 embedding-quality eval: every KnnEvalMod-th vector is a probe;
+    * purity = fraction of its KnnEvalK exact nearest neighbors sharing its
+    * label. The panel is FIXED-SIZE in production (a held-out eval set);
+    * the modulo stand-in keeps the oracle self-contained. */
+  val KnnEvalMod = 50L
+  val KnnEvalK = 5
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Brute-force cosine top-k (exact ANN baseline) ──
@@ -585,7 +592,57 @@ object Vectors {
               |  ORDER BY asim DESC, vec_id LIMIT $PqRerank)
               |SELECT t.vec_id, ${dotSql("x.en", "qn")} AS sim
               |FROM cand t JOIN vn x ON x.vec_id = t.vec_id, qd
-              |ORDER BY sim DESC, t.vec_id LIMIT 5""".stripMargin))
+              |ORDER BY sim DESC, t.vec_id LIMIT 5""".stripMargin)),
+
+    // ── kNN label purity (embedding-quality eval panel) ──
+    QueryDef(
+      "q94_knn_label_purity",
+      (s, dir) => {
+        // Does the embedding space cluster by label? For each probe vector
+        // (a small eval panel), take its exact top-K cosine neighbors and
+        // measure the fraction sharing the probe's label — the standard
+        // embedding-quality scorecard run before trusting semantic dedup
+        // (q81) or ANN retrieval on a new embedding model. Shape: the
+        // panel rides as ONE broadcast frame into a narrow corpus scan
+        // (per-corpus-row cost = |panel| codegen'd dots — linear in N for
+        // a fixed panel, never N²); top-K is a window keyed by probe id,
+        // so it shuffles only panel·K candidate rows, and the verdict is
+        // one tiny panel-keyed aggregation. Integer counts; the only
+        // double emitted is sim-free purity = n_match / K.
+        val emb = withNormalized(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("label"), col("en"))
+        val panel = emb.filter(col("vec_id") % KnnEvalMod === 0)
+          .select(col("vec_id").as("qid"), col("label").as("ql"),
+            col("en").as("qn"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        emb.crossJoin(broadcast(panel))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("ql"), col("vec_id"), col("label"),
+            dot(col("en"), col("qn")).as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= KnnEvalK)
+          .groupBy("qid")
+          .agg(sum(when(col("label") === col("ql"), 1L).otherwise(0L))
+            .as("n_match"))
+          .withColumn("purity", col("n_match") / lit(KnnEvalK))
+          .orderBy("qid")
+      },
+      Some(s"""WITH $normCte,
+              |panel AS (
+              |  SELECT vec_id AS qid, label AS ql, en AS qn
+              |  FROM vn WHERE vec_id % $KnnEvalMod = 0),
+              |scored AS (
+              |  SELECT qid, ql, vec_id, label, ${dotSql("en", "qn")} AS sim
+              |  FROM vn, panel WHERE vec_id <> qid),
+              |ranked AS (
+              |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+              |  FROM scored)
+              |SELECT qid,
+              |       CAST(sum(CASE WHEN label = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+              |       CAST(sum(CASE WHEN label = ql THEN 1 ELSE 0 END) AS BIGINT) / $KnnEvalK AS purity
+              |FROM ranked WHERE rn <= $KnnEvalK
+              |GROUP BY qid ORDER BY qid""".stripMargin))
   )
 
   /** q88's PQ codebook as a broadcast 1-row frame `cb`: for each of the
