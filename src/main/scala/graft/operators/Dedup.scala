@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -56,6 +56,39 @@ object Dedup {
     * both test scales (min inter over sim≥0.5 pairs is exactly 3) and
     * cuts candidates 110× (10.3k at sf0.1, ~2/doc — linear in corpus). */
   val EditMinInter = 3
+
+  /** q96/q97 deterministic corpus split: CONTENT-hash bucket (md5 of the
+    * text, not the doc_id) so byte-identical duplicates always land in the
+    * same split — the standard guard that keeps exact dups from straddling
+    * train/test. Buckets 0..89 train, 90..94 val, 95..99 test. */
+  val SplitBuckets = 100
+  val TrainBuckets = 90
+  val ValBuckets = 95
+
+  /** Split assignment off the portable 60-bit md5 fold of `text` (the q79
+    * idiom — bit-identical in DuckDB, see splitCaseSql). */
+  private def splitCol: Column =
+    when(col("hb") < TrainBuckets, lit("train"))
+      .when(col("hb") < ValBuckets, lit("val"))
+      .otherwise(lit("test"))
+
+  private def withSplitBucket(docs: DataFrame): DataFrame =
+    docs.withColumn("hb",
+      expr(s"cast(conv(substr(md5(text), 1, 15), 16, 10) AS bigint) % $SplitBuckets"))
+
+  /** DuckDB twin of withSplitBucket+splitCol as CTE `spl(doc_id, source,
+    * text, hb, split)`. */
+  private val splitCte =
+    s"""spl AS (
+       |  SELECT doc_id, source, text, hb,
+       |         CASE WHEN hb < $TrainBuckets THEN 'train'
+       |              WHEN hb < $ValBuckets THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, source, text,
+       |               list_reduce([(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)::BIGINT
+       |                            for i in range(1, 16)], (a, b) -> a * 16 + b)
+       |                 % $SplitBuckets AS hb
+       |        FROM documents))""".stripMargin
 
   /** Word n-gram shingles per document, WITH duplicates — narrow, no
     * shuffle. Callers that need set semantics either `.distinct()` (one
@@ -999,6 +1032,78 @@ object Dedup {
               |       CAST(count(*) AS BIGINT) AS n_pairs,
               |       max(jaccard) AS max_jaccard
               |FROM jp JOIN src x ON x.doc_id = jp.a JOIN src y ON y.doc_id = jp.b
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── Deterministic train/val/test split manifest ──
+    QueryDef(
+      "q96_split_manifest",
+      (s, dir) => {
+        // The split assignment every training run needs to be REPRODUCIBLE
+        // and content-stable: hash the text (not the id) so re-crawled or
+        // re-ingested copies of the same bytes can never land on opposite
+        // sides of the train/test fence, and any worker can recompute the
+        // assignment without a lookup table. The manifest is the artifact
+        // a pipeline publishes per snapshot: docs / tokens / distinct
+        // contents per (split, source). Shape: one narrow scan (md5 +
+        // word count fuse into the projection) into a partial+final agg
+        // keyed by splits·sources — output is catalog-sized, the shuffle
+        // carries only partial rows.
+        val d = withSplitBucket(Tables.load(s, dir, "documents"))
+          .select(splitCol.as("split"), col("source"),
+            expr("cast(conv(substr(md5(text), 1, 15), 16, 10) AS bigint)").as("h"),
+            size(split(trim(col("text")), " ")).cast("long").as("nw"))
+        d.groupBy("split", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("n_tokens"),
+            countDistinct(col("h")).as("n_contents"))
+          .orderBy("split", "source")
+      },
+      Some(s"""WITH $splitCte,
+              |d AS (
+              |  SELECT split, source,
+              |         list_reduce([(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)::BIGINT
+              |                      for i in range(1, 16)], (a, b) -> a * 16 + b) AS h,
+              |         len(string_split(trim(text), ' '))::BIGINT AS nw
+              |  FROM spl)
+              |SELECT split, source,
+              |       CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(nw) AS BIGINT) AS n_tokens,
+              |       CAST(count(DISTINCT h) AS BIGINT) AS n_contents
+              |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── Cross-split near-dup leakage audit ──
+    QueryDef(
+      "q97_split_leakage",
+      (s, dir) => {
+        // Content-hash splitting (q96) fences EXACT duplicates; near-dups
+        // can still straddle the fence and leak eval data into training.
+        // This is the audit run before a split ships: q22's verified
+        // near-dup pairs rolled up by split pair — off-diagonal rows
+        // (train,test / train,val / test,val) are leakage, the diagonal is
+        // ordinary within-split duplication for context. Shapes add
+        // nothing to q22: the split map rides as two doc_id-keyed joins
+        // into the pair frame (AQE broadcasts the tiny pair side), then
+        // one ≤9-row aggregation. max() not avg() on the double — order-
+        // insensitive, hash-stable.
+        val docs = Tables.load(s, dir, "documents")
+        val sp = withSplitBucket(docs).select(col("doc_id"), splitCol.as("split"))
+        jaccardPairs(docs)
+          .join(sp.select(col("doc_id").as("a"), col("split").as("pa")), Seq("a"))
+          .join(sp.select(col("doc_id").as("b"), col("split").as("pb")), Seq("b"))
+          .select(least(col("pa"), col("pb")).as("split_a"),
+            greatest(col("pa"), col("pb")).as("split_b"), col("jaccard"))
+          .groupBy("split_a", "split_b")
+          .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+          .orderBy("split_a", "split_b")
+      },
+      Some(s"""WITH $shingleCte,
+              |${jaccardPairsCtes()},
+              |$splitCte
+              |SELECT least(x.split, y.split) AS split_a,
+              |       greatest(x.split, y.split) AS split_b,
+              |       CAST(count(*) AS BIGINT) AS n_pairs,
+              |       max(jaccard) AS max_jaccard
+              |FROM jp JOIN spl x ON x.doc_id = jp.a JOIN spl y ON y.doc_id = jp.b
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 

@@ -642,7 +642,59 @@ object Vectors {
               |       CAST(sum(CASE WHEN label = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
               |       CAST(sum(CASE WHEN label = ql THEN 1 ELSE 0 END) AS BIGINT) / $KnnEvalK AS purity
               |FROM ranked WHERE rn <= $KnnEvalK
-              |GROUP BY qid ORDER BY qid""".stripMargin))
+              |GROUP BY qid ORDER BY qid""".stripMargin)),
+
+    // ── Per-label centroid cosine matrix (embedding drift monitor) ──
+    QueryDef(
+      "q95_centroid_drift",
+      (s, dir) => {
+        // How far apart do the label (or source/snapshot) populations sit
+        // in embedding space? The pairwise cosine between slice centroids
+        // is the drift scorecard a pipeline runs when a new embedding
+        // model or a new crawl slice lands: collapsing centroids mean the
+        // space no longer separates the slices. Scale shape: ONE narrow
+        // per-dim explode (N·dim rows) into a (label, dim)-keyed integer
+        // sum — partial aggregation bounds the shuffle at labels·dim rows
+        // — then an all-pairs join on the ≤|labels|-row centroid frame
+        // (broadcast; labels² is tiny by construction). Doubles are summed
+        // as FIXED-POINT bigints (floor(v·1e6)): integer sums are
+        // partition-order-exact where a double sum's low bits drift with
+        // scheduling, and cosine is scale-invariant so the raw integer sum
+        // vector (never divided by n) feeds the sequential-fold dot
+        // directly.
+        GraftFunctions.register(s)
+        val comp = Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(col("e")).as(Seq("i", "v")))
+          .groupBy("label", "i")
+          .agg(sum(expr("cast(floor(v * 1.0e6) AS bigint)")).as("c"))
+        val cent = comp.groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> cast(x.c AS double))").as("cv"))
+        val a = cent.select(col("label").as("la"), col("cv").as("ca"))
+        val b = cent.select(col("label").as("lb"), col("cv").as("cb"))
+        a.join(broadcast(b), col("la") < col("lb"))
+          .select(col("la"), col("lb"),
+            (dot(col("ca"), col("cb")) /
+              (sqrt(dot(col("ca"), col("ca"))) * sqrt(dot(col("cb"), col("cb")))))
+              .as("cos_sim"))
+          .orderBy("la", "lb")
+      },
+      Some(s"""WITH comp AS (
+              |  SELECT label, u.i AS i,
+              |         CAST(sum(CAST(floor(u.v * 1.0e6) AS BIGINT)) AS BIGINT) AS c
+              |  FROM (SELECT label,
+              |               unnest([struct_pack(i := i, v := CAST(embedding[i] AS DOUBLE))
+              |                       for i in range(1, len(embedding) + 1)]) AS u
+              |        FROM embeddings)
+              |  GROUP BY 1, 2),
+              |cent AS (
+              |  SELECT label,
+              |         [CAST(x.c AS DOUBLE) for x in list_sort(list(struct_pack(i := i, c := c)))] AS cv
+              |  FROM comp GROUP BY label)
+              |SELECT a.label AS la, b.label AS lb,
+              |       ${dotSql("a.cv", "b.cv")}
+              |         / (sqrt(${dotSql("a.cv", "a.cv")}) * sqrt(${dotSql("b.cv", "b.cv")})) AS cos_sim
+              |FROM cent a JOIN cent b ON a.label < b.label
+              |ORDER BY la, lb""".stripMargin))
   )
 
   /** q88's PQ codebook as a broadcast 1-row frame `cb`: for each of the
