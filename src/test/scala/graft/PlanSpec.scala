@@ -200,4 +200,50 @@ class PlanSpec extends AnyFunSuite {
     // salt-group exchange + key re-agg exchange (+ nothing else before sort)
     assert(shuffles.size <= 3 && shuffles.size >= 2, s"got ${shuffles.size} shuffles")
   }
+
+  test("q93/q97 pair roll-ups stay equi-join (no product over the pair frame)") {
+    Seq("q93_source_overlap", "q97_split_leakage").foreach { q =>
+      assert(collectAll(q) {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, s"$q: cartesian product in the plan")
+      assert(collectAll(q) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"$q: nested-loop join — the doc_id map joins must stay equi")
+      assert(collectAll(q) { case w: WindowExec => w }.isEmpty,
+        s"$q: unexpected window — the roll-up is a partial+final agg")
+    }
+  }
+
+  test("q94 kNN purity window is keyed by probe id (no global single-partition window)") {
+    val windows = collectAll("q94_knn_label_purity") { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "unkeyed top-K window = every scored candidate to one partition"))
+  }
+
+  test("q95 centroid drift aggregates map-side; only label-keyed rows shuffle") {
+    // The per-dim explode is N·dim rows — the partial aggregate must run
+    // BEFORE the (label, i) exchange so the wire carries ≤ labels·dim rows.
+    val aggs = collectAll("q95_centroid_drift") { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected partial + final hash aggregates")
+    collectAll("q95_centroid_drift") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.foreach { e =>
+      val names = e.output.map(_.name).toSet
+      assert(!names.contains("v"), s"raw per-dim rows in a hash exchange: $names")
+    }
+    assert(collectAll("q95_centroid_drift") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "centroid pair join must broadcast, not cartesian")
+  }
+
+  test("q96 split manifest is scan → agg: no join, no window") {
+    assert(collectAll("q96_split_manifest") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q96_split_manifest") {
+      case j: SortMergeJoinExec => j
+    }.isEmpty, "manifest must not join — the split is computed in the projection")
+    val aggs = collectAll("q96_split_manifest") { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected partial + final hash aggregates")
+  }
 }
