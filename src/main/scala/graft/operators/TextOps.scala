@@ -140,6 +140,17 @@ object TextOps {
   val StopWords = Seq("a", "the", "and", "of", "to")
   val StopMin = 2
 
+  /** q98 training-prep chunker: fixed word windows of ChunkW with stride
+    * ChunkStride (overlap ChunkW - ChunkStride) — the shape every context-
+    * length-bounded training/RAG pipeline cuts documents into. */
+  val ChunkW = 32
+  val ChunkStride = 24
+
+  /** q99 temperature-scaled mixture: token budget to allocate across
+    * sources at temperature alpha = 0.5 — sqrt is the ONE fractional power
+    * that is IEEE-exact in both engines (pow/ln are ulp hazards). */
+  val MixBudget = "1.0e4"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Language ID: n-gram/marker heuristic ──
@@ -868,6 +879,101 @@ object TextOps {
               |SELECT doc_id, n_words, mean_wlen, alpha_ratio, stop_hits,
               |       r_words, r_wlen, r_alpha, r_stop,
               |       r_words * r_wlen * r_alpha * r_stop AS pass
-              |FROM r ORDER BY doc_id""".stripMargin))
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ── Fixed-window document chunking with overlap ──
+    QueryDef(
+      "q98_chunking",
+      (s, dir) => {
+        // Cut every document into ChunkW-word windows advancing by
+        // ChunkStride (overlapping by ChunkW - ChunkStride words) — the
+        // unit a context-length-bounded trainer or RAG indexer actually
+        // consumes. The manifest carries (doc_id, chunk_id) — a total
+        // order — plus the chunk text and its true word count (tail
+        // chunks are short; slice clamps in both engines). Scale shape:
+        // pure narrow fan-out — the explode multiplies rows by
+        // ~nw/ChunkStride but every chunk derives from ITS OWN row's
+        // word array, so there is no shuffle before the determinism
+        // sort, no state, and chunk volume is linear in corpus tokens.
+        Tables.load(s, dir, "documents")
+          .withColumn("w", split(trim(col("text")), " "))
+          .withColumn("nw", size(col("w")).cast("long"))
+          .select(col("doc_id"), col("w"), col("nw"),
+            explode(expr(
+              s"sequence(cast(0 AS bigint), (nw - 1) div $ChunkStride)"))
+              .as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            expr(s"cast(size(slice(w, cast(chunk_id * $ChunkStride + 1 AS int), $ChunkW)) AS bigint)")
+              .as("chunk_nw"),
+            expr(s"array_join(slice(w, cast(chunk_id * $ChunkStride + 1 AS int), $ChunkW), ' ')")
+              .as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS w,
+              |         len(string_split(trim(text), ' '))::BIGINT AS nw
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, w,
+              |         unnest(range(0, (nw - 1) // $ChunkStride + 1)) AS chunk_id
+              |  FROM d)
+              |SELECT doc_id, chunk_id,
+              |       len(list_slice(w, chunk_id * $ChunkStride + 1,
+              |                      chunk_id * $ChunkStride + $ChunkW))::BIGINT AS chunk_nw,
+              |       array_to_string(list_slice(w, chunk_id * $ChunkStride + 1,
+              |                                  chunk_id * $ChunkStride + $ChunkW), ' ') AS chunk_text
+              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ── Temperature-scaled source mixture (alpha = 0.5 rebalance) ──
+    QueryDef(
+      "q99_mixture_temperature",
+      (s, dir) => {
+        // Allocate a token budget across sources at sampling temperature
+        // alpha = 0.5: share_s = sqrt(t_s) / Σ sqrt(t_s) — the standard
+        // rebalance that up-weights small sources without letting any one
+        // source dominate (alpha = 1 is proportional, alpha = 0 uniform).
+        // alpha is FIXED at 0.5 because sqrt is correctly-rounded IEEE in
+        // both engines where pow(x, 0.3)/ln() are ulp hazards in
+        // hash-compared doubles. The denominator is a sequential fold
+        // over the SORTED per-source array (the q95 idiom): double
+        // addition is order-sensitive, so the order is pinned, and the
+        // per-source frame it folds is ≤|sources| rows. Scale shape: one
+        // partial+final agg to per-source token counts (catalog-sized),
+        // then a broadcast 1-row denominator — the corpus is scanned
+        // once, nothing wider than |sources| ever shuffles.
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            size(split(trim(col("text")), " ")).cast("long").as("nw"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("t"))
+        val den = toks.agg(expr(
+          """aggregate(transform(array_sort(collect_list(struct(source, t))),
+            |          x -> sqrt(cast(x.t AS double))),
+            |          cast(0 AS double), (a, x) -> a + x)""".stripMargin).as("den"))
+        toks.crossJoin(broadcast(den))
+          .select(col("source"), col("n_docs"), col("t"),
+            expr("sqrt(cast(t AS double)) / den").as("share"),
+            expr(s"$MixBudget * (sqrt(cast(t AS double)) / den)").as("alloc_tokens"),
+            expr(s"least(cast(1 AS double), $MixBudget * (sqrt(cast(t AS double)) / den) / cast(t AS double))")
+              .as("rate"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS t
+              |  FROM documents GROUP BY source),
+              |den AS (
+              |  SELECT list_reduce(
+              |           list_prepend(CAST(0 AS DOUBLE),
+              |             [sqrt(CAST(x.t AS DOUBLE))
+              |              for x in list_sort(list(struct_pack(source := source, t := t)))]),
+              |           (a, b) -> a + b) AS den
+              |  FROM toks)
+              |SELECT source, n_docs, t,
+              |       sqrt(CAST(t AS DOUBLE)) / den AS share,
+              |       $MixBudget * (sqrt(CAST(t AS DOUBLE)) / den) AS alloc_tokens,
+              |       least(CAST(1 AS DOUBLE),
+              |             $MixBudget * (sqrt(CAST(t AS DOUBLE)) / den) / CAST(t AS DOUBLE)) AS rate
+              |FROM toks, den ORDER BY source""".stripMargin))
   )
 }

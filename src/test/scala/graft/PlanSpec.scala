@@ -238,6 +238,34 @@ class PlanSpec extends AnyFunSuite {
     }.isEmpty, "centroid pair join must broadcast, not cartesian")
   }
 
+  test("q98 chunking is a pure narrow fan-out: no hash shuffle before the determinism sort") {
+    val hashShuffles = collectAll("q98_chunking") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashShuffles.isEmpty,
+      "chunking must not shuffle — every chunk derives from its own row's word array")
+    assert(collectAll("q98_chunking") { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q99 mixture shuffles nothing wider than the per-source frame") {
+    val aggs = collectAll("q99_mixture_temperature") { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected partial + final hash aggregates")
+    assert(collectAll("q99_mixture_temperature") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "denominator must ride as a broadcast 1-row frame")
+    // Hash exchanges may only carry per-source aggregate rows, never a
+    // corpus row (doc text / word arrays).
+    collectAll("q99_mixture_temperature") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.foreach { e =>
+      val names = e.output.map(_.name).toSet
+      assert(!names.contains("text") && !names.contains("nw"),
+        s"corpus rows in a hash exchange: $names")
+    }
+  }
+
   test("q96 split manifest is scan → agg: no join, no window") {
     assert(collectAll("q96_split_manifest") { case w: WindowExec => w }.isEmpty)
     assert(collectAll("q96_split_manifest") {
