@@ -694,7 +694,55 @@ object Vectors {
               |       ${dotSql("a.cv", "b.cv")}
               |         / (sqrt(${dotSql("a.cv", "a.cv")}) * sqrt(${dotSql("b.cv", "b.cv")})) AS cos_sim
               |FROM cent a JOIN cent b ON a.label < b.label
-              |ORDER BY la, lb""".stripMargin))
+              |ORDER BY la, lb""".stripMargin)),
+
+    // ── Per-dimension embedding audit (dead/collapsed-dim detector) ──
+    QueryDef(
+      "q100_dim_audit",
+      (s, dir) => {
+        // The embedding-HEALTH scorecard a pipeline runs when a new model
+        // version lands: per coordinate, the mean, the observed range,
+        // and the fraction of near-zero values. A dimension whose range
+        // collapses (or that is ~always zero) carries no information —
+        // wasted index bytes and a symptom of a broken projection head.
+        // Scale shape: one narrow per-dim explode into a dim-keyed
+        // partial+final aggregation — state and shuffle are both bounded
+        // at `dim` rows. Portability: the mean is a FIXED-POINT bigint
+        // sum (floor(v·1e6), exact up to N ~ 1e11 at |v| ≤ 1) divided
+        // once at the end; min/max are order-insensitive exacts; the
+        // near-zero count is integral. No cross-row double sum anywhere.
+        val comp = Tables.embeddings(s, dir)
+          .select(posexplode(col("e")).as(Seq("i", "v")))
+          .select((col("i") + 1).cast("long").as("dim"), col("v"))
+        comp.groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(floor(v * 1.0e6) AS bigint)")).as("sm"),
+            min(col("v")).as("min_v"),
+            max(col("v")).as("max_v"),
+            sum(when(abs(col("v")) < 1.0e-3, 1L).otherwise(0L)).as("n_small"))
+          .select(col("dim"), col("n"),
+            expr("cast(sm AS double) / 1.0e6 / cast(n AS double)").as("mean_v"),
+            col("min_v"), col("max_v"),
+            (col("max_v") - col("min_v")).as("rng"),
+            expr("cast(n_small AS double) / cast(n AS double)").as("small_frac"))
+          .orderBy("dim")
+      },
+      Some("""WITH comp AS (
+             |  SELECT u.i AS dim, CAST(u.v AS DOUBLE) AS v
+             |  FROM (SELECT unnest([struct_pack(i := i, v := CAST(embedding[i] AS DOUBLE))
+             |                       for i in range(1, len(embedding) + 1)]) AS u
+             |        FROM embeddings)),
+             |a AS (
+             |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(CAST(floor(v * 1.0e6) AS BIGINT)) AS BIGINT) AS sm,
+             |         min(v) AS min_v, max(v) AS max_v,
+             |         CAST(sum(CASE WHEN abs(v) < 1.0e-3 THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+             |  FROM comp GROUP BY dim)
+             |SELECT dim, n,
+             |       CAST(sm AS DOUBLE) / 1.0e6 / CAST(n AS DOUBLE) AS mean_v,
+             |       min_v, max_v, max_v - min_v AS rng,
+             |       CAST(n_small AS DOUBLE) / CAST(n AS DOUBLE) AS small_frac
+             |FROM a ORDER BY dim""".stripMargin))
   )
 
   /** q88's PQ codebook as a broadcast 1-row frame `cb`: for each of the

@@ -266,6 +266,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q100 dim audit aggregates map-side; only dim-keyed rows shuffle") {
+    val aggs = collectAll("q100_dim_audit") { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected partial + final hash aggregates")
+    collectAll("q100_dim_audit") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.foreach { e =>
+      val names = e.output.map(_.name).toSet
+      assert(!names.contains("v"), s"raw per-dim rows in a hash exchange: $names")
+    }
+    assert(collectAll("q100_dim_audit") { case w: WindowExec => w }.isEmpty)
+  }
+
   test("q96 split manifest is scan → agg: no join, no window") {
     assert(collectAll("q96_split_manifest") { case w: WindowExec => w }.isEmpty)
     assert(collectAll("q96_split_manifest") {
