@@ -18,6 +18,8 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index build-pq   <embDir> <indexPath> [--refine N]"
   *   sbt "runMain graft.Index append-pq  <embDir> <indexPath>"
   *   sbt "runMain graft.Index search-pq  <embDir> <indexPath> <vecId> <k>"
+  *   sbt "runMain graft.Index build-pairs <docsDir> <indexPath>"
+  *   sbt "runMain graft.Index audit      <indexPath> [--tau T] [--contain]"
   *
   * `build-*` pays the one-time linear corpus cost; `dedupe` runs a crawl
   * batch against the standing LSH state (per-batch cost measured flat
@@ -28,6 +30,11 @@ import graft.operators.IndexStore
   * ADC-scans the persisted position codes and re-ranks against the raw
   * vectors at <embDir> (the store holds only codes — PERF.md `pq`). Each
   * mode prints one JSON summary line.
+  *
+  * `build-pairs` persists the df-capped inverted index the pair-audit
+  * family (q22/q87/q91/q92/q93/q97) re-derives per query; `audit` then
+  * runs the Jaccard (or containment) near-dup scan straight off the
+  * bucket table — it never touches the corpus text at all.
   */
 object Index {
 
@@ -113,8 +120,30 @@ object Index {
           .map(r => s"""{"vec_id":${r.getLong(0)},"sim":${r.getDouble(1)}}""")
         s"""{"mode":"search","query":$vecId,"k":$k,"probed":$probed,"hits":[${hits.mkString(",")}]}"""
 
+      case "build-pairs" :: docsDir :: path :: Nil =>
+        val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+        val n = docs.count()
+        IndexStore.savePairIndex(docs, path)
+        val nb = IndexStore.loadPairBuckets(spark, path).count()
+        s"""{"mode":"build-pairs","docs":$n,"buckets":$nb,"index":"$path"}"""
+
+      case "audit" :: path :: rest =>
+        val contain = rest.contains("--contain")
+        val tau = rest.sliding(2).collectFirst { case List("--tau", v) => v.toDouble }
+          .getOrElse(if (contain) operators.Dedup.ContainTau else operators.Dedup.JaccardTau)
+        val buckets = IndexStore.loadPairBuckets(spark, path)
+        val pairs =
+          if (contain) operators.Dedup.containmentPairsFrom(buckets, tau)
+          else operators.Dedup.jaccardPairsFrom(buckets, tau)
+        val stats = pairs
+          .agg(count(lit(1)).as("pairs"),
+            approx_count_distinct(col("b")).as("dup_docs"),
+            coalesce(max("jaccard"), lit(0.0)).as("max_j"))
+          .head()
+        s"""{"mode":"audit","metric":"${if (contain) "containment" else "jaccard"}","tau":$tau,"pairs":${stats.getLong(0)},"dup_docs":${stats.getLong(1)},"max_jaccard":${stats.getDouble(2)}}"""
+
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|audit ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

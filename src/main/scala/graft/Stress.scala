@@ -57,6 +57,24 @@ import org.apache.spark.sql.functions._
   *     search wall — the per-query number staying near-flat certifies
   *     that probes read one coarse cell, not the corpus.
   *
+  *   pairaudit <sfDir> <mult>
+  *     The pair-index persistence claim: build the df-capped inverted
+  *     index store at 1x and <mult>x, then run q22's Jaccard scan both
+  *     in-query (pays the index floor) and from the store (pays only the
+  *     pair scan). Reports build wall and both audit walls — the
+  *     from-store number is what every extra audit over the same corpus
+  *     costs once the index is persisted.
+  *
+  *   editdedup <sfDir> <mult>
+  *     q91's blocking certificate: the inter ≥ EditMinInter shared-shingle
+  *     gate over the df-capped inverted index at 1x and <mult>x (same
+  *     inflation as `lsh`). Scrambled copies of one parent share the
+  *     parent's rare vocabulary, so sibling pairs collide on shingles far
+  *     more than cross-parent pairs — that growth is corpus content, so
+  *     the split is reported like annknn's. Gated CROSS-parent pairs/doc
+  *     staying flat certifies the O(len²) levenshtein stage sees a linear
+  *     candidate volume, never corpus².
+  *
   *   pq <sfDir> <mult>
   *     The q88 twin of ivfsearch: build the persisted PQ index (codebook +
   *     codes) over a 1x and a <mult>x corpus, then run the SAME ADC search
@@ -90,6 +108,10 @@ object Stress {
         curate(spark, args(1), args(2).toInt)
       case Some("incdedup") =>
         incDedup(spark, args(1), args(2).toInt)
+      case Some("pairaudit") =>
+        pairAudit(spark, args(1), args(2).toInt)
+      case Some("editdedup") =>
+        editDedup(spark, args(1), args(2).toInt)
       case Some("ivfsearch") =>
         ivfSearch(spark, args(1), args(2).toInt)
       case Some("pq") =>
@@ -220,6 +242,70 @@ object Stress {
         stripBoilerplate = true, benchPath = Some(benchPq)))
       val sec7 = (System.nanoTime() - t1) / 1e9
       println(f"""{"mode":"curate","corpus":"$tag","stages":7,"sec":$sec7%.1f,"stats":$stats7}""")
+    }
+  }
+
+  def editDedup(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val bigDir = scratch("editdedup", sfDir, mult)
+    inflateDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir, 1), (s"${mult}x", bigDir, mult)).foreach { case (tag, dir, m) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      // Same sibling split as annKnn: copies of one parent share the
+      // parent's (rare) vocabulary, so they collide on shingles far more
+      // often than cross-parent docs — that growth is corpus content, not
+      // blocking decay. The linearity certificate is the CROSS rate.
+      val gated = operators.Dedup.interPairs(docs)
+        .filter(col("inter") >= operators.Dedup.EditMinInter)
+        .withColumn("sib", expr(s"(a div $m) = (b div $m)"))
+      val stats = gated
+        .select(col("sib"), explode(array(col("a"), col("b"))).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("c"),
+          sum(when(col("sib"), 1L).otherwise(0L)).as("sibc"))
+        .agg(coalesce(sum("c"), lit(0L)).as("cand2"),
+          coalesce(sum("sibc"), lit(0L)).as("sib2"),
+          coalesce(max("c"), lit(0L)).as("maxPerDoc"))
+        .head()
+      val xPerDoc = (stats.getLong(0) - stats.getLong(1)).toDouble / n
+      val sec = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q91_edit_distance")(spark, dir)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"""{"mode":"editdedup","corpus":"$tag","n":$n,"gated_pairs":${stats.getLong(0) / 2},"pairs_per_doc":${stats.getLong(0).toDouble / n}%.2f,"xpairs_per_doc":$xPerDoc%.2f,"max_per_doc":${stats.getLong(2)},"q91_sec_min3":$sec%.1f}""")
+    }
+  }
+
+  /** The persisted pair-index claim, measured: the audit family's wall is
+    * the index floor + the (cheap) pair scan, so an audit over the SAVED
+    * bucket table should cost only the scan. Reports the one-time build
+    * wall, the in-query jaccardPairs wall, and the from-store wall at 1x
+    * and <mult>x. */
+  def pairAudit(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val bigDir = scratch("pairaudit", sfDir, mult)
+    inflateDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val idx = scratch("pairaudit-idx", sfDir, mult, tag)
+      val t0 = System.nanoTime()
+      operators.IndexStore.savePairIndex(docs, idx)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      def min3(mk: () => org.apache.spark.sql.DataFrame): Double =
+        (1 to 3).map { _ =>
+          val t = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t) / 1e9
+        }.min
+      val inQuery = min3(() => operators.Dedup.jaccardPairs(docs))
+      val fromStore = min3(() => operators.Dedup.jaccardPairsFrom(
+        operators.IndexStore.loadPairBuckets(spark, idx)))
+      val pairs = operators.Dedup.jaccardPairsFrom(
+        operators.IndexStore.loadPairBuckets(spark, idx)).count()
+      println(f"""{"mode":"pairaudit","corpus":"$tag","n":$n,"pairs":$pairs,"build_sec":$buildSec%.1f,"inquery_sec_min3":$inQuery%.2f,"store_sec_min3":$fromStore%.2f}""")
     }
   }
 

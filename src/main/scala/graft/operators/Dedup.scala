@@ -253,8 +253,10 @@ object Dedup {
     * inter, sza, szb) with a < b — the shared candidate core of q22's
     * Jaccard and q87's containment scoring. */
   /** df-capped inverted index: one bucket row per informative shingle,
-    * `ds` = its sorted doc_id set (2 ≤ |ds| ≤ MaxDf). */
-  private def dfCappedBuckets(docs: DataFrame): DataFrame = {
+    * `ds` = its sorted doc_id set (2 ≤ |ds| ≤ MaxDf). Exposed to IndexStore
+    * so the audit family can persist it once (`savePairIndex`) instead of
+    * re-deriving the index per query. */
+  private[graft] def dfCappedBuckets(docs: DataFrame): DataFrame = {
     val cappedSet = udaf(new graft.functions.CappedSetAggregator(MaxDf + 1))
     shinglesRaw(docs).groupBy("s")
       .agg(cappedSet(col("doc_id")).as("ds"))
@@ -275,8 +277,14 @@ object Dedup {
   private[graft] def interPairs(docs: DataFrame): DataFrame =
     bucketPairs(dfCappedBuckets(docs))
 
-  private[graft] def indexedPairs(docs: DataFrame): DataFrame = {
-    val buckets = dfCappedBuckets(docs)
+  /** interPairs over an already-built (possibly loaded) bucket table. */
+  private[graft] def interPairsFrom(buckets: DataFrame): DataFrame =
+    bucketPairs(buckets)
+
+  private[graft] def indexedPairs(docs: DataFrame): DataFrame =
+    indexedPairsFrom(dfCappedBuckets(docs))
+
+  private[graft] def indexedPairsFrom(buckets: DataFrame): DataFrame = {
     val sizes = buckets.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     bucketPairs(buckets)
@@ -286,7 +294,12 @@ object Dedup {
 
   /** (a, b, inter, jaccard) with a < b, jaccard >= tau. */
   def jaccardPairs(docs: DataFrame, tau: Double = JaccardTau): DataFrame =
-    indexedPairs(docs)
+    jaccardPairsFrom(dfCappedBuckets(docs), tau)
+
+  /** jaccardPairs over a persisted/loaded bucket table: `ds` is stored
+    * sorted, so pairs are bit-identical to the in-query path. */
+  def jaccardPairsFrom(buckets: DataFrame, tau: Double = JaccardTau): DataFrame =
+    indexedPairsFrom(buckets)
       .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= tau)
       .select("a", "b", "inter", "jaccard")
@@ -298,7 +311,11 @@ object Dedup {
     * min = 1.0 for a strict subset whose Jaccard is only |A|/|B|). Same
     * single-shuffle, bounded-fan-out scale shape as jaccardPairs. */
   def containmentPairs(docs: DataFrame, tau: Double = ContainTau): DataFrame =
-    indexedPairs(docs)
+    containmentPairsFrom(dfCappedBuckets(docs), tau)
+
+  /** containmentPairs over a persisted/loaded bucket table. */
+  def containmentPairsFrom(buckets: DataFrame, tau: Double = ContainTau): DataFrame =
+    indexedPairsFrom(buckets)
       .withColumn("containment", col("inter") / least(col("sza"), col("szb")))
       .withColumn("jaccard", col("inter") / (col("sza") + col("szb") - col("inter")))
       .filter(col("containment") >= tau)

@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   *   <path>/ivf/coarse/       the 1-row coarse-centroid array `cc`
   *   <path>/ivf/cells/        (ccid, fc) fine-centroid lists
   *   <path>/ivf/vectors/      (vec_id, en, cid) partitioned by ccid
+  *   <path>/pairs/buckets/    (s, ds) the df-capped inverted index — one
+  *                            row per informative shingle, ds its sorted
+  *                            doc_id set (2 ≤ |ds| ≤ MaxDf)
   *   <path>/lm/unigrams/      (w, c) the frozen reference unigram LM
   *   <path>/pq/codebook/      the 1-row per-subspace codebook `cb`
   *   <path>/pq/codes/         (vec_id, codes) PqM codeword ids per vector
@@ -135,6 +138,25 @@ object IndexStore {
       .select(col("doc_id"), col("dup_of"),
         when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
   }
+
+  // ── df-capped inverted index (the pair-audit family's shared core) ──
+
+  /** Persist the df-capped inverted index the whole pair-audit family
+    * (q22 Jaccard, q87 containment, q91 edit-gate, q92/q93/q97 profiles)
+    * re-derives per query — the ~2.5 s-at-sf0.1 "index floor" PERF.md
+    * names. Build is the family's one corpus shuffle (shingle explode →
+    * bounded capped-set aggregation), paid once per corpus build; each
+    * audit then starts from the bucket scan. `ds` is stored sorted, so
+    * pairs from the store are bit-identical to the in-query path
+    * (PairIndexSpec pins it). */
+  def savePairIndex(docs: DataFrame, path: String): Unit =
+    Dedup.dfCappedBuckets(docs)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$path/pairs/buckets")
+
+  /** (s, ds) — feed to `Dedup.{jaccard,containment,inter}PairsFrom`. */
+  def loadPairBuckets(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/pairs/buckets")
 
   // ── Unigram LM state (q84's reference-corpus form) ──
 

@@ -97,6 +97,24 @@ class IndexCliSpec extends AnyFunSuite {
     assert(s.contains(""""mode":"search"""") && s.contains(""""hits":[{"""))
   }
 
+  test("build-pairs → audit through the CLI matches the in-query pair family") {
+    val base = tmp("pairs")
+    val idx = base.resolve("idx").toString
+    val b = Index.run(spark, List("build-pairs", sf, idx))
+    assert(b.contains(""""mode":"build-pairs""""))
+
+    val docs = Tables.load(spark, sf, "documents")
+    val wantJ = operators.Dedup.jaccardPairs(docs).count()
+    val a = Index.run(spark, List("audit", idx))
+    assert(a.contains(s""""pairs":$wantJ"""), s"$a vs $wantJ jaccard pairs")
+    assert(a.contains(""""metric":"jaccard""""))
+
+    val wantC = operators.Dedup.containmentPairs(docs).count()
+    val c = Index.run(spark, List("audit", idx, "--contain"))
+    assert(c.contains(s""""pairs":$wantC"""), s"$c vs $wantC containment pairs")
+    assert(c.contains(""""metric":"containment""""))
+  }
+
   test("build-pq → search-pq through the CLI == in-query q88") {
     val base = tmp("pq")
     val idx = base.resolve("idx").toString

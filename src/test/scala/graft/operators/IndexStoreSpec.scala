@@ -113,6 +113,33 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(got === List((1L, 3L, 3.0 / 2 / 3)))
   }
 
+  test("persisted pair-index buckets round-trip the in-query index exactly") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("pairs")
+    IndexStore.savePairIndex(docs, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getSeq[Long](1).toList)).toSet
+    // ds order matters (bucketPairs emits a < b off the sorted array), so
+    // compare the arrays verbatim, not as sets.
+    assert(rows(IndexStore.loadPairBuckets(spark, path))
+      === rows(Dedup.dfCappedBuckets(docs)))
+  }
+
+  test("jaccard/containment pairs over the persisted bucket table == in-query") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("pairs-jac")
+    IndexStore.savePairIndex(docs, path)
+    val buckets = IndexStore.loadPairBuckets(spark, path)
+    def pairRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a", "b").collect().map(_.toSeq.toList).toList
+    assert(pairRows(Dedup.jaccardPairsFrom(buckets))
+      === pairRows(Dedup.jaccardPairs(docs)))
+    assert(pairRows(Dedup.containmentPairsFrom(buckets))
+      === pairRows(Dedup.containmentPairs(docs)))
+    assert(pairRows(Dedup.interPairsFrom(buckets))
+      === pairRows(Dedup.interPairs(docs)))
+  }
+
   test("ADC search over the persisted PQ codes == in-query q88") {
     val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
       .select(col("vec_id"), col("en"))
