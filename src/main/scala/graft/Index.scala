@@ -32,7 +32,8 @@ import graft.operators.IndexStore
   * mode prints one JSON summary line.
   *
   * `build-pairs` persists the df-capped inverted index the pair-audit
-  * family (q22/q87/q91/q92/q93/q97) re-derives per query; `audit` then
+  * family (q22/q87/q91/q93/q97, the q47/q58 edge set) re-derives per
+  * query; `audit` then
   * runs the Jaccard (or containment) near-dup scan straight off the
   * bucket table — it never touches the corpus text at all.
   */

@@ -142,8 +142,8 @@ object IndexStore {
   // ── df-capped inverted index (the pair-audit family's shared core) ──
 
   /** Persist the df-capped inverted index the whole pair-audit family
-    * (q22 Jaccard, q87 containment, q91 edit-gate, q92/q93/q97 profiles)
-    * re-derives per query — the ~2.5 s-at-sf0.1 "index floor" PERF.md
+    * (q22 Jaccard, q87 containment, q91 edit-gate, q93/q97 profiles, the
+    * q47/q58 connected-components edge set) re-derives per query — the ~2.5 s-at-sf0.1 "index floor" PERF.md
     * names. Build is the family's one corpus shuffle (shingle explode →
     * bounded capped-set aggregation), paid once per corpus build; each
     * audit then starts from the bucket scan. `ds` is stored sorted, so
