@@ -18,8 +18,10 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index build-pq   <embDir> <indexPath> [--refine N]"
   *   sbt "runMain graft.Index append-pq  <embDir> <indexPath>"
   *   sbt "runMain graft.Index search-pq  <embDir> <indexPath> <vecId> <k>"
-  *   sbt "runMain graft.Index build-pairs <docsDir> <indexPath>"
+  *   sbt "runMain graft.Index build-pairs  <docsDir> <indexPath>"
+  *   sbt "runMain graft.Index append-pairs <docsDir> <indexPath>"
   *   sbt "runMain graft.Index audit      <indexPath> [--tau T] [--contain]"
+  *   sbt "runMain graft.Index components <indexPath> [--tau T]"
   *
   * `build-*` pays the one-time linear corpus cost; `dedupe` runs a crawl
   * batch against the standing LSH state (per-batch cost measured flat
@@ -128,6 +130,13 @@ object Index {
         val nb = IndexStore.loadPairBuckets(spark, path).count()
         s"""{"mode":"build-pairs","docs":$n,"buckets":$nb,"index":"$path"}"""
 
+      case "append-pairs" :: docsDir :: path :: Nil =>
+        val batch = spark.read.parquet(s"$docsDir/documents.parquet")
+        val n = batch.count()
+        IndexStore.appendPairBatch(batch, path)
+        val nb = IndexStore.loadPairBuckets(spark, path).count()
+        s"""{"mode":"append-pairs","docs":$n,"buckets":$nb,"index":"$path"}"""
+
       case "audit" :: path :: rest =>
         val contain = rest.contains("--contain")
         val tau = rest.sliding(2).collectFirst { case List("--tau", v) => v.toDouble }
@@ -143,8 +152,25 @@ object Index {
           .head()
         s"""{"mode":"audit","metric":"${if (contain) "containment" else "jaccard"}","tau":$tau,"pairs":${stats.getLong(0)},"dup_docs":${stats.getLong(1)},"max_jaccard":${stats.getDouble(2)}}"""
 
+      case "components" :: path :: rest =>
+        // q47/q58's workflow off the store: the edge set is the same
+        // Jaccard pair scan (floor-free), then the pointer-jumping rounds.
+        val tau = rest.sliding(2).collectFirst { case List("--tau", v) => v.toDouble }
+          .getOrElse(operators.Dedup.JaccardTau)
+        val edges = operators.Dedup.jaccardPairsFrom(
+            IndexStore.loadPairBuckets(spark, path), tau)
+          .select("a", "b").persist()
+        val comp = operators.Dedup.connectedComponents(edges)
+        val stats = comp.groupBy("lbl").count()
+          .agg(count(lit(1)).as("n_components"),
+            coalesce(sum("count"), lit(0L)).as("n_docs"),
+            coalesce(max("count"), lit(0L)).as("largest"))
+          .head()
+        edges.unpersist()
+        s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
+
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|audit ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|components ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

@@ -252,16 +252,25 @@ object Dedup {
     * bucket, and doc sizes fall out of the same index. Returns (a, b,
     * inter, sza, szb) with a < b — the shared candidate core of q22's
     * Jaccard and q87's containment scoring. */
+  /** UNFILTERED inverted index: one row per distinct shingle, `ds` its
+    * sorted doc_id set capped at MaxDf + 1 ids. This is the persistable
+    * form (IndexStore.savePairIndex): dfs only grow under appends, so a
+    * batch merge needs the df-1 rows (they may become informative once a
+    * batch doc shares the shingle) AND the over-cap marker rows (a
+    * MaxDf+1-length ds says "already over the cap — must stay dropped no
+    * matter what the merge adds"). */
+  private[graft] def allBuckets(docs: DataFrame): DataFrame = {
+    val cappedSet = udaf(new graft.functions.CappedSetAggregator(MaxDf + 1))
+    shinglesRaw(docs).groupBy("s")
+      .agg(cappedSet(col("doc_id")).as("ds"))
+  }
+
   /** df-capped inverted index: one bucket row per informative shingle,
     * `ds` = its sorted doc_id set (2 ≤ |ds| ≤ MaxDf). Exposed to IndexStore
     * so the audit family can persist it once (`savePairIndex`) instead of
     * re-deriving the index per query. */
-  private[graft] def dfCappedBuckets(docs: DataFrame): DataFrame = {
-    val cappedSet = udaf(new graft.functions.CappedSetAggregator(MaxDf + 1))
-    shinglesRaw(docs).groupBy("s")
-      .agg(cappedSet(col("doc_id")).as("ds"))
-      .filter(size(col("ds")).between(2, MaxDf))
-  }
+  private[graft] def dfCappedBuckets(docs: DataFrame): DataFrame =
+    allBuckets(docs).filter(size(col("ds")).between(2, MaxDf))
 
   private def bucketPairs(buckets: DataFrame): DataFrame =
     buckets.select(explode(expr(

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *   <path>/ivf/coarse/       the 1-row coarse-centroid array `cc`
   *   <path>/ivf/cells/        (ccid, fc) fine-centroid lists
   *   <path>/ivf/vectors/      (vec_id, en, cid) partitioned by ccid
-  *   <path>/pairs/buckets/    (s, ds) the df-capped inverted index — one
-  *                            row per informative shingle, ds its sorted
-  *                            doc_id set (2 ≤ |ds| ≤ MaxDf)
+  *   <path>/pairs/buckets/    (s, ds) the inverted index — one row per
+  *                            DISTINCT shingle, ds its sorted doc_id set
+  *                            capped at MaxDf + 1 (df-1 rows and over-cap
+  *                            markers kept so batch merges stay correct;
+  *                            audits read the [2, MaxDf] slice)
   *   <path>/lm/unigrams/      (w, c) the frozen reference unigram LM
   *   <path>/pq/codebook/      the 1-row per-subspace codebook `cb`
   *   <path>/pq/codes/         (vec_id, codes) PqM codeword ids per vector
@@ -148,15 +150,48 @@ object IndexStore {
     * bounded capped-set aggregation), paid once per corpus build; each
     * audit then starts from the bucket scan. `ds` is stored sorted, so
     * pairs from the store are bit-identical to the in-query path
-    * (PairIndexSpec pins it). */
+    * (IndexStoreSpec pins it). */
   def savePairIndex(docs: DataFrame, path: String): Unit =
-    Dedup.dfCappedBuckets(docs)
+    Dedup.allBuckets(docs)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$path/pairs/buckets")
 
-  /** (s, ds) — feed to `Dedup.{jaccard,containment,inter}PairsFrom`. */
+  /** The audit view — (s, ds) filtered to the informative [2, MaxDf]
+    * band; feed to `Dedup.{jaccard,containment,inter}PairsFrom`. The
+    * stored table additionally keeps df-1 rows and over-cap marker rows
+    * (|ds| = MaxDf + 1) so `appendPairBatch` merges stay correct. */
   def loadPairBuckets(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/pairs/buckets")
+      .filter(size(col("ds")).between(2, Dedup.MaxDf))
+
+  /** Fold a batch's shingles into the standing pair index. Unlike the
+    * LSH band append this is a keyed MERGE (a shingle's bucket must
+    * absorb the batch's ids), so it rewrites the bucket table — but it
+    * never re-reads the standing corpus's TEXT: cost is one bucket-table
+    * scan + the batch's own shingle aggregation, not a corpus re-shingle.
+    * Merge math relies on dfs only growing: complete (≤ MaxDf) lists
+    * union exactly; any side at the MaxDf + 1 marker keeps the merged
+    * size ≥ MaxDf + 1, so over-cap buckets stay dropped (the truncation
+    * keeps the smallest MaxDf + 1 ids — still a marker). Batch doc_ids
+    * must be disjoint from stored ids, as with every append here.
+    * Staged-swap write (the Maintenance pattern): a crash mid-merge
+    * leaves the original table intact. */
+  def appendPairBatch(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(s"$path/pairs/buckets")
+    val stage = new Path(s"$path/pairs/buckets_stage")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(dst.toString)
+      .unionByName(Dedup.allBuckets(batch))
+      .groupBy("s")
+      .agg(slice(sort_array(array_distinct(flatten(collect_list(col("ds"))))),
+        1, Dedup.MaxDf + 1).as("ds"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(stage.toString)
+    fs.delete(dst, true)
+    require(fs.rename(stage, dst), s"rename $stage -> $dst failed")
+  }
 
   // ── Unigram LM state (q84's reference-corpus form) ──
 

@@ -113,6 +113,13 @@ class IndexCliSpec extends AnyFunSuite {
     val c = Index.run(spark, List("audit", idx, "--contain"))
     assert(c.contains(s""""pairs":$wantC"""), s"$c vs $wantC containment pairs")
     assert(c.contains(""""metric":"containment""""))
+
+    // components off the store == q47's component structure in-query.
+    val q47 = SparkEntry.queries("q47_dedup_components")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val k = Index.run(spark, List("components", idx))
+    assert(k.contains(s""""n_components":${q47.map(_._2).distinct.length}"""), k)
+    assert(k.contains(s""""n_docs":${q47.length}"""), k)
   }
 
   test("build-pq → search-pq through the CLI == in-query q88") {

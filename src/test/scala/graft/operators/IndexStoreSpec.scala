@@ -125,6 +125,30 @@ class IndexStoreSpec extends AnyFunSuite {
       === rows(Dedup.dfCappedBuckets(docs)))
   }
 
+  test("appendPairBatch == rebuilding the pair index over the union") {
+    val docs = Tables.load(spark, sf, "documents")
+    val standing = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+
+    val incr = tmp("pairs-incr")
+    IndexStore.savePairIndex(standing, incr)
+    IndexStore.appendPairBatch(batch, incr)
+    val full = tmp("pairs-full")
+    IndexStore.savePairIndex(docs, full)
+
+    // Audit-visible buckets must be EXACTLY equal: under-cap lists union
+    // completely; over-cap markers are dropped by the loader either way.
+    def rows(p: String) = IndexStore.loadPairBuckets(spark, p)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toList)).toSet
+    assert(rows(incr) === rows(full))
+
+    // And so must every audit derived from them.
+    def pairRows(p: String) =
+      Dedup.jaccardPairsFrom(IndexStore.loadPairBuckets(spark, p))
+        .orderBy("a", "b").collect().map(_.toSeq.toList).toList
+    assert(pairRows(incr) === pairRows(full))
+  }
+
   test("jaccard/containment pairs over the persisted bucket table == in-query") {
     val docs = Tables.load(spark, sf, "documents")
     val path = tmp("pairs-jac")
