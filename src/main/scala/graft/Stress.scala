@@ -305,7 +305,17 @@ object Stress {
         operators.IndexStore.loadPairBuckets(spark, idx)))
       val pairs = operators.Dedup.jaccardPairsFrom(
         operators.IndexStore.loadPairBuckets(spark, idx)).count()
-      println(f"""{"mode":"pairaudit","corpus":"$tag","n":$n,"pairs":$pairs,"build_sec":$buildSec%.1f,"inquery_sec_min3":$inQuery%.2f,"store_sec_min3":$fromStore%.2f}""")
+      // Append the SAME fixed batch (re-keyed disjoint, as in incdedup) at
+      // both corpus sizes. The merge is O(index) by design — the honest
+      // comparison is against build_sec (the full text re-shingle), not
+      // against the LSH family's file-append.
+      val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 4 === 0)
+        .withColumn("doc_id", -col("doc_id") - 1)
+      val tA = System.nanoTime()
+      operators.IndexStore.appendPairBatch(batch, idx)
+      val appendSec = (System.nanoTime() - tA) / 1e9
+      println(f"""{"mode":"pairaudit","corpus":"$tag","n":$n,"pairs":$pairs,"build_sec":$buildSec%.1f,"inquery_sec_min3":$inQuery%.2f,"store_sec_min3":$fromStore%.2f,"append_sec":$appendSec%.1f}""")
     }
   }
 

@@ -149,6 +149,19 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(pairRows(incr) === pairRows(full))
   }
 
+  test("store-backed audit plan reads ONLY the bucket table, never corpus text") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("pairs-plan")
+    IndexStore.savePairIndex(docs, path)
+    val plan = Dedup.jaccardPairsFrom(IndexStore.loadPairBuckets(spark, path))
+      .queryExecution.executedPlan.toString
+    // The floor-free claim: no documents scan, no shingle derivation —
+    // every FileScan in the audit plan is the persisted bucket table.
+    assert(!plan.contains("documents.parquet"), plan)
+    assert(!plan.contains("split(trim("), plan)
+    assert(plan.contains("buckets"), plan)
+  }
+
   test("jaccard/containment pairs over the persisted bucket table == in-query") {
     val docs = Tables.load(spark, sf, "documents")
     val path = tmp("pairs-jac")
