@@ -55,12 +55,22 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(f"{outdir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    verify_errs = {}
+    if os.path.exists(f"{outdir}/verify_errors.json"):
+        with open(f"{outdir}/verify_errors.json") as f:
+            verify_errs = json.load(f)
+    # Iterate the UNION of dumped dirs and known oracle names: a query that
+    # crashed in Verify (no dir) must FAIL here, not silently vanish
+    # (round-7 driver run dropped 11 crashed queries this way).
+    dirs = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
     n_ok = n_fail = 0
-    for name in sorted(os.listdir(outdir)):
+    for name in sorted(dirs | set(oracles)):
         d = os.path.join(outdir, name)
-        if not os.path.isdir(d):
-            continue
         if only and name not in only:
+            continue
+        if name in verify_errs:
+            print(f"FAIL {name}: verify crashed: {verify_errs[name][:200]}")
+            n_fail += 1
             continue
         files = glob.glob(f"{d}/*.parquet")
         if not files:

@@ -57,9 +57,14 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val nErr = results.count { case (_, _, ok) => !ok }
+    // A run with ANY errored query has no valid total: summing the survivors
+    // reads as a speedup over a clean run (r7 lesson). value=-1 sentinel +
+    // failed flag + nonzero rc make a broken run unambiguous to automation.
+    val total =
+      if (nErr > 0) -1.0 else results.collect { case (_, v, true) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$passes","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$passes","failed":${nErr > 0},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // ALSO land the line in a file: three rounds of captured stdout
     // artifacts arrived truncated (BENCH_r0{3,4,5}.json lost q01-q13 and
@@ -68,5 +73,9 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    if (nErr > 0) {
+      System.err.println(s"[bench] $nErr queries FAILED — total invalid")
+      sys.exit(1)
+    }
   }
 }

@@ -27,20 +27,32 @@ object Tables {
     spark.read.schema(schema).parquet(path)
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). The session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set once at construction in
-    * Sessions.builder — not mutated here, so reads are order-independent):
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations, so the loader branches on
+    * the footer type instead of assuming either:
+    *   - NANOS reads as a raw bigint under the session's
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set once in
+    *     Sessions.builder; without it the scan fails [PARQUET_TYPE_ILLEGAL]);
+    *   - MICROS (no tz) reads as TIMESTAMP_NTZ — normalized to TimestampType
+    *     under the UTC session, then `ts_ns = unix_micros(ts) * 1000`, which
+    *     is bit-identical to DuckDB's `epoch_ns(ts)` on the same file.
+    * Either way the exposed shape is the same:
     *   - `ts_ns` — exact epoch nanos (bigint), used for all comparisons so
     *     Spark-side semantics match an engine (DuckDB) that keeps full nanos;
-    *   - `ts`   — micros-truncated TimestampType for calendar ops.
+    *   - `ts`   — TimestampType (micros precision) for calendar ops.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "build the session via graft.Sessions (needs spark.sql.legacy.parquet.nanosAsLong=true)")
-    load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as bigint
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TIMESTAMP(MICROS): TIMESTAMP_NTZ or TIMESTAMP
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
   }
 
   /** Embeddings with the vector cast float->double once, up front, so all

@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet carries TIMESTAMP(NANOS) — streamed as raw nanos bigint
-    * (the session's nanosAsLong conf), exposed like Tables.events. */
+  /** events.parquet ships as either TIMESTAMP(NANOS) (streamed as raw nanos
+    * bigint under the session's nanosAsLong conf) or TIMESTAMP(MICROS) —
+    * the stream schema is inferred from the batch footer and normalized to
+    * the same (ts, ts_ns) shape as Tables.events. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -28,19 +30,30 @@ object Streams {
   def readEventsStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet",
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    // Same guard as Tables.events — without the nanos conf the stream fails
+    // Same guard as Tables.events — without the nanos conf a NANOS file fails
     // at start with an opaque [PARQUET_TYPE_ILLEGAL].
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "build the session via graft.Sessions (needs spark.sql.legacy.parquet.nanosAsLong=true)")
+    // File-stream sources need an explicit schema; peek at the batch footer
+    // (one driver-side read of the same files) so the stream matches whatever
+    // generation of events.parquet is on disk.
+    val fileSchema =
+      spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     // File-stream sources need a directory basePath; events.parquet is a
     // single file in the testdata, so stream the dir with a glob filter.
     // maxFilesPerTrigger splits the backlog into multiple micro-batches
     // (the multi-batch path StreamsSpec drives for sessionize).
-    val rd = spark.readStream.schema(eventsSchema).option("pathGlobFilter", glob)
+    val rd = spark.readStream.schema(fileSchema).option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => rd.option("maxFilesPerTrigger", n))
-    rd.parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = rd.parquet(dir)
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) as bigint
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TIMESTAMP(MICROS): TIMESTAMP_NTZ or TIMESTAMP
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
   }
 
   /** Tumbling hourly counts with a 1-hour watermark — the streaming twin of

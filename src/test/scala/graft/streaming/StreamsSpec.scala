@@ -12,6 +12,14 @@ class StreamsSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  /** events in the raw-nanos shape (ts = bigint epoch nanos) regardless of
+    * which parquet generation is on disk (TIMESTAMP(NANOS) vs MICROS — see
+    * Tables.events). Staged micro-batch files written from this frame carry
+    * int64 ts, which readEventsStream's footer peek maps to the nanos path. */
+  private def rawNanos = Tables.events(spark, dir)
+    .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+
   test("hourlyCounts (append + watermark) matches batch for all watermark-closed windows") {
     val got = Streams.runToMemory(spark,
       Streams.hourlyCounts(Streams.readEventsStream(spark, dir)), "hourly")
@@ -79,8 +87,7 @@ class StreamsSpec extends AnyFunSuite {
     val gotSet = Streams.runToMemory(spark, got.toDF(), "sessions")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
 
-    val batch = batchSessions(
-      spark.read.parquet(s"$dir/events.parquet"), gapMin)
+    val batch = batchSessions(rawNanos, gapMin)
     // Every emitted session is a real batch session (never split/merged),
     // and every gap-closed session was emitted; only still-open trailing
     // sessions may be held back in state.
@@ -107,7 +114,7 @@ class StreamsSpec extends AnyFunSuite {
 
   test("sessionize does not split sessions at micro-batch boundaries") {
     val gapMin = 30
-    val raw = spark.read.parquet(s"$dir/events.parquet") // ts = LongType nanos
+    val raw = rawNanos // ts = LongType nanos
     val batch = batchSessions(raw, gapMin)
     // Split inside the longest session so at least one session is
     // guaranteed to straddle the file (= micro-batch) boundary.
@@ -132,7 +139,7 @@ class StreamsSpec extends AnyFunSuite {
   }
 
   test("hourlyCounts drops late rows once the watermark is in force (batch N+2)") {
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = rawNanos
     val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
     // Late-record FILTERING uses the previous batch's watermark while
     // EVICTION uses the current one (Spark keeps both), so a replay right
@@ -200,7 +207,7 @@ class StreamsSpec extends AnyFunSuite {
   }
 
   test("streaming exact dedup drops cross-batch duplicates; output keys = batch distinct") {
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = rawNanos
     // The same file landed twice -> every key arrives again in a SECOND
     // micro-batch (maxFilesPerTrigger=1). A dedup that kept per-batch state
     // only would emit everything twice.
