@@ -1130,7 +1130,108 @@ object Dedup {
               |       CAST(count(*) AS BIGINT) AS n_pairs,
               |       max(jaccard) AS max_jaccard
               |FROM jp JOIN spl x ON x.doc_id = jp.a JOIN spl y ON y.doc_id = jp.b
-              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── Corpus snapshot diff: the incremental-refresh audit ──
+    QueryDef(
+      "q101_corpus_diff",
+      (s, dir) => {
+        // A refreshed crawl replaces a corpus snapshot; before the new one
+        // ships, the pipeline publishes WHAT changed: per (source, status)
+        // counts of added / removed / changed / unchanged docs, where
+        // "changed" is decided by CONTENT hash (md5 of text), not by
+        // mtime or size. Snapshot B is simulated from the same table with
+        // deterministic arithmetic (docs %13==0 dropped, %7==0 revised,
+        // %11==0 re-ingested under new ids) — the OPERATOR is the diff.
+        //
+        // 100 TB shape: one narrow scan per snapshot (hash fuses into the
+        // projection), one doc_id-keyed full-outer join — the id-keyed
+        // hash shuffle IS the diff's cost; snapshots bucketed by doc_id
+        // at rest make it shuffle-free in production — then a
+        // catalog-sized partial+final agg.
+        val docs = Tables.load(s, dir, "documents")
+        val a = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        val bKept = docs.filter(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")).as("text"))
+        val bNew = docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("source"),
+            concat(col("text"), lit(" new")).as("text"))
+        val b = bKept.unionByName(bNew)
+          .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        a.select(col("doc_id"), col("source").as("sa"), col("h").as("ha"))
+          .join(b.select(col("doc_id"), col("source").as("sb"), col("h").as("hb")),
+            Seq("doc_id"), "full_outer")
+          .select(coalesce(col("sa"), col("sb")).as("source"),
+            when(col("ha").isNull, lit("added"))
+              .when(col("hb").isNull, lit("removed"))
+              .when(col("ha") =!= col("hb"), lit("changed"))
+              .otherwise(lit("unchanged")).as("status"))
+          .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "status")
+      },
+      Some("""WITH a AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+             |b AS (
+             |  SELECT doc_id, source,
+             |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS h
+             |  FROM documents WHERE doc_id % 13 != 0
+             |  UNION ALL
+             |  SELECT doc_id + 10000000 AS doc_id, source, md5(text || ' new') AS h
+             |  FROM documents WHERE doc_id % 11 = 0)
+             |SELECT coalesce(a.source, b.source) AS source,
+             |       CASE WHEN a.doc_id IS NULL THEN 'added'
+             |            WHEN b.doc_id IS NULL THEN 'removed'
+             |            WHEN a.h != b.h THEN 'changed'
+             |            ELSE 'unchanged' END AS status,
+             |       CAST(count(*) AS BIGINT) AS n_docs
+             |FROM a FULL OUTER JOIN b USING (doc_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── Near-dup cluster consolidation: provenance merge per component ──
+    QueryDef(
+      "q102_dup_consolidate",
+      (s, dir) => {
+        // After dedup picks a keeper (q58), the dropped copies' METADATA
+        // must not vanish: a training pipeline keeps one text but the
+        // union of its provenance (which sources carried it, how much
+        // volume it represents) for mixture weighting and takedown
+        // tracing. One row per multi-doc near-dup component: member
+        // count, distinct sources, the merged source list, total chars.
+        //
+        // 100 TB shape: mirrors q58 — the component map holds only docs
+        // that appear in some near-dup pair (small by construction), so
+        // the consolidation joins THAT map to the corpus once on doc_id
+        // (AQE broadcasts the map side) and aggregates per component;
+        // the corpus is never windowed or re-shuffled by a derived key.
+        val docs = Tables.load(s, dir, "documents")
+        val edges = jaccardPairs(docs).select("a", "b").persist()
+        val comp = connectedComponents(edges)
+        edges.unpersist()
+        comp.select(col("v").as("doc_id"), col("lbl").as("component"))
+          .join(docs.select("doc_id", "source", "n_chars"), Seq("doc_id"))
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_members"),
+            countDistinct(col("source")).as("n_sources"),
+            concat_ws(",", sort_array(collect_set(col("source")))).as("sources"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("component")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |${jaccardPairsCtes()},
+              |sym AS (SELECT a, b FROM jp UNION ALL SELECT b, a FROM jp),
+              |reach(v, r) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b),
+              |comp AS (SELECT v, min(r) AS lbl FROM reach GROUP BY v)
+              |SELECT comp.lbl AS component,
+              |       CAST(count(*) AS BIGINT) AS n_members,
+              |       CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+              |       array_to_string(list_sort(list(DISTINCT d.source)), ',') AS sources,
+              |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+              |FROM comp JOIN documents d ON d.doc_id = comp.v
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
 }

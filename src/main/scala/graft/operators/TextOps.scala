@@ -151,6 +151,50 @@ object TextOps {
     * that is IEEE-exact in both engines (pow/ln are ulp hazards). */
   val MixBudget = "1.0e4"
 
+  /** q103 within-doc repeated-span removal: n-gram width. Shorter than
+    * Dedup.BoilerN (8) because self-repetition loops are tighter than
+    * cross-document boilerplate blocks. */
+  val IntraN = 5
+
+  /** q103's core: remove every LATER occurrence of an IntraN-gram that
+    * already appeared earlier in the SAME document (the first occurrence
+    * keeps its span) — the cleaning counterpart of q78's repetition
+    * RATIOS, and the within-doc sibling of Dedup.boilerplateStrip's
+    * cross-doc strip. Returns (doc_id, cleaned, n_removed).
+    *
+    * 100 TB shape (mirrors boilerplateStrip, pinned by the q103 oracle):
+    * every stage is keyed by doc_id (+gram) — repeat detection is one
+    * (doc_id, s)-keyed aggregation whose state is bounded by the doc's own
+    * occurrence list (never cross-doc), cover expansion is a ≤IntraN×
+    * narrow explode, re-assembly one doc_id-keyed aggregation. No
+    * cross-document state at all, so the op scales embarrassingly with
+    * the corpus. */
+  def selfRepStrip(docs: DataFrame, n: Int = IntraN): DataFrame = {
+    val w = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+    val pos = w.select(col("doc_id"), posexplode(col("w")).as(Seq("i", "wd")))
+    val gr = w.filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> struct(i AS i, concat_ws(' ', slice(w, i + 1, $n)) AS s))")).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.s").as("s"))
+    // Repeat starts: every start of a (doc, gram) AFTER its first
+    // occurrence. Aggregation state = the doc's own start list (bounded by
+    // doc length), grouped on (doc_id, s) so no key ever spans documents.
+    val rep = gr.groupBy("doc_id", "s")
+      .agg(min("i").as("first"), collect_list("i").as("starts"))
+      .select(col("doc_id"), explode(expr("filter(starts, x -> x > first)")).as("i"))
+    val cov = rep.select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("ci"))
+      .distinct()
+    val kept = pos.join(cov,
+        pos("doc_id") === cov("doc_id") && pos("i") === cov("ci"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", expr("transform(array_sort(collect_list(struct(i, wd))), x -> x.wd)")).as("cleaned"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), size(split(trim(col("text")), " ")).cast("long").as("n0"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cleaned"),
+        (col("n0") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Language ID: n-gram/marker heuristic ──
@@ -974,6 +1018,37 @@ object TextOps {
               |       $MixBudget * (sqrt(CAST(t AS DOUBLE)) / den) AS alloc_tokens,
               |       least(CAST(1 AS DOUBLE),
               |             $MixBudget * (sqrt(CAST(t AS DOUBLE)) / den) / CAST(t AS DOUBLE)) AS rate
-              |FROM toks, den ORDER BY source""".stripMargin))
+              |FROM toks, den ORDER BY source""".stripMargin)),
+
+    // ── Within-doc repeated-span removal (self-repetition cleaning) ──
+    QueryDef(
+      "q103_selfrep_strip",
+      (s, dir) => selfRepStrip(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id"),
+      // Index bridge: Spark word/gram positions are 0-based; DuckDB's are
+      // 1-based, so the oracle emits i-1 and ANTI-joins on the same 0-based
+      // frame. range() yields BIGINT — both sides only compare positions
+      // internally, never emit them.
+      Some(s"""WITH wt AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+              |gr AS (
+              |  SELECT doc_id, i - 1 AS i, array_to_string(w[i : i + ${IntraN - 1}], ' ') AS s
+              |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${IntraN - 2})) AS i
+              |        FROM wt WHERE len(w) >= $IntraN)),
+              |rep AS (
+              |  SELECT doc_id, unnest([x for x in starts if x > first]) AS i
+              |  FROM (SELECT doc_id, s, min(i) AS first, list(i) AS starts
+              |        FROM gr GROUP BY doc_id, s)),
+              |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + $IntraN)) AS ci FROM rep),
+              |pos AS (SELECT doc_id, unnest(w) AS wd, unnest(range(0, len(w)::BIGINT)) AS i FROM wt),
+              |kept AS (
+              |  SELECT p.doc_id, p.i, p.wd
+              |  FROM pos p ANTI JOIN cov c ON c.doc_id = p.doc_id AND c.ci = p.i),
+              |cl AS (
+              |  SELECT doc_id, array_to_string(list(wd ORDER BY i), ' ') AS cleaned,
+              |         count(*) AS n_kept
+              |  FROM kept GROUP BY doc_id)
+              |SELECT d.doc_id, cl.cleaned,
+              |       CAST(len(string_split(trim(d.text), ' ')) - coalesce(cl.n_kept, 0) AS BIGINT) AS n_removed
+              |FROM documents d LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin))
   )
 }

@@ -287,4 +287,68 @@ class PlanSpec extends AnyFunSuite {
     val aggs = collectAll("q96_split_manifest") { case a: HashAggregateExec => a }
     assert(aggs.size >= 2, "expected partial + final hash aggregates")
   }
+
+  test("q101 corpus diff is one id-keyed equi-join, agg runs map-side") {
+    assert(collectAll("q101_corpus_diff") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q101_corpus_diff") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "snapshot diff must stay an equi-join on doc_id")
+    assert(collectAll("q101_corpus_diff") {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "snapshot diff must stay an equi-join on doc_id")
+    val aggs = collectAll("q101_corpus_diff") { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected partial + final hash aggregates")
+    // The join's hash exchanges are keyed by doc_id — never by a derived
+    // corpus-wide key (the status column must not become a shuffle key
+    // before the final catalog-sized agg on (source, status)).
+    collectAll("q101_corpus_diff") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.foreach { e =>
+      val keys = e.outputPartitioning
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.flatMap(_.references.map(_.name)).toSet
+      assert(keys.subsetOf(Set("doc_id", "source", "status")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q102 consolidation never windows or products; corpus text stays out of exchanges") {
+    assert(collectAll("q102_dup_consolidate") { case w: WindowExec => w }.isEmpty,
+      "consolidation is a per-component AGG on the small map, never a corpus window")
+    assert(collectAll("q102_dup_consolidate") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll("q102_dup_consolidate") {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty)
+    // The doc-side join carries only (doc_id, source, n_chars) — a text or
+    // word-array column in any exchange means the corpus is being moved.
+    collectAll("q102_dup_consolidate") { case e: ShuffleExchangeExec => e }
+      .foreach { e =>
+        val names = e.output.map(_.name).toSet
+        assert(!names.contains("text") && !names.contains("w"),
+          s"corpus text in an exchange: $names")
+      }
+  }
+
+  test("q103 self-repetition strip shuffles only doc-keyed rows") {
+    assert(collectAll("q103_selfrep_strip") { case w: WindowExec => w }.isEmpty,
+      "repeat detection must be a (doc_id, s) agg, not a window")
+    assert(collectAll("q103_selfrep_strip") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    // Every hash exchange must be keyed by doc_id (alone or with the gram):
+    // a shuffle keyed by the gram alone would concentrate repeated grams
+    // across documents — this op has no cross-document state by design.
+    collectAll("q103_selfrep_strip") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.foreach { e =>
+      val keys = e.outputPartitioning
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.flatMap(_.references.map(_.name)).toSet
+      assert(keys.contains("doc_id"), s"non-doc-keyed shuffle: $keys")
+    }
+  }
 }

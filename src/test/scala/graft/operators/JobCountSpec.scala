@@ -35,12 +35,14 @@ class JobCountSpec extends AnyFunSuite {
   // q73 localCheckpoints its scored frame against the 5-way downstream
   // fan-out re-running the corpus window + regex scoring, q59
   // localCheckpoints its scored pairs so the symmetric mirror's two
-  // branches don't each re-run the candidates+verify subtree, and q91
+  // branches don't each re-run the candidates+verify subtree, q91
   // localCheckpoints its levenshtein frame so the edit_sim filter isn't
-  // pushed into a second O(len²) evaluation.
+  // pushed into a second O(len²) evaluation, and q102 consolidates over
+  // the same eager pointer-jumping component map as q47/q58.
   private val eagerByDesign = Set(
     "q47_dedup_components", "q58_dedup_keep", "q54_simhash_pairs",
-    "q73_curation_pipeline", "q59_ann_knn_join", "q91_edit_distance")
+    "q73_curation_pipeline", "q59_ann_knn_join", "q91_edit_distance",
+    "q102_dup_consolidate")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached
