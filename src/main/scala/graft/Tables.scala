@@ -13,17 +13,25 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Parquet footer schemas, inferred once per path then reused: every
+  /** Parquet footer schemas, inferred once per path+mtime then reused: every
     * `spark.read.parquet` without an explicit schema launches a footer-read
     * job at DATAFRAME CONSTRUCTION time, so each catalog query paid one
     * driver-side job before its real action (JobCountSpec pins the zero-job
-    * contract). Keyed by path — a different sf dir infers fresh. */
+    * contract). The key carries the file's MODIFICATION TIME (one cheap
+    * driver-side FS stat, no Spark job), so a testdata regeneration under a
+    * long-lived JVM — the exact drift that broke the r7 driver run when
+    * `events.ts` switched parquet types — invalidates the entry instead of
+    * branching on the stale generation's footer. */
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val mtime = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(hp).getModificationTime
+    val schema = schemaCache.getOrElseUpdate(s"$path@$mtime",
+      spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }
 
@@ -44,16 +52,33 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "build the session via graft.Sessions (needs spark.sql.legacy.parquet.nanosAsLong=true)")
-    val raw = load(spark, dir, "events")
+    normalizeEventsTs(load(spark, dir, "events"))
+  }
+
+  /** Normalizes a raw events frame to the `(ts timestamp, ts_ns bigint)`
+    * contract, branching on the footer-derived type of `ts`. ONE definition
+    * shared with `Streams.readEventsStream` so batch and streaming can't
+    * drift. An UNKNOWN type fails loudly with a named error — the r7 driver
+    * run taught us a silent fallback branch turns a testdata regeneration
+    * into 11 quietly-wrong queries; a third generation must fail with an
+    * actionable message instead (TablesSpec pins this). */
+  def normalizeEventsTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as bigint
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      case _ => // TIMESTAMP(MICROS): TIMESTAMP_NTZ or TIMESTAMP
+      // TIMESTAMP(MICROS): NTZ (no-tz annotation) or tz-adjusted (also how
+      // legacy INT96 surfaces). Under the UTC session both cast losslessly.
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.TimestampType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
           .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      case other => sys.error(
+        s"events.ts has unsupported type $other: known generations are " +
+          "TIMESTAMP(NANOS) (bigint under nanosAsLong) and TIMESTAMP(MICROS) " +
+          "(ntz or tz-adjusted, incl. legacy INT96). The testdata generator " +
+          "changed again — extend Tables.normalizeEventsTs for the new type.")
     }
-  }
 
   /** Embeddings with the vector cast float->double once, up front, so all
     * downstream arithmetic is double-precision (bit-compatible with a

@@ -432,6 +432,143 @@ object Dedup {
     labels
   }
 
+  // ── Corpus snapshot diff at rest (q101's production form) ──────────────
+
+  /** Buckets per snapshot manifest. Tests override with a small count; at
+    * 100 TB the bucket count is chosen so one bucket ≈ one task's worth of
+    * manifest rows (the manifest is (doc_id, source, h) — tiny per doc). */
+  val SnapBuckets = 32
+
+  /** The digest projection a snapshot diff consumes: (doc_id, source, h)
+    * with h = content hash of the text. One definition shared by the
+    * catalog query (q101), the snapshot writer, and the stress harness so
+    * the at-rest form can never drift from the oracle-checked one. */
+  def snapshotDigest(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+
+  /** Writes a corpus snapshot manifest to `dir`, bucketed by doc_id, and
+    * registers it under `name` (an EXTERNAL table — the catalog carries
+    * only the bucket spec; the data lives at `dir`). Two manifests written
+    * this way diff with ZERO shuffle exchanges on the join
+    * (SnapshotDiffSpec pins the plan): each bucket pair joins locally,
+    * which at 100 TB means the nightly refresh audit never moves the
+    * corpus — it streams co-located bucket files. */
+  def writeSnapshot(docs: DataFrame, name: String, dir: String,
+      nBuckets: Int = SnapBuckets): Unit = {
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    snapshotDigest(docs)
+      .write.bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .option("path", dir).mode("overwrite").saveAsTable(name)
+  }
+
+  /** Re-attaches an on-disk snapshot manifest directory (written by
+    * `writeSnapshot`, possibly by an earlier session) as a bucketed
+    * EXTERNAL table. The bucket spec must match the writer's — Spark
+    * derives bucket ids from the file names `writeSnapshot` produced, so a
+    * mismatched `nBuckets` would silently fall back to a shuffled join;
+    * callers pass the same constant they wrote with. */
+  def registerSnapshot(spark: SparkSession, name: String, dir: String,
+      nBuckets: Int = SnapBuckets): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name (doc_id BIGINT, source STRING, h STRING)
+         |USING parquet
+         |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $nBuckets BUCKETS
+         |LOCATION '$dir'""".stripMargin)
+  }
+
+  /** Per-doc diff classification of two snapshot digests. Presence is
+    * decided by literal flags (pa/pb) carried through the full-outer join,
+    * NEVER by hash nullness: md5(NULL text) = NULL, so an ha/hb-based test
+    * would misread a present-but-null-text doc as added/removed — the
+    * DuckDB oracle classifies on key presence (`a.doc_id IS NULL`), and
+    * this matches it exactly. A null-vs-null hash comparison on two
+    * PRESENT rows falls through to 'unchanged' in both engines (NULL != NULL
+    * is not true), so the residual semantics agree too. */
+  private[graft] def diffStatus(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("doc_id"), col("source").as("sa"), col("h").as("ha"),
+        lit(1).as("pa"))
+      .join(b.select(col("doc_id"), col("source").as("sb"), col("h").as("hb"),
+          lit(1).as("pb")),
+        Seq("doc_id"), "full_outer")
+      .select(coalesce(col("sa"), col("sb")).as("source"),
+        when(col("pa").isNull, lit("added"))
+          .when(col("pb").isNull, lit("removed"))
+          .when(col("ha") =!= col("hb"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+
+  /** (source, status, n_docs) rollup of a per-doc diff — q101's output. */
+  private[graft] def diffRollup(st: DataFrame): DataFrame =
+    st.groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+
+  /** The production entry point VERDICT r8 asked for: diff two on-disk
+    * snapshot manifest directories. Both sides re-attach as bucketed
+    * tables, so the doc_id full-outer join is exchange-free; the only
+    * shuffle in the whole plan is the catalog-sized (source, status)
+    * rollup. Table names derive from the dirs so repeated diffs of
+    * different snapshot pairs coexist in one session. */
+  def snapshotDiff(spark: SparkSession, dirA: String, dirB: String,
+      nBuckets: Int = SnapBuckets): DataFrame = {
+    def reg(dir: String, side: String): String = {
+      val name = s"graft_snap_${side}_${(dir.hashCode.toLong & 0xffffffffL).toHexString}"
+      registerSnapshot(spark, name, dir, nBuckets)
+      name
+    }
+    diffRollup(diffStatus(spark.table(reg(dirA, "a")), spark.table(reg(dirB, "b"))))
+  }
+
+  /** q101's simulated snapshot B: the same corpus after a refresh —
+    * docs %13==0 dropped, %7==0 revised, %11==0 re-ingested under new ids.
+    * Shared with the stress harness so `Stress snapdiff` materializes the
+    * exact arithmetic the oracle checks. */
+  private[graft] def simulateRefresh(docs: DataFrame): DataFrame = {
+    val bKept = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    val bNew = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("source"),
+        concat(col("text"), lit(" new")).as("text"))
+    bKept.unionByName(bNew)
+  }
+
+  // ── Near-dup cluster consolidation (q102) + its from-store form ────────
+
+  /** Consolidation over an explicit edge set: connected components on the
+    * pair graph, then ONE doc_id-keyed join of the (small) component map
+    * into the corpus and a per-component agg — q58's accepted scale shape.
+    * The corpus is never windowed or re-shuffled by a derived key. */
+  private[graft] def consolidateComponents(edges: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val e = edges.persist()
+    val comp = connectedComponents(e)
+    e.unpersist()
+    comp.select(col("v").as("doc_id"), col("lbl").as("component"))
+      .join(docs.select("doc_id", "source", "n_chars"), Seq("doc_id"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("source")).as("n_sources"),
+        concat_ws(",", sort_array(collect_set(col("source")))).as("sources"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("component")
+  }
+
+  /** q102 in-query form: mines the Jaccard pair graph then consolidates. */
+  def consolidate(docs: DataFrame, tau: Double = JaccardTau): DataFrame =
+    consolidateComponents(jaccardPairs(docs, tau).select("a", "b"), docs)
+
+  /** q102 from-store form (VERDICT r8 #2): consolidation off the PERSISTED
+    * df-capped pair index (`IndexStore.savePairIndex` →
+    * `loadPairBuckets`), skipping the shingle/index mining that is ~95% of
+    * the in-query cost. Stored buckets keep `ds` sorted, so the pair set —
+    * and therefore every consolidated row — is bit-identical to
+    * `consolidate` (IndexCliSpec pins the equivalence). */
+  def consolidateFrom(buckets: DataFrame, docs: DataFrame,
+      tau: Double = JaccardTau): DataFrame =
+    consolidateComponents(jaccardPairsFrom(buckets, tau).select("a", "b"), docs)
+
   val SimBits = 60 // 15 hex digits of md5; stays clear of the bigint sign bit
   val SimBands = 4
   val SimBandBits: Int = SimBits / SimBands // 15 → 32768 bucket keys per band
@@ -1146,30 +1283,14 @@ object Dedup {
         //
         // 100 TB shape: one narrow scan per snapshot (hash fuses into the
         // projection), one doc_id-keyed full-outer join — the id-keyed
-        // hash shuffle IS the diff's cost; snapshots bucketed by doc_id
-        // at rest make it shuffle-free in production — then a
-        // catalog-sized partial+final agg.
+        // hash shuffle IS the diff's cost — then a catalog-sized
+        // partial+final agg. The production form is `snapshotDiff(spark,
+        // dirA, dirB)` over manifests written by `writeSnapshot`: bucketed
+        // by doc_id at rest, the join plans with ZERO shuffle exchanges
+        // (SnapshotDiffSpec pins it; PERF.md `snapdiff` measures it).
         val docs = Tables.load(s, dir, "documents")
-        val a = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
-        val bKept = docs.filter(col("doc_id") % 13 =!= 0)
-          .select(col("doc_id"), col("source"),
-            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
-              .otherwise(col("text")).as("text"))
-        val bNew = docs.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("source"),
-            concat(col("text"), lit(" new")).as("text"))
-        val b = bKept.unionByName(bNew)
-          .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
-        a.select(col("doc_id"), col("source").as("sa"), col("h").as("ha"))
-          .join(b.select(col("doc_id"), col("source").as("sb"), col("h").as("hb")),
-            Seq("doc_id"), "full_outer")
-          .select(coalesce(col("sa"), col("sb")).as("source"),
-            when(col("ha").isNull, lit("added"))
-              .when(col("hb").isNull, lit("removed"))
-              .when(col("ha") =!= col("hb"), lit("changed"))
-              .otherwise(lit("unchanged")).as("status"))
-          .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
-          .orderBy("source", "status")
+        diffRollup(diffStatus(
+          snapshotDigest(docs), snapshotDigest(simulateRefresh(docs))))
       },
       Some("""WITH a AS (SELECT doc_id, source, md5(text) AS h FROM documents),
              |b AS (
@@ -1204,18 +1325,7 @@ object Dedup {
         // the consolidation joins THAT map to the corpus once on doc_id
         // (AQE broadcasts the map side) and aggregates per component;
         // the corpus is never windowed or re-shuffled by a derived key.
-        val docs = Tables.load(s, dir, "documents")
-        val edges = jaccardPairs(docs).select("a", "b").persist()
-        val comp = connectedComponents(edges)
-        edges.unpersist()
-        comp.select(col("v").as("doc_id"), col("lbl").as("component"))
-          .join(docs.select("doc_id", "source", "n_chars"), Seq("doc_id"))
-          .groupBy("component")
-          .agg(count(lit(1)).as("n_members"),
-            countDistinct(col("source")).as("n_sources"),
-            concat_ws(",", sort_array(collect_set(col("source")))).as("sources"),
-            sum(col("n_chars")).as("total_chars"))
-          .orderBy("component")
+        consolidate(Tables.load(s, dir, "documents"))
       },
       Some(s"""WITH RECURSIVE $shingleCte,
               |${jaccardPairsCtes()},

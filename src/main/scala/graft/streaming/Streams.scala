@@ -18,10 +18,12 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet ships as either TIMESTAMP(NANOS) (streamed as raw nanos
-    * bigint under the session's nanosAsLong conf) or TIMESTAMP(MICROS) —
-    * the stream schema is inferred from the batch footer and normalized to
-    * the same (ts, ts_ns) shape as Tables.events. */
+  /** Empty-directory fallback schema for `readEventsStream`: when the glob
+    * matches no file yet (a normal file-stream pattern — start the stream,
+    * files land later), the stream starts with the NANOS-generation shape
+    * (`ts` as raw nanos bigint; the `ts_ns` normalization branch handles
+    * it). Once a file exists, the schema is inferred from its footer and
+    * this val is not consulted. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -34,26 +36,31 @@ object Streams {
     // at start with an opaque [PARQUET_TYPE_ILLEGAL].
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "build the session via graft.Sessions (needs spark.sql.legacy.parquet.nanosAsLong=true)")
-    // File-stream sources need an explicit schema; peek at the batch footer
-    // (one driver-side read of the same files) so the stream matches whatever
-    // generation of events.parquet is on disk.
-    val fileSchema =
-      spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    // File-stream sources need an explicit schema; peek at ONE matching
+    // file's footer (a driver-side listing + single-file read) so the stream
+    // matches whatever generation of events.parquet is on disk. A whole-glob
+    // `spark.read.parquet(dir)` would list the directory and read footers
+    // across it — a driver stall on a 100k-file lake directory. No matching
+    // file yet → eventsSchema fallback (stream may start before data lands).
+    val fileSchema = {
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      val hits =
+        if (fs.exists(base)) fs.globStatus(new org.apache.hadoop.fs.Path(base, glob))
+        else null
+      if (hits == null || hits.isEmpty) eventsSchema
+      else spark.read.parquet(hits.head.getPath.toString).schema
+    }
     // File-stream sources need a directory basePath; events.parquet is a
     // single file in the testdata, so stream the dir with a glob filter.
     // maxFilesPerTrigger splits the backlog into multiple micro-batches
     // (the multi-batch path StreamsSpec drives for sessionize).
     val rd = spark.readStream.schema(fileSchema).option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => rd.option("maxFilesPerTrigger", n))
-    val raw = rd.parquet(dir)
-    raw.schema("ts").dataType match {
-      case LongType => // TIMESTAMP(NANOS) as bigint
-        raw.withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      case _ => // TIMESTAMP(MICROS): TIMESTAMP_NTZ or TIMESTAMP
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
-    }
+    // Same generation-branching normalization as the batch loader — one
+    // definition, so batch and streaming can't drift (and an unknown third
+    // generation fails loudly at stream construction, not mid-run).
+    graft.Tables.normalizeEventsTs(rd.parquet(dir))
   }
 
   /** Tumbling hourly counts with a 1-hour watermark — the streaming twin of

@@ -44,4 +44,54 @@ class TablesSpec extends AnyFunSuite {
     assert(bad === 0L)
     assert(ev.count() === 1000L)
   }
+
+  test("events handles a tz-adjusted TIMESTAMP generation (third plausible shape)") {
+    // A generator switch to tz-adjusted micros (isAdjustedToUTC=true — also
+    // how legacy INT96 surfaces) reads back as TimestampType, not NTZ. The
+    // loader must take the micros branch, not fall through to an error.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evtz").toString
+    Tables.events(spark, dir).limit(500)
+      .select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$tmp/events.parquet")
+    val ev = Tables.events(spark, tmp)
+    assert(ev.schema("ts").dataType === TimestampType)
+    assert(ev.schema("ts_ns").dataType === LongType)
+    assert(ev.filter(expr("unix_micros(ts) != ts_ns div 1000")).count() === 0L)
+    assert(ev.count() === 500L)
+  }
+
+  test("an unknown events.ts generation fails loudly with a named error") {
+    // r7 lesson: a silent fallback branch turns a testdata regeneration into
+    // quietly-wrong queries. A FOURTH generation (here: ts as string) must
+    // fail at load with an actionable message, not mis-normalize.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evbad").toString
+    Tables.events(spark, dir).limit(10)
+      .select(col("event_id"), col("ts").cast("string").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$tmp/events.parquet")
+    val e = intercept[RuntimeException] { Tables.events(spark, tmp) }
+    assert(e.getMessage.contains("unsupported type"))
+    assert(e.getMessage.contains("normalizeEventsTs"))
+  }
+
+  test("schema cache invalidates when the file is regenerated in-JVM") {
+    // The exact r7 drift scenario under a long-lived JVM: the same path is
+    // regenerated with a DIFFERENT ts generation; the loader must branch on
+    // the fresh footer, not the cached one.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evregen").toString
+    val src = Tables.events(spark, dir).limit(100)
+    src.select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    assert(Tables.events(spark, tmp).filter(col("ts_ns") % 1000 =!= 0).count() >= 0L)
+    Thread.sleep(1100) // ensure a distinct directory mtime across FS granularities
+    src.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val ev2 = Tables.events(spark, tmp)
+    assert(ev2.schema("ts").dataType === TimestampType)
+    assert(ev2.count() === 100L)
+    assert(ev2.filter(expr("unix_micros(ts) != ts_ns div 1000")).count() === 0L)
+  }
 }
