@@ -58,13 +58,28 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val nErr = results.count { case (_, _, ok) => !ok }
+    // Machine state rides in the artifact so environment drift is self-
+    // documenting: two rounds running, the CC/shingle heavies' ±1 s swings
+    // were adjudicated by argument because the artifact couldn't show
+    // whether the box was loaded (r8 verdict task 4b). loadavg is sampled
+    // at run END — it includes our own load; what matters is comparability
+    // across artifacts.
+    val loadavg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val freeMb =
+      try scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemAvailable:") =>
+          l.split("\\s+")(1).toLong / 1024 }.getOrElse(-1L)
+      catch { case _: Throwable => -1L }
+    val machine =
+      s"""{"loadavg":$loadavg,"mem_available_mb":$freeMb,"cpus":$cpus,"host_cores":${Runtime.getRuntime.availableProcessors}}"""
     // A run with ANY errored query has no valid total: summing the survivors
     // reads as a speedup over a clean run (r7 lesson). value=-1 sentinel +
     // failed flag + nonzero rc make a broken run unambiguous to automation.
     val total =
       if (nErr > 0) -1.0 else results.collect { case (_, v, true) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$passes","failed":${nErr > 0},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$passes","failed":${nErr > 0},"queries":$qs,"errors":$errs,"machine":$machine,"sf":"$sfDir"}"""
     println(json)
     // ALSO land the line in a file: three rounds of captured stdout
     // artifacts arrived truncated (BENCH_r0{3,4,5}.json lost q01-q13 and

@@ -8,24 +8,32 @@ import graft.operators.{Dedup, TextOps}
 
 /** End-to-end corpus curation as a CLI — the training-data twin of the
   * `graft.cve.Main` workflow tool. Chains the verified operator shapes
-  * (q21 exact dedup, q85 boilerplate strip, q22/q47/q58 near-dup keep-set,
-  * q62 decontamination, q61 redaction, q60 bounded-histogram quality cut,
+  * (q21 exact dedup, q85 boilerplate strip, q103 within-doc self-rep strip,
+  * q22/q47/q58 near-dup keep-set, q62 decontamination, q61 redaction,
+  * q60 bounded-histogram quality cut,
   * q51 √N-blocked packing) over any `documents.parquet` corpus and lands a
   * curated+packed parquet plus one JSON stats line (also written to
   * `<outDir>/stats.json`):
   *
   *   sbt "runMain graft.Curate <docsDir> <outDir> [tokenBudget]
-  *        [--strip-boilerplate] [--bp-df N] [--bench <parquet>]
-  *        [--contam-k N] [--tau X]"
+  *        [--strip-boilerplate] [--bp-df N] [--strip-selfrep]
+  *        [--bench <parquet>] [--contam-k N] [--tau X]"
   *
-  * The two transform stages the r6 verdict flagged as query-only are now
-  * pipeline stages, both OFF by default (the 5-stage default chain is
-  * unchanged — stress history stays comparable):
+  * The optional transform stages are pipeline stages, all OFF by default
+  * (the 5-stage default chain is unchanged — stress history stays
+  * comparable):
   *   --strip-boilerplate   q85: remove cross-document-frequent 8-gram
   *                         spans (df ≥ --bp-df, default 3) after exact
   *                         dedup, BEFORE near-dup/quality — so template
   *                         chrome neither glues unrelated docs into one
   *                         near-dup component nor inflates quality scores.
+  *   --strip-selfrep       q103: the within-doc twin of the boilerplate
+  *                         strip — remove every LATER occurrence of a
+  *                         5-gram already seen earlier in the SAME doc,
+  *                         after the cross-doc strip and BEFORE near-dup/
+  *                         quality, so self-repetition loops neither
+  *                         inflate shingle sets nor token counts. Zero
+  *                         cross-document state: every stage doc-keyed.
   *   --bench <parquet>     q62: drop docs sharing ≥ --contam-k (default 5)
   *                         distinct shingles with any doc of the held-out
   *                         eval set at <parquet> (a documents-shaped
@@ -48,6 +56,7 @@ object Curate {
       budget: Long = 2048L,
       stripBoilerplate: Boolean = false,
       boilerDf: Int = Dedup.BoilerDf,
+      stripSelfrep: Boolean = false,
       benchPath: Option[String] = None,
       contamK: Int = Dedup.ContamK,
       tau: Double = Dedup.JaccardTau)
@@ -65,11 +74,13 @@ object Curate {
 
   private def parse(args: List[String]): Config = {
     val usage = "usage: Curate <docsDir> <outDir> [tokenBudget] " +
-      "[--strip-boilerplate] [--bp-df N] [--bench <parquet>] [--contam-k N] [--tau X]"
+      "[--strip-boilerplate] [--bp-df N] [--strip-selfrep] [--bench <parquet>] " +
+      "[--contam-k N] [--tau X]"
     def loop(rest: List[String], cfg: Config): Config = rest match {
       case Nil => cfg
       case "--strip-boilerplate" :: t => loop(t, cfg.copy(stripBoilerplate = true))
       case "--bp-df" :: v :: t => loop(t, cfg.copy(boilerDf = v.toInt))
+      case "--strip-selfrep" :: t => loop(t, cfg.copy(stripSelfrep = true))
       case "--bench" :: v :: t => loop(t, cfg.copy(benchPath = Some(v)))
       case "--contam-k" :: v :: t => loop(t, cfg.copy(contamK = v.toInt))
       case "--tau" :: v :: t => loop(t, cfg.copy(tau = v.toDouble))
@@ -118,12 +129,28 @@ object Curate {
         .localCheckpoint(true)
     val nStripped = if (cfg.stripBoilerplate) stripped.count() else nExact
 
+    // 2b. (optional) Within-doc repeated-span strip (q103): the self-
+    //     repetition twin of stage 2, composing at the same point — AFTER
+    //     the cross-doc strip (boilerplate df counts must see original
+    //     spans), BEFORE near-dup/quality, so repetition loops don't
+    //     inflate shingle sets or token counts. Doc-keyed end to end (the
+    //     q103 PlanSpec pin); same fan-out barrier as stage 2.
+    val selfStripped =
+      if (!cfg.stripSelfrep) stripped
+      else stripped.drop("text")
+        .join(TextOps.selfRepStrip(stripped)
+            .filter(col("cleaned").isNotNull && trim(col("cleaned")) =!= "")
+            .select(col("doc_id"), col("cleaned").as("text")),
+          Seq("doc_id"))
+        .localCheckpoint(true)
+    val nSelf = if (cfg.stripSelfrep) selfStripped.count() else nStripped
+
     // 3. Near-dup keep-set: inverted-index Jaccard pairs → connected
     //    components → keep the component label (its min doc_id) (q58).
-    val edges = Dedup.jaccardPairs(stripped, cfg.tau).select("a", "b").persist()
+    val edges = Dedup.jaccardPairs(selfStripped, cfg.tau).select("a", "b").persist()
     val comp = Dedup.connectedComponents(edges)
     edges.unpersist()
-    val kept = stripped
+    val kept = selfStripped
       .join(comp.select(col("v").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
       .filter(col("lbl").isNull || col("lbl") === col("doc_id"))
       .drop("lbl")
@@ -171,7 +198,7 @@ object Curate {
     val nPacks = written.agg(countDistinct("pack_id")).head().getLong(0)
 
     val json =
-      s"""{"docs_in":$nIn,"after_exact_dedup":$nExact,"after_boilerplate":$nStripped,"after_neardup":$nKept,"after_decontam":$nDecon,"after_quality_cut":$nOut,"packs":$nPacks,"token_budget":${cfg.budget},"out":"${cfg.outDir}/curated.parquet"}"""
+      s"""{"docs_in":$nIn,"after_exact_dedup":$nExact,"after_boilerplate":$nStripped,"after_selfrep":$nSelf,"after_neardup":$nKept,"after_decontam":$nDecon,"after_quality_cut":$nOut,"packs":$nPacks,"token_budget":${cfg.budget},"out":"${cfg.outDir}/curated.parquet"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(s"${cfg.outDir}/stats.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     json

@@ -22,6 +22,8 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index append-pairs <docsDir> <indexPath>"
   *   sbt "runMain graft.Index audit      <indexPath> [--tau T] [--contain]"
   *   sbt "runMain graft.Index components <indexPath> [--tau T]"
+  *   sbt "runMain graft.Index consolidate <docsDir> <indexPath>
+  *        [--tau T] [--out <dir>]"
   *
   * `build-*` pays the one-time linear corpus cost; `dedupe` runs a crawl
   * batch against the standing LSH state (per-batch cost measured flat
@@ -152,6 +154,25 @@ object Index {
           .head()
         s"""{"mode":"audit","metric":"${if (contain) "containment" else "jaccard"}","tau":$tau,"pairs":${stats.getLong(0)},"dup_docs":${stats.getLong(1)},"max_jaccard":${stats.getDouble(2)}}"""
 
+      case "consolidate" :: docsDir :: path :: rest =>
+        // q102's from-store form: provenance consolidation per near-dup
+        // component, pairs read from the PERSISTED df-capped index instead
+        // of re-mined (~95% of the in-query cost — PERF.md `consolidate`).
+        // The corpus is touched once, for the doc_id-keyed metadata join.
+        val out = rest.sliding(2).collectFirst { case List("--out", v) => v }
+        val tau = rest.sliding(2).collectFirst { case List("--tau", v) => v.toDouble }
+          .getOrElse(operators.Dedup.JaccardTau)
+        val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+        val cons = operators.Dedup.consolidateFrom(
+            IndexStore.loadPairBuckets(spark, path), docs, tau)
+          .localCheckpoint(true) // stats + optional write read it twice
+        val stats = cons.agg(count(lit(1)).as("n_components"),
+            coalesce(sum("n_members"), lit(0L)).as("n_docs"),
+            coalesce(max("n_members"), lit(0L)).as("largest"))
+          .head()
+        out.foreach(o => cons.write.mode("overwrite").parquet(o))
+        s"""{"mode":"consolidate","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}${out.map(o => s""","out":"$o"""").getOrElse("")}}"""
+
       case "components" :: path :: rest =>
         // q47/q58's workflow off the store: the edge set is the same
         // Jaccard pair scan (floor-free), then the pointer-jumping rounds.
@@ -170,7 +191,7 @@ object Index {
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|components ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|components|consolidate ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

@@ -75,6 +75,19 @@ import org.apache.spark.sql.functions._
   *     staying flat certifies the O(len²) levenshtein stage sees a linear
   *     candidate volume, never corpus².
   *
+  *   snapdiff <sfDir> <mult>
+  *     q101's at-rest certificate: two snapshot manifests (the q101
+  *     refresh arithmetic) diffed plain-parquet (id-shuffled join) vs
+  *     bucketed-by-doc_id via `Dedup.snapshotDiff` (exchange-free join,
+  *     SnapshotDiffSpec pins the plan). Reports both diff walls and the
+  *     one-time bucketed write cost at 1x and <mult>x docs.
+  *
+  *   consolidate <sfDir> <mult>
+  *     q102's from-store certificate: provenance consolidation in-query
+  *     (re-mines the pair graph every call) vs `consolidateFrom` off the
+  *     persisted pair index, at 1x and <mult>x docs — what the standing
+  *     index buys every repeat consolidation.
+  *
   *   pq <sfDir> <mult>
   *     The q88 twin of ivfsearch: build the persisted PQ index (codebook +
   *     codes) over a 1x and a <mult>x corpus, then run the SAME ADC search
@@ -110,6 +123,10 @@ object Stress {
         incDedup(spark, args(1), args(2).toInt)
       case Some("pairaudit") =>
         pairAudit(spark, args(1), args(2).toInt)
+      case Some("snapdiff") =>
+        snapDiff(spark, args(1), args(2).toInt)
+      case Some("consolidate") =>
+        consolidate(spark, args(1), args(2).toInt)
       case Some("editdedup") =>
         editDedup(spark, args(1), args(2).toInt)
       case Some("ivfsearch") =>
@@ -242,6 +259,14 @@ object Stress {
         stripBoilerplate = true, benchPath = Some(benchPq)))
       val sec7 = (System.nanoTime() - t1) / 1e9
       println(f"""{"mode":"curate","corpus":"$tag","stages":7,"sec":$sec7%.1f,"stats":$stats7}""")
+      // Full 8-stage chain: + q103's within-doc self-rep strip between the
+      // cross-doc strip and near-dup (r9; the q103 stage stress row).
+      val out8 = scratch("curate8-out", sfDir, mult, tag)
+      val t2 = System.nanoTime()
+      val stats8 = Curate.run(spark, Curate.Config(dir, out8,
+        stripBoilerplate = true, stripSelfrep = true, benchPath = Some(benchPq)))
+      val sec8 = (System.nanoTime() - t2) / 1e9
+      println(f"""{"mode":"curate","corpus":"$tag","stages":8,"sec":$sec8%.1f,"stats":$stats8}""")
     }
   }
 
@@ -283,6 +308,90 @@ object Stress {
     * bucket table should cost only the scan. Reports the one-time build
     * wall, the in-query jaccardPairs wall, and the from-store wall at 1x
     * and <mult>x. */
+  /** q101's production-form certificate (VERDICT r8 #1/#6): materialize two
+    * on-disk snapshot manifests with the q101 refresh arithmetic at 1x and
+    * <mult>x docs, then measure the diff wall (a) over plain-parquet
+    * manifests — the join must shuffle both sides by doc_id — and (b) over
+    * bucketed-at-rest manifests via `snapshotDiff` — the join is
+    * exchange-free (SnapshotDiffSpec pins the plan; this mode measures what
+    * the pin buys). The diff cost growing ~linearly with docs, and bucketed
+    * ≤ unbucketed, is the 100 TB story: the nightly refresh audit never
+    * re-shuffles the corpus. */
+  def snapDiff(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val bigDir = scratch("snapdiff", sfDir, mult)
+    inflateDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val flatA = scratch("snapdiff-flat-a", sfDir, mult, tag)
+      val flatB = scratch("snapdiff-flat-b", sfDir, mult, tag)
+      val bukA = scratch("snapdiff-buk-a", sfDir, mult, tag)
+      val bukB = scratch("snapdiff-buk-b", sfDir, mult, tag)
+      operators.Dedup.snapshotDigest(docs)
+        .write.mode("overwrite").parquet(flatA)
+      operators.Dedup.snapshotDigest(operators.Dedup.simulateRefresh(docs))
+        .write.mode("overwrite").parquet(flatB)
+      val tW = System.nanoTime()
+      operators.Dedup.writeSnapshot(docs, s"stress_snap_a_$tag", bukA)
+      operators.Dedup.writeSnapshot(operators.Dedup.simulateRefresh(docs),
+        s"stress_snap_b_$tag", bukB)
+      val writeSec = (System.nanoTime() - tW) / 1e9
+      def min3(mk: () => org.apache.spark.sql.DataFrame): Double =
+        (1 to 3).map { _ =>
+          val t = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t) / 1e9
+        }.min
+      val flatSec = min3(() => operators.Dedup.diffRollup(
+        operators.Dedup.diffStatus(
+          spark.read.parquet(flatA), spark.read.parquet(flatB))))
+      val bukSec = min3(() =>
+        operators.Dedup.snapshotDiff(spark, bukA, bukB))
+      val changed = operators.Dedup.snapshotDiff(spark, bukA, bukB)
+        .filter(col("status") =!= "unchanged")
+        .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+      println(f"""{"mode":"snapdiff","corpus":"$tag","n":$n,"changed_docs":$changed,"bucketed_write_sec":$writeSec%.1f,"flat_diff_sec_min3":$flatSec%.2f,"bucketed_diff_sec_min3":$bukSec%.2f}""")
+      Seq(s"stress_snap_a_$tag", s"stress_snap_b_$tag").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  /** q102's from-store certificate (VERDICT r8 #2): build the persisted
+    * pair index at 1x and <mult>x docs, then measure provenance
+    * consolidation in-query (re-mines pairs: the ~95% floor) vs
+    * `consolidateFrom` off the store (pays only pair scan + CC + one
+    * doc_id join). The from-store wall staying well under the in-query
+    * wall at both scales is what the persisted index buys every repeat
+    * consolidation. */
+  def consolidate(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val bigDir = scratch("consolidate", sfDir, mult)
+    inflateDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val idx = scratch("consolidate-idx", sfDir, mult, tag)
+      val t0 = System.nanoTime()
+      operators.IndexStore.savePairIndex(docs, idx)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      // consolidate* run jobs during CONSTRUCTION (the CC rounds), so wall
+      // wraps construction + materialization; min-of-3 as everywhere.
+      def min3(mk: () => org.apache.spark.sql.DataFrame): Double =
+        (1 to 3).map { _ =>
+          val t = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t) / 1e9
+        }.min
+      val inQuery = min3(() => operators.Dedup.consolidate(docs))
+      val fromStore = min3(() => operators.Dedup.consolidateFrom(
+        operators.IndexStore.loadPairBuckets(spark, idx), docs))
+      val nComp = operators.Dedup.consolidateFrom(
+        operators.IndexStore.loadPairBuckets(spark, idx), docs).count()
+      println(f"""{"mode":"consolidate","corpus":"$tag","n":$n,"components":$nComp,"build_sec":$buildSec%.1f,"inquery_sec_min3":$inQuery%.2f,"store_sec_min3":$fromStore%.2f}""")
+    }
+  }
+
   def pairAudit(spark: SparkSession, sfDir: String, mult: Int): Unit = {
     val bigDir = scratch("pairaudit", sfDir, mult)
     inflateDocs(spark, sfDir, mult).write.mode("overwrite")

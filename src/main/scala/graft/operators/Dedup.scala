@@ -457,7 +457,13 @@ object Dedup {
       nBuckets: Int = SnapBuckets): Unit = {
     val spark = docs.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $name")
+    // Pre-shuffle by the bucket expression (same murmur3 hash bucketBy
+    // uses) so each task writes exactly ONE bucket file — without it every
+    // write task emits up to nBuckets files (tasks × buckets small files at
+    // cluster scale). The write pays this one shuffle so that every later
+    // diff pays none.
     snapshotDigest(docs)
+      .repartition(nBuckets, col("doc_id"))
       .write.bucketBy(nBuckets, "doc_id").sortBy("doc_id")
       .option("path", dir).mode("overwrite").saveAsTable(name)
   }

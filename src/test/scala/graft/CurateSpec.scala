@@ -78,6 +78,42 @@ class CurateSpec extends AnyFunSuite {
     assert(out.filter(col("doc_id").isin(0L, 1L)).count() === 0)
   }
 
+  test("8-stage chain: --strip-selfrep engages between the cross-doc strip and near-dup") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-curate8")
+    val docsDir = base.resolve("corpus"); val outDir = base.resolve("out")
+
+    // Each doc: a unique 10-word tail, with its FIRST 5-gram repeated once
+    // mid-text — a self-repetition loop q103 must strip (the later
+    // occurrence only), leaving the tail intact. No cross-doc overlap, so
+    // boilerplate strip (df ≥ 3) and near-dup must both be no-ops.
+    val tail = (i: Long) => (0 until 10).map(j => s"w${i}x$j").mkString(" ")
+    val rep = (i: Long) => (0 until 5).map(j => s"w${i}x$j").mkString(" ")
+    (0L until 20L).map(i => (i, s"${tail(i)} ${rep(i)}", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+
+    val json = Curate.run(spark, Curate.Config(
+      docsDir.toString, outDir.toString, budget = 64L,
+      stripBoilerplate = true, stripSelfrep = true))
+    val m = """"(\w+)":(\d+)""".r.findAllMatchIn(json)
+      .map(x => x.group(1) -> x.group(2).toLong).toMap
+
+    // No doc is emptied by either strip; nothing merges or drops.
+    assert(m("after_boilerplate") === 20L)
+    assert(m("after_selfrep") === 20L)
+    assert(m("after_neardup") === 20L)
+
+    // The kept text is exactly the 10-word tail: the repeated 5-gram's
+    // later occurrence is gone, the first stays.
+    val out = spark.read.parquet(s"$outDir/curated.parquet")
+    val texts = out.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (i, t) => assert(t === tail(i), s"doc $i: '$t'") }
+    // And the packing stage saw the POST-strip token counts (10, not 15).
+    assert(out.filter(col("tokens") =!= 10L).count() === 0L)
+  }
+
   test("CLI flag parsing routes to the same Config") {
     // Private parse is exercised through main-style args via reflection-free
     // path: just re-run the default chain with positional budget to pin the

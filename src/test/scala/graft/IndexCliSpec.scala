@@ -120,6 +120,18 @@ class IndexCliSpec extends AnyFunSuite {
     val k = Index.run(spark, List("components", idx))
     assert(k.contains(s""""n_components":${q47.map(_._2).distinct.length}"""), k)
     assert(k.contains(s""""n_docs":${q47.length}"""), k)
+
+    // consolidate off the store == q102 BIT-IDENTICAL (stored buckets keep
+    // `ds` sorted, so the mined pair set — and every consolidated row,
+    // including the comma-joined source list and char sums — is the same).
+    val outC = base.resolve("consolidated").toString
+    val cons = Index.run(spark, List("consolidate", sf, idx, "--out", outC))
+    val gotRows = spark.read.parquet(outC).orderBy("component")
+      .collect().map(_.toSeq).toSeq
+    val wantRows = SparkEntry.queries("q102_dup_consolidate")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(gotRows === wantRows)
+    assert(cons.contains(s""""n_components":${wantRows.size}"""), cons)
   }
 
   test("build-pq → search-pq through the CLI == in-query q88") {
