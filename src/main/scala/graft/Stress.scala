@@ -88,6 +88,12 @@ import org.apache.spark.sql.functions._
   *     persisted pair index, at 1x and <mult>x docs — what the standing
   *     index buys every repeat consolidation.
   *
+  *   bloom <sfDir> <mult>
+  *     q105's certificate: decontamination wall + corpus-side join-input
+  *     rows with the bloom prefilter vs the plain exact join, registry
+  *     held at base size (prebuilt once) while the corpus inflates
+  *     <mult>x — the shuffle-volume cut the bloom buys.
+  *
   *   pq <sfDir> <mult>
   *     The q88 twin of ivfsearch: build the persisted PQ index (codebook +
   *     codes) over a 1x and a <mult>x corpus, then run the SAME ADC search
@@ -127,6 +133,8 @@ object Stress {
         snapDiff(spark, args(1), args(2).toInt)
       case Some("consolidate") =>
         consolidate(spark, args(1), args(2).toInt)
+      case Some("bloom") =>
+        bloomStress(spark, args(1), args(2).toInt)
       case Some("editdedup") =>
         editDedup(spark, args(1), args(2).toInt)
       case Some("ivfsearch") =>
@@ -354,6 +362,50 @@ object Stress {
       println(f"""{"mode":"snapdiff","corpus":"$tag","n":$n,"changed_docs":$changed,"bucketed_write_sec":$writeSec%.1f,"flat_diff_sec_min3":$flatSec%.2f,"bucketed_diff_sec_min3":$bukSec%.2f}""")
       Seq(s"stress_snap_a_$tag", s"stress_snap_b_$tag").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  /** q105's certificate: the bloom prefilter's value is the corpus-side
+    * shuffle cut, and it GROWS with corpus/registry skew. The registry is
+    * held at BASE size (the production shape — the benchmark registry does
+    * not grow with the crawl) and prebuilt ONCE via
+    * `buildDecontamRegistry` (its build cost is reported, not repeated);
+    * the corpus inflates mult×. Reported per scale: decontam wall min-of-3
+    * with the prefilter vs the plain exact join, and corpus shingle rows
+    * entering the join each way — the volume a real cluster would not
+    * shuffle. Both forms end in the same exact verify join, so their
+    * outputs are identical by construction (BloomDecontamSpec pins it). */
+  def bloomStress(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    import operators.Dedup
+    val bigDir = scratch("bloom", sfDir, mult)
+    inflateDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    val registry = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 4 === 0)
+    val tB = System.nanoTime()
+    val (reg, bf) = Dedup.buildDecontamRegistry(registry)
+    val buildSec = (System.nanoTime() - tB) / 1e9
+    val regRows = reg.count()
+    def min3(mk: () => org.apache.spark.sql.DataFrame): Double =
+      (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        mk().queryExecution.toRdd.count()
+        (System.nanoTime() - t) / 1e9
+      }.min
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 4 =!= 0)
+      val rawRows = Dedup.shinglesRaw(corpus).count()
+      val passRows = Dedup.shinglesRaw(corpus)
+        .filter(call_function("graft_might_contain", lit(bf), col("s")))
+        .count()
+      val bloomSec = min3(() => Dedup.bloomDecontamFrom(corpus, reg, bf))
+      val plainSec = min3(() => Dedup.shinglesRaw(corpus)
+        .join(reg, Seq("s"))
+        .select("doc_id", "s").distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= Dedup.ContamK))
+      println(f"""{"mode":"bloom","corpus":"$tag","registry_shingles":$regRows,"registry_build_sec":$buildSec%.2f,"corpus_shingle_rows":$rawRows,"prefilter_pass_rows":$passRows,"bloom_sec_min3":$bloomSec%.2f,"plain_sec_min3":$plainSec%.2f}""")
     }
   }
 

@@ -111,5 +111,26 @@ object GraftFunctions {
       FunctionIdentifier("graft_srpkeys"),
       new ExpressionInfo(classOf[SrpKeys].getName, "graft_srpkeys"),
       (children: Seq[Expression]) => SrpKeys(children(0), children(1), children(2)))
+    // Spark's runtime-filter bloom primitives as callable functions (q105);
+    // both sides hash via XxHash64 (same default seed), matching the
+    // InjectRuntimeFilter rule's own construction.
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(children(0))),
+          children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0),
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(children(1)))))
   }
 }

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Library-grade registration: add
   * `spark.sql.extensions=graft.functions.GraftExtensions` to the session
@@ -37,6 +38,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_srpkeys"),
       new ExpressionInfo(classOf[SrpKeys].getName, "graft_srpkeys"),
       (children: Seq[Expression]) => SrpKeys(children(0), children(1), children(2))))
+    // Spark's own runtime-filter primitives, surfaced as callable functions
+    // (q105 bloom decontamination): the agg builds the sketch over
+    // xxhash64(value) exactly as the InjectRuntimeFilter rule does, and
+    // might_contain hashes with the same seed, so the two always agree.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new BloomFilterAggregate(new XxHash64(Seq(children(0))), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        BloomFilterMightContain(children(0), new XxHash64(Seq(children(1))))))
     // Declarative aggregate(zip_with(...)) dot folds → codegen'd DotProduct
     // (bit-identical; see DotFoldRewrite).
     ext.injectOptimizerRule(_ => DotFoldRewrite)

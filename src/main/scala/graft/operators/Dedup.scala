@@ -540,6 +540,109 @@ object Dedup {
     bKept.unionByName(bNew)
   }
 
+  // ── CDC changeset apply (q104): MERGE a delta into a standing snapshot ──
+
+  /** Applies a CDC changeset to a snapshot digest (the MERGE INTO shape).
+    * `changes` rows are (doc_id, source, h, op) with op ∈ {upsert, delete},
+    * keyed uniquely by doc_id: upsert inserts-or-replaces the keyed row,
+    * delete drops it; delete-of-absent is a no-op (CdcApplySpec pins both
+    * edge behaviors). Presence through the full-outer join is decided by
+    * literal flags, never value nullness — the q101 lesson (a NULL h must
+    * not read as absence).
+    *
+    * 100 TB shape: ONE doc_id-keyed full-outer join decides every row's
+    * fate. With the snapshot side read from a `writeSnapshot` bucketed
+    * manifest, the snapshot contributes NO exchange — the only shuffle
+    * (or broadcast) is the delta-sized changeset (CdcApplySpec pins zero
+    * exchanges under the snapshot scan), so a nightly apply moves the
+    * DELTA, never the standing corpus. Chaining applies:
+    * `writeSnapshot(applyChangeset(...), ...)` re-buckets the result once
+    * on write, restoring the at-rest property for the next cycle. */
+  def applyChangeset(snap: DataFrame, changes: DataFrame): DataFrame =
+    snap.select(col("doc_id"), col("source").as("ss"), col("h").as("sh"),
+        lit(1).as("ps"))
+      .join(changes.select(col("doc_id"), col("source").as("cs"),
+          col("h").as("ch"), col("op"), lit(1).as("pc")),
+        Seq("doc_id"), "full_outer")
+      .filter(col("pc").isNull || col("op") =!= "delete")
+      .select(col("doc_id"),
+        when(col("pc").isNotNull, col("cs")).otherwise(col("ss")).as("source"),
+        when(col("pc").isNotNull, col("ch")).otherwise(col("sh")).as("h"))
+
+  /** The changeset that turns snapshot A into `simulateRefresh(A)`:
+    * deletes (%13), revisions (%7 of the %13-survivors), new-id inserts
+    * (%11, matching simulateRefresh's unfiltered re-ingest) — shared by
+    * q104 and CdcApplySpec so the oracle-checked apply and the q101 diff
+    * arithmetic can never drift. */
+  private[graft] def simulateChangeset(docs: DataFrame): DataFrame = {
+    val dels = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), col("source"),
+        lit(null).cast("string").as("h"), lit("delete").as("op"))
+    val revs = docs.filter(col("doc_id") % 13 =!= 0 && col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("source"),
+        md5(concat(col("text"), lit(" rev2"))).as("h"), lit("upsert").as("op"))
+    val ins = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("source"),
+        md5(concat(col("text"), lit(" new"))).as("h"), lit("upsert").as("op"))
+    dels.unionByName(revs).unionByName(ins)
+  }
+
+  // ── Bloom-prefiltered decontamination (q105): registry too big to bcast ──
+
+  /** q105's core: EXACT decontamination of `corpus` against a shingle
+    * REGISTRY too large for a broadcast join (a standing all-benchmarks
+    * registry, not q62's single eval set). The registry's shingles feed
+    * Spark's own BloomFilterAggregate once (a delta-sized driver sketch,
+    * ~1.2 MB at est=2^20); the corpus side then drops every shingle the
+    * bloom rejects BEFORE the registry join's exchange — the same
+    * row-level runtime-filter move Catalyst injects for shuffle joins
+    * (spark.sql.optimizer.runtime.bloomFilter.*), made explicit so the
+    * registry build is a reusable artifact. False positives only cost
+    * wasted join probes: the exact equi-join + distinct + count after the
+    * prefilter decides membership, so the output is bit-identical to the
+    * unfiltered plan (BloomDecontamSpec pins equivalence; the q105 oracle
+    * is the plain exact SQL).
+    *
+    * 100 TB shape: shuffle volume on the corpus->registry join is cut to
+    * the bloom's pass rate (broadcast was the 10 TB-registry
+    * non-starter); everything downstream of the filter is the q62 shape —
+    * distinct on matched rows only, one doc-keyed agg. In production the
+    * registry distinct-shingle table and its bloom bytes persist with the
+    * registry (IndexStore pattern); here both build in-query. */
+  def bloomDecontam(corpus: DataFrame, registry: DataFrame,
+      k: Int = ContamK, est: Long = 1L << 20): DataFrame = {
+    val (reg, bf) = buildDecontamRegistry(registry, est)
+    bloomDecontamFrom(corpus, reg, bf, k)
+  }
+
+  /** The registry ARTIFACT: distinct shingle table + its serialized bloom,
+    * built once per registry version (and in production persisted alongside
+    * it — the IndexStore pattern; `Stress bloom` measures scans against a
+    * prebuilt artifact, the production steady state). localCheckpoint: the
+    * registry frame feeds two consumers (the bloom build action and every
+    * later verify join); without the barrier the distinct re-runs per
+    * consumer. */
+  def buildDecontamRegistry(registry: DataFrame,
+      est: Long = 1L << 20): (DataFrame, Array[Byte]) = {
+    graft.functions.GraftFunctions.register(registry.sparkSession)
+    val reg = shinglesRaw(registry).select("s").distinct().localCheckpoint(true)
+    val bf = reg.agg(call_function("graft_bloom_agg", col("s"), lit(est)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    (reg, bf)
+  }
+
+  /** Decontaminate `corpus` against a prebuilt registry artifact. The bloom
+    * literal rides into every task (codegen'd might_contain on the scan);
+    * rows it rejects never reach the join exchange. */
+  def bloomDecontamFrom(corpus: DataFrame, reg: DataFrame, bf: Array[Byte],
+      k: Int = ContamK): DataFrame =
+    shinglesRaw(corpus)
+      .filter(call_function("graft_might_contain", lit(bf), col("s")))
+      .join(reg, Seq("s"))
+      .select("doc_id", "s").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= k)
+
   // ── Near-dup cluster consolidation (q102) + its from-store form ────────
 
   /** Consolidation over an explicit edge set: connected components on the
@@ -1347,7 +1450,69 @@ object Dedup {
               |       array_to_string(list_sort(list(DISTINCT d.source)), ',') AS sources,
               |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
               |FROM comp JOIN documents d ON d.doc_id = comp.v
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── CDC changeset apply: MERGE a delta into a standing snapshot ──
+    QueryDef(
+      "q104_changeset_apply",
+      (s, dir) => {
+        // q101 diffs two snapshots AFTER the fact; this is the write-side
+        // twin: apply a CDC changeset (upserts + deletes, the MERGE INTO
+        // shape) to snapshot A and prove the result content-exact. The
+        // output digests the applied snapshot per source: doc count + a
+        // checksum over the md5 fold (mod 1e9+7 so bigint sums can't
+        // overflow at any corpus size). The ORACLE derives the same rollup
+        // from the refreshed corpus DIRECTLY — merge semantics on one
+        // side, direct rematerialization on the other, so a hash match
+        // proves apply(A, delta) == B row-for-row, not just count-for-
+        // count. Scale notes on `applyChangeset`: the only moved data is
+        // the delta when A is a bucketed at-rest manifest.
+        val docs = Tables.load(s, dir, "documents")
+        applyChangeset(snapshotDigest(docs), simulateChangeset(docs))
+          .select(col("source"),
+            expr("cast(conv(substr(h, 1, 15), 16, 10) AS bigint) % 1000000007")
+              .as("hm"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("hm")).as("h_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, source,
+             |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS h
+             |  FROM documents WHERE doc_id % 13 != 0
+             |  UNION ALL
+             |  SELECT doc_id + 10000000 AS doc_id, source, md5(text || ' new') AS h
+             |  FROM documents WHERE doc_id % 11 = 0)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(list_reduce([(strpos('0123456789abcdef', substr(h, i, 1)) - 1)::BIGINT
+             |                             for i in range(1, 16)], (x, y) -> x * 16 + y)
+             |                % 1000000007) AS BIGINT) AS h_sum
+             |FROM b GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Bloom-prefiltered decontamination vs a non-broadcastable registry ──
+    QueryDef(
+      "q105_bloom_decontam",
+      (s, dir) => {
+        // q62 decontaminates against ONE eval set (tiny -> broadcast);
+        // this is the standing-registry form: every shingle ever published
+        // in any benchmark (simulated here by the doc_id%4 quarter of the
+        // corpus — a side too big for a broadcast join by policy). The
+        // bloom prefilter cuts the corpus side before the join shuffle;
+        // the exact join after it keeps the result bit-identical to the
+        // plain SQL the oracle runs. PlanSpec pins the might_contain
+        // filter BELOW the join on the corpus side.
+        val docs = Tables.load(s, dir, "documents")
+        bloomDecontam(docs.filter(col("doc_id") % 4 =!= 0),
+          docs.filter(col("doc_id") % 4 === 0))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shingleCte,
+              |reg AS (SELECT DISTINCT s FROM sh WHERE doc_id % 4 = 0)
+              |SELECT doc_id, count(*) AS n_shared
+              |FROM sh JOIN reg USING (s)
+              |WHERE doc_id % 4 != 0
+              |GROUP BY doc_id HAVING count(*) >= $ContamK
+              |ORDER BY doc_id""".stripMargin))
   )
 
 }

@@ -156,6 +156,12 @@ object TextOps {
     * cross-document boilerplate blocks. */
   val IntraN = 5
 
+  /** q107 vocab-rank tokenization: vocabulary size. Small against the
+    * testdata's ~100-word vocabulary so OOV tokens actually occur; in
+    * production this is the tokenizer's full vocab (50k-200k entries —
+    * still broadcast-sized). */
+  val VocabK = 64
+
   /** q103's core: remove every LATER occurrence of an IntraN-gram that
     * already appeared earlier in the SAME document (the first occurrence
     * keeps its span) — the cleaning counterpart of q78's repetition
@@ -1049,6 +1055,108 @@ object TextOps {
               |  FROM kept GROUP BY doc_id)
               |SELECT d.doc_id, cl.cleaned,
               |       CAST(len(string_split(trim(d.text), ' ')) - coalesce(cl.n_kept, 0) AS BIGINT) AS n_removed
-              |FROM documents d LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin))
+              |FROM documents d LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ── Bigram novelty vs a frozen reference (word-ORDER fluency) ──
+    QueryDef(
+      "q106_bigram_novelty",
+      (s, dir) => {
+        // q86 scores WHICH words a doc uses; this scores how it SEQUENCES
+        // them: familiarity + OOV rate over consecutive word PAIRS against
+        // the frozen doc_id%5 reference slice's bigram table. A
+        // shuffled-word doc ("word salad") passes every unigram screen —
+        // its words are all common — but its bigrams are novel, so
+        // bigram_oov is the cheapest model-free detector for scrambled or
+        // machine-mangled text. Same integer-sum + sequential-division
+        // discipline as q84/q86 (no log-probability: ln() is the
+        // cross-engine ulp hazard). Scale: a bigram LM is vocab²-shaped —
+        // at 100 TB it may outgrow AQE's broadcast threshold, at which
+        // point this SAME plan degrades gracefully to one b-keyed linear
+        // shuffle join (never corpus²); the corpus side stays a narrow
+        // ≤1-per-word explode either way.
+        val bg = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("b"))
+        val ref = bg.filter(col("doc_id") % 5 === 0)
+          .groupBy("b").agg(count(lit(1)).as("c"))
+        val tot = ref.agg(sum("c").cast("long").as("tot"))
+        bg.join(ref, Seq("b"), "left")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("nb"),
+            count(col("c")).as("nbs"),
+            coalesce(sum("c"), lit(0L)).as("sumc"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("nb"), col("nbs"),
+            expr("CASE WHEN nbs = 0 THEN 0e0 ELSE sumc / nbs / tot END")
+              .as("bigram_familiarity"),
+            expr("(nb - nbs) / nb").as("bigram_oov"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH wt AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+             |bg AS (
+             |  SELECT doc_id, unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS b
+             |  FROM wt WHERE len(w) >= 2),
+             |ref AS (SELECT b, count(*) AS c FROM bg WHERE doc_id % 5 = 0 GROUP BY b),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM ref)
+             |SELECT doc_id, count(*) AS nb, count(c) AS nbs,
+             |       CASE WHEN count(c) = 0 THEN 0e0
+             |            ELSE CAST(sum(c) AS BIGINT) / count(c) / tot END AS bigram_familiarity,
+             |       (count(*) - count(c)) / count(*) AS bigram_oov
+             |FROM bg LEFT JOIN ref USING (b), tot
+             |GROUP BY doc_id, tot
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── Vocab-rank tokenization: word → id sequence with OOV fallback ──
+    QueryDef(
+      "q107_tokenize_ids",
+      (s, dir) => {
+        // The vocab-lookup half of tokenization (q28's regex splitter is
+        // the pre-tokenize half): build the corpus vocabulary ranked by
+        // (count DESC, word), keep the top VocabK entries as ids 1..K, map
+        // every token to its id (OOV → 0), and emit per doc the token
+        // count, OOV count, and an ORDER-SENSITIVE checksum
+        // Σ id_i·(pos_i+1) — the digest proves the id SEQUENCE round-trips
+        // (a set-shaped check would accept any permutation). Positions are
+        // the ORIGINAL 0-based split positions in both engines (q103's
+        // index-bridge idiom), so the checksum is engine-exact.
+        //
+        // 100 TB shape: the vocab is capped at VocabK by construction —
+        // the rank window runs over a ≤VocabK frame (top-K itself is
+        // TakeOrdered, never a global sort), and the id map BROADCASTS to
+        // the corpus-side join; per-doc outputs are one doc_id-keyed
+        // partial+final agg. The corpus is scanned once, shuffled once.
+        val pos = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(trim(col("text")), " ")).as(Seq("i", "w")))
+          .filter(col("w") =!= "")
+        val cnt = pos.groupBy("w").agg(count(lit(1)).as("c"))
+        val voc = cnt.orderBy(col("c").desc, col("w")).limit(VocabK)
+          .select(col("w"),
+            row_number().over(Window.orderBy(col("c").desc, col("w")))
+              .cast("long").as("id"))
+        pos.join(broadcast(voc), Seq("w"), "left")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_tokens"),
+            (count(lit(1)) - count(col("id"))).as("n_oov"),
+            sum(coalesce(col("id"), lit(0L)) * (col("i").cast("long") + lit(1L)))
+              .as("checksum"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH wt AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+              |tok AS (
+              |  SELECT doc_id, wd, i FROM (
+              |    SELECT doc_id, unnest(w) AS wd, unnest(range(0, len(w)::BIGINT)) AS i
+              |    FROM wt)
+              |  WHERE wd <> ''),
+              |cnt AS (SELECT wd, count(*) AS c FROM tok GROUP BY wd),
+              |voc AS (SELECT wd, CAST(row_number() OVER (ORDER BY c DESC, wd) AS BIGINT) AS id
+              |        FROM cnt ORDER BY c DESC, wd LIMIT $VocabK)
+              |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              |       CAST(count(*) - count(v.id) AS BIGINT) AS n_oov,
+              |       CAST(sum(coalesce(v.id, 0) * (t.i + 1)) AS BIGINT) AS checksum
+              |FROM tok t LEFT JOIN voc v ON v.wd = t.wd
+              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
   )
 }

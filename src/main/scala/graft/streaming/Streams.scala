@@ -348,6 +348,58 @@ object Streams {
         expr("(nw - nws) / nw").as("oov_rate"))
   }
 
+  final case class SnapRow(doc_id: Long, source: String, h: String)
+  final case class ChangeRow(doc_id: Long, source: String, h: String, op: String)
+  final case class CdcState(present: Boolean, source: String, h: String,
+      version: Long)
+  final case class CdcOut(doc_id: Long, version: Long, present: Boolean,
+      source: String, h: String)
+
+  /** q104's streaming twin: a CDC changeset STREAM applied to a standing
+    * snapshot. The snapshot seeds the state store via the initial-state
+    * form of flatMapGroupsWithState (keyed by doc_id — no replayed "load
+    * batch" needed); each micro-batch's ops fold into per-key state
+    * (upsert inserts-or-replaces, delete clears the present flag;
+    * delete-of-absent is a no-op, like the batch contract), and the key
+    * emits its POST-BATCH row with a per-key version counter so a
+    * downstream consumer (or the spec) takes max-version-per-key as the
+    * current snapshot. NoTimeout: a standing snapshot never evicts —
+    * durability across restarts is the checkpointed state store, and the
+    * at-rest form is `writeSnapshot` (a periodic foreachBatch would
+    * re-materialize the bucketed manifest from here).
+    *
+    * Per-batch the q104 contract holds (changesets are keyed-unique); if a
+    * batch ever carries several ops for one key they fold in (op, h)
+    * lexicographic order so the result stays deterministic rather than
+    * ingestion-ordered. StreamsSpec pins multi-batch parity with batch
+    * `Dedup.applyChangeset` over the same delta. */
+  def applyChangesetStream(changes: DataFrame,
+      snapshot: DataFrame): Dataset[CdcOut] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val init = snapshot.select(col("doc_id"), col("source"), col("h"))
+      .as[SnapRow]
+      .groupByKey(_.doc_id)
+      .mapValues(r => CdcState(present = true, r.source, r.h, 0L))
+    changes.select(col("doc_id"), col("source"), col("h"), col("op"))
+      .as[ChangeRow]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[CdcState, CdcOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, init) {
+        case (id, rows, state: GroupState[CdcState]) =>
+          var cur = state.getOption.getOrElse(CdcState(present = false, null, null, 0L))
+          rows.toSeq.sortBy(r => (r.op, Option(r.h).getOrElse("")))
+            .foreach { r =>
+              cur =
+                if (r.op == "delete") cur.copy(present = false)
+                else CdcState(present = true, r.source, r.h, cur.version)
+            }
+          cur = cur.copy(version = cur.version + 1)
+          state.update(cur)
+          Iterator.single(CdcOut(id, cur.version, cur.present, cur.source, cur.h))
+      }
+  }
+
   /** Drain the stream with Trigger.AvailableNow into an in-memory table and
     * return it (spec/driver harness; production would writeStream to a sink). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {

@@ -351,4 +351,77 @@ class PlanSpec extends AnyFunSuite {
       assert(keys.contains("doc_id"), s"non-doc-keyed shuffle: $keys")
     }
   }
+
+  test("q104 changeset apply is one id-keyed equi-join; shuffle keys stay (doc_id, source)") {
+    assert(collectAll("q104_changeset_apply") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q104_changeset_apply") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "apply must stay an equi-join on doc_id")
+    assert(collectAll("q104_changeset_apply") {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "apply must stay an equi-join on doc_id")
+    val aggs = collectAll("q104_changeset_apply") { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected partial + final hash aggregates")
+    collectAll("q104_changeset_apply") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.foreach { e =>
+      val keys = e.outputPartitioning
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.flatMap(_.references.map(_.name)).toSet
+      assert(keys.subsetOf(Set("doc_id", "source")),
+        s"unexpected shuffle key in apply: $keys")
+    }
+  }
+
+  test("q105 bloom decontam: no products; matched-rows distinct is doc-keyed") {
+    assert(collectAll("q105_bloom_decontam") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q105_bloom_decontam") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll("q105_bloom_decontam") {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty)
+    // (the might_contain placement pin lives in BloomDecontamSpec — here we
+    // pin that nothing shuffles on a non-(doc_id, s) key)
+    collectAll("q105_bloom_decontam") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.foreach { e =>
+      val keys = e.outputPartitioning
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.flatMap(_.references.map(_.name)).toSet
+      assert(keys.subsetOf(Set("doc_id", "s")),
+        s"unexpected shuffle key in bloom decontam: $keys")
+    }
+  }
+
+  test("q106 bigram novelty: equi-joins only, partial+final aggs, no window") {
+    assert(collectAll("q106_bigram_novelty") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q106_bigram_novelty") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    val aggs = collectAll("q106_bigram_novelty") { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected partial + final hash aggregates")
+  }
+
+  test("q107 tokenization: vocab map broadcasts; the rank window runs over the top-K frame only") {
+    assert(collectAll("q107_tokenize_ids") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll("q107_tokenize_ids") { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the ≤VocabK id map must broadcast into the corpus join")
+    // The only window is the id-rank over the top-K vocab frame: its
+    // subtree must contain the TakeOrdered(VocabK) — a window fed by an
+    // unbounded frame here would mean the corpus is being ranked.
+    val wins = collectAll("q107_tokenize_ids") { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the vocab id-rank window")
+    wins.foreach { w =>
+      assert(w.find {
+        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+        case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+        case _ => false
+      }.nonEmpty, "rank window not bounded by the top-K limit")
+    }
+  }
 }

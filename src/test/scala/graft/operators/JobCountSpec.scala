@@ -37,12 +37,16 @@ class JobCountSpec extends AnyFunSuite {
   // localCheckpoints its scored pairs so the symmetric mirror's two
   // branches don't each re-run the candidates+verify subtree, q91
   // localCheckpoints its levenshtein frame so the edit_sim filter isn't
-  // pushed into a second O(len²) evaluation, and q102 consolidates over
-  // the same eager pointer-jumping component map as q47/q58.
+  // pushed into a second O(len²) evaluation, q102 consolidates over
+  // the same eager pointer-jumping component map as q47/q58, and q105
+  // builds its registry ARTIFACT (distinct-shingle localCheckpoint + the
+  // bloom sketch collected to a literal) at construction — the in-query
+  // stand-in for a registry that production persists once per version
+  // (buildDecontamRegistry / bloomDecontamFrom).
   private val eagerByDesign = Set(
     "q47_dedup_components", "q58_dedup_keep", "q54_simhash_pairs",
     "q73_curation_pipeline", "q59_ann_knn_join", "q91_edit_distance",
-    "q102_dup_consolidate")
+    "q102_dup_consolidate", "q105_bloom_decontam")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached

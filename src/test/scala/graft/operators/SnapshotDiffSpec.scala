@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.{SharedSpark, SparkEntry, Tables}
+import graft.{SharedSpark, SparkEntry, StaticPlans, Tables}
 
 /** q101's production form (VERDICT r8 #1): two corpus snapshot manifests
   * written bucketed-by-doc_id diff with ZERO shuffle exchanges on the
@@ -16,8 +16,19 @@ class SnapshotDiffSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def shuffles(df: org.apache.spark.sql.DataFrame) =
-    df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+  /** Static-plan shuffle census. Forces the plan inside StaticPlans (AQE
+    * off): with AQE on the executed plan is an AdaptiveSparkPlanExec LEAF,
+    * `.collect` sees nothing, and a zero-exchange assertion would pass for
+    * ANY plan — the pin below would be vacuous. A fresh logical copy of the
+    * frame is planned (queryExecution caches per-DataFrame), so callers may
+    * hold the frame before entering the wrapper. */
+  private def shuffles(df: org.apache.spark.sql.DataFrame) = StaticPlans {
+    val p = SharedSpark.spark.sessionState
+      .executePlan(df.queryExecution.logical).executedPlan
+    assert(!p.toString.contains("AdaptiveSparkPlan"),
+      "static plan still adaptive — the census below would be vacuous")
+    p.collect { case e: ShuffleExchangeExec => e }
+  }
 
   test("bucketed snapshot manifests diff with a shuffle-free join") {
     val base = java.nio.file.Files.createTempDirectory("graft-snap")

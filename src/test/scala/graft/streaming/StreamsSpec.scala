@@ -278,4 +278,54 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.length === want.length)
     assert(got.sameElements(want))
   }
+
+  test("streaming CDC apply over two micro-batches matches batch applyChangeset") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, dir, "documents")
+    val snapA = Dedup.snapshotDigest(docs)
+    val delta = Dedup.simulateChangeset(docs)
+
+    // Split the delta into two time-ordered micro-batches: upserts first,
+    // deletes second — so at least the deleted keys see their state seeded
+    // from the INITIAL snapshot, not from an in-stream upsert, and keys
+    // both inserted and never touched again prove versioning works.
+    val tmp = landBatches(Seq(
+      delta.filter(col("op") === "upsert"), delta.filter(col("op") === "delete")))
+    val changesSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType)))
+    val changesStream = spark.readStream.schema(changesSchema)
+      .option("pathGlobFilter", "*.parquet").option("maxFilesPerTrigger", 1)
+      .parquet(tmp.getPath)
+
+    val emitted = Streams.runToMemory(spark,
+        Streams.applyChangesetStream(changesStream, snapA).toDF(), "cdc_mb")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        Option(r.getString(3)), Option(r.getString(4))))
+
+    // Reconstruct the final snapshot: initial rows overridden by each
+    // key's max-version emission (untouched keys emit nothing).
+    val last = emitted.groupBy(_._1).map { case (_, es) => es.maxBy(_._2) }
+    val overridden = last.map(e => e._1 -> (e._3, e._4, e._5)).toMap
+    val initRows = snapA.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    val finalRows: Set[(Long, String, Option[String])] =
+      (initRows.keySet ++ overridden.keySet).flatMap { id =>
+        overridden.get(id) match {
+          case Some((present, src, h)) =>
+            if (present) Some((id, src.orNull, h)) else None
+          case None =>
+            val (src, h) = (initRows(id)._1, initRows(id)._2)
+            Some((id, src, h))
+        }
+      }
+
+    val want = Dedup.applyChangeset(snapA, delta).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(want.nonEmpty)
+    assert(finalRows === want)
+  }
 }
