@@ -24,6 +24,9 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index components <indexPath> [--tau T]"
   *   sbt "runMain graft.Index consolidate <docsDir> <indexPath>
   *        [--tau T] [--out <dir>]"
+  *   sbt "runMain graft.Index build-registry <docsDir> <indexPath> [--est N]"
+  *   sbt "runMain graft.Index decontam    <corpusDir> <indexPath>
+  *        [--k K] [--out <dir>]"
   *
   * `build-*` pays the one-time linear corpus cost; `dedupe` runs a crawl
   * batch against the standing LSH state (per-batch cost measured flat
@@ -173,6 +176,31 @@ object Index {
         out.foreach(o => cons.write.mode("overwrite").parquet(o))
         s"""{"mode":"consolidate","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}${out.map(o => s""","out":"$o"""").getOrElse("")}}"""
 
+      case "build-registry" :: docsDir :: path :: rest =>
+        // q105's one-time artifact: distinct shingle table + bloom sketch
+        // of a benchmark/eval registry corpus.
+        val est = rest.sliding(2).collectFirst { case List("--est", v) => v.toLong }
+          .getOrElse(1L << 20)
+        val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+        val n = docs.count()
+        IndexStore.saveDecontamRegistry(docs, path, est)
+        val ns = spark.read.parquet(s"$path/decontam/shingles").count()
+        s"""{"mode":"build-registry","docs":$n,"shingles":$ns,"est":$est,"index":"$path"}"""
+
+      case "decontam" :: corpusDir :: path :: rest =>
+        // q105 off the store: bloom-prefiltered exact decontamination of a
+        // corpus against the persisted registry artifact.
+        val out = rest.sliding(2).collectFirst { case List("--out", v) => v }
+        val k = rest.sliding(2).collectFirst { case List("--k", v) => v.toInt }
+          .getOrElse(operators.Dedup.ContamK)
+        val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
+        val hits = IndexStore.decontaminate(corpus, path, k)
+          .localCheckpoint(true) // stats + optional write read it twice
+        val stats = hits.agg(count(lit(1)).as("n"),
+            coalesce(max("n_shared"), lit(0L)).as("max_shared")).head()
+        out.foreach(o => hits.write.mode("overwrite").parquet(o))
+        s"""{"mode":"decontam","k":$k,"contaminated":${stats.getLong(0)},"max_shared":${stats.getLong(1)}${out.map(o => s""","out":"$o"""").getOrElse("")}}"""
+
       case "components" :: path :: rest =>
         // q47/q58's workflow off the store: the edge set is the same
         // Jaccard pair scan (floor-free), then the pointer-jumping rounds.
@@ -191,7 +219,7 @@ object Index {
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|components|consolidate ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|components|consolidate|build-registry|decontam ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

@@ -193,6 +193,40 @@ object IndexStore {
     require(fs.rename(stage, dst), s"rename $stage -> $dst failed")
   }
 
+  // ── Decontamination registry state (q105's standing-artifact form) ──
+
+  /** Persist the q105 registry artifact: the distinct shingle table plus
+    * its serialized bloom sketch (one binary row). Built once per registry
+    * version; every later decontamination scan prefilters against the
+    * bloom literal and verifies against the shingle table without ever
+    * touching registry TEXT again. The bloom row stores `est` alongside
+    * the bytes so an append knows the sketch's sizing. */
+  def saveDecontamRegistry(registry: DataFrame, path: String,
+      est: Long = 1L << 20): Unit = {
+    val spark = registry.sparkSession
+    import spark.implicits._
+    val (reg, bf) = Dedup.buildDecontamRegistry(registry, est)
+    reg.repartition(8).write.mode("overwrite")
+      .parquet(s"$path/decontam/shingles")
+    Seq((bf, est)).toDF("bf", "est").write.mode("overwrite")
+      .parquet(s"$path/decontam/bloom")
+  }
+
+  /** q105 off the store: the bloom bytes load as one driver-side row into
+    * the prefilter literal; the shingle table is the exact-verify join
+    * side. Output ≡ the in-query `bloomDecontam` on the same registry
+    * (IndexStoreSpec pins it — the bloom is rebuilt from the same est over
+    * the same hashed values, so even the prefilter's pass set matches). */
+  def decontaminate(corpus: DataFrame, path: String,
+      k: Int = Dedup.ContamK): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val bf = spark.read.parquet(s"$path/decontam/bloom")
+      .head().getAs[Array[Byte]]("bf")
+    Dedup.bloomDecontamFrom(corpus,
+      spark.read.parquet(s"$path/decontam/shingles"), bf, k)
+  }
+
   // ── Unigram LM state (q84's reference-corpus form) ──
 
   /** Words of a documents frame, q84's exact tokenization. */

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Dataset-maintenance operators. The reference's only maintenance verbs
   * are truncate/reload (cve_manager.py's -tr path); a lake-scale engine
@@ -72,6 +73,46 @@ object Maintenance {
     * count scales the number of small jobs, never one job's size.
     *
     * Returns (partFilesBefore, partFilesAfter) summed over leaves. */
+  /** Bits per dimension for `zorderWrite` (256 equi-depth buckets). */
+  val ZBits = 8
+
+  /** Multi-dimensional data-layout clustering — the OPTIMIZE ZORDER BY
+    * shape. Rewrites `df` into `nFiles` parquet files clustered on the
+    * interleaved-bit z-value of two columns, so file-level min/max stats
+    * prune selective predicates on EITHER dimension (a layout sorted by
+    * one column prunes only that column: any predicate on the other hits
+    * every file). Bucket ids are EQUI-DEPTH (approxQuantile boundaries —
+    * robust to skew, where linear min/max scaling would starve the dense
+    * range); z interleaves the two 8-bit ids, then the write
+    * range-partitions + sorts by z — each output file covers one compact
+    * z-range, i.e. a small rectangle of (ca, cb) space.
+    *
+    * Scale: the quantile pass is one approx-sketch aggregation; the
+    * rewrite is one range-shuffle + local sort, the floor for any
+    * re-layout. At 100 TB this runs per partition (compose with
+    * `compactPartitioned`'s leaf walk) rather than corpus-wide.
+    * ZorderSpec measures the pruning claim by footer stats: the z layout
+    * admits strictly fewer files than a single-sorted layout for box and
+    * cross-dimension predicates. */
+  def zorderWrite(df: DataFrame, ca: String, cb: String, dir: String,
+      nFiles: Int): Unit = {
+    val qs = (1 until (1 << ZBits)).map(_.toDouble / (1 << ZBits)).toArray
+    def bucket(c: String): Column = {
+      val bounds = df.stat.approxQuantile(c, qs, 0.001).toSeq
+      aggregate(typedlit(bounds), lit(0L),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
+    }
+    df.withColumn("_za", bucket(ca)).withColumn("_zb", bucket(cb))
+      .withColumn("_zv", expr(
+        s"""aggregate(sequence(0, ${ZBits - 1}), 0L, (acc, i) ->
+           |  acc + shiftleft(cast(shiftright(_za, i) & 1 AS bigint), 2 * i + 1)
+           |      + shiftleft(cast(shiftright(_zb, i) & 1 AS bigint), 2 * i))""".stripMargin))
+      .repartitionByRange(nFiles, col("_zv"))
+      .sortWithinPartitions("_zv")
+      .drop("_za", "_zb", "_zv")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
   def compactPartitioned(spark: SparkSession, dir: String, targetBytes: Long): (Int, Int) = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -384,7 +384,66 @@ object Temporal {
               |       mn + b25 * (mx - mn) / $QuantK AS q25,
               |       mn + b50 * (mx - mn) / $QuantK AS q50,
               |       mn + b90 * (mx - mn) / $QuantK AS q90
-              |FROM sel ORDER BY event_type""".stripMargin))
+              |FROM sel ORDER BY event_type""".stripMargin)),
+
+    // ── Ingest-rate anomaly detection (trailing-window z-score) ──
+    QueryDef(
+      "q109_event_anomaly",
+      (s, dir) => {
+        // The ingest monitor a pipeline runs on its event/crawl firehose:
+        // per (event_type, hour) arrival counts scored against the
+        // trailing 24 hours' mean/σ — a z-spike means a broken upstream, a
+        // crawler loop, or a bot flood, all of which poison the training
+        // mix if they ship. Sums are INTEGER (counts and squared counts —
+        // exact, order-free); the only doubles are the final mean/σ/z
+        // chain, identical in both engines, with the σ = 0 plateau mapped
+        // to z = 0 explicitly (a constant-rate window has no spike by
+        // definition — and avoids a 0/0 NaN divergence).
+        //
+        // 100 TB shape: the corpus collapses FIRST into the (type, hour)
+        // aggregate — types × hours rows, partial+final — and the window
+        // runs over THAT bounded frame keyed by type (never over raw
+        // events); warm-up hours (n < 24/2) are excluded, not zero-padded.
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_ns div 3600000000000").as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy("hr")
+          .rowsBetween(-24, -1)
+        hourly.select(col("event_type"), col("hr"), col("c"),
+            count(col("c")).over(w).as("n"),
+            sum(col("c")).over(w).as("sm"),
+            sum(col("c") * col("c")).over(w).as("sq"))
+          .filter(col("n") >= 12)
+          .select(col("event_type"), col("hr"), col("c"),
+            expr("sm / n").as("mean_c"),
+            expr("""CASE WHEN sq * n = sm * sm THEN 0e0
+                   |     ELSE (c - sm / n) / sqrt((sq - sm * sm / n) / n) END""".stripMargin)
+              .as("z"),
+            expr("""CASE WHEN sq * n <> sm * sm AND
+                   |          abs((c - sm / n) / sqrt((sq - sm * sm / n) / n)) > 3.0e0
+                   |     THEN 1 ELSE 0 END""".stripMargin).as("is_anomaly"))
+          .orderBy("event_type", "hr")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |win AS (
+             |  SELECT event_type, hr, c,
+             |         CAST(count(c) OVER w AS BIGINT) AS n,
+             |         CAST(sum(c) OVER w AS BIGINT) AS sm,
+             |         CAST(sum(c * c) OVER w AS BIGINT) AS sq
+             |  FROM hourly
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, hr, c,
+             |       sm / n AS mean_c,
+             |       CASE WHEN sq * n = sm * sm THEN 0e0
+             |            ELSE (c - sm / n) / sqrt((sq - sm * sm / n) / n) END AS z,
+             |       CASE WHEN sq * n <> sm * sm AND
+             |                 abs((c - sm / n) / sqrt((sq - sm * sm / n) / n)) > 3.0e0
+             |            THEN 1 ELSE 0 END AS is_anomaly
+             |FROM win WHERE n >= 12
+             |ORDER BY event_type, hr""".stripMargin))
   )
 
   /** Bounded-state approximate quantiles per group, at arbitrary ranks:

@@ -162,6 +162,11 @@ object TextOps {
     * still broadcast-sized). */
   val VocabK = 64
 
+  /** q110 sparse retrieval: query set = docs 0..RetrQ-1, top RetrK corpus
+    * hits per query. */
+  val RetrQ = 10
+  val RetrK = 5
+
   /** q103's core: remove every LATER occurrence of an IntraN-gram that
     * already appeared earlier in the SAME document (the first occurrence
     * keeps its span) — the cleaning counterpart of q78's repetition
@@ -1157,6 +1162,83 @@ object TextOps {
               |       CAST(count(*) - count(v.id) AS BIGINT) AS n_oov,
               |       CAST(sum(coalesce(v.id, 0) * (t.i + 1)) AS BIGINT) AS checksum
               |FROM tok t LEFT JOIN voc v ON v.wd = t.wd
-              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    // ── Sparse lexical retrieval (log-free BM25 shape, bounded top-k) ──
+    QueryDef(
+      "q110_sparse_retrieval",
+      (s, dir) => {
+        import s.implicits._
+        // Retrieval is a training-pipeline primitive (retrieval-based
+        // decontamination, targeted corpus mining, eval-set neighbor
+        // audits): score corpus documents against each query doc's term
+        // set with the BM25 form — tf saturation (k1 = 1.2), length
+        // normalization (b = 0.75) — but idf as the RAW odds ratio
+        // (N − df + ½)/(df + ½), NOT its logarithm: ln() is the
+        // cross-engine ulp hazard, and for ranking the monotone transform
+        // is optional. Each term's contribution is FIXED-POINT floored to
+        // a bigint (the q95 discipline), so the per-document score is an
+        // integer SUM — order-free and hash-exact — where a double sum
+        // would drift with partition order. Top-k per query via the
+        // bounded TopKAggregator ((score DESC, doc_id) total order), never
+        // a corpus-wide rank window.
+        //
+        // 100 TB shape: postings build = two linear aggs + ONE
+        // doc_id-keyed join (tf ⋈ doclen); the query-term table is tiny
+        // and BROADCAST, so only matched postings flow on; df is
+        // vocab-sized (AQE-broadcast); top-k state is RetrK per query.
+        val words = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val cw = words.filter(col("doc_id") >= RetrQ)
+        val tf = cw.groupBy("doc_id", "w").agg(count(lit(1)).as("tfc"))
+        val dl = cw.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+        val st = dl.agg(count(lit(1)).as("nn"), sum("nd").cast("long").as("tot"))
+        val df = tf.groupBy("w").agg(count(lit(1)).as("dfc"))
+        val qt = words.filter(col("doc_id") < RetrQ)
+          .select(col("doc_id").as("qid"), col("w")).distinct()
+        val scored = tf.join(dl, Seq("doc_id"))
+          .join(broadcast(qt), Seq("w"))
+          .join(df, Seq("w"))
+          .crossJoin(broadcast(st))
+          .select(col("qid"), col("doc_id"), expr(
+            """cast(floor(1.0e6 * ((nn - dfc + 5.0e-1) / (dfc + 5.0e-1))
+              |  * (tfc * (1.2e0 + 1.0e0))
+              |  / (tfc + 1.2e0 * (1.0e0 - 7.5e-1 + 7.5e-1 * nd / (tot / nn)))) AS bigint)"""
+              .stripMargin).as("contrib"))
+          .groupBy("qid", "doc_id").agg(sum("contrib").as("sc"))
+          .as[(Long, Long, Long)]
+        scored.groupByKey(_._1)
+          .mapValues(t => graft.functions.Scored(t._2, t._3))
+          .agg(new graft.functions.TopKAggregator(RetrK).toColumn.name("top"))
+          .flatMap { case (qid, items) =>
+            items.zipWithIndex.map { case (it, i) => (qid, i + 1L, it.doc_id, it.score) }
+          }
+          .toDF("qid", "rk", "doc_id", "score")
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, w FROM (
+              |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+              |  WHERE w <> ''),
+              |cw AS (SELECT doc_id, w FROM words WHERE doc_id >= $RetrQ),
+              |tf AS (SELECT doc_id, w, count(*) AS tfc FROM cw GROUP BY 1, 2),
+              |dl AS (SELECT doc_id, count(*) AS nd FROM cw GROUP BY 1),
+              |st AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(nd) AS BIGINT) AS tot FROM dl),
+              |df AS (SELECT w, count(*) AS dfc FROM tf GROUP BY w),
+              |qt AS (SELECT DISTINCT doc_id AS qid, w FROM words WHERE doc_id < $RetrQ),
+              |sc AS (
+              |  SELECT qid, tf.doc_id,
+              |         CAST(sum(CAST(floor(1.0e6 * ((nn - dfc + 5.0e-1) / (dfc + 5.0e-1))
+              |                  * (tfc * (1.2e0 + 1.0e0))
+              |                  / (tfc + 1.2e0 * (1.0e0 - 7.5e-1 + 7.5e-1 * nd / (tot / nn)))) AS BIGINT))
+              |              AS BIGINT) AS sc
+              |  FROM tf JOIN dl USING (doc_id) JOIN qt USING (w) JOIN df USING (w), st
+              |  GROUP BY 1, 2)
+              |SELECT qid, rk, doc_id, sc AS score FROM (
+              |  SELECT qid, doc_id, sc,
+              |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) AS BIGINT) AS rk
+              |  FROM sc)
+              |WHERE rk <= $RetrK ORDER BY qid, rk""".stripMargin))
   )
 }

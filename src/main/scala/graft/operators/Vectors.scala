@@ -68,6 +68,12 @@ object Vectors {
   /** Cosine near-dup report threshold for q33. */
   val NearDupTau = 0.45
 
+  /** q108 outlier threshold on cosine-to-own-centroid, as an e-notation
+    * SQL literal (a plain -0.05 parses as DECIMAL in DuckDB — the
+    * portability gotcha). Measured at sf0.01: p5 ≈ -0.049, median 0.15,
+    * so this flags roughly the farthest ~5%. */
+  val OutlierTau = "-5.0e-2"
+
   /** q81 semantic-dedup: prune threshold and per-cell representative cap.
     * Each vector is compared only against the SemCap lowest-id vectors of
     * its IVF cell, so pair volume is ≤ N·SemCap — linear at any corpus
@@ -742,7 +748,68 @@ object Vectors {
              |       CAST(sm AS DOUBLE) / 1.0e6 / CAST(n AS DOUBLE) AS mean_v,
              |       min_v, max_v, max_v - min_v AS rng,
              |       CAST(n_small AS DOUBLE) / CAST(n AS DOUBLE) AS small_frac
-             |FROM a ORDER BY dim""".stripMargin))
+             |FROM a ORDER BY dim""".stripMargin)),
+
+    // ── Centroid-distance outliers (mislabel / contamination monitor) ──
+    QueryDef(
+      "q108_centroid_outliers",
+      (s, dir) => {
+        // The per-VECTOR half of q95's scorecard: every embedding scored
+        // by cosine against its OWN label's centroid, with the farthest
+        // tail flagged — the mislabel/garbage detector an embedding-QA
+        // pass runs per batch (a vector far from its population is a
+        // labeling error, a decode failure, or genuine novelty; all three
+        // deserve eyes). Centroids use q95's FIXED-POINT bigint dim sums
+        // (partition-order-exact; cosine is scale-invariant so the raw
+        // sum vector feeds the dot directly, never divided by n).
+        //
+        // 100 TB shape: one narrow per-dim explode into a (label, dim)-
+        // keyed partial+final integer agg (shuffle bounded at labels·dim
+        // rows), centroid frame ≤|labels| rows BROADCAST back, then a
+        // pure narrow scan scores every vector — the corpus is never
+        // shuffled, there is no per-label window (the threshold form
+        // keeps the flag a projection; a rank-based tail would window
+        // the corpus by label — the q79 anti-shape).
+        GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, dir)
+        val comp = emb
+          .select(col("label"), posexplode(col("e")).as(Seq("i", "v")))
+          .groupBy("label", "i")
+          .agg(sum(expr("cast(floor(v * 1.0e6) AS bigint)")).as("c"))
+        val cent = comp.groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> cast(x.c AS double))")
+            .as("cv"))
+        emb.join(broadcast(cent), Seq("label"))
+          .select(col("vec_id"), col("label"),
+            (dot(col("e"), col("cv")) /
+              (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("cv"), col("cv")))))
+              .as("cos_sim"))
+          .select(col("vec_id"), col("label"), col("cos_sim"),
+            expr(s"CASE WHEN cos_sim < $OutlierTau THEN 1 ELSE 0 END")
+              .as("is_outlier"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |comp AS (
+              |  SELECT label, u.i AS i,
+              |         CAST(sum(CAST(floor(u.v * 1.0e6) AS BIGINT)) AS BIGINT) AS c
+              |  FROM (SELECT label,
+              |               unnest([struct_pack(i := i, v := e[i])
+              |                       for i in range(1, len(e) + 1)]) AS u
+              |        FROM ev)
+              |  GROUP BY 1, 2),
+              |cent AS (
+              |  SELECT label,
+              |         [CAST(x.c AS DOUBLE) for x in list_sort(list(struct_pack(i := i, c := c)))] AS cv
+              |  FROM comp GROUP BY label),
+              |scored AS (
+              |  SELECT vec_id, label,
+              |         ${dotSql("e", "cv")}
+              |           / (sqrt(${dotSql("e", "e")}) * sqrt(${dotSql("cv", "cv")})) AS cos_sim
+              |  FROM ev JOIN cent USING (label))
+              |SELECT vec_id, label, cos_sim,
+              |       CASE WHEN cos_sim < $OutlierTau THEN 1 ELSE 0 END AS is_outlier
+              |FROM scored ORDER BY vec_id""".stripMargin))
   )
 
   /** q88's PQ codebook as a broadcast 1-row frame `cb`: for each of the

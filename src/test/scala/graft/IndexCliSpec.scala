@@ -134,6 +134,30 @@ class IndexCliSpec extends AnyFunSuite {
     assert(cons.contains(s""""n_components":${wantRows.size}"""), cons)
   }
 
+  test("build-registry → decontam through the CLI == in-query q105") {
+    val base = tmp("registry")
+    val regDir = base.resolve("registry"); val corpusDir = base.resolve("corpus")
+    val idx = base.resolve("idx").toString
+    val docs = Tables.load(spark, sf, "documents")
+    docs.filter(col("doc_id") % 4 === 0)
+      .write.parquet(s"$regDir/documents.parquet")
+    docs.filter(col("doc_id") % 4 =!= 0)
+      .write.parquet(s"$corpusDir/documents.parquet")
+
+    val b = Index.run(spark, List("build-registry", regDir.toString, idx))
+    assert(b.contains(""""mode":"build-registry""""), b)
+
+    val out = base.resolve("hits").toString
+    val d = Index.run(spark, List("decontam", corpusDir.toString, idx, "--out", out))
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = SparkEntry.queries("q105_bloom_decontam")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+    assert(d.contains(s""""contaminated":${want.size}"""), d)
+  }
+
   test("build-pq → search-pq through the CLI == in-query q88") {
     val base = tmp("pq")
     val idx = base.resolve("idx").toString

@@ -405,6 +405,60 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs.size >= 2, "expected partial + final hash aggregates")
   }
 
+  test("q109 anomaly window runs over the (type, hour) aggregate, never raw events") {
+    val wins = collectAll("q109_event_anomaly") { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the trailing-24h window")
+    // The window's input subtree must already contain the partial+final
+    // aggregation — i.e. the corpus collapsed to types × hours rows
+    // BEFORE any per-type ordering.
+    wins.foreach { w =>
+      assert(w.find { case _: HashAggregateExec => true; case _ => false }.nonEmpty,
+        "window input is not the aggregated frame")
+    }
+    collectAll("q109_event_anomaly") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.foreach { e =>
+      val keys = e.outputPartitioning
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.flatMap(_.references.map(_.name)).toSet
+      // `hr` is derived in the groupBy, so pre-agg exchanges carry it as
+      // the anonymous `_groupingexpression` attribute.
+      assert(keys.subsetOf(Set("event_type", "hr", "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q110 retrieval: query terms broadcast; top-k is bounded aggregation, not a window") {
+    assert(collectAll("q110_sparse_retrieval") { case w: WindowExec => w }.isEmpty,
+      "top-k must be the bounded TopKAggregator, never a rank window")
+    assert(collectAll("q110_sparse_retrieval") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll("q110_sparse_retrieval") { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the query-term table must broadcast into the postings join")
+  }
+
+  test("q108 outlier scan: centroids broadcast; the corpus is never shuffled") {
+    assert(collectAll("q108_centroid_outliers") { case w: WindowExec => w }.isEmpty,
+      "threshold form must stay a projection — no per-label window")
+    assert(collectAll("q108_centroid_outliers") { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the ≤|labels| centroid frame must broadcast")
+    assert(collectAll("q108_centroid_outliers") { case j: SortMergeJoinExec => j }.isEmpty,
+      "a sort-merge join here means the corpus shuffled for the centroid join")
+    // The only hash exchanges belong to the (label, dim)-keyed centroid
+    // aggregation — bounded at labels·dim rows.
+    collectAll("q108_centroid_outliers") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.foreach { e =>
+      val keys = e.outputPartitioning
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.flatMap(_.references.map(_.name)).toSet
+      assert(keys.subsetOf(Set("label", "i")), s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q107 tokenization: vocab map broadcasts; the rank window runs over the top-K frame only") {
     assert(collectAll("q107_tokenize_ids") {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
