@@ -454,15 +454,22 @@ object Dedup {
     * which at 100 TB means the nightly refresh audit never moves the
     * corpus — it streams co-located bucket files. */
   def writeSnapshot(docs: DataFrame, name: String, dir: String,
+      nBuckets: Int = SnapBuckets): Unit =
+    writeDigest(snapshotDigest(docs), name, dir, nBuckets)
+
+  /** Writes an ALREADY-digested (doc_id, source, h) frame as a bucketed
+    * manifest — the layout half of `writeSnapshot`, reused by the
+    * Snapshot CLI's `apply` (whose input is a digest, not documents). */
+  def writeDigest(digest: DataFrame, name: String, dir: String,
       nBuckets: Int = SnapBuckets): Unit = {
-    val spark = docs.sparkSession
+    val spark = digest.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $name")
     // Pre-shuffle by the bucket expression (same murmur3 hash bucketBy
     // uses) so each task writes exactly ONE bucket file — without it every
     // write task emits up to nBuckets files (tasks × buckets small files at
     // cluster scale). The write pays this one shuffle so that every later
     // diff pays none.
-    snapshotDigest(docs)
+    digest
       .repartition(nBuckets, col("doc_id"))
       .write.bucketBy(nBuckets, "doc_id").sortBy("doc_id")
       .option("path", dir).mode("overwrite").saveAsTable(name)

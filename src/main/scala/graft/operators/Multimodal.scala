@@ -158,6 +158,56 @@ object Multimodal {
              |      CAST((i * length(text)) // 16 AS INT) + 1,
              |      CAST(((i + 1) * length(text)) // 16 AS INT) - CAST((i * length(text)) // 16 AS INT))), 1, 1)
              |    for i in range(0, 16)], '') AS pixels
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ── Cross-video boilerplate frames (multimodal dedup signal) ──
+    QueryDef(
+      "q111_frame_boiler",
+      (s, dir) => {
+        // The video-side twin of q82's text boilerplate: frame signatures
+        // (q53's exact stride-sampled fingerprint derivation — at scale
+        // the perceptual hash of a decoded frame) that recur across
+        // DISTINCT media items are intros, watermarks, test cards; per
+        // item, the fraction of its sampled frames that are such
+        // boilerplate is the trim/drop signal a video-curation pass cuts
+        // on. Shapes: one sig-keyed partial+final agg builds the
+        // boilerplate set (small by construction — recurring frames are
+        // the exception), which BROADCASTS back into a frame-keyed left
+        // join + one doc-keyed agg; the frame table is never shuffled
+        // twice.
+        val Frame = 32; val Stride = 4; val FrameDf = 2
+        val frames = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(expr(
+            s"""transform(
+               |  filter(sequence(0, greatest(int(ceil(length(text) / $Frame.0)), 1) - 1),
+               |         i -> i % $Stride = 0 AND i < int(ceil(length(text) / $Frame.0))),
+               |  i -> md5(substring(text, i * $Frame + 1, $Frame)))""".stripMargin
+          )).as("sig"))
+        val bf = frames.groupBy("sig")
+          .agg(countDistinct("doc_id").as("dfd"))
+          .filter(col("dfd") >= FrameDf)
+          .select(col("sig"), lit(1).as("m"))
+        frames.join(broadcast(bf), Seq("sig"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"), count(col("m")).as("n_boiler"))
+          .select(col("doc_id"), col("n_frames"), col("n_boiler"),
+            expr("n_boiler / n_frames").as("boiler_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH fr AS (
+             |  SELECT doc_id, md5(substr(text, i * 32 + 1, 32)) AS sig
+             |  FROM (SELECT doc_id, text,
+             |               unnest(range(0, CAST(ceil(length(text) / 32.0) AS INT))) AS i
+             |        FROM documents)
+             |  WHERE i % 4 = 0),
+             |bf AS (
+             |  SELECT sig, 1 AS m FROM (
+             |    SELECT sig, count(DISTINCT doc_id) AS dfd FROM fr GROUP BY sig)
+             |  WHERE dfd >= 2)
+             |SELECT f.doc_id, count(*) AS n_frames,
+             |       CAST(count(b.m) AS BIGINT) AS n_boiler,
+             |       count(b.m) / count(*) AS boiler_frac
+             |FROM fr f LEFT JOIN bf b ON b.sig = f.sig
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -439,6 +439,17 @@ class PlanSpec extends AnyFunSuite {
       "the query-term table must broadcast into the postings join")
   }
 
+  test("q111 frame boilerplate: sig-keyed agg, boiler set broadcast back, no window") {
+    assert(collectAll("q111_frame_boiler") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q111_frame_boiler") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll("q111_frame_boiler") { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the boilerplate frame set must broadcast into the frame join")
+    assert(collectAll("q111_frame_boiler") { case j: SortMergeJoinExec => j }.isEmpty,
+      "a sort-merge join means the frame table shuffled for the boiler join")
+  }
+
   test("q108 outlier scan: centroids broadcast; the corpus is never shuffled") {
     assert(collectAll("q108_centroid_outliers") { case w: WindowExec => w }.isEmpty,
       "threshold form must stay a projection — no per-label window")
