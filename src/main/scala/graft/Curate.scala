@@ -39,6 +39,14 @@ import graft.operators.{Dedup, TextOps}
   *                         eval set at <parquet> (a documents-shaped
   *                         table). The benchmark shingle set broadcasts;
   *                         the corpus side stays one narrow scan.
+  *   --registry <index>    q105: the same decontamination decision against
+  *                         a PERSISTED registry artifact
+  *                         (`graft.Index build-registry`) too big to
+  *                         broadcast — bloom prefilter on the corpus side,
+  *                         exact verify join after, so the dropped set is
+  *                         identical to --bench on the registry's own
+  *                         corpus (CurateSpec pins it). Mutually exclusive
+  *                         with --bench.
   *
   * Every stage is the library operator, not a reimplementation, so the
   * scale posture is exactly what the per-operator specs pin: one hash
@@ -58,6 +66,7 @@ object Curate {
       boilerDf: Int = Dedup.BoilerDf,
       stripSelfrep: Boolean = false,
       benchPath: Option[String] = None,
+      registryPath: Option[String] = None,
       contamK: Int = Dedup.ContamK,
       tau: Double = Dedup.JaccardTau)
 
@@ -75,13 +84,14 @@ object Curate {
   private def parse(args: List[String]): Config = {
     val usage = "usage: Curate <docsDir> <outDir> [tokenBudget] " +
       "[--strip-boilerplate] [--bp-df N] [--strip-selfrep] [--bench <parquet>] " +
-      "[--contam-k N] [--tau X]"
+      "[--registry <index>] [--contam-k N] [--tau X]"
     def loop(rest: List[String], cfg: Config): Config = rest match {
       case Nil => cfg
       case "--strip-boilerplate" :: t => loop(t, cfg.copy(stripBoilerplate = true))
       case "--bp-df" :: v :: t => loop(t, cfg.copy(boilerDf = v.toInt))
       case "--strip-selfrep" :: t => loop(t, cfg.copy(stripSelfrep = true))
       case "--bench" :: v :: t => loop(t, cfg.copy(benchPath = Some(v)))
+      case "--registry" :: v :: t => loop(t, cfg.copy(registryPath = Some(v)))
       case "--contam-k" :: v :: t => loop(t, cfg.copy(contamK = v.toInt))
       case "--tau" :: v :: t => loop(t, cfg.copy(tau = v.toDouble))
       case v :: t if !v.startsWith("--") && cfg.budget == 2048L =>
@@ -156,15 +166,25 @@ object Curate {
       .drop("lbl")
     val nKept = kept.count()
 
-    // 4. (optional) Eval-set decontamination (q62): drop docs sharing
-    //    ≥ contamK distinct shingles with the held-out benchmark.
-    val decon = cfg.benchPath match {
-      case None => kept
-      case Some(bp) =>
+    // 4. (optional) Eval-set decontamination: drop docs sharing ≥ contamK
+    //    distinct shingles with the held-out benchmark — q62's broadcast
+    //    form (--bench) or q105's persisted-registry bloom-prefiltered
+    //    form (--registry); same decision either way.
+    require(cfg.benchPath.isEmpty || cfg.registryPath.isEmpty,
+      "--bench and --registry are mutually exclusive")
+    val decon = (cfg.benchPath, cfg.registryPath) match {
+      case (Some(bp), _) =>
         kept.join(Dedup.contaminatedDocs(kept, spark.read.parquet(bp), cfg.contamK),
           Seq("doc_id"), "left_anti")
+      case (None, Some(rp)) =>
+        kept.join(operators.IndexStore.decontaminate(kept, rp, cfg.contamK)
+            .select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      case (None, None) => kept
     }
-    val nDecon = if (cfg.benchPath.isDefined) decon.count() else nKept
+    val nDecon =
+      if (cfg.benchPath.isDefined || cfg.registryPath.isDefined) decon.count()
+      else nKept
 
     // 5. PII redaction: emails first (they contain digit runs), then digit
     //    runs — the q61 two-pass order, a pure codegen'd projection.

@@ -400,6 +400,70 @@ object Streams {
       }
   }
 
+  final case class AnomState(open: Map[Long, Long], ring: Seq[(Long, Long)],
+      lastFinal: Long)
+  final case class AnomalyOut(event_type: String, hr: Long, c: Long, n: Long,
+      mean_c: Double, z: Double, is_anomaly: Int)
+
+  /** q109's streaming twin: trailing-24h z-score anomaly flags emitted AS
+    * each hour finalizes, not in a nightly batch. One stateful stage keyed
+    * by event_type (Spark's chained-stateful restrictions make an
+    * agg→FMGWS pipeline the fragile shape; a single FMGWS over raw rows is
+    * the robust one): state = the open hours' partial counts + the last 24
+    * FINALIZED (hour, count) rows + the finalization high-water mark. An
+    * hour finalizes when the watermark passes its end; its z is computed
+    * against the ring exactly as batch q109's ROWS -24..-1 frame (missing
+    * hours skip in both — the frame is row-based), with the SAME double
+    * sequence (integer sums, mean/σ/z divisions in identical order), so
+    * finalized rows are bit-identical to the batch query (StreamsSpec).
+    * Rows arriving for an hour at-or-under the finalization mark are
+    * replays the watermark contract already let through once — dropped,
+    * never double-emitted. Warm-up parity: like the batch form, nothing
+    * emits until 12 finalized hours stand in the ring. State per key is
+    * O(open hours + 24) — bounded by lateness, not history. */
+  def anomalyStream(events: DataFrame, lateness: String = "2 hours"): Dataset[AnomalyOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", lateness)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("hr"), col("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomState, AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (et, rows, state: GroupState[AnomState]) =>
+          val st = state.getOption.getOrElse(AnomState(Map.empty, Seq.empty, Long.MinValue))
+          var open = st.open
+          rows.foreach { r =>
+            if (r._2 > st.lastFinal)
+              open = open.updated(r._2, open.getOrElse(r._2, 0L) + 1L)
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val newlyFinal = open.filter { case (h, _) => (h + 1) * 3600000L <= wmMs }
+            .toSeq.sortBy(_._1)
+          var ring = st.ring
+          val out = newlyFinal.flatMap { case (h, c) =>
+            val win = ring.takeRight(24)
+            val n = win.size.toLong
+            val sm = win.map(_._2).sum
+            val sq = win.map(x => x._2 * x._2).sum
+            ring = (ring :+ ((h, c))).takeRight(24)
+            if (n < 12) None
+            else {
+              val mean = sm.toDouble / n
+              val z =
+                if (sq * n == sm * sm) 0.0
+                else (c.toDouble - sm.toDouble / n) /
+                  math.sqrt((sq.toDouble - (sm * sm).toDouble / n) / n)
+              Some(AnomalyOut(et, h, c, n, mean, z,
+                if (sq * n != sm * sm && math.abs(z) > 3.0) 1 else 0))
+            }
+          }
+          state.update(AnomState(open -- newlyFinal.map(_._1), ring,
+            newlyFinal.lastOption.map(_._1).getOrElse(st.lastFinal)))
+          out.iterator
+      }
+  }
+
   /** Drain the stream with Trigger.AvailableNow into an in-memory table and
     * return it (spec/driver harness; production would writeStream to a sink). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {

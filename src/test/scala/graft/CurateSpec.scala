@@ -76,6 +76,24 @@ class CurateSpec extends AnyFunSuite {
     val out = spark.read.parquet(s"$outDir/curated.parquet")
     assert(out.filter(col("text").contains("terms of service")).count() === 0)
     assert(out.filter(col("doc_id").isin(0L, 1L)).count() === 0)
+
+    // --registry: the SAME eval set persisted as a q105 registry artifact
+    // must make the identical decontamination decision through the
+    // bloom-prefiltered path (exact verify join ⇒ identical drop set).
+    val idx = base.resolve("idx").toString
+    graft.operators.IndexStore.saveDecontamRegistry(
+      spark.read.parquet(benchPq), idx)
+    val outR = base.resolve("outR")
+    val jsonR = Curate.run(spark, Curate.Config(
+      docsDir.toString, outR.toString, budget = 64L,
+      stripBoilerplate = true, registryPath = Some(idx)))
+    val mR = """"(\w+)":(\d+)""".r.findAllMatchIn(jsonR)
+      .map(x => x.group(1) -> x.group(2).toLong).toMap
+    assert(mR("after_decontam") === 28L)
+    val gotIds = spark.read.parquet(s"$outR/curated.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wantIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds === wantIds)
   }
 
   test("8-stage chain: --strip-selfrep engages between the cross-doc strip and near-dup") {

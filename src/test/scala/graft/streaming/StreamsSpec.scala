@@ -279,6 +279,58 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("streaming anomaly flags are bit-identical to batch q109 for every finalized hour") {
+    val raw = rawNanos
+    val (minNs, maxNs) = {
+      val r = raw.agg(min("ts"), max("ts")).head(); (r.getLong(0), r.getLong(1))
+    }
+    // Three time-ordered micro-batches; the watermark available to the
+    // LAST data batch (max ts of the first two thirds − lateness)
+    // finalizes ~2/3 of the hours. NoTimeout FMGWS is not invoked by
+    // no-data batches, so hours finalized only by the final watermark
+    // stay un-emitted — by design (they emit when the next day's data
+    // arrives in production).
+    val cut1 = minNs + (maxNs - minNs) / 3
+    val cut2 = minNs + 2 * (maxNs - minNs) / 3
+    val tmp = landBatches(Seq(
+      raw.filter(col("ts") <= cut1),
+      raw.filter(col("ts") > cut1 && col("ts") <= cut2),
+      raw.filter(col("ts") > cut2)))
+
+    val got = Streams.runToMemory(spark,
+        Streams.anomalyStream(
+          Streams.readEventsStream(spark, tmp.getPath, "*.parquet", Some(1)),
+          "2 hours").toDF(), "anom_mb")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(4), r.getDouble(5), r.getInt(6)))
+      .toMap
+    // Batch q109 emits (event_type, hr, c, mean_c, z, is_anomaly) — no n
+    // column; compare the shared fields.
+    val want = graft.SparkEntry.queries("q109_event_anomaly")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getInt(5)))
+      .toMap
+
+    assert(got.nonEmpty, "no hours finalized — lateness/split mismatch")
+    // Every emitted row is bit-identical to the batch query's row.
+    got.foreach { case (k, v) =>
+      assert(want.contains(k), s"stream emitted an hour batch never saw: $k")
+      assert(want(k) === v, s"mismatch at $k")
+    }
+    // Coverage: every batch row whose hour closed under the last DATA
+    // batch's watermark (max ts of the first two files − lateness, 1 s
+    // slack for ms truncation) was emitted.
+    val maxNs2 = raw.filter(col("ts") <= cut2).agg(max("ts")).head().getLong(0)
+    val wmMs = maxNs2 / 1000000L - 2L * 3600 * 1000
+    val mustHave = want.keySet.filter { case (_, h) =>
+      (h + 1) * 3600000L < wmMs - 1000 }
+    assert(mustHave.nonEmpty)
+    assert(mustHave.subsetOf(got.keySet),
+      s"missing finalized hours: ${mustHave -- got.keySet}")
+  }
+
   test("streaming CDC apply over two micro-batches matches batch applyChangeset") {
     import graft.operators.Dedup
     val docs = Tables.load(spark, dir, "documents")
