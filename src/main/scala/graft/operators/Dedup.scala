@@ -37,6 +37,16 @@ object Dedup {
   val BenchDocs = 10
   val ContamK = 5
 
+  /** q114 fuzzy decontamination: report (corpus doc, eval item) pairs where
+    * the corpus doc contains at least this fraction of the eval item's
+    * distinct shingle set. */
+  val FuzzyTau = 0.4
+  /** q114 eval-set stand-in: doc_id % mod == 0 — samples the whole id
+    * space, so the planted near-dup siblings (spread uniformly across
+    * ids in the testdata) are exercised at EVERY sf; the q62-style
+    * doc_id < 10 prefix has no planted dup partner at sf0.1. */
+  val FuzzyBenchMod = 50
+
   /** q80 incremental dedup: verified-Jaccard threshold for calling a new
     * batch doc a duplicate of the corpus (or of an earlier batch doc). */
   val IncTau = 0.5
@@ -939,6 +949,52 @@ object Dedup {
               |WHERE doc_id >= $BenchDocs
               |GROUP BY doc_id HAVING count(*) >= $ContamK
               |ORDER BY doc_id""".stripMargin)),
+
+    // ── Fuzzy decontamination: per-eval-item containment audit ──
+    QueryDef(
+      "q114_fuzzy_decontam",
+      (s, dir) => {
+        // q62 flags docs sharing >= K shingles with the eval set POOLED —
+        // it cannot say WHICH eval item leaked, and a doc grazing many
+        // items can out-score a doc embedding one item verbatim. This is
+        // the per-item form: containment |C ∩ B| / |B| of each eval item's
+        // shingle set B in each corpus doc C, reported per (corpus doc,
+        // eval item) pair at >= FuzzyTau — the audit list a decontam
+        // review actually reads ("train doc X contains 80% of test item
+        // Y"), robust to light edits that break exact-hash screens.
+        //
+        // 100 TB shape: the eval side is small BY NATURE — its distinct
+        // shingle set and per-item sizes both BROADCAST; the corpus side
+        // is a raw narrow shingle scan into the broadcast equi-join, and
+        // the only corpus-wide exchange is keyed by (doc_id, bench_id)
+        // over MATCHED rows only (set-dedup after the join, like q62).
+        // Candidate volume scales with eval-set hits, never corpus².
+        val raw = shinglesRaw(Tables.load(s, dir, "documents"))
+        val benchSh = raw.filter(col("doc_id") % FuzzyBenchMod === 0)
+          .select(col("doc_id").as("bench_id"), col("s")).distinct()
+        val benchSz = benchSh.groupBy("bench_id").agg(count(lit(1)).as("bsz"))
+        raw.filter(col("doc_id") % FuzzyBenchMod =!= 0)
+          .join(broadcast(benchSh), Seq("s"))
+          .select("doc_id", "bench_id", "s").distinct()
+          .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("inter"))
+          .join(broadcast(benchSz), Seq("bench_id"))
+          .withColumn("containment", col("inter") / col("bsz"))
+          .filter(col("containment") >= FuzzyTau)
+          .select("doc_id", "bench_id", "inter", "bsz", "containment")
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(s"""WITH $shingleCte,
+              |shb AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % $FuzzyBenchMod = 0),
+              |bsz AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS bsz FROM shb GROUP BY 1),
+              |inter AS (
+              |  SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS inter
+              |  FROM sh c JOIN shb b ON c.s = b.s
+              |  WHERE c.doc_id % $FuzzyBenchMod <> 0
+              |  GROUP BY 1, 2)
+              |SELECT i.doc_id, i.bench_id, i.inter, z.bsz, i.inter / z.bsz AS containment
+              |FROM inter i JOIN bsz z USING (bench_id)
+              |WHERE i.inter / z.bsz >= 4.0e-1
+              |ORDER BY doc_id, bench_id""".stripMargin)),
 
     // ── MinHash + LSH: banded signatures → bucket join → verified Jaccard ──
     QueryDef(

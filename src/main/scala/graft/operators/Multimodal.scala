@@ -208,6 +208,59 @@ object Multimodal {
              |       CAST(count(b.m) AS BIGINT) AS n_boiler,
              |       count(b.m) / count(*) AS boiler_frac
              |FROM fr f LEFT JOIN bf b ON b.sig = f.sig
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── Shot-boundary detection (scene cuts) ──
+    QueryDef(
+      "q112_shot_boundary",
+      (s, dir) => {
+        // Per-item scene segmentation: each fixed-width frame reduces to a
+        // coarse scalar "brightness" (here: vowel density bucketed to
+        // [0, 16] — at scale the mean luma of a decoded frame), and a shot
+        // boundary is a jump of >= ShotTau between CONSECUTIVE frames.
+        // Output per item: frame count, shot count, mean shot length — the
+        // clip-level stats a video-curation pass cuts on (a 1-shot
+        // 10-minute item is a static slate; thousands of 2-frame shots is
+        // a strobe/corrupt stream).
+        //
+        // 100 TB shape: everything is computed WITHIN the row's own
+        // payload (frame array -> adjacent-pair fold), a pure narrow
+        // codegen'd scan — zero shuffle before the determinism sort
+        // (PlanSpec pin). No per-frame explode, no window: consecutive-
+        // frame comparison is an array fold, so the corpus never leaves
+        // its input partitioning.
+        val Frame = 32; val ShotTau = 3
+        Tables.load(s, dir, "documents")
+          .filter(length(col("text")) >= 1)
+          .select(col("doc_id"), expr(
+            s"""transform(
+               |  sequence(0, int(ceil(length(text) / $Frame.0)) - 1),
+               |  i -> int(length(regexp_replace(substring(text, i * $Frame + 1, $Frame), '[^aeiou]', '')) * 16
+               |         div length(substring(text, i * $Frame + 1, $Frame)))""".stripMargin + ")"
+          ).as("bs"))
+          .select(col("doc_id"),
+            size(col("bs")).cast("long").as("n_frames"),
+            expr(
+              s"""cast(1 + if(size(bs) < 2, 0,
+                 |  aggregate(sequence(1, size(bs) - 1), 0,
+                 |    (acc, i) -> acc + if(abs(bs[i] - bs[i-1]) >= $ShotTau, 1, 0))) as bigint)""".stripMargin
+            ).as("n_shots"))
+          .withColumn("mean_shot_len", col("n_frames") / col("n_shots"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |         [CAST(length(regexp_replace(substr(text, i * 32 + 1, 32), '[^aeiou]', '', 'g')) * 16
+             |            // length(substr(text, i * 32 + 1, 32)) AS INT)
+             |          for i in range(0, CAST(ceil(length(text) / 32.0) AS INT))] AS bs
+             |  FROM documents WHERE length(text) >= 1),
+             |g AS (
+             |  SELECT doc_id, len(bs)::BIGINT AS n_frames,
+             |         CAST(1 + coalesce(list_sum(
+             |           [CASE WHEN abs(bs[k+1] - bs[k]) >= 3 THEN 1 ELSE 0 END
+             |            for k in range(1, len(bs))]), 0) AS BIGINT) AS n_shots
+             |  FROM f)
+             |SELECT doc_id, n_frames, n_shots, n_frames / n_shots AS mean_shot_len
+             |FROM g ORDER BY doc_id""".stripMargin))
   )
 }

@@ -60,6 +60,12 @@ object Temporal {
     * q76's oracle SQL at object init (CLAUDE.md: object-init order). */
   val QuantK: Int = TextOps.HistK
 
+  /** q115 debounce window: an event arriving less than this many
+    * microseconds after the previous event of its (user, type) key is a
+    * bounce. 1 hour — at the testdata's arrival rates ~2% of events
+    * collapse, the retry-storm regime this models. */
+  val DebounceGapUs = 3600000000L
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Tumbling time-bucket aggregation (streaming's batch twin) ──
@@ -443,7 +449,50 @@ object Temporal {
              |                 abs((c - sm / n) / sqrt((sq - sm * sm / n) / n)) > 3.0e0
              |            THEN 1 ELSE 0 END AS is_anomaly
              |FROM win WHERE n >= 12
-             |ORDER BY event_type, hr""".stripMargin))
+             |ORDER BY event_type, hr""".stripMargin)),
+
+    // ── Debounce: collapse rapid-fire repeats per (user, event_type) ──
+    QueryDef(
+      "q115_debounce",
+      (s, dir) => {
+        // Bot bursts, double-clicks, and retry storms arrive as the same
+        // (user, type) event repeated within seconds; a training pipeline
+        // debounces them so per-user activity features count INTENTS, not
+        // retries. Rule: an event < DebounceGapUs after the PREVIOUS event
+        // of its key (kept or not — the lag form, deterministic and
+        // window-expressible; a kept-anchored form needs a sequential scan)
+        // is a bounce. Output: per-key arrival vs post-debounce counts.
+        //
+        // 100 TB shape: ONE shuffle, keyed by the (user, type) partition
+        // key the window needs anyway, then a partial+final count on the
+        // same key — the q57/q66 accepted per-entity-window shape; per-key
+        // row counts are user-activity-bounded, never corpus-wide. Ties
+        // are totally ordered by (us, event_id), so the lag is
+        // deterministic under any partitioning (PlanSpec pin on the
+        // window key).
+        val ev = Tables.events(s, dir).withColumn("us", expr("ts_ns div 1000"))
+        val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+        ev.withColumn("gap", col("us") - lag("us", 1).over(w))
+          .withColumn("bounced",
+            when(col("gap").isNotNull && col("gap") < DebounceGapUs, 1L).otherwise(0L))
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n_events"), sum("bounced").as("n_dropped"))
+          .withColumn("n_kept", col("n_events") - col("n_dropped"))
+          .select("user_id", "event_type", "n_events", "n_kept", "n_dropped")
+          .orderBy("user_id", "event_type")
+      },
+      Some(s"""WITH g AS (
+              |  SELECT user_id, event_type,
+              |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+              |           PARTITION BY user_id, event_type
+              |           ORDER BY epoch_us(ts), event_id) AS gap
+              |  FROM events)
+              |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+              |       CAST(count(*) - sum(CASE WHEN gap IS NOT NULL AND gap < $DebounceGapUs
+              |                                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |       CAST(sum(CASE WHEN gap IS NOT NULL AND gap < $DebounceGapUs
+              |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+              |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Bounded-state approximate quantiles per group, at arbitrary ranks:

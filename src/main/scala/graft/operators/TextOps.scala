@@ -1239,6 +1239,64 @@ object TextOps {
               |  SELECT qid, doc_id, sc,
               |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) AS BIGINT) AS rk
               |  FROM sc)
-              |WHERE rk <= $RetrK ORDER BY qid, rk""".stripMargin))
+              |WHERE rk <= $RetrK ORDER BY qid, rk""".stripMargin)),
+
+    // ── Quality-threshold sweep: the cut-point selection curve ──
+    QueryDef(
+      "q113_threshold_sweep",
+      (s, dir) => {
+        // Before a quality cut ships (q60 applies ONE threshold), the
+        // pipeline owner sweeps the whole curve: for every candidate
+        // threshold, how many docs and how many tokens survive? That
+        // survivors-vs-threshold table IS the data-budget negotiation
+        // (e.g. "0.7 keeps 40% of docs but 55% of tokens"). Scores are
+        // q27's exact formula, bucketed to deciles.
+        //
+        // 100 TB shape: the corpus collapses FIRST into a <= 11-row
+        // per-bucket partial+final aggregate (the only corpus-wide
+        // exchange, map-side combined); the survivors-from-above
+        // cumulative window runs over THAT bounded frame, never over raw
+        // docs (the q109 agg-under-window shape; PlanSpec pin).
+        val scored = Tables.load(s, dir, "documents")
+          .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
+          .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
+          .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+          .withColumn("stop_ratio",
+            expr(s"(${cntSql("p", " the ")} + ${cntSql("p", " a ")})") / col("n_words"))
+          .withColumn("score", expr(
+            "3.0e-1 * least(n_words / 1.0e2, 1.0e0) + 4.0e-1 * (1.0e0 - stop_ratio) + 3.0e-1 * least((n_alpha / n_words) / 8.0e0, 1.0e0)"))
+          .withColumn("bucket", least(floor(col("score") * 10).cast("int"), lit(10)))
+        val perBucket = scored.groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"))
+        val fromAbove = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perBucket
+          .select(col("bucket").cast("long").as("threshold_bucket"),
+            col("n_docs"), col("n_tokens"),
+            sum("n_docs").over(fromAbove).as("surv_docs"),
+            sum("n_tokens").over(fromAbove).as("surv_tokens"))
+          .withColumn("surv_frac", col("surv_docs") / expr("sum(n_docs) over ()"))
+          .orderBy("threshold_bucket")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, n_words,
+              |         least(CAST(floor((3.0e-1 * least(n_words / 1.0e2, 1.0e0)
+              |           + 4.0e-1 * (1.0e0 - (${cntSql("p", " the ")} + ${cntSql("p", " a ")}) / n_words)
+              |           + 3.0e-1 * least((n_alpha / n_words) / 8.0e0, 1.0e0)) * 10) AS INT), 10) AS bucket
+              |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p,
+              |               len(string_split(trim(text), ' '))::BIGINT AS n_words,
+              |               length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS n_alpha
+              |        FROM documents)),
+              |pb AS (
+              |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+              |         CAST(sum(n_words) AS BIGINT) AS n_tokens
+              |  FROM scored GROUP BY bucket)
+              |SELECT CAST(bucket AS BIGINT) AS threshold_bucket, n_docs, n_tokens,
+              |       CAST(sum(n_docs) OVER w AS BIGINT) AS surv_docs,
+              |       CAST(sum(n_tokens) OVER w AS BIGINT) AS surv_tokens,
+              |       CAST(sum(n_docs) OVER w AS BIGINT) / CAST(sum(n_docs) OVER () AS BIGINT) AS surv_frac
+              |FROM pb
+              |WINDOW w AS (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |ORDER BY threshold_bucket""".stripMargin))
   )
 }

@@ -68,6 +68,12 @@ object Vectors {
   /** Cosine near-dup report threshold for q33. */
   val NearDupTau = 0.45
 
+  /** q116 random projection: output dimensionality. Weights are md5-seeded
+    * ints in [-8, 7] (Achlioptas-style sparse/integer projections preserve
+    * inner products in expectation just like Gaussians), so the projected
+    * coordinates are EXACT bigint sums — hash-comparable across engines. */
+  val ProjD = 4
+
   /** q108 outlier threshold on cosine-to-own-centroid, as an e-notation
     * SQL literal (a plain -0.05 parses as DECIMAL in DuckDB — the
     * portability gotcha). Measured at sf0.01: p5 ≈ -0.049, median 0.15,
@@ -809,7 +815,54 @@ object Vectors {
               |  FROM ev JOIN cent USING (label))
               |SELECT vec_id, label, cos_sim,
               |       CASE WHEN cos_sim < $OutlierTau THEN 1 ELSE 0 END AS is_outlier
-              |FROM scored ORDER BY vec_id""".stripMargin))
+              |FROM scored ORDER BY vec_id""".stripMargin)),
+
+    // ── Random projection: integer dimensionality reduction ──
+    QueryDef(
+      "q116_random_projection",
+      (s, dir) => {
+        // The cheap-ANN preprocessing step: project dim-d embeddings onto
+        // ProjD md5-seeded integer directions (Johnson-Lindenstrauss via
+        // Achlioptas-style integer weights). The projected table is what a
+        // coarse prefilter or a disk-resident sketch indexes — 4 bigints
+        // per vector instead of d floats. Values are EXACT: inputs are
+        // fixed-pointed (floor(x·2^20)) and weights are ints, so each
+        // coordinate is an order-free integer sum, hash-identical in any
+        // engine.
+        //
+        // 100 TB shape: the weight matrix is derived ONCE on a 1-row
+        // frame (limit(1) — no shuffle, no driver action) and BROADCAST
+        // into the scan; the per-row hot path is ProjD·d integer
+        // multiply-adds inside whole-stage codegen — a pure narrow scan,
+        // zero corpus shuffle before the determinism sort (PlanSpec pin).
+        // Deriving weights per row would md5 ProjD·d times per vector;
+        // deriving them at plan time would freeze the dimensionality into
+        // the plan — the broadcast form is dim-agnostic AND hoists the
+        // hashing to once per job.
+        val emb = Tables.embeddings(s, dir)
+        val wrow = emb.limit(1).select(expr(
+          s"""flatten(transform(sequence(0, ${ProjD - 1}), j ->
+             |  transform(sequence(0, size(e) - 1), d ->
+             |    cast(conv(substr(md5(concat(cast(j as string), '_', cast(d as string))), 1, 1), 16, 10) as int) - 8)))""".stripMargin
+        ).as("wf"))
+        emb.crossJoin(broadcast(wrow))
+          .select(col("vec_id") +: col("label") +:
+            (0 until ProjD).map(j => expr(
+              s"""cast(aggregate(sequence(0, size(e) - 1), cast(0 as bigint),
+                 |  (acc, d) -> acc + floor(e[d] * 1048576.0e0)
+                 |    * element_at(wf, $j * size(e) + d + 1)) as bigint)""".stripMargin
+            ).as(s"p$j")): _*)
+          .orderBy("vec_id")
+      },
+      Some {
+        def proj(j: Int) =
+          s"""CAST(list_sum([CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0e0) AS BIGINT)
+             |      * ((strpos('0123456789abcdef', substr(md5('${j}_' || (i-1)::VARCHAR), 1, 1)) - 1) - 8)
+             |    for i in range(1, len(embedding) + 1)]) AS BIGINT) AS p$j""".stripMargin
+        s"""SELECT vec_id, label,
+           |  ${(0 until ProjD).map(proj).mkString(",\n  ")}
+           |FROM embeddings ORDER BY vec_id""".stripMargin
+      })
   )
 
   /** q88's PQ codebook as a broadcast 1-row frame `cb`: for each of the

@@ -489,4 +489,64 @@ class PlanSpec extends AnyFunSuite {
       }.nonEmpty, "rank window not bounded by the top-K limit")
     }
   }
+
+  private def hashShuffleKeys(name: String): Seq[Set[String]] =
+    collectAll(name) {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+        e.outputPartitioning
+          .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+          .expressions.flatMap(_.references.map(_.name)).toSet
+    }
+
+  test("q112 shot boundaries are a pure narrow scan: no shuffle, no window, no explode-join") {
+    assert(hashShuffleKeys("q112_shot_boundary").isEmpty,
+      "consecutive-frame comparison must be an in-row array fold — zero corpus shuffle")
+    assert(collectAll("q112_shot_boundary") { case w: WindowExec => w }.isEmpty,
+      "a lag window over exploded frames crept in")
+  }
+
+  test("q113 sweep window runs over the ≤11-row bucket aggregate, never raw docs") {
+    val wins = collectAll("q113_threshold_sweep") { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the survivors-from-above cumulative window")
+    wins.foreach { w =>
+      assert(w.find { case _: HashAggregateExec => true; case _ => false }.nonEmpty,
+        "window input is not the per-bucket aggregated frame")
+    }
+    hashShuffleKeys("q113_threshold_sweep").foreach { keys =>
+      assert(keys.subsetOf(Set("bucket", "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q114 fuzzy decontam: eval side broadcasts; exchanges move matched shingle rows only") {
+    assert(collectAll("q114_fuzzy_decontam") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll("q114_fuzzy_decontam") { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the eval-set shingle table must broadcast into the corpus scan")
+    hashShuffleKeys("q114_fuzzy_decontam").foreach { keys =>
+      assert(keys.subsetOf(Set("doc_id", "bench_id", "s", "_groupingexpression")),
+        s"unexpected shuffle key (document text must never enter an exchange): $keys")
+    }
+  }
+
+  test("q115 debounce: one (user, type)-keyed shuffle serves both the lag window and the agg") {
+    val wins = collectAll("q115_debounce") { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "unkeyed window = all events to one partition"))
+    val keys = hashShuffleKeys("q115_debounce")
+    assert(keys.size === 1, s"expected exactly one hash exchange, got $keys")
+    assert(keys.head === Set("user_id", "event_type"), s"unexpected shuffle key: $keys")
+  }
+
+  test("q116 random projection: weights broadcast; the corpus is a pure narrow scan") {
+    assert(hashShuffleKeys("q116_random_projection").isEmpty,
+      "projection must not shuffle the corpus — weights join by broadcast")
+    assert(collectAll("q116_random_projection") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q116_random_projection") {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.nonEmpty, "the 1-row weight frame must broadcast into the scan")
+  }
 }
