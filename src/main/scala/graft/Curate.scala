@@ -39,6 +39,13 @@ import graft.operators.{Dedup, TextOps}
   *                         eval set at <parquet> (a documents-shaped
   *                         table). The benchmark shingle set broadcasts;
   *                         the corpus side stays one narrow scan.
+  *   --fuzzy-tau X         q114: ALSO drop docs containing ≥ X of any
+  *                         single eval item's distinct shingle set — the
+  *                         per-item containment decision, which catches
+  *                         lightly-edited eval items whose pooled shared-
+  *                         shingle count stays under --contam-k. Requires
+  *                         --bench (the registry artifact keeps no per-item
+  *                         sets). Same broadcast shapes as q114's pin.
   *   --registry <index>    q105: the same decontamination decision against
   *                         a PERSISTED registry artifact
   *                         (`graft.Index build-registry`) too big to
@@ -66,6 +73,7 @@ object Curate {
       boilerDf: Int = Dedup.BoilerDf,
       stripSelfrep: Boolean = false,
       benchPath: Option[String] = None,
+      fuzzyTau: Option[Double] = None,
       registryPath: Option[String] = None,
       contamK: Int = Dedup.ContamK,
       tau: Double = Dedup.JaccardTau)
@@ -84,13 +92,14 @@ object Curate {
   private def parse(args: List[String]): Config = {
     val usage = "usage: Curate <docsDir> <outDir> [tokenBudget] " +
       "[--strip-boilerplate] [--bp-df N] [--strip-selfrep] [--bench <parquet>] " +
-      "[--registry <index>] [--contam-k N] [--tau X]"
+      "[--fuzzy-tau X] [--registry <index>] [--contam-k N] [--tau X]"
     def loop(rest: List[String], cfg: Config): Config = rest match {
       case Nil => cfg
       case "--strip-boilerplate" :: t => loop(t, cfg.copy(stripBoilerplate = true))
       case "--bp-df" :: v :: t => loop(t, cfg.copy(boilerDf = v.toInt))
       case "--strip-selfrep" :: t => loop(t, cfg.copy(stripSelfrep = true))
       case "--bench" :: v :: t => loop(t, cfg.copy(benchPath = Some(v)))
+      case "--fuzzy-tau" :: v :: t => loop(t, cfg.copy(fuzzyTau = Some(v.toDouble)))
       case "--registry" :: v :: t => loop(t, cfg.copy(registryPath = Some(v)))
       case "--contam-k" :: v :: t => loop(t, cfg.copy(contamK = v.toInt))
       case "--tau" :: v :: t => loop(t, cfg.copy(tau = v.toDouble))
@@ -172,10 +181,19 @@ object Curate {
     //    form (--registry); same decision either way.
     require(cfg.benchPath.isEmpty || cfg.registryPath.isEmpty,
       "--bench and --registry are mutually exclusive")
+    require(cfg.fuzzyTau.isEmpty || cfg.benchPath.isDefined,
+      "--fuzzy-tau requires --bench (the registry keeps no per-item shingle sets)")
     val decon = (cfg.benchPath, cfg.registryPath) match {
       case (Some(bp), _) =>
-        kept.join(Dedup.contaminatedDocs(kept, spark.read.parquet(bp), cfg.contamK),
-          Seq("doc_id"), "left_anti")
+        val bench = spark.read.parquet(bp)
+        val exactDrop = Dedup.contaminatedDocs(kept, bench, cfg.contamK)
+        val drop = cfg.fuzzyTau match {
+          case Some(ft) => exactDrop.union(
+            Dedup.fuzzyContainmentPairs(kept, bench, ft)
+              .select("doc_id").distinct()).distinct()
+          case None => exactDrop
+        }
+        kept.join(drop, Seq("doc_id"), "left_anti")
       case (None, Some(rp)) =>
         kept.join(operators.IndexStore.decontaminate(kept, rp, cfg.contamK)
             .select("doc_id"),

@@ -162,6 +162,27 @@ object Dedup {
       .select("doc_id")
   }
 
+  /** q114's core, reusable from the Curate pipeline: per (corpus doc, eval
+    * item) containment |C∩B|/|B| ≥ tau pair rows — columns (doc_id,
+    * bench_id, inter, bsz, containment). Eval-side shingle sets and sizes
+    * broadcast; the corpus side is one raw narrow shingle scan into the
+    * broadcast equi-join; only matched rows reach the (doc_id, bench_id)-
+    * keyed exchange (PlanSpec pins the key set on q114). */
+  def fuzzyContainmentPairs(corpus: DataFrame, bench: DataFrame,
+      tau: Double = FuzzyTau): DataFrame = {
+    val benchSh = shinglesRaw(bench)
+      .select(col("doc_id").as("bench_id"), col("s")).distinct()
+    val benchSz = benchSh.groupBy("bench_id").agg(count(lit(1)).as("bsz"))
+    shinglesRaw(corpus)
+      .join(broadcast(benchSh), Seq("s"))
+      .select("doc_id", "bench_id", "s").distinct()
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("inter"))
+      .join(broadcast(benchSz), Seq("bench_id"))
+      .withColumn("containment", col("inter") / col("bsz"))
+      .filter(col("containment") >= tau)
+      .select("doc_id", "bench_id", "inter", "bsz", "containment")
+  }
+
   /** DuckDB twin of `shingles` as a CTE body (n = 3). */
   private val shingleCte =
     """sh AS (
@@ -969,18 +990,10 @@ object Dedup {
         // the only corpus-wide exchange is keyed by (doc_id, bench_id)
         // over MATCHED rows only (set-dedup after the join, like q62).
         // Candidate volume scales with eval-set hits, never corpus².
-        val raw = shinglesRaw(Tables.load(s, dir, "documents"))
-        val benchSh = raw.filter(col("doc_id") % FuzzyBenchMod === 0)
-          .select(col("doc_id").as("bench_id"), col("s")).distinct()
-        val benchSz = benchSh.groupBy("bench_id").agg(count(lit(1)).as("bsz"))
-        raw.filter(col("doc_id") % FuzzyBenchMod =!= 0)
-          .join(broadcast(benchSh), Seq("s"))
-          .select("doc_id", "bench_id", "s").distinct()
-          .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("inter"))
-          .join(broadcast(benchSz), Seq("bench_id"))
-          .withColumn("containment", col("inter") / col("bsz"))
-          .filter(col("containment") >= FuzzyTau)
-          .select("doc_id", "bench_id", "inter", "bsz", "containment")
+        val docs = Tables.load(s, dir, "documents")
+        fuzzyContainmentPairs(
+          docs.filter(col("doc_id") % FuzzyBenchMod =!= 0),
+          docs.filter(col("doc_id") % FuzzyBenchMod === 0))
           .orderBy("doc_id", "bench_id")
       },
       Some(s"""WITH $shingleCte,

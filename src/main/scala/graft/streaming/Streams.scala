@@ -464,6 +464,44 @@ object Streams {
       }
   }
 
+  final case class BounceOut(
+      event_id: Long, user_id: Long, event_type: String, us: Long, bounced: Int)
+
+  /** q115's streaming twin: per-event bounce verdicts AS EVENTS ARRIVE
+    * instead of a nightly batch sweep. State per (user, type) key is ONE
+    * long — the last seen event time — so the standing debouncer's memory
+    * is bounded by live keys, not history (NoTimeout by design, like the
+    * standing LSH index: a debouncer that forgets its keys re-admits the
+    * next retry burst). Rows inside a micro-batch are processed in the
+    * batch query's exact (us, event_id) total order; across batches the
+    * twin assumes per-key in-order delivery (the CDC/LSH twins' contract —
+    * StreamsSpec stages time-ordered batches). Same-us events that land in
+    * different micro-batches may swap WHICH of the pair is called the
+    * bounce vs batch q115, but never the per-key counts (gap 0 bounces
+    * either way) — so count parity is exact. */
+  def debounceStream(events: DataFrame,
+      gapUs: Long = graft.operators.Temporal.DebounceGapUs): Dataset[BounceOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, BounceOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((uid, et), rows, state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(r => (r._4, r._1)).map { r =>
+            val bounced = if (last != Long.MinValue && r._4 - last < gapUs) 1 else 0
+            last = r._4
+            BounceOut(r._1, uid, et, r._4, bounced)
+          }
+          if (last != Long.MinValue) state.update(last)
+          out.iterator
+      }
+  }
+
   /** Drain the stream with Trigger.AvailableNow into an in-memory table and
     * return it (spec/driver harness; production would writeStream to a sink). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {

@@ -96,6 +96,44 @@ class CurateSpec extends AnyFunSuite {
     assert(gotIds === wantIds)
   }
 
+  test("--fuzzy-tau drops a lightly-contaminated doc the exact --bench screen passes") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-curatefz")
+    val docsDir = base.resolve("corpus")
+    val benchPq = base.resolve("bench.parquet").toString
+
+    // Eval item: 7 words → 5 distinct 3-shingles. Doc 0 embeds 6 of the 7
+    // words (4 of the 5 shingles): containment 0.8, but only 4 < ContamK=5
+    // distinct shared shingles — the exact pooled screen must pass it and
+    // the per-item fuzzy screen must drop it. All other docs unique.
+    val tail = (i: Long) => (0 until 10).map(j => s"fz${i}x$j").mkString(" ")
+    val frag = "e1 e2 e3 e4 e5 e6"
+    (0L until 10L).map(i =>
+        (i, if (i == 0L) s"$frag ${tail(i)}" else tail(i), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    Seq((100L, s"$frag e7", "en", "eval"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(benchPq)
+
+    def decon(fuzzy: Option[Double]): Long = {
+      val out = base.resolve(s"out${fuzzy.isDefined}")
+      val json = Curate.run(spark, Curate.Config(
+        docsDir.toString, out.toString, budget = 64L,
+        benchPath = Some(benchPq), fuzzyTau = fuzzy))
+      """"after_decontam":(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    }
+    assert(decon(None) === 10L, "exact screen must pass the 4-shingle overlap")
+    assert(decon(Some(0.4)) === 9L, "fuzzy screen must drop doc 0")
+    val curated = spark.read.parquet(s"${base.resolve("outtrue")}/curated.parquet")
+    assert(curated.filter(col("doc_id") === 0L).count() === 0)
+    // The decision is exactly the library operator's:
+    val pairs = graft.operators.Dedup.fuzzyContainmentPairs(
+      spark.read.parquet(s"$docsDir/documents.parquet"),
+      spark.read.parquet(benchPq), 0.4)
+    assert(pairs.select("doc_id").collect().map(_.getLong(0)).toSet === Set(0L))
+  }
+
   test("8-stage chain: --strip-selfrep engages between the cross-doc strip and near-dup") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-curate8")

@@ -331,6 +331,42 @@ class StreamsSpec extends AnyFunSuite {
       s"missing finalized hours: ${mustHave -- got.keySet}")
   }
 
+  test("streaming debounce verdict counts match batch q115 across three micro-batches") {
+    val raw = rawNanos
+    val (minNs, maxNs) = {
+      val r = raw.agg(min("ts"), max("ts")).head(); (r.getLong(0), r.getLong(1))
+    }
+    val cut1 = minNs + (maxNs - minNs) / 3
+    val cut2 = minNs + 2 * (maxNs - minNs) / 3
+    val tmp = landBatches(Seq(
+      raw.filter(col("ts") <= cut1),
+      raw.filter(col("ts") > cut1 && col("ts") <= cut2),
+      raw.filter(col("ts") > cut2)))
+
+    val got = Streams.runToMemory(spark,
+        Streams.debounceStream(
+          Streams.readEventsStream(spark, tmp.getPath, "*.parquet", Some(1))).toDF(),
+        "debounce_mb")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("bounced").as("n_dropped"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+    val want = graft.SparkEntry.queries("q115_debounce")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(4)))
+      .toMap
+
+    assert(got.nonEmpty && got.keySet === want.keySet,
+      s"key sets differ: ${(got.keySet diff want.keySet) ++ (want.keySet diff got.keySet)}")
+    want.foreach { case (k, v) =>
+      assert(got(k) === v, s"count mismatch at $k: got ${got(k)}, want $v")
+    }
+    // The staged corpus genuinely exercises the bounce path.
+    assert(want.values.map(_._2).sum > 0, "no bounces in the staged data")
+  }
+
   test("streaming CDC apply over two micro-batches matches batch applyChangeset") {
     import graft.operators.Dedup
     val docs = Tables.load(spark, dir, "documents")
