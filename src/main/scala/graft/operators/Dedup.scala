@@ -47,6 +47,13 @@ object Dedup {
     * doc_id < 10 prefix has no planted dup partner at sf0.1. */
   val FuzzyBenchMod = 50
 
+  /** q117/q118 winnowing: window size over the gram-hash sequence (the
+    * guarantee: any shared run of ≥ WinnowW + ShingleN - 1 words is caught
+    * by at least one shared fingerprint), and the minimum shared
+    * fingerprints before a pair is reported. */
+  val WinnowW = 4
+  val WinnowMinShared = 2
+
   /** q80 incremental dedup: verified-Jaccard threshold for calling a new
     * batch doc a duplicate of the corpus (or of an earlier batch doc). */
   val IncTau = 0.5
@@ -181,6 +188,52 @@ object Dedup {
       .withColumn("containment", col("inter") / col("bsz"))
       .filter(col("containment") >= tau)
       .select("doc_id", "bench_id", "inter", "bsz", "containment")
+  }
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm — public knowledge): per document, the DISTINCT minima of a
+    * WinnowW-wide sliding window over the word-ShingleN-gram hash
+    * sequence. Guarantees any shared run of ≥ WinnowW + ShingleN − 1 words
+    * yields a shared fingerprint while storing only ~2/(WinnowW+1) of the
+    * grams — the index a plagiarism/copy detector ships at corpus scale.
+    * Hash = first 15 md5 hex digits as a bigint (the q79 portable trick),
+    * so an independent SQL engine reproduces every fingerprint bit-exactly.
+    * Pure narrow per-row compute: hashing, windowing, and set-dedup all
+    * happen inside the row's own arrays — zero shuffle. Docs with fewer
+    * than WinnowW grams have no full window and are skipped (they are
+    * below the detectable-run length by definition). */
+  def winnowFps(docs: DataFrame, n: Int = ShingleN, w: Int = WinnowW): DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n + w - 1)
+      .withColumn("hs", expr(
+        s"""transform(sequence(0, size(w) - $n), i ->
+           |  cast(conv(substr(md5(concat_ws(' ', slice(w, i + 1, $n))), 1, 15), 16, 10) as bigint))""".stripMargin))
+      .withColumn("fps", expr(
+        s"array_distinct(transform(sequence(0, size(hs) - $w), i -> array_min(slice(hs, i + 1, $w))))"))
+      .select(col("doc_id"),
+        (size(col("w")) - (n - 1)).cast("long").as("n_grams"), col("fps"))
+
+  /** DuckDB twin of `winnowFps` as a CTE chain ending in
+    * `wf(doc_id, n_grams, fps)`. */
+  private val winnowCtes: String = {
+    val md5int = (g: String) =>
+      s"""list_reduce([(strpos('0123456789abcdef', substr(md5($g), k, 1)) - 1)::BIGINT
+         |             for k in range(1, 16)], (a, b) -> a * 16 + b)""".stripMargin
+    s"""wd AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+       |  WHERE len(w) >= 6),
+       |wh AS (
+       |  SELECT doc_id, len(w)::BIGINT - 2 AS n_grams,
+       |         [${md5int("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}
+       |          for i in range(1, len(w) - 1)] AS hs
+       |  FROM wd),
+       |wf AS (
+       |  SELECT doc_id, n_grams,
+       |         list_distinct([list_min(list_slice(hs, i, i + 3))
+       |                        for i in range(1, len(hs) - 2)]) AS fps
+       |  FROM wh)""".stripMargin
   }
 
   /** DuckDB twin of `shingles` as a CTE body (n = 3). */
@@ -1008,6 +1061,67 @@ object Dedup {
               |FROM inter i JOIN bsz z USING (bench_id)
               |WHERE i.inter / z.bsz >= 4.0e-1
               |ORDER BY doc_id, bench_id""".stripMargin)),
+
+    // ── Winnowing fingerprints: per-doc selection stats ──
+    QueryDef(
+      "q117_winnow_fps",
+      (s, dir) => {
+        // The fingerprint-density report behind the winnowed copy-
+        // detection index: how many grams each doc has, how many survive
+        // window-min selection (~2/(W+1) of them — the whole point: the
+        // index at rest is 2-3× smaller than the full shingle table), and
+        // the per-doc density. Pure narrow in-row compute — hashing,
+        // sliding-window minima, and the distinct-set all happen inside
+        // the row's arrays; zero shuffle before the determinism sort
+        // (PlanSpec pin).
+        winnowFps(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"), col("n_grams"),
+            size(col("fps")).cast("long").as("n_fps"),
+            expr("size(fps) / n_grams").as("density"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $winnowCtes
+              |SELECT doc_id, n_grams, len(fps)::BIGINT AS n_fps,
+              |       len(fps) / n_grams AS density
+              |FROM wf ORDER BY doc_id""".stripMargin)),
+
+    // ── Winnowed pair candidates: the sparse copy-detection index ──
+    QueryDef(
+      "q118_winnow_pairs",
+      (s, dir) => {
+        // q22's inverted-index pair generation run over the WINNOWED
+        // fingerprint set instead of every shingle: pairs sharing ≥
+        // WinnowMinShared selected fingerprints. Winnowing's guarantee
+        // makes this the standard copy-detector trade: any shared run of
+        // ≥ 6 words is still caught, while the inverted index holds
+        // ~2/(W+1) of the rows q22 shuffles — at 100 TB THAT is the
+        // difference between an index that fits and one that doesn't.
+        // Same scale discipline as q22: df-capped buckets (2..MaxDf)
+        // bound per-key fan-out, so candidate volume stays linear.
+        val fpx = winnowFps(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"), explode(col("fps")).as("fp"))
+        val good = fpx.groupBy("fp")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= MaxDf)
+          .select("fp")
+        val f2 = fpx.join(good, Seq("fp"))
+        f2.select(col("fp"), col("doc_id").as("a"))
+          .join(f2.select(col("fp"), col("doc_id").as("b")), Seq("fp"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= WinnowMinShared)
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $winnowCtes,
+              |fpx AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+              |good AS (
+              |  SELECT fp FROM (SELECT fp, count(*) AS df FROM fpx GROUP BY fp)
+              |  WHERE df >= 2 AND df <= $MaxDf),
+              |f2 AS (SELECT doc_id, fp FROM fpx JOIN good USING (fp))
+              |SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+              |FROM f2 x JOIN f2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
+              |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+              |ORDER BY a, b""".stripMargin)),
 
     // ── MinHash + LSH: banded signatures → bucket join → verified Jaccard ──
     QueryDef(

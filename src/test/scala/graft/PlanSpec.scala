@@ -541,6 +541,22 @@ class PlanSpec extends AnyFunSuite {
     assert(keys.head === Set("user_id", "event_type"), s"unexpected shuffle key: $keys")
   }
 
+  test("q117 winnow fingerprints are in-row selection: zero shuffle, zero window") {
+    assert(hashShuffleKeys("q117_winnow_fps").isEmpty,
+      "window-min selection must happen inside the row's arrays — zero corpus shuffle")
+    assert(collectAll("q117_winnow_fps") { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q118 winnowed pairs: exchanges carry fingerprints/ids only, never text or word arrays") {
+    assert(collectAll("q118_winnow_pairs") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    hashShuffleKeys("q118_winnow_pairs").foreach { keys =>
+      assert(keys.subsetOf(Set("fp", "a", "b", "doc_id", "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q116 random projection: weights broadcast; the corpus is a pure narrow scan") {
     assert(hashShuffleKeys("q116_random_projection").isEmpty,
       "projection must not shuffle the corpus — weights join by broadcast")
