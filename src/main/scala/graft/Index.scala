@@ -19,6 +19,9 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index append-pq  <embDir> <indexPath>"
   *   sbt "runMain graft.Index search-pq  <embDir> <indexPath> <vecId> <k>"
   *   sbt "runMain graft.Index build-pairs  <docsDir> <indexPath>"
+  *   sbt "runMain graft.Index build-winnow <docsDir> <indexPath>"
+  *   sbt "runMain graft.Index append-winnow <docsDir> <indexPath>"
+  *   sbt "runMain graft.Index winnow-audit <indexPath> [--min-shared N]"
   *   sbt "runMain graft.Index append-pairs <docsDir> <indexPath>"
   *   sbt "runMain graft.Index audit      <indexPath> [--tau T] [--contain]"
   *   sbt "runMain graft.Index components <indexPath> [--tau T]"
@@ -142,6 +145,33 @@ object Index {
         val nb = IndexStore.loadPairBuckets(spark, path).count()
         s"""{"mode":"append-pairs","docs":$n,"buckets":$nb,"index":"$path"}"""
 
+      case "build-winnow" :: docsDir :: path :: Nil =>
+        val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+        val n = docs.count()
+        IndexStore.saveWinnowIndex(docs, path)
+        val nb = IndexStore.loadWinnowBuckets(spark, path).count()
+        s"""{"mode":"build-winnow","docs":$n,"buckets":$nb,"index":"$path"}"""
+
+      case "append-winnow" :: docsDir :: path :: Nil =>
+        val batch = spark.read.parquet(s"$docsDir/documents.parquet")
+        val n = batch.count()
+        IndexStore.appendWinnowBatch(batch, path)
+        val nb = IndexStore.loadWinnowBuckets(spark, path).count()
+        s"""{"mode":"append-winnow","docs":$n,"buckets":$nb,"index":"$path"}"""
+
+      case "winnow-audit" :: path :: rest =>
+        val minShared = rest.sliding(2)
+          .collectFirst { case List("--min-shared", v) => v.toInt }
+          .getOrElse(operators.Dedup.WinnowMinShared)
+        val pairs = operators.Dedup.winnowPairsFrom(
+          IndexStore.loadWinnowBuckets(spark, path), minShared)
+        val stats = pairs
+          .agg(count(lit(1)).as("pairs"),
+            approx_count_distinct(col("b")).as("dup_docs"),
+            coalesce(max("shared"), lit(0L)).as("max_shared"))
+          .head()
+        s"""{"mode":"winnow-audit","min_shared":$minShared,"pairs":${stats.getLong(0)},"dup_docs":${stats.getLong(1)},"max_shared":${stats.getLong(2)}}"""
+
       case "audit" :: path :: rest =>
         val contain = rest.contains("--contain")
         val tau = rest.sliding(2).collectFirst { case List("--tau", v) => v.toDouble }
@@ -219,7 +249,7 @@ object Index {
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|components|consolidate|build-registry|decontam ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|components|consolidate|build-registry|decontam ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

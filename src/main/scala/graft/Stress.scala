@@ -129,6 +129,8 @@ object Stress {
         incDedup(spark, args(1), args(2).toInt)
       case Some("pairaudit") =>
         pairAudit(spark, args(1), args(2).toInt)
+      case Some("winnow") =>
+        winnowStress(spark, args(1), args(2).toInt)
       case Some("snapdiff") =>
         snapDiff(spark, args(1), args(2).toInt)
       case Some("consolidate") =>
@@ -488,6 +490,51 @@ object Stress {
       operators.IndexStore.appendPairBatch(batch, idx)
       val appendSec = (System.nanoTime() - tA) / 1e9
       println(f"""{"mode":"pairaudit","corpus":"$tag","n":$n,"pairs":$pairs,"build_sec":$buildSec%.1f,"inquery_sec_min3":$inQuery%.2f,"store_sec_min3":$fromStore%.2f,"append_sec":$appendSec%.1f}""")
+    }
+  }
+
+  /** The winnow-index trade, measured: at-rest footprint (postings + bytes)
+    * of the winnowed copy index vs the full shingle pair index over the
+    * same corpus, plus build and store-audit walls. The claim under test is
+    * winnowing's ~2/(W+1) selection rate surviving inflation — the at-rest
+    * ratio is what decides whether a 100 TB copy index fits. */
+  def winnowStress(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val bigDir = scratch("winnow", sfDir, mult)
+    inflateDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    def bytesUnder(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(path, true)
+      var total = 0L
+      while (it.hasNext) total += it.next().getLen
+      total
+    }
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val idxW = scratch("winnow-idx", sfDir, mult, tag)
+      val idxP = scratch("winnow-pairs-idx", sfDir, mult, tag)
+      val t0 = System.nanoTime()
+      operators.IndexStore.saveWinnowIndex(docs, idxW)
+      val buildW = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      operators.IndexStore.savePairIndex(docs, idxP)
+      val buildP = (System.nanoTime() - t1) / 1e9
+      def postings(p: String): Long =
+        spark.read.parquet(p).agg(sum(size(col("ds")))).head().getLong(0)
+      val postW = postings(s"$idxW/winnow/buckets")
+      val postP = postings(s"$idxP/pairs/buckets")
+      val audit = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        operators.Dedup.winnowPairsFrom(
+          operators.IndexStore.loadWinnowBuckets(spark, idxW))
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t) / 1e9
+      }.min
+      val pairs = operators.Dedup.winnowPairsFrom(
+        operators.IndexStore.loadWinnowBuckets(spark, idxW)).count()
+      println(f"""{"mode":"winnow","corpus":"$tag","n":$n,"winnow_postings":$postW,"shingle_postings":$postP,"postings_ratio":${postW.toDouble / postP}%.3f,"winnow_bytes":${bytesUnder(idxW)},"pair_bytes":${bytesUnder(idxP)},"build_winnow_sec":$buildW%.1f,"build_pairs_sec":$buildP%.1f,"audit_sec_min3":$audit%.2f,"pairs":$pairs}""")
     }
   }
 

@@ -214,6 +214,33 @@ object Dedup {
       .select(col("doc_id"),
         (size(col("w")) - (n - 1)).cast("long").as("n_grams"), col("fps"))
 
+  /** Winnowed inverted index (fp, ds) — the q118 family's at-rest form:
+    * same CappedSetAggregator discipline as `allBuckets`, over ~2/(W+1)
+    * the rows, for the same ≥6-word shared-run guarantee. */
+  private[graft] def winnowAllBuckets(docs: DataFrame): DataFrame = {
+    val cappedSet = udaf(new graft.functions.CappedSetAggregator(MaxDf + 1))
+    winnowFps(docs)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy("fp").agg(cappedSet(col("doc_id")).as("ds"))
+  }
+
+  private[graft] def winnowCappedBuckets(docs: DataFrame): DataFrame =
+    winnowAllBuckets(docs).filter(size(col("ds")).between(2, MaxDf))
+
+  /** q118 over an already-built (possibly persisted) winnow bucket table:
+    * pairs sharing ≥ minShared selected fingerprints. `ds` is stored
+    * sorted, so store-served pairs are bit-identical to in-query ones
+    * (IndexStoreSpec pins it). */
+  def winnowPairsFrom(buckets: DataFrame,
+      minShared: Int = WinnowMinShared): DataFrame =
+    bucketPairs(buckets)
+      .filter(col("inter") >= minShared)
+      .select(col("a"), col("b"), col("inter").as("shared"))
+
+  /** q118's core: winnowed copy-detection pair candidates. */
+  def winnowPairs(docs: DataFrame, minShared: Int = WinnowMinShared): DataFrame =
+    winnowPairsFrom(winnowCappedBuckets(docs), minShared)
+
   /** DuckDB twin of `winnowFps` as a CTE chain ending in
     * `wf(doc_id, n_grams, fps)`. */
   private val winnowCtes: String = {
@@ -1097,20 +1124,10 @@ object Dedup {
         // ~2/(W+1) of the rows q22 shuffles — at 100 TB THAT is the
         // difference between an index that fits and one that doesn't.
         // Same scale discipline as q22: df-capped buckets (2..MaxDf)
-        // bound per-key fan-out, so candidate volume stays linear.
-        val fpx = winnowFps(Tables.load(s, dir, "documents"))
-          .select(col("doc_id"), explode(col("fps")).as("fp"))
-        val good = fpx.groupBy("fp")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2 && col("df") <= MaxDf)
-          .select("fp")
-        val f2 = fpx.join(good, Seq("fp"))
-        f2.select(col("fp"), col("doc_id").as("a"))
-          .join(f2.select(col("fp"), col("doc_id").as("b")), Seq("fp"))
-          .filter(col("a") < col("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-          .filter(col("shared") >= WinnowMinShared)
-          .orderBy("a", "b")
+        // bound per-key fan-out, so candidate volume stays linear; the
+        // bucket table is the persistable form (IndexStore.saveWinnowIndex
+        // — store-served pairs bit-identical, spec-pinned).
+        winnowPairs(Tables.load(s, dir, "documents")).orderBy("a", "b")
       },
       Some(s"""WITH $winnowCtes,
               |fpx AS (SELECT doc_id, unnest(fps) AS fp FROM wf),

@@ -176,15 +176,23 @@ object IndexStore {
     * must be disjoint from stored ids, as with every append here.
     * Staged-swap write (the Maintenance pattern): a crash mid-merge
     * leaves the original table intact. */
-  def appendPairBatch(batch: DataFrame, path: String): Unit = {
-    val spark = batch.sparkSession
+  def appendPairBatch(batch: DataFrame, path: String): Unit =
+    mergeCappedBuckets(Dedup.allBuckets(batch), s"$path/pairs/buckets", "s")
+
+  /** Shared merge core of the capped-bucket index appends (pair + winnow):
+    * union the batch's buckets into the stored table keyed by `key`,
+    * re-cap at MaxDf + 1 (truncation keeps the smallest ids — an over-cap
+    * marker stays a marker), staged-swap write. */
+  private def mergeCappedBuckets(add: DataFrame, dstPath: String,
+      key: String): Unit = {
+    val spark = add.sparkSession
     import org.apache.hadoop.fs.Path
-    val dst = new Path(s"$path/pairs/buckets")
-    val stage = new Path(s"$path/pairs/buckets_stage")
+    val dst = new Path(dstPath)
+    val stage = new Path(dstPath + "_stage")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     spark.read.parquet(dst.toString)
-      .unionByName(Dedup.allBuckets(batch))
-      .groupBy("s")
+      .unionByName(add)
+      .groupBy(key)
       .agg(slice(sort_array(array_distinct(flatten(collect_list(col("ds"))))),
         1, Dedup.MaxDf + 1).as("ds"))
       .repartition(32)
@@ -192,6 +200,28 @@ object IndexStore {
     fs.delete(dst, true)
     require(fs.rename(stage, dst), s"rename $stage -> $dst failed")
   }
+
+  // ── Winnowed copy-detection index (q118's standing form) ──
+
+  /** Persist the winnowed fingerprint inverted index — the pair index's
+    * 2-3×-smaller at-rest sibling (window-min selection keeps ~2/(W+1) of
+    * the grams, same ≥6-word shared-run guarantee). Same capped-bucket
+    * layout and merge math as the pair index, keyed by fingerprint. */
+  def saveWinnowIndex(docs: DataFrame, path: String): Unit =
+    Dedup.winnowAllBuckets(docs)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$path/winnow/buckets")
+
+  /** The audit view — feed to `Dedup.winnowPairsFrom`. */
+  def loadWinnowBuckets(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/winnow/buckets")
+      .filter(size(col("ds")).between(2, Dedup.MaxDf))
+
+  /** Fold a batch's winnowed fingerprints into the standing index —
+    * never re-reads standing TEXT; batch ids must be disjoint. */
+  def appendWinnowBatch(batch: DataFrame, path: String): Unit =
+    mergeCappedBuckets(Dedup.winnowAllBuckets(batch),
+      s"$path/winnow/buckets", "fp")
 
   // ── Decontamination registry state (q105's standing-artifact form) ──
 

@@ -162,6 +162,9 @@ object TextOps {
     * still broadcast-sized). */
   val VocabK = 64
 
+  /** q120: ranks reported on the head-coverage curve. */
+  val VocabTopK = 50
+
   /** q110 sparse retrieval: query set = docs 0..RetrQ-1, top RetrK corpus
     * hits per query. */
   val RetrQ = 10
@@ -1240,6 +1243,99 @@ object TextOps {
               |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) AS BIGINT) AS rk
               |  FROM sc)
               |WHERE rk <= $RetrK ORDER BY qid, rk""".stripMargin)),
+
+    // ── Mixed-language detection: the language-purity flag ──
+    QueryDef(
+      "q119_mixed_lang",
+      (s, dir) => {
+        // q26 answers "which language"; curation also needs "is it ONE
+        // language" — code-switched or template-mixed docs poison both
+        // monolingual training mixes and language-conditional sampling.
+        // Per doc: the top-2 marker-score languages and a mixed flag when
+        // the runner-up scores at least half the winner (with any signal
+        // at all). Ranking is a descending struct sort — ties broken by
+        // the lang field identically in both engines (field-lexicographic
+        // struct ordering). Pure narrow scan, zero shuffle (PlanSpec pin).
+        val scored = Tables.load(s, dir, "documents")
+          .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
+        val withScores = markers.foldLeft(scored) { case (df, (lang, ms)) =>
+          df.withColumn(s"s_$lang", expr(scoreSql("p", ms)))
+        }
+        withScores
+          .withColumn("srt", expr(
+            """reverse(array_sort(array(
+              |  named_struct('sc', s_en, 'lg', 'en'),
+              |  named_struct('sc', s_es, 'lg', 'es'),
+              |  named_struct('sc', s_de, 'lg', 'de'),
+              |  named_struct('sc', s_fr, 'lg', 'fr'))))""".stripMargin))
+          .select(col("doc_id"),
+            expr("srt[0].lg").as("top_lang"),
+            expr("srt[0].sc").as("top_score"),
+            expr("srt[1].lg").as("second_lang"),
+            expr("srt[1].sc").as("second_score"),
+            expr("CASE WHEN srt[0].sc > 0 AND srt[1].sc * 2 >= srt[0].sc THEN 1 ELSE 0 END")
+              .as("is_mixed"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val scores = markers.map { case (lang, ms) =>
+          s"${scoreSql("p", ms)} AS s_$lang" }.mkString(",\n       ")
+        s"""WITH sc AS (
+           |  SELECT doc_id, $scores
+           |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)),
+           |srt AS (
+           |  SELECT doc_id, list_reverse_sort([
+           |    struct_pack(sc := s_en, lg := 'en'), struct_pack(sc := s_es, lg := 'es'),
+           |    struct_pack(sc := s_de, lg := 'de'), struct_pack(sc := s_fr, lg := 'fr')]) AS l
+           |  FROM sc)
+           |SELECT doc_id, l[1].lg AS top_lang, l[1].sc AS top_score,
+           |       l[2].lg AS second_lang, l[2].sc AS second_score,
+           |       CASE WHEN l[1].sc > 0 AND l[2].sc * 2 >= l[1].sc THEN 1 ELSE 0 END AS is_mixed
+           |FROM srt ORDER BY doc_id""".stripMargin
+      }),
+
+    // ── Vocabulary head-coverage curve (tokenizer budget design) ──
+    QueryDef(
+      "q120_vocab_coverage",
+      (s, dir) => {
+        // The tokenizer-budget question: how much of the corpus's token
+        // mass do the top-K word types cover? The coverage curve (rank →
+        // cumulative share) is what fixes a vocab size — and flags
+        // template-rot (a handful of types covering half the corpus).
+        //
+        // 100 TB shape: one word-keyed partial+final count agg, then
+        // TakeOrdered caps the frame at VocabTopK rows BEFORE the rank
+        // window runs (q107's discipline — the window never sees the
+        // unbounded vocab, PlanSpec pins the limit under it); the corpus
+        // total rides in as a 1-row broadcast cross join.
+        val words = Tables.load(s, dir, "documents")
+          .select(explode(split(trim(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val wc = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+        val top = wc.orderBy(col("cnt").desc, col("w")).limit(VocabTopK)
+        val tot = words.agg(count(lit(1)).as("tot"))
+        val rk = Window.orderBy(col("cnt").desc, col("w"))
+        top.crossJoin(broadcast(tot))
+          .select(
+            row_number().over(rk).cast("long").as("rank"),
+            col("w"), col("cnt"),
+            (sum("cnt").over(rk.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              / col("tot")).as("cum_share"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH words AS (
+              |  SELECT w FROM (
+              |    SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+              |  WHERE w <> ''),
+              |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w),
+              |top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT $VocabTopK),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM words)
+              |SELECT CAST(row_number() OVER rk AS BIGINT) AS rank, w, cnt,
+              |       CAST(sum(cnt) OVER (rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              |         / tot AS cum_share
+              |FROM top, tot
+              |WINDOW rk AS (ORDER BY cnt DESC, w)
+              |ORDER BY rank""".stripMargin)),
 
     // ── Quality-threshold sweep: the cut-point selection curve ──
     QueryDef(

@@ -170,4 +170,28 @@ class IndexCliSpec extends AnyFunSuite {
       .mkString(",")
     assert(s === s"""{"mode":"search-pq","query":0,"k":5,"hits":[$want]}""")
   }
+
+  test("build-winnow → winnow-audit through the CLI == in-query q118") {
+    val base = tmp("winnow")
+    val idx = base.resolve("idx").toString
+    val b = Index.run(spark, List("build-winnow", sf, idx))
+    assert(b.contains(""""mode":"build-winnow""""), b)
+    val want = SparkEntry.queries("q118_winnow_pairs")(spark, sf).collect()
+    val a = Index.run(spark, List("winnow-audit", idx))
+    assert(a.contains(s""""pairs":${want.length}"""), a)
+    assert(a.contains(s""""max_shared":${want.map(_.getLong(2)).max}"""), a)
+    // Incremental: append half the corpus onto the other half's index →
+    // the audit still sees the identical pair count.
+    val standingDir = base.resolve("standing"); val batchDir = base.resolve("batch")
+    val docs = Tables.load(spark, sf, "documents")
+    docs.filter(col("doc_id") % 4 =!= 0)
+      .write.parquet(s"$standingDir/documents.parquet")
+    docs.filter(col("doc_id") % 4 === 0)
+      .write.parquet(s"$batchDir/documents.parquet")
+    val idx2 = base.resolve("idx2").toString
+    Index.run(spark, List("build-winnow", standingDir.toString, idx2))
+    Index.run(spark, List("append-winnow", batchDir.toString, idx2))
+    val a2 = Index.run(spark, List("winnow-audit", idx2))
+    assert(a2.contains(s""""pairs":${want.length}"""), a2)
+  }
 }

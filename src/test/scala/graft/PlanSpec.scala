@@ -557,6 +557,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 mixed-language flags are a pure narrow scan: no shuffle before the sort") {
+    assert(hashShuffleKeys("q119_mixed_lang").isEmpty,
+      "top-2 language ranking must be an in-row struct sort — zero corpus shuffle")
+    assert(collectAll("q119_mixed_lang") { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q120 coverage curve: the rank window runs over the top-K frame only") {
+    val wins = collectAll("q120_vocab_coverage") { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the rank/cumulative window")
+    wins.foreach { w =>
+      assert(w.find {
+        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+        case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+        case _ => false
+      }.nonEmpty, "rank window not bounded by the top-K limit")
+    }
+    hashShuffleKeys("q120_vocab_coverage").foreach { keys =>
+      assert(keys.subsetOf(Set("w", "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q116 random projection: weights broadcast; the corpus is a pure narrow scan") {
     assert(hashShuffleKeys("q116_random_projection").isEmpty,
       "projection must not shuffle the corpus — weights join by broadcast")

@@ -149,6 +149,29 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(pairRows(incr) === pairRows(full))
   }
 
+  test("winnow pairs over the persisted index == in-query q118; append == rebuild") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("winnow")
+    IndexStore.saveWinnowIndex(docs, path)
+    def pairRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a", "b").collect().map(_.toSeq.toList).toList
+    assert(pairRows(Dedup.winnowPairsFrom(IndexStore.loadWinnowBuckets(spark, path)))
+      === pairRows(Dedup.winnowPairs(docs)))
+    // The store-served audit never touches corpus text.
+    val plan = Dedup.winnowPairsFrom(IndexStore.loadWinnowBuckets(spark, path))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), plan)
+    assert(!plan.contains("split(trim("), plan)
+
+    // Incremental build lands on the identical audit-visible index.
+    val incr = tmp("winnow-incr")
+    IndexStore.saveWinnowIndex(docs.filter(col("doc_id") % 4 =!= 0), incr)
+    IndexStore.appendWinnowBatch(docs.filter(col("doc_id") % 4 === 0), incr)
+    def rows(p: String) = IndexStore.loadWinnowBuckets(spark, p)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+    assert(rows(incr) === rows(path))
+  }
+
   test("store-backed audit plan reads ONLY the bucket table, never corpus text") {
     val docs = Tables.load(spark, sf, "documents")
     val path = tmp("pairs-plan")
