@@ -1244,6 +1244,99 @@ object TextOps {
               |  FROM sc)
               |WHERE rk <= $RetrK ORDER BY qid, rk""".stripMargin)),
 
+    // ── Dataset card: the per-source release datasheet ──
+    QueryDef(
+      "q121_dataset_card",
+      (s, dir) => {
+        // The datasheet table a corpus release ships: per source — volume
+        // (docs/tokens), exact-dup fraction (content-hash distinct),
+        // mean quality (q27's formula, FIXED-POINT summed so the mean is
+        // partition-order-exact), and the language mix. One scan into a
+        // source-keyed partial+final aggregate; the content-hash distinct
+        // is the only second exchange ((source, h)-keyed, the standard
+        // two-phase count-distinct). Catalog-sized output.
+        val scored = Tables.load(s, dir, "documents")
+          .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
+          .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
+          .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+          .withColumn("stop_ratio",
+            expr(s"(${cntSql("p", " the ")} + ${cntSql("p", " a ")})") / col("n_words"))
+          .withColumn("score", expr(
+            "3.0e-1 * least(n_words / 1.0e2, 1.0e0) + 4.0e-1 * (1.0e0 - stop_ratio) + 3.0e-1 * least((n_alpha / n_words) / 8.0e0, 1.0e0)"))
+          // h named BEFORE the agg so the count-distinct exchange is keyed
+          // by (source, h) — raw text never enters an exchange (pin).
+          .withColumn("h", md5(col("text")))
+        scored
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_words").as("n_tokens"),
+            countDistinct(col("h")).as("distinct_contents"),
+            sum(expr("cast(floor(score * 1.0e6) AS bigint)")).as("qsum"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+            sum(when(col("lang") === "es", 1L).otherwise(0L)).as("n_es"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            (lit(1.0) - col("distinct_contents") / col("n_docs")).as("dup_frac"),
+            expr("cast(qsum AS double) / 1.0e6 / cast(n_docs AS double)").as("mean_quality"),
+            (col("n_en") / col("n_docs")).as("frac_en"),
+            (col("n_es") / col("n_docs")).as("frac_es"))
+          .orderBy("source")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT source, lang, text, n_words,
+              |         3.0e-1 * least(n_words / 1.0e2, 1.0e0)
+              |           + 4.0e-1 * (1.0e0 - (${cntSql("p", " the ")} + ${cntSql("p", " a ")}) / n_words)
+              |           + 3.0e-1 * least((n_alpha / n_words) / 8.0e0, 1.0e0) AS score
+              |  FROM (SELECT source, lang, text, ' ' || lower(text) || ' ' AS p,
+              |               len(string_split(trim(text), ' '))::BIGINT AS n_words,
+              |               length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS n_alpha
+              |        FROM documents))
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+              |       1.0e0 - CAST(count(DISTINCT md5(text)) AS BIGINT) / CAST(count(*) AS BIGINT) AS dup_frac,
+              |       CAST(sum(CAST(floor(score * 1.0e6) AS BIGINT)) AS DOUBLE) / 1.0e6
+              |         / CAST(count(*) AS DOUBLE) AS mean_quality,
+              |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+              |         / CAST(count(*) AS BIGINT) AS frac_en,
+              |       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+              |         / CAST(count(*) AS BIGINT) AS frac_es
+              |FROM scored GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Packing-efficiency audit (q51's QA twin) ──
+    QueryDef(
+      "q122_pack_efficiency",
+      (s, dir) => {
+        // Sequence packing ships bins; this audits them: per pack — docs,
+        // tokens, and fill fraction against the budget. Packs starting
+        // with an oversize doc show fill > 1 (the doc spans bins); a run
+        // of fill << 1 bins means the packer is fragmenting. Same
+        // √N-blocked prefix sum as q51 (its PlanSpec-pinned shape), then
+        // one pack_id-keyed partial+final agg — the audit adds no new
+        // corpus-wide exchange beyond the packer's own.
+        val Budget = 2048L
+        val t = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), " ")).cast("long").as("tokens"))
+        prefixSum(t)
+          .select(col("doc_id"), col("tokens"),
+            expr(s"(cum - tokens) div $Budget").as("pack_id"))
+          .groupBy("pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum("tokens").as("tokens"))
+          .withColumn("fill_frac", col("tokens") / lit(Budget))
+          .orderBy("pack_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, tokens,
+             |         CAST(sum(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM t)
+             |SELECT CAST((cum - tokens) // 2048 AS BIGINT) AS pack_id,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(tokens) AS BIGINT) AS tokens,
+             |       CAST(sum(tokens) AS BIGINT) / 2048 AS fill_frac
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ── Mixed-language detection: the language-purity flag ──
     QueryDef(
       "q119_mixed_lang",

@@ -579,6 +579,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q121 dataset card: source-keyed partials; the only extra exchange is the count-distinct") {
+    assert(collectAll("q121_dataset_card") { case w: WindowExec => w }.isEmpty)
+    val aggs = collectAll("q121_dataset_card") { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected partial + final hash aggregates")
+    hashShuffleKeys("q121_dataset_card").foreach { keys =>
+      assert(keys.subsetOf(Set("source", "h", "_groupingexpression")),
+        s"unexpected shuffle key (text must never enter an exchange): $keys")
+    }
+  }
+
+  test("q122 pack audit adds no corpus exchange beyond the blocked prefix sum") {
+    val wins = collectAll("q122_pack_efficiency") { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the per-block cumsum window")
+    // The per-block cumsum is keyed; the block-offset window is global
+    // BUT runs over the bounded (√N-row) block aggregate — q51's shape.
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty ||
+        w.find { case _: HashAggregateExec => true; case _ => false }.nonEmpty,
+        "unkeyed window not fed by the bounded block aggregate")
+    }
+    hashShuffleKeys("q122_pack_efficiency").foreach { keys =>
+      assert(keys.subsetOf(Set("block", "pack_id", "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q116 random projection: weights broadcast; the corpus is a pure narrow scan") {
     assert(hashShuffleKeys("q116_random_projection").isEmpty,
       "projection must not shuffle the corpus — weights join by broadcast")
