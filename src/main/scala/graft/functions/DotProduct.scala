@@ -100,6 +100,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinHash12].getName, "graft_minhash12"),
       (children: Seq[Expression]) => MinHash12(children.head))
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "graft_winnow"),
+      (children: Seq[Expression]) => WinnowFps(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
       (children: Seq[Expression]) => L2Normalize(children.head))

@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHash12].getName, "graft_minhash12"),
       (children: Seq[Expression]) => MinHash12(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "graft_winnow"),
+      (children: Seq[Expression]) => WinnowFps(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
       (children: Seq[Expression]) => L2Normalize(children.head)))

@@ -202,17 +202,25 @@ object Dedup {
     * happen inside the row's own arrays — zero shuffle. Docs with fewer
     * than WinnowW grams have no full window and are skipped (they are
     * below the detectable-run length by definition). */
-  def winnowFps(docs: DataFrame, n: Int = ShingleN, w: Int = WinnowW): DataFrame =
+  def winnowFps(docs: DataFrame, n: Int = ShingleN, w: Int = WinnowW): DataFrame = {
+    // The declarative twin (array_distinct over transform/array_min/slice
+    // of a gram-hash transform) re-hashed every gram PER WINDOW once
+    // CollapseProject inlined the hash array into the window lambda —
+    // higher-order functions are interpreted with no subexpression
+    // elimination inside lambdas, so indexing 5k docs cost 103 s
+    // (Stress `winnow`, r9). graft_winnow is the codegen'd form: one md5
+    // per gram, O(n) monotonic-deque window minima, same fingerprints
+    // bit-for-bit (the oracle's nibble fold pins it).
+    require(n == ShingleN && w == WinnowW,
+      s"graft_winnow is compiled for n=$ShingleN, w=$WinnowW")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= n + w - 1)
-      .withColumn("hs", expr(
-        s"""transform(sequence(0, size(w) - $n), i ->
-           |  cast(conv(substr(md5(concat_ws(' ', slice(w, i + 1, $n))), 1, 15), 16, 10) as bigint))""".stripMargin))
-      .withColumn("fps", expr(
-        s"array_distinct(transform(sequence(0, size(hs) - $w), i -> array_min(slice(hs, i + 1, $w))))"))
       .select(col("doc_id"),
-        (size(col("w")) - (n - 1)).cast("long").as("n_grams"), col("fps"))
+        (size(col("w")) - (n - 1)).cast("long").as("n_grams"),
+        call_function("graft_winnow", col("w")).as("fps"))
+  }
 
   /** Winnowed inverted index (fp, ds) — the q118 family's at-rest form:
     * same CappedSetAggregator discipline as `allBuckets`, over ~2/(W+1)
