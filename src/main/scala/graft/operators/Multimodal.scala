@@ -230,20 +230,24 @@ object Multimodal {
         // frame comparison is an array fold, so the corpus never leaves
         // its input partitioning.
         val Frame = 32; val ShotTau = 3
+        // Brightness evaluated PER INDEX inside the fold — never as a
+        // derived array referenced from the lambda: HOF lambdas are
+        // interpreted with no subexpression elimination, so an inlined
+        // `bs` array would re-evaluate ALL frames per fold step (the
+        // O(n²) winnow cliff, PERF.md r9). Scalar-per-index keeps the
+        // fold linear: two frame evaluations per adjacent pair.
+        def b(idx: String) =
+          s"""int(length(regexp_replace(substring(text, ($idx) * $Frame + 1, $Frame), '[^aeiou]', '')) * 16
+             |  div length(substring(text, ($idx) * $Frame + 1, $Frame)))""".stripMargin
         Tables.load(s, dir, "documents")
           .filter(length(col("text")) >= 1)
-          .select(col("doc_id"), expr(
-            s"""transform(
-               |  sequence(0, int(ceil(length(text) / $Frame.0)) - 1),
-               |  i -> int(length(regexp_replace(substring(text, i * $Frame + 1, $Frame), '[^aeiou]', '')) * 16
-               |         div length(substring(text, i * $Frame + 1, $Frame)))""".stripMargin + ")"
-          ).as("bs"))
+          .withColumn("nf", expr(s"int(ceil(length(text) / $Frame.0))"))
           .select(col("doc_id"),
-            size(col("bs")).cast("long").as("n_frames"),
+            col("nf").cast("long").as("n_frames"),
             expr(
-              s"""cast(1 + if(size(bs) < 2, 0,
-                 |  aggregate(sequence(1, size(bs) - 1), 0,
-                 |    (acc, i) -> acc + if(abs(bs[i] - bs[i-1]) >= $ShotTau, 1, 0))) as bigint)""".stripMargin
+              s"""cast(1 + if(nf < 2, 0,
+                 |  aggregate(sequence(1, nf - 1), 0,
+                 |    (acc, i) -> acc + if(abs(${b("i")} - ${b("i - 1")}) >= $ShotTau, 1, 0))) as bigint)""".stripMargin
             ).as("n_shots"))
           .withColumn("mean_shot_len", col("n_frames") / col("n_shots"))
           .orderBy("doc_id")
