@@ -1097,6 +1097,46 @@ object Dedup {
               |WHERE i.inter / z.bsz >= 4.0e-1
               |ORDER BY doc_id, bench_id""".stripMargin)),
 
+    // ── LSH candidate recall vs the exact pair truth (index QA) ──
+    QueryDef(
+      "q123_lsh_recall",
+      (s, dir) => {
+        // The index-quality scorecard behind every LSH deployment: of the
+        // pairs the exact df-capped index reports at τ (q22 — the truth
+        // the engine itself ships), what fraction does the banded MinHash
+        // bucketing (q23's candidate generator) surface, per Jaccard
+        // decile? The recall-vs-similarity curve is what calibrates
+        // bands×rows before anyone trusts the cheap path — the S-curve's
+        // knee must sit below τ, and a sagging high-similarity bucket
+        // means broken signatures, not tuning.
+        //
+        // 100 TB shape: both sides are the library's bounded pair
+        // machinery (df-capped inverted index; band-bucket equi-join) —
+        // no new corpus-wide work; the eval joins two pair tables on
+        // (a, b) and collapses to ≤ 10 decile rows.
+        val docs = Tables.load(s, dir, "documents")
+        val truth = jaccardPairs(docs)
+        val cand = lshCandidates(lshBands(minhashSignatures(docs)))
+          .withColumn("m", lit(1))
+        truth.join(cand, Seq("a", "b"), "left")
+          .groupBy(expr("cast(floor(jaccard * 10) as bigint)").as("j_bucket"))
+          .agg(count(lit(1)).as("n_truth"), count(col("m")).as("n_hit"))
+          .withColumn("recall", col("n_hit") / col("n_truth"))
+          .orderBy("j_bucket")
+      },
+      Some(s"""WITH $shingleCte,
+              |${jaccardPairsCtes()},
+              |$lshCtes,
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id)
+              |SELECT CAST(floor(j.jaccard * 10) AS BIGINT) AS j_bucket,
+              |       CAST(count(*) AS BIGINT) AS n_truth,
+              |       CAST(count(c.a) AS BIGINT) AS n_hit,
+              |       count(c.a) / count(*) AS recall
+              |FROM jp j LEFT JOIN cand c ON c.a = j.a AND c.b = j.b
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ── Winnowing fingerprints: per-doc selection stats ──
     QueryDef(
       "q117_winnow_fps",

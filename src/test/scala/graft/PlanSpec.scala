@@ -579,6 +579,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q123 recall eval joins two bounded pair tables — no product, no window") {
+    assert(collectAll("q123_lsh_recall") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll("q123_lsh_recall") { case w: WindowExec => w }.isEmpty)
+    val aggs = collectAll("q123_lsh_recall") { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected partial + final hash aggregates for the decile roll-up")
+  }
+
   test("q121 dataset card: source-keyed partials; the only extra exchange is the count-distinct") {
     assert(collectAll("q121_dataset_card") { case w: WindowExec => w }.isEmpty)
     val aggs = collectAll("q121_dataset_card") { case a: HashAggregateExec => a }
