@@ -165,6 +165,11 @@ object TextOps {
   /** q120: ranks reported on the head-coverage curve. */
   val VocabTopK = 50
 
+  /** q124: the global quality cut audited for per-language bias (as a
+    * Scala double for the Spark side; the oracle hardcodes the matching
+    * e-notation literal — plain 0.7 parses as DECIMAL in DuckDB). */
+  val BiasCut = 0.7
+
   /** q110 sparse retrieval: query set = docs 0..RetrQ-1, top RetrK corpus
     * hits per query. */
   val RetrQ = 10
@@ -1243,6 +1248,56 @@ object TextOps {
               |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) AS BIGINT) AS rk
               |  FROM sc)
               |WHERE rk <= $RetrK ORDER BY qid, rk""".stripMargin)),
+
+    // ── Filter-bias audit: who does the quality cut actually drop? ──
+    QueryDef(
+      "q124_filter_bias",
+      (s, dir) => {
+        // Quality heuristics encode their training language: a single
+        // global cut (the q113 sweep's chosen threshold) can silently
+        // gut one language while barely touching another — the
+        // documented multilingual-curation failure mode. Per language:
+        // volume, FIXED-POINT mean score (partition-order-exact), and
+        // the drop fraction at the global cut. A lang whose drop_frac
+        // sits far above the corpus-wide rate needs its own threshold
+        // (q60's per-lang median) or a fixed heuristic.
+        //
+        // 100 TB shape: one narrow scored scan into a lang-keyed
+        // partial+final agg — |langs| output rows, nothing else moves.
+        val scored = Tables.load(s, dir, "documents")
+          .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
+          .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
+          .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+          .withColumn("stop_ratio",
+            expr(s"(${cntSql("p", " the ")} + ${cntSql("p", " a ")})") / col("n_words"))
+          .withColumn("score", expr(
+            "3.0e-1 * least(n_words / 1.0e2, 1.0e0) + 4.0e-1 * (1.0e0 - stop_ratio) + 3.0e-1 * least((n_alpha / n_words) / 8.0e0, 1.0e0)"))
+        scored.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("cast(floor(score * 1.0e6) AS bigint)")).as("qsum"),
+            sum(when(col("score") < BiasCut, 1L).otherwise(0L)).as("n_dropped"))
+          .select(col("lang"), col("n_docs"),
+            expr("cast(qsum AS double) / 1.0e6 / cast(n_docs AS double)").as("mean_score"),
+            col("n_dropped"),
+            (col("n_dropped") / col("n_docs")).as("drop_frac"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT lang,
+              |         3.0e-1 * least(n_words / 1.0e2, 1.0e0)
+              |           + 4.0e-1 * (1.0e0 - (${cntSql("p", " the ")} + ${cntSql("p", " a ")}) / n_words)
+              |           + 3.0e-1 * least((n_alpha / n_words) / 8.0e0, 1.0e0) AS score
+              |  FROM (SELECT lang, ' ' || lower(text) || ' ' AS p,
+              |               len(string_split(trim(text), ' '))::BIGINT AS n_words,
+              |               length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS n_alpha
+              |        FROM documents))
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(CAST(floor(score * 1.0e6) AS BIGINT)) AS DOUBLE) / 1.0e6
+              |         / CAST(count(*) AS DOUBLE) AS mean_score,
+              |       CAST(sum(CASE WHEN score < 7.0e-1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+              |       CAST(sum(CASE WHEN score < 7.0e-1 THEN 1 ELSE 0 END) AS BIGINT)
+              |         / CAST(count(*) AS BIGINT) AS drop_frac
+              |FROM scored GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ── Dataset card: the per-source release datasheet ──
     QueryDef(

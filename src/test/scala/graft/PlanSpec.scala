@@ -579,6 +579,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q124 filter-bias audit is one lang-keyed partial+final agg") {
+    assert(collectAll("q124_filter_bias") { case w: WindowExec => w }.isEmpty)
+    val aggs = collectAll("q124_filter_bias") { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected partial + final hash aggregates")
+    hashShuffleKeys("q124_filter_bias").foreach { keys =>
+      assert(keys.subsetOf(Set("lang", "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q123 recall eval joins two bounded pair tables — no product, no window") {
     assert(collectAll("q123_lsh_recall") {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
