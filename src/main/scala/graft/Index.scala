@@ -22,6 +22,7 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index build-winnow <docsDir> <indexPath>"
   *   sbt "runMain graft.Index append-winnow <docsDir> <indexPath>"
   *   sbt "runMain graft.Index winnow-audit <indexPath> [--min-shared N]"
+  *   sbt "runMain graft.Index winnow-check <batchDocsDir> <indexPath> [--min-shared N]"
   *   sbt "runMain graft.Index append-pairs <docsDir> <indexPath>"
   *   sbt "runMain graft.Index audit      <indexPath> [--tau T] [--contain]"
   *   sbt "runMain graft.Index components <indexPath> [--tau T]"
@@ -159,6 +160,19 @@ object Index {
         val nb = IndexStore.loadWinnowBuckets(spark, path).count()
         s"""{"mode":"append-winnow","docs":$n,"buckets":$nb,"index":"$path"}"""
 
+      case "winnow-check" :: batchDir :: path :: rest =>
+        val minShared = rest.sliding(2)
+          .collectFirst { case List("--min-shared", v) => v.toInt }
+          .getOrElse(operators.Dedup.WinnowMinShared)
+        val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+        val n = batch.count()
+        val pairs = IndexStore.winnowAuditBatch(batch, path, minShared)
+        val stats = pairs
+          .agg(count(lit(1)).as("pairs"),
+            approx_count_distinct(col("b")).as("flagged"))
+          .head()
+        s"""{"mode":"winnow-check","batch":$n,"min_shared":$minShared,"pairs":${stats.getLong(0)},"flagged_batch_docs":${stats.getLong(1)}}"""
+
       case "winnow-audit" :: path :: rest =>
         val minShared = rest.sliding(2)
           .collectFirst { case List("--min-shared", v) => v.toInt }
@@ -249,7 +263,7 @@ object Index {
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|components|consolidate|build-registry|decontam ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|components|consolidate|build-registry|decontam ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

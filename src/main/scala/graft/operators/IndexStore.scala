@@ -223,6 +223,33 @@ object IndexStore {
     mergeCappedBuckets(Dedup.winnowAllBuckets(batch),
       s"$path/winnow/buckets", "fp")
 
+  /** Incremental winnow audit (the q80 discipline for the copy index):
+    * (standing doc `a`, batch doc `b`, shared) pairs where an incoming
+    * batch doc shares ≥ minShared selected fingerprints with a standing
+    * doc — WITHOUT re-pairing the standing corpus or touching its text.
+    * The batch side winnows in-memory and joins the persisted bucket
+    * table on fingerprint, so candidate volume scales with the BATCH
+    * (times the ≤MaxDf bucket fan-out), not with corpus². Batch-internal
+    * pairs are the caller's `winnowPairs(batch)` if wanted — this audit
+    * answers "what does the batch COPY from the standing corpus". */
+  def winnowAuditBatch(batch: DataFrame, path: String,
+      minShared: Int = Dedup.WinnowMinShared): DataFrame = {
+    val spark = batch.sparkSession
+    val bFps = Dedup.winnowFps(batch)
+      .select(col("doc_id").as("b"), explode(col("fps")).as("fp"))
+    // NOT loadWinnowBuckets: the [2, MaxDf] band is the PAIR-GEN view (a
+    // pair needs two docs in one bucket). For a batch audit a size-1
+    // standing bucket is fully informative — the batch doc IS the second
+    // occurrence. Only the over-cap markers (stop-fingerprints, decided
+    // by the STANDING corpus — the production-sane gate) are dropped.
+    spark.read.parquet(s"$path/winnow/buckets")
+      .filter(size(col("ds")) <= Dedup.MaxDf)
+      .select(col("fp"), explode(col("ds")).as("a"))
+      .join(bFps, Seq("fp"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   // ── Decontamination registry state (q105's standing-artifact form) ──
 
   /** Persist the q105 registry artifact: the distinct shingle table plus

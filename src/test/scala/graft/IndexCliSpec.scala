@@ -190,6 +190,12 @@ class IndexCliSpec extends AnyFunSuite {
       .write.parquet(s"$batchDir/documents.parquet")
     val idx2 = base.resolve("idx2").toString
     Index.run(spark, List("build-winnow", standingDir.toString, idx2))
+    val chk = Index.run(spark,
+      List("winnow-check", batchDir.toString, idx2))
+    val wantCross = graft.operators.IndexStore.winnowAuditBatch(
+      spark.read.parquet(s"$batchDir/documents.parquet"), idx2).count()
+    assert(chk.contains(s""""pairs":$wantCross"""), chk)
+    assert(wantCross > 0, "batch audit found no cross-partition dups")
     Index.run(spark, List("append-winnow", batchDir.toString, idx2))
     val a2 = Index.run(spark, List("winnow-audit", idx2))
     assert(a2.contains(s""""pairs":${want.length}"""), a2)

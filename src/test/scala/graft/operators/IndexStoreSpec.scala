@@ -172,6 +172,36 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(rows(incr) === rows(path))
   }
 
+  test("incremental winnow audit off the store == the direct standing-vs-batch twin") {
+    val docs = Tables.load(spark, sf, "documents")
+    val standing = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    val path = tmp("winnow-batch")
+    IndexStore.saveWinnowIndex(standing, path)
+    val audit = IndexStore.winnowAuditBatch(batch, path)
+    val got = audit.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // In-memory reference with the same standing-df stop-fingerprint gate.
+    val sFps = Dedup.winnowFps(standing)
+      .select(col("doc_id").as("a"), explode(col("fps")).as("fp"))
+    val good = sFps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Dedup.MaxDf).select("fp")
+    val bFps = Dedup.winnowFps(batch)
+      .select(col("doc_id").as("b"), explode(col("fps")).as("fp"))
+    val want = sFps.join(good, Seq("fp")).join(bFps, Seq("fp"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= Dedup.WinnowMinShared)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "no cross-partition planted dups — split choice broken")
+    // The standing corpus's TEXT is never re-read: the only documents scan
+    // in the audit plan is the batch's own.
+    // (logical plan — the physical string prints AQE initial+final twins)
+    val plan = audit.queryExecution.optimizedPlan.toString
+    val docScans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(docScans <= 1, s"standing text re-read: $docScans documents scans\n$plan")
+  }
+
   test("store-backed audit plan reads ONLY the bucket table, never corpus text") {
     val docs = Tables.load(spark, sf, "documents")
     val path = tmp("pairs-plan")
