@@ -534,7 +534,20 @@ object Stress {
       }.min
       val pairs = operators.Dedup.winnowPairsFrom(
         operators.IndexStore.loadWinnowBuckets(spark, idxW)).count()
-      println(f"""{"mode":"winnow","corpus":"$tag","n":$n,"winnow_postings":$postW,"shingle_postings":$postP,"postings_ratio":${postW.toDouble / postP}%.3f,"winnow_bytes":${bytesUnder(idxW)},"pair_bytes":${bytesUnder(idxP)},"build_winnow_sec":$buildW%.1f,"build_pairs_sec":$buildP%.1f,"audit_sec_min3":$audit%.2f,"pairs":$pairs}""")
+      // Fixed batch (the sf corpus's %4 quarter, re-keyed disjoint) audited
+      // against BOTH standing-corpus sizes: per-batch cost must track the
+      // batch, not the standing corpus (the incdedup discipline).
+      val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 4 === 0)
+        .withColumn("doc_id", -col("doc_id") - 1)
+      val batchAudit = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        operators.IndexStore.winnowAuditBatch(batch, idxW)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t) / 1e9
+      }.min
+      val batchPairs = operators.IndexStore.winnowAuditBatch(batch, idxW).count()
+      println(f"""{"mode":"winnow","corpus":"$tag","n":$n,"winnow_postings":$postW,"shingle_postings":$postP,"postings_ratio":${postW.toDouble / postP}%.3f,"winnow_bytes":${bytesUnder(idxW)},"pair_bytes":${bytesUnder(idxP)},"build_winnow_sec":$buildW%.1f,"build_pairs_sec":$buildP%.1f,"audit_sec_min3":$audit%.2f,"pairs":$pairs,"batch_audit_sec_min3":$batchAudit%.2f,"batch_pairs":$batchPairs}""")
     }
   }
 
