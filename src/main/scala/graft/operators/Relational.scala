@@ -485,7 +485,41 @@ object Relational {
              |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
              |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
              |  count(*) FILTER (o_orderstatus = 'P') AS n_p
-             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── Table profile: the DESCRIBE/ANALYZE summary every warehouse ships ──
+    QueryDef(
+      "q126_table_profile",
+      (s, dir) => {
+        // Column-level profiling of `documents` in ONE pass: per column —
+        // null count, exact distinct count, and for the numeric column
+        // min/max/sum. The first thing a data engineer runs on an unknown
+        // table, and the freshness/health row a catalog UI shows. Exact
+        // distincts expand to the standard two-phase count-distinct; all
+        // other measures ride the same partial+final aggregate. Output is
+        // ONE row — nothing corpus-sized ever returns.
+        Tables.load(s, dir, "documents")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+            countDistinct(col("lang")).as("d_lang"),
+            countDistinct(col("source")).as("d_source"),
+            countDistinct(col("doc_id")).as("d_doc_id"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            sum(col("n_chars")).as("sum_chars"))
+          .withColumn("pk_unique",
+            when(col("d_doc_id") === col("n_rows"), 1).otherwise(0))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+             |       CAST(count(DISTINCT lang) AS BIGINT) AS d_lang,
+             |       CAST(count(DISTINCT source) AS BIGINT) AS d_source,
+             |       CAST(count(DISTINCT doc_id) AS BIGINT) AS d_doc_id,
+             |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+             |       CAST(max(n_chars) AS BIGINT) AS max_chars,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       CASE WHEN count(DISTINCT doc_id) = count(*) THEN 1 ELSE 0 END AS pk_unique
+             |FROM documents""".stripMargin))
   )
 
   /** EP3 flagship: inner equi-join view + pushed-down substring/threshold/

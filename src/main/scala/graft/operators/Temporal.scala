@@ -493,6 +493,39 @@ object Temporal {
               |       CAST(sum(CASE WHEN gap IS NOT NULL AND gap < $DebounceGapUs
               |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
               |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+,
+    // ── Ingestion-completeness audit: day gaps per event type ──
+    QueryDef(
+      "q125_ingest_gaps",
+      (s, dir) => {
+        // The "did the feed skip a day" monitor: per (event_type, day),
+        // arrival counts plus the gap to the type's PREVIOUS active day —
+        // gap_days > 1 marks a hole (a dead upstream, a dropped
+        // partition) that silently biases any time-sliced training mix.
+        //
+        // 100 TB shape: the corpus collapses FIRST to the types × days
+        // partial+final aggregate; the lag window runs over THAT bounded
+        // frame keyed by type (the q109 agg-under-window shape, PlanSpec
+        // pin). Day is epoch-derived integer arithmetic — portable, no
+        // timestamp emitted.
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily.select(col("event_type"), col("day"), col("c"),
+            (col("day") - lag("day", 1).over(w)).as("gap_days"))
+          .withColumn("is_gap",
+            when(col("gap_days").isNotNull && col("gap_days") > 1, 1).otherwise(0))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, day, c,
+             |       day - lag(day) OVER (PARTITION BY event_type ORDER BY day) AS gap_days,
+             |       CASE WHEN day - lag(day) OVER (PARTITION BY event_type ORDER BY day) > 1
+             |            THEN 1 ELSE 0 END AS is_gap
+             |FROM daily ORDER BY event_type, day""".stripMargin))
   )
 
   /** Bounded-state approximate quantiles per group, at arbitrary ranks:

@@ -579,6 +579,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q125 gap audit: the lag window runs over the types×days aggregate, never raw events") {
+    val wins = collectAll("q125_ingest_gaps") { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the per-type lag window")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "unkeyed window")
+      assert(w.find { case _: HashAggregateExec => true; case _ => false }.nonEmpty,
+        "window input is not the aggregated daily frame")
+    }
+    hashShuffleKeys("q125_ingest_gaps").foreach { keys =>
+      assert(keys.subsetOf(Set("event_type", "day", "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q126 table profile: one-pass aggregate, no window, no join") {
+    assert(collectAll("q126_table_profile") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q126_table_profile") { case j: SortMergeJoinExec => j }.isEmpty)
+    val aggs = collectAll("q126_table_profile") { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected partial + final aggregates")
+  }
+
   test("q124 filter-bias audit is one lang-keyed partial+final agg") {
     assert(collectAll("q124_filter_bias") { case w: WindowExec => w }.isEmpty)
     val aggs = collectAll("q124_filter_bias") { case a: HashAggregateExec => a }
