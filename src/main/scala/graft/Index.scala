@@ -167,9 +167,11 @@ object Index {
         val batch = spark.read.parquet(s"$batchDir/documents.parquet")
         val n = batch.count()
         val pairs = IndexStore.winnowAuditBatch(batch, path, minShared)
+        // countDistinct, not approx_count_distinct: these audit JSONs read as
+        // exact tallies and the pair sets are audit-sized (ADVICE r9).
         val stats = pairs
           .agg(count(lit(1)).as("pairs"),
-            approx_count_distinct(col("b")).as("flagged"))
+            countDistinct(col("b")).as("flagged"))
           .head()
         s"""{"mode":"winnow-check","batch":$n,"min_shared":$minShared,"pairs":${stats.getLong(0)},"flagged_batch_docs":${stats.getLong(1)}}"""
 
@@ -181,7 +183,7 @@ object Index {
           IndexStore.loadWinnowBuckets(spark, path), minShared)
         val stats = pairs
           .agg(count(lit(1)).as("pairs"),
-            approx_count_distinct(col("b")).as("dup_docs"),
+            countDistinct(col("b")).as("dup_docs"),
             coalesce(max("shared"), lit(0L)).as("max_shared"))
           .head()
         s"""{"mode":"winnow-audit","min_shared":$minShared,"pairs":${stats.getLong(0)},"dup_docs":${stats.getLong(1)},"max_shared":${stats.getLong(2)}}"""
@@ -196,7 +198,7 @@ object Index {
           else operators.Dedup.jaccardPairsFrom(buckets, tau)
         val stats = pairs
           .agg(count(lit(1)).as("pairs"),
-            approx_count_distinct(col("b")).as("dup_docs"),
+            countDistinct(col("b")).as("dup_docs"),
             coalesce(max("jaccard"), lit(0.0)).as("max_j"))
           .head()
         s"""{"mode":"audit","metric":"${if (contain) "containment" else "jaccard"}","tau":$tau,"pairs":${stats.getLong(0)},"dup_docs":${stats.getLong(1)},"max_jaccard":${stats.getDouble(2)}}"""

@@ -48,6 +48,14 @@ object Tables {
     *   - `ts_ns` — exact epoch nanos (bigint), used for all comparisons so
     *     Spark-side semantics match an engine (DuckDB) that keeps full nanos;
     *   - `ts`   — TimestampType (micros precision) for calendar ops.
+    *
+    * CONTRACT: `ts_ns >= 0` (post-1970 instants). Every day/hour/gap bucket
+    * downstream pairs Spark `div` (truncates toward zero) with DuckDB `//`
+    * (floors) — identical ONLY on non-negative operands; a pre-1970
+    * timestamp would silently bucket one day apart between engines
+    * (ADVICE r9 on q115/q125). TablesSpec pins min(ts_ns) >= 0 on the
+    * on-disk generation so a testdata regeneration that violates the
+    * assumption fails a named spec instead of a hash compare.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",

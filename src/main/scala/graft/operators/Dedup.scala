@@ -201,8 +201,15 @@ object Dedup {
     * Pure narrow per-row compute: hashing, windowing, and set-dedup all
     * happen inside the row's own arrays — zero shuffle. Docs with fewer
     * than WinnowW grams have no full window and are skipped (they are
-    * below the detectable-run length by definition). */
-  def winnowFps(docs: DataFrame, n: Int = ShingleN, w: Int = WinnowW): DataFrame = {
+    * below the detectable-run length by definition).
+    *
+    * Gram length and window width are the compile-time constants ShingleN /
+    * WinnowW baked into the codegen'd `graft_winnow` expression — not
+    * parameters: the r9 API took (n, w) arguments but a runtime `require`
+    * rejected every non-default value, a misleading surface that failed only
+    * at call time (ADVICE r9). Changing the winnow geometry means changing
+    * the constants and re-deriving the oracle CTEs with them. */
+  def winnowFps(docs: DataFrame): DataFrame = {
     // The declarative twin (array_distinct over transform/array_min/slice
     // of a gram-hash transform) re-hashed every gram PER WINDOW once
     // CollapseProject inlined the hash array into the window lambda —
@@ -211,14 +218,12 @@ object Dedup {
     // (Stress `winnow`, r9). graft_winnow is the codegen'd form: one md5
     // per gram, O(n) monotonic-deque window minima, same fingerprints
     // bit-for-bit (the oracle's nibble fold pins it).
-    require(n == ShingleN && w == WinnowW,
-      s"graft_winnow is compiled for n=$ShingleN, w=$WinnowW")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-      .filter(size(col("w")) >= n + w - 1)
+      .filter(size(col("w")) >= ShingleN + WinnowW - 1)
       .select(col("doc_id"),
-        (size(col("w")) - (n - 1)).cast("long").as("n_grams"),
+        (size(col("w")) - (ShingleN - 1)).cast("long").as("n_grams"),
         call_function("graft_winnow", col("w")).as("fps"))
   }
 
@@ -1767,7 +1772,92 @@ object Dedup {
               |FROM sh JOIN reg USING (s)
               |WHERE doc_id % 4 != 0
               |GROUP BY doc_id HAVING count(*) >= $ContamK
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ── Persisted pair index, end-to-end: build → load → mine pairs ──
+    QueryDef(
+      "q127_pairs_from_store",
+      (s, dir) => {
+        // The PRODUCTION form of q22, oracle-graded end-to-end (VERDICT r9
+        // #1): build the df-capped inverted index into a scratch store
+        // (`IndexStore.savePairIndex` — the one corpus shuffle, paid at
+        // index-build time), then answer the pair query from the PERSISTED
+        // bucket table alone. Same oracle SQL as q22, so a green row here
+        // proves store-served pairs equal freshly-mined pairs through the
+        // independent engine — not just through the scalatest bit-identity
+        // pin (IndexStoreSpec). At 100 TB this split is the whole point:
+        // the index builds once per corpus version; every audit after
+        // starts from the bucket scan and never re-shingles text.
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-q127-store").toString
+        IndexStore.savePairIndex(Tables.load(s, dir, "documents"), scratch)
+        jaccardPairsFrom(IndexStore.loadPairBuckets(s, scratch))
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $shingleCte,
+              |${jaccardPairsCtes()}
+              |SELECT a, b, inter, jaccard FROM jp ORDER BY a, b""".stripMargin)),
+
+    // ── Persisted pair index → provenance consolidation (q102's twin) ──
+    QueryDef(
+      "q128_consolidate_from_store",
+      (s, dir) => {
+        // q102's production form, oracle-graded end-to-end: pair graph
+        // read from the PERSISTED df-capped index (skipping the shingle
+        // mining that is ~95% of the in-query cost — PERF.md
+        // `consolidate`), components + provenance merge on top. Same
+        // oracle SQL as q102: a green row proves the full
+        // build→persist→load→consolidate path against the independent
+        // engine. The corpus text is touched exactly twice ever: once by
+        // the index build, once by the doc_id-keyed metadata join.
+        val docs = Tables.load(s, dir, "documents")
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-q128-store").toString
+        IndexStore.savePairIndex(docs, scratch)
+        consolidateFrom(IndexStore.loadPairBuckets(s, scratch), docs)
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |${jaccardPairsCtes()},
+              |sym AS (SELECT a, b FROM jp UNION ALL SELECT b, a FROM jp),
+              |reach(v, r) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b),
+              |comp AS (SELECT v, min(r) AS lbl FROM reach GROUP BY v)
+              |SELECT comp.lbl AS component,
+              |       CAST(count(*) AS BIGINT) AS n_members,
+              |       CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+              |       array_to_string(list_sort(list(DISTINCT d.source)), ',') AS sources,
+              |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+              |FROM comp JOIN documents d ON d.doc_id = comp.v
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── Persisted winnow index, end-to-end: build → load → copy pairs ──
+    QueryDef(
+      "q129_winnow_pairs_from_store",
+      (s, dir) => {
+        // q118's production form, oracle-graded end-to-end: winnowed
+        // fingerprint index built into a scratch store
+        // (`IndexStore.saveWinnowIndex`), copy-pair candidates answered
+        // from the persisted buckets. Same oracle SQL as q118 — the
+        // independent engine re-derives every fingerprint from text, so a
+        // hash match proves the store round-trip loses nothing.
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-q129-store").toString
+        IndexStore.saveWinnowIndex(Tables.load(s, dir, "documents"), scratch)
+        winnowPairsFrom(IndexStore.loadWinnowBuckets(s, scratch))
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $winnowCtes,
+              |fpx AS (SELECT doc_id, unnest(fps) AS fp FROM wf),
+              |good AS (
+              |  SELECT fp FROM (SELECT fp, count(*) AS df FROM fpx GROUP BY fp)
+              |  WHERE df >= 2 AND df <= $MaxDf),
+              |f2 AS (SELECT doc_id, fp FROM fpx JOIN good USING (fp))
+              |SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+              |FROM f2 x JOIN f2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
+              |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+              |ORDER BY a, b""".stripMargin))
   )
 
 }

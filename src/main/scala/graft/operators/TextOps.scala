@@ -1455,13 +1455,17 @@ object TextOps {
         // TakeOrdered caps the frame at VocabTopK rows BEFORE the rank
         // window runs (q107's discipline — the window never sees the
         // unbounded vocab, PlanSpec pins the limit under it); the corpus
-        // total rides in as a 1-row broadcast cross join.
+        // total rides in as a 1-row broadcast cross join. The total is
+        // sum(cnt) over the ALREADY-aggregated vocab frame, so the word
+        // stream is scanned once and the wc exchange is reused for both
+        // branches (ADVICE r9 flagged the old re-aggregation of raw
+        // words as a second corpus-wide pass).
         val words = Tables.load(s, dir, "documents")
           .select(explode(split(trim(col("text")), " ")).as("w"))
           .filter(col("w") =!= "")
         val wc = words.groupBy("w").agg(count(lit(1)).as("cnt"))
         val top = wc.orderBy(col("cnt").desc, col("w")).limit(VocabTopK)
-        val tot = words.agg(count(lit(1)).as("tot"))
+        val tot = wc.agg(sum("cnt").as("tot"))
         val rk = Window.orderBy(col("cnt").desc, col("w"))
         top.crossJoin(broadcast(tot))
           .select(
@@ -1477,7 +1481,7 @@ object TextOps {
               |  WHERE w <> ''),
               |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w),
               |top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT $VocabTopK),
-              |tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM words)
+              |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM wc)
               |SELECT CAST(row_number() OVER rk AS BIGINT) AS rank, w, cnt,
               |       CAST(sum(cnt) OVER (rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
               |         / tot AS cum_share

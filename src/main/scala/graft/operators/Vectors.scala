@@ -862,7 +862,55 @@ object Vectors {
         s"""SELECT vec_id, label,
            |  ${(0 until ProjD).map(proj).mkString(",\n  ")}
            |FROM embeddings ORDER BY vec_id""".stripMargin
-      })
+      }),
+
+    // ── Persisted PQ index, end-to-end: build → load → ADC search ──
+    QueryDef(
+      "q130_pq_ann_from_store",
+      (s, dir) => {
+        // q88's production form, oracle-graded end-to-end (VERDICT r9 #1):
+        // codebook + 4-bit codes persisted into a scratch store
+        // (`IndexStore.savePqIndex`), the ADC scan + exact re-rank answered
+        // by `searchPq` from the persisted codes alone. Same oracle SQL as
+        // q88 — the independent engine re-derives codebook, codes, and
+        // reconstructions from the raw vectors, so a hash match proves the
+        // store round-trip (including the positions-array decode) is exact.
+        // At 100 TB the split is the memory ladder's point: ~4 B/vector of
+        // codes at rest; only PqRerank exact vectors ever re-read.
+        val emb = withNormalized(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("en"))
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-q130-store").toString
+        IndexStore.savePqIndex(emb, scratch)
+        IndexStore.searchPq(emb, scratch, queryVecId = 0L, k = 5)
+      },
+      Some(s"""WITH $normCte,
+              |par AS (SELECT greatest(CAST(1 AS BIGINT), count(*) // $PqK) AS step FROM vn),
+              |cbl AS (
+              |  SELECT list_sort(list(struct_pack(s := s, cid := cid, cn := cn))) AS cb FROM (
+              |    SELECT s, vec_id AS cid,
+              |           en[CAST(s * sub + 1 AS INT) : CAST(s * sub + sub AS INT)] AS cn
+              |    FROM (SELECT vec_id, en, len(en) // $PqM AS sub, unnest(range(0, $PqM)) AS s
+              |          FROM vn, par WHERE vec_id % step = 0))),
+              |coded AS (
+              |  SELECT vec_id,
+              |         flatten([(list_sort([struct_pack(
+              |             d := ${dotSql("c.cn", "c.cn")}
+              |                  - 2.0e0 * list_reduce(
+              |                      [en[CAST(s * (len(en) // $PqM) + i AS INT)] * c.cn[i]
+              |                       for i in range(1, len(c.cn) + 1)], (x, y) -> x + y),
+              |             cid := c.cid, cn := c.cn)
+              |           for c in cb if c.s = s])[1]).cn
+              |          for s in range(0, $PqM)]) AS rx
+              |  FROM vn, cbl),
+              |qd AS (SELECT en AS qn FROM vn WHERE vec_id = 0),
+              |cand AS (
+              |  SELECT vec_id, ${dotSql("rx", "qn")} AS asim
+              |  FROM coded, qd WHERE vec_id <> 0
+              |  ORDER BY asim DESC, vec_id LIMIT $PqRerank)
+              |SELECT t.vec_id, ${dotSql("x.en", "qn")} AS sim
+              |FROM cand t JOIN vn x ON x.vec_id = t.vec_id, qd
+              |ORDER BY sim DESC, t.vec_id LIMIT 5""".stripMargin))
   )
 
   /** q88's PQ codebook as a broadcast 1-row frame `cb`: for each of the

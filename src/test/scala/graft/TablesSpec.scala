@@ -25,6 +25,17 @@ class TablesSpec extends AnyFunSuite {
     assert(ev.filter(col("ts_ns").isNull || col("ts").isNull).count() === 0L)
   }
 
+  test("events epochs are non-negative (div-vs-floor bucket contract)") {
+    // Day/hour/gap buckets pair Spark `div` (truncates toward zero) with
+    // DuckDB `//` (floors) — identical only for ts_ns >= 0. A testdata
+    // regeneration with pre-1970 instants must fail HERE, by name, rather
+    // than as an off-by-one-day hash mismatch in q115/q125 (ADVICE r9).
+    val minNs = Tables.events(spark, dir).agg(min("ts_ns")).head().getLong(0)
+    assert(minNs >= 0L,
+      s"events.ts_ns has pre-1970 instants (min=$minNs): div/floor bucketing " +
+        "diverges between Spark and DuckDB on negative epochs")
+  }
+
   test("events handles the bigint-ts generation (nanos read shape) identically") {
     // Stage an events.parquet whose ts is a raw int64 — byte-for-byte what a
     // TIMESTAMP(NANOS) file looks like to a nanosAsLong session. Include a
