@@ -173,7 +173,12 @@ object Index {
           .agg(count(lit(1)).as("pairs"),
             countDistinct(col("b")).as("flagged"))
           .head()
-        s"""{"mode":"winnow-check","batch":$n,"min_shared":$minShared,"pairs":${stats.getLong(0)},"flagged_batch_docs":${stats.getLong(1)}}"""
+        // The audit names its own blind-spot rate (VERDICT r9 #4): the
+        // fraction of the batch's fingerprint hits that landed on stop
+        // markers and so produced NO pair evidence. A growing saturation
+        // means the index is going blind on exactly the most-copied runs.
+        val sat = IndexStore.winnowBatchSaturation(batch, path).head()
+        s"""{"mode":"winnow-check","batch":$n,"min_shared":$minShared,"pairs":${stats.getLong(0)},"flagged_batch_docs":${stats.getLong(1)},"fp_hits":${sat.getLong(0)},"stop_fp_hits":${sat.getLong(1)},"saturation":${sat.getDouble(2)}}"""
 
       case "winnow-audit" :: path :: rest =>
         val minShared = rest.sliding(2)
@@ -186,7 +191,8 @@ object Index {
             countDistinct(col("b")).as("dup_docs"),
             coalesce(max("shared"), lit(0L)).as("max_shared"))
           .head()
-        s"""{"mode":"winnow-audit","min_shared":$minShared,"pairs":${stats.getLong(0)},"dup_docs":${stats.getLong(1)},"max_shared":${stats.getLong(2)}}"""
+        val sat = IndexStore.winnowIndexSaturation(spark, path).head()
+        s"""{"mode":"winnow-audit","min_shared":$minShared,"pairs":${stats.getLong(0)},"dup_docs":${stats.getLong(1)},"max_shared":${stats.getLong(2)},"total_buckets":${sat.getLong(0)},"stop_buckets":${sat.getLong(1)},"saturation":${sat.getDouble(2)}}"""
 
       case "audit" :: path :: rest =>
         val contain = rest.contains("--contain")

@@ -250,6 +250,47 @@ object IndexStore {
       .filter(col("shared") >= minShared)
   }
 
+  /** The winnow audit's own blind-spot meter (VERDICT r9 #4): of the
+    * batch's fingerprint hits against the standing index, what fraction
+    * landed on over-cap STOP markers — hits `winnowAuditBatch` must drop,
+    * so they produce no pair evidence? As the standing index grows,
+    * popular runs cross MaxDf and the audit silently loses recall on
+    * exactly the most-copied content; the r9 winnow stress measured
+    * batch_pairs falling 5,427→1,877 at a 10× standing index for this
+    * reason. A production audit must REPORT that rate, not hide it.
+    * One row: (fp_hits, stop_fp_hits, saturation). Counting unit = one
+    * (batch doc, fingerprint) match against a standing bucket of any
+    * size — the same unit whose non-stop subset feeds the pair counts. */
+  def winnowBatchSaturation(batch: DataFrame, path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val bFps = Dedup.winnowFps(batch).select(explode(col("fps")).as("fp"))
+    spark.read.parquet(s"$path/winnow/buckets")
+      .select(col("fp"),
+        when(size(col("ds")) > Dedup.MaxDf, 1L).otherwise(0L).as("is_stop"))
+      .join(bFps, Seq("fp"))
+      .agg(count(lit(1)).as("fp_hits"),
+        coalesce(sum(col("is_stop")), lit(0L)).as("stop_fp_hits"))
+      .select(col("fp_hits"), col("stop_fp_hits"),
+        when(col("fp_hits") === 0L, lit(0.0))
+          .otherwise(col("stop_fp_hits").cast("double") / col("fp_hits"))
+          .as("saturation"))
+  }
+
+  /** Index-level saturation for the standing winnow store: the fraction
+    * of stored buckets that have crossed into stop markers (|ds| >
+    * MaxDf) — the at-rest twin of `winnowBatchSaturation`'s per-batch
+    * hit-weighted rate. One row: (total_buckets, stop_buckets,
+    * saturation). */
+  def winnowIndexSaturation(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/winnow/buckets")
+      .agg(count(lit(1)).as("total_buckets"),
+        coalesce(sum(when(size(col("ds")) > Dedup.MaxDf, 1L).otherwise(0L)),
+          lit(0L)).as("stop_buckets"))
+      .select(col("total_buckets"), col("stop_buckets"),
+        when(col("total_buckets") === 0L, lit(0.0))
+          .otherwise(col("stop_buckets").cast("double") / col("total_buckets"))
+          .as("saturation"))
+
   // ── Decontamination registry state (q105's standing-artifact form) ──
 
   /** Persist the q105 registry artifact: the distinct shingle table plus

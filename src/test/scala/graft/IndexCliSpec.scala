@@ -200,4 +200,56 @@ class IndexCliSpec extends AnyFunSuite {
     val a2 = Index.run(spark, List("winnow-audit", idx2))
     assert(a2.contains(s""""pairs":${want.length}"""), a2)
   }
+
+  test("winnow saturation names the audit's blind-spot rate (VERDICT r9 #4)") {
+    import spark.implicits._
+    // 60 identical "popular" docs push every one of their fingerprints past
+    // MaxDf(=50) into stop markers; 2 identical "rare" docs stay in the
+    // informative band. A batch copying BOTH texts then hits stop buckets
+    // with its popular fps (evidence the audit must DROP) and informative
+    // buckets with its rare fps (evidence it keeps).
+    val popular = (1 to 12).map(i => s"pop$i").mkString(" ")
+    val rare = (1 to 15).map(i => s"rare$i").mkString(" ")
+    val standing = ((1L to 60L).map(i => (i, popular)) ++
+      Seq((101L, rare), (102L, rare))).toDF("doc_id", "text")
+    val batch = Seq((1001L, popular), (1002L, rare)).toDF("doc_id", "text")
+
+    val base = tmp("winnow-sat")
+    val idx = base.resolve("idx").toString
+    graft.operators.IndexStore.saveWinnowIndex(standing, idx)
+
+    // Per-batch hit-weighted saturation: popular fps all land on stop
+    // markers, rare fps all land on size-2 buckets — saturation strictly
+    // between 0 and 1, and exactly kPop / (kPop + kRare).
+    val kPop = graft.operators.Dedup.winnowFps(batch.filter($"doc_id" === 1001L))
+      .select(explode($"fps")).count()
+    val kRare = graft.operators.Dedup.winnowFps(batch.filter($"doc_id" === 1002L))
+      .select(explode($"fps")).count()
+    val sat = graft.operators.IndexStore.winnowBatchSaturation(batch, idx).head()
+    assert(sat.getLong(0) === kPop + kRare)
+    assert(sat.getLong(1) === kPop)
+    assert(sat.getDouble(2) === kPop.toDouble / (kPop + kRare))
+    assert(sat.getDouble(2) > 0.0 && sat.getDouble(2) < 1.0)
+
+    // The dropped evidence is real: the popular batch doc (a verbatim copy
+    // of 60 standing docs!) is invisible to the pair audit; only the rare
+    // copy is flagged, against both rare standing docs.
+    val pairs = graft.operators.IndexStore.winnowAuditBatch(batch, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((101L, 1002L), (102L, 1002L)))
+
+    // Both CLI audits surface the rate by name.
+    val batchDir = base.resolve("batch")
+    batch.write.parquet(s"$batchDir/documents.parquet")
+    val chk = Index.run(spark, List("winnow-check", batchDir.toString, idx))
+    assert(chk.contains(s""""stop_fp_hits":$kPop"""), chk)
+    assert(chk.contains(""""saturation":0."""), chk)
+    val aud = Index.run(spark, List("winnow-audit", idx))
+    assert(aud.contains(""""stop_buckets":"""), aud)
+    assert(aud.contains(""""saturation":0."""), aud)
+    // Index-level rate: popular buckets are stop, rare buckets are not.
+    val isat = graft.operators.IndexStore.winnowIndexSaturation(spark, idx).head()
+    assert(isat.getLong(1) > 0L && isat.getLong(1) < isat.getLong(0))
+    assert(isat.getDouble(2) > 0.0 && isat.getDouble(2) < 1.0)
+  }
 }
