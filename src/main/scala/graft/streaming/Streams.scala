@@ -23,7 +23,12 @@ object Streams {
     * files land later), the stream starts with the NANOS-generation shape
     * (`ts` as raw nanos bigint; the `ts_ns` normalization branch handles
     * it). Once a file exists, the schema is inferred from its footer and
-    * this val is not consulted. */
+    * this val is not consulted. Because this is a GUESS, the fallback path
+    * adds a per-row plausibility check that fails the query loudly if the
+    * first landed file turns out to be the MICROS generation (whose int64
+    * micros would otherwise read silently as 1000×-off "nanos") — see
+    * readEventsStream; StreamsSpec pins both the failure and the clean
+    * nanos case. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -42,14 +47,14 @@ object Streams {
     // `spark.read.parquet(dir)` would list the directory and read footers
     // across it — a driver stall on a 100k-file lake directory. No matching
     // file yet → eventsSchema fallback (stream may start before data lands).
-    val fileSchema = {
+    val (fileSchema, usedFallback) = {
       val base = new org.apache.hadoop.fs.Path(dir)
       val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
       val hits =
         if (fs.exists(base)) fs.globStatus(new org.apache.hadoop.fs.Path(base, glob))
         else null
-      if (hits == null || hits.isEmpty) eventsSchema
-      else spark.read.parquet(hits.head.getPath.toString).schema
+      if (hits == null || hits.isEmpty) (eventsSchema, true)
+      else (spark.read.parquet(hits.head.getPath.toString).schema, false)
     }
     // File-stream sources need a directory basePath; events.parquet is a
     // single file in the testdata, so stream the dir with a glob filter.
@@ -57,10 +62,36 @@ object Streams {
     // (the multi-batch path StreamsSpec drives for sessionize).
     val rd = spark.readStream.schema(fileSchema).option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => rd.option("maxFilesPerTrigger", n))
+    val raw = rd.parquet(dir)
+    // Fallback-generation guard (VERDICT r9 #5): when the stream started on
+    // an EMPTY dir, eventsSchema GUESSED the nanos generation. If the first
+    // file to land is actually the MICROS generation, its int64 micros read
+    // silently under the bigint schema as "nanos" — every instant 1000×
+    // too early, no error anywhere (measured: a TIMESTAMP_MICROS file
+    // yields ts=1.7e15 under the fallback; a genuine NANOS file 1.7e18).
+    // So the fallback path carries a per-row plausibility check that fails
+    // the query LOUDLY on first contact: genuine nanos for any instant
+    // after 1973-03 exceed 1e17, while micros stay below 1e17 until year
+    // ~5138 — a clean separator for any real corpus (the ts_ns >= 0
+    // contract is pinned in TablesSpec; events are wall-clock telemetry,
+    // not 1970s instants). Footer-resolved streams never pay the check.
+    val guarded =
+      if (usedFallback && raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts",
+          when(col("ts") < 100000000000000000L, // 1e17
+            raise_error(concat(lit(
+              "readEventsStream started on an empty dir with the NANOS " +
+                "fallback schema, but the first file's ts values are too " +
+                "small for epoch nanos (got "), col("ts").cast("string"),
+              lit(") - a MICROS-generation file landed. Restart the stream " +
+                "so the footer peek resolves the real generation.")))
+              .cast("long"))
+            .otherwise(col("ts")))
+      else raw
     // Same generation-branching normalization as the batch loader — one
     // definition, so batch and streaming can't drift (and an unknown third
     // generation fails loudly at stream construction, not mid-run).
-    graft.Tables.normalizeEventsTs(rd.parquet(dir))
+    graft.Tables.normalizeEventsTs(guarded)
   }
 
   /** Tumbling hourly counts with a 1-hour watermark — the streaming twin of

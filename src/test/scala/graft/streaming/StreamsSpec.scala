@@ -416,4 +416,56 @@ class StreamsSpec extends AnyFunSuite {
     assert(want.nonEmpty)
     assert(finalRows === want)
   }
+
+  test("empty-dir fallback fails loudly when a MICROS file lands (VERDICT r9 #5)") {
+    // Stream constructed on an EMPTY dir -> eventsSchema guesses the NANOS
+    // generation. An int64-MICROS file landing afterwards used to read its
+    // micros silently as 1000x-off "nanos"; the fallback guard must instead
+    // fail the query with a named, actionable error on first contact.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-empty-micros").toFile
+    tmp.deleteOnExit()
+    val stream = Streams.readEventsStream(spark, tmp.getPath) // fallback baked here
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      // The real MICROS generation is int64 TIMESTAMP_MICROS (pyarrow-style),
+      // not Spark's default INT96 — write it exactly so.
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val stage = new java.io.File(tmp, "stage")
+      Tables.events(spark, dir).limit(200)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+      assert(part.renameTo(new java.io.File(tmp, "events.parquet")))
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.runToMemory(spark,
+        stream.select(col("event_id"), col("ts_ns")), "fallback_micros")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("MICROS-generation file landed")),
+      messages(e).mkString(" | "))
+  }
+
+  test("empty-dir fallback passes a NANOS file through untouched") {
+    // The guess being guarded is also the guess being USED: a genuine
+    // nanos-generation file landing after an empty-dir start must stream
+    // through the same guard without a scratch.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-empty-nanos").toFile
+    tmp.deleteOnExit()
+    val stream = Streams.readEventsStream(spark, tmp.getPath)
+    val stage = new java.io.File(tmp, "stage")
+    rawNanos.limit(200).coalesce(1).write.parquet(stage.getPath)
+    val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+    assert(part.renameTo(new java.io.File(tmp, "events.parquet")))
+
+    val got = Streams.runToMemory(spark,
+      stream.select(col("event_id"), col("ts_ns")), "fallback_nanos")
+    assert(got.count() === 200L)
+    val want = rawNanos.limit(200).select(col("event_id"), col("ts").as("ts_ns"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === want)
+  }
 }
