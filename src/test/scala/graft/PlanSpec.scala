@@ -403,6 +403,57 @@ class PlanSpec extends AnyFunSuite {
     }.isEmpty)
     val aggs = collectAll("q106_bigram_novelty") { case a: HashAggregateExec => a }
     assert(aggs.size >= 2, "expected partial + final hash aggregates")
+    // At test scale the bigram LM fits broadcast: the b-join must plan as a
+    // broadcast hash join (the small-LM regime of the TextOps claim).
+    assert(collectAll("q106_bigram_novelty") { case j: BroadcastHashJoinExec => j }
+      .nonEmpty, "small-LM regime: expected the ref LM to broadcast")
+  }
+
+  test("q106 degrades to ONE b-keyed shuffle join when the LM outgrows broadcast (VERDICT r9 #6)") {
+    // The 100 TB claim on the bigram LM (TextOps q106 scaladoc): a vocab²
+    // reference table that no longer fits broadcast degrades to a single
+    // b-keyed linear shuffle join — never a corpus² product, never a wider
+    // key. Force the non-broadcast regime by disabling the threshold and
+    // pin the degraded plan's shape AND its shuffle key set.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = SparkEntry.queries("q106_bigram_novelty")(spark, dir)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+      val smj = plan.collectWithSubqueries { case j: SortMergeJoinExec => j }
+      val shj = plan.collectWithSubqueries { case j: ShuffledHashJoinExec => j }
+      // exactly ONE shuffle-requiring join, keyed b = b on both sides
+      assert(smj.size + shj.size === 1,
+        s"expected exactly one shuffled join, got smj=${smj.size} shj=${shj.size}")
+      val (lk, rk) = smj.headOption.map(j => (j.leftKeys, j.rightKeys))
+        .getOrElse((shj.head.leftKeys, shj.head.rightKeys))
+      assert(lk.size === 1 && lk.head.toString.contains("b"), s"left keys: $lk")
+      assert(rk.size === 1 && rk.head.toString.contains("b"), s"right keys: $rk")
+      // no product anywhere; the explicit 1-row broadcast(tot) hint is the
+      // only broadcast left (a nested-loop over one row, threshold-immune)
+      assert(plan.collectWithSubqueries {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty)
+      assert(plan.collectWithSubqueries { case j: BroadcastHashJoinExec => j }.isEmpty,
+        "threshold -1 must eliminate every implicit broadcast")
+      // shuffle-key audit: every hash exchange is keyed on exactly b (join
+      // feed) or doc_id (per-doc agg) — nothing wider, nothing derived
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      val keySets = plan.collectWithSubqueries {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+          e.outputPartitioning.asInstanceOf[HashPartitioning]
+            .expressions.map(_.toString.replaceAll("#\\d+L?", "")).toSet
+      }.toSet
+      assert(keySets === Set(Set("b"), Set("doc_id")), s"shuffle keys: $keySets")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("q109 anomaly window runs over the (type, hour) aggregate, never raw events") {
