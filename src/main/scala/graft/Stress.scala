@@ -131,6 +131,8 @@ object Stress {
         pairAudit(spark, args(1), args(2).toInt)
       case Some("winnow") =>
         winnowStress(spark, args(1), args(2).toInt)
+      case Some("growth") =>
+        growth(spark, args(1), args(2).toInt)
       case Some("snapdiff") =>
         snapDiff(spark, args(1), args(2).toInt)
       case Some("consolidate") =>
@@ -222,6 +224,86 @@ object Stress {
           |  j -> element_at(ws, cast(pmod(xxhash64(doc_id, j), size(ws)) AS int) + 1)), ' ')""".stripMargin)))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** Natural-growth inflation (VERDICT r9 #3): the corpus grows by NEW
+    * documents written in a PARTIALLY NEW vocabulary, instead of
+    * `inflateDocs`' within-doc resampling. Resampling re-draws every word
+    * from the same tiny per-doc pool, so copy r of a doc floods the SAME
+    * shingles — previously-informative df 2..MaxDf shingles blow past the
+    * cap, the informative band empties, and df-capped blocking looks
+    * broken at 10× when it's the CORPUS that's unrepresentative
+    * (CLAUDE.md's judging rule). Real corpora grow differently: the head
+    * vocabulary is shared across eras while the tail is new. Model that
+    * deterministically: rep 0 keeps the original doc; rep r > 0 rewrites
+    * it keeping each word type with hash-chance 30% (the shared head) and
+    * otherwise suffixing it `~r` (new tail vocab unique to the rep).
+    * Near-dup structure is PRESERVED within each rep (the rewrite is a
+    * pure word-type map, identical for both members of a pair), so gated
+    * pairs grow ~linearly with mult; head-only shingles saturate past
+    * MaxDf exactly as genuinely-popular runs should. */
+  def growDocs(spark: SparkSession, dir: String, mult: Int): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("od"), col("text"), col("lang"), col("source"),
+        explode(sequence(lit(0), lit(mult - 1))).as("rep"))
+      .withColumn("doc_id", col("od") * mult + col("rep"))
+      .withColumn("text", when(col("rep") === 0, col("text")).otherwise(expr(
+        """array_join(transform(split(trim(text), ' '),
+          |  w -> CASE WHEN pmod(xxhash64(w), 10) < 3 THEN w
+          |            ELSE concat(w, '~', cast(rep AS string)) END), ' ')""".stripMargin)))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+
+  /** Re-measure the q22/q118 family under natural vocabulary growth: exact
+    * shingle-df distribution (informative band population, stop count, max
+    * df), informative-bucket fan-in, the CappedSetAggregator state bound,
+    * pair counts and walls — at base and at mult×. The pass/fail judgment
+    * CLAUDE.md prescribes: judge df-capped blocking by fan-in and wall,
+    * never by pair counts on RESAMPLED corpora; this corpus is the
+    * fair-growth twin where pair counts are meaningful again. */
+  def growth(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    import operators.{Dedup, IndexStore}
+    val bigDir = scratch("growth", sfDir, mult)
+    growDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      // Exact df distribution (uncapped groupBy count — affordable at
+      // stress scale; the engine itself never needs it).
+      val df = Dedup.shinglesRaw(docs).distinct()
+        .groupBy("s").agg(count(lit(1)).as("df"))
+      val dist = df.agg(
+        count(lit(1)).as("types"),
+        sum(when(col("df").between(2, Dedup.MaxDf), 1L).otherwise(0L)).as("mid"),
+        sum(when(col("df") > Dedup.MaxDf, 1L).otherwise(0L)).as("stop"),
+        max("df").as("maxdf")).head()
+      // Stored-index fan-in + the aggregator's state bound: every stored
+      // bucket must hold <= MaxDf + 1 ids no matter how hot the key.
+      val idx = scratch("growth-idx", sfDir, mult, tag)
+      val tB = System.nanoTime()
+      IndexStore.savePairIndex(docs, idx)
+      val buildSec = (System.nanoTime() - tB) / 1e9
+      val all = spark.read.parquet(s"$idx/pairs/buckets")
+      val boundRow = all.agg(max(size(col("ds"))).as("m")).head()
+      val stateBound = boundRow.getInt(0)
+      require(stateBound <= Dedup.MaxDf + 1,
+        s"CappedSetAggregator state bound violated: $stateBound")
+      val fanIn = IndexStore.loadPairBuckets(spark, idx)
+        .agg(max(size(col("ds")))).head().getInt(0)
+      def min3(mk: () => org.apache.spark.sql.DataFrame): Double =
+        (1 to 3).map { _ =>
+          val t = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t) / 1e9
+        }.min
+      val q22Sec = min3(() => Dedup.jaccardPairs(docs))
+      val q22Pairs = Dedup.jaccardPairsFrom(
+        IndexStore.loadPairBuckets(spark, idx)).count()
+      val q118Sec = min3(() => Dedup.winnowPairs(docs))
+      val q118Pairs = Dedup.winnowPairs(docs).count()
+      println(f"""{"mode":"growth","corpus":"$tag","n":$n,"shingle_types":${dist.getLong(0)},"mid_band":${dist.getLong(1)},"stop_band":${dist.getLong(2)},"max_df":${dist.getLong(3)},"state_bound":$stateBound,"informative_fan_in":$fanIn,"build_sec":$buildSec%.1f,"q22_sec_min3":$q22Sec%.2f,"q22_pairs":$q22Pairs,"q118_sec_min3":$q118Sec%.2f,"q118_pairs":$q118Pairs}""")
+    }
   }
 
   def lsh(spark: SparkSession, sfDir: String, mult: Int): Unit = {
