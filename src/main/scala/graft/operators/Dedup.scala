@@ -1857,7 +1857,87 @@ object Dedup {
               |SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
               |FROM f2 x JOIN f2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
               |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
-              |ORDER BY a, b""".stripMargin))
+              |ORDER BY a, b""".stripMargin)),
+
+    // ── Persisted decontamination registry, end-to-end: build → scan ──
+    QueryDef(
+      "q134_decontam_from_store",
+      (s, dir) => {
+        // q105's production form, oracle-graded end-to-end: the registry
+        // artifact (distinct shingle table + serialized bloom sketch)
+        // persisted by `IndexStore.saveDecontamRegistry`, the corpus scan
+        // answered by `IndexStore.decontaminate` — bloom literal loaded
+        // from the store into the codegen'd prefilter, exact verify
+        // against the stored shingle table, registry TEXT never touched.
+        // Same oracle SQL as q105 (the bloom prefilter is exact-join-
+        // verified, so it can't change the result set) — a green row
+        // proves the persisted registry round-trip, bloom bytes included.
+        val docs = Tables.load(s, dir, "documents")
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-q134-store").toString
+        IndexStore.saveDecontamRegistry(docs.filter(col("doc_id") % 4 === 0),
+          scratch)
+        IndexStore.decontaminate(docs.filter(col("doc_id") % 4 =!= 0), scratch)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shingleCte,
+              |reg AS (SELECT DISTINCT s FROM sh WHERE doc_id % 4 = 0)
+              |SELECT doc_id, count(*) AS n_shared
+              |FROM sh JOIN reg USING (s)
+              |WHERE doc_id % 4 != 0
+              |GROUP BY doc_id HAVING count(*) >= $ContamK
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ── Persisted LSH index, end-to-end: build → batch dedup against it ──
+    QueryDef(
+      "q135_incremental_dedup_from_store",
+      (s, dir) => {
+        // q80's production form, oracle-graded end-to-end: the standing
+        // corpus's band index + shingle table persisted by
+        // `IndexStore.saveLshIndex`, the incoming batch deduplicated
+        // against the LOADED state by `IndexStore.incrementalDedup` —
+        // candidate volume scales with the batch, the standing corpus's
+        // text is never re-read. Same oracle SQL as q80 — the independent
+        // engine re-derives every signature from text, so a hash match
+        // proves the persisted band/shingle round-trip and the greedy
+        // keep decision end-to-end.
+        val docs = Tables.load(s, dir, "documents")
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-q135-store").toString
+        IndexStore.saveLshIndex(docs.filter(col("doc_id") % 4 =!= 0), scratch)
+        IndexStore.incrementalDedup(docs.filter(col("doc_id") % 4 === 0),
+            IndexStore.loadLshBands(s, scratch),
+            IndexStore.loadLshShingles(s, scratch))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shingleCte,
+              |$lshCtes,
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |  FROM bx x JOIN bx y
+              |    ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id <> y.doc_id
+              |   AND y.doc_id % 4 = 0
+              |   AND (x.doc_id % 4 <> 0 OR x.doc_id < y.doc_id)),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.a, c.b, count(*) AS inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.doc_id = c.a
+              |  JOIN sh sb ON sb.doc_id = c.b AND sa.s = sb.s
+              |  GROUP BY c.a, c.b),
+              |dup AS (
+              |  SELECT b AS doc_id, min(a) AS dup_of FROM (
+              |    SELECT i.a, i.b,
+              |           i.inter / (za.sz + zb.sz - i.inter) AS jaccard
+              |    FROM inter i
+              |    JOIN sizes za ON za.doc_id = i.a
+              |    JOIN sizes zb ON zb.doc_id = i.b)
+              |  WHERE jaccard >= $IncTau GROUP BY b)
+              |SELECT d.doc_id, dup.dup_of,
+              |       CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS keep
+              |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+              |WHERE d.doc_id % 4 = 0
+              |ORDER BY d.doc_id""".stripMargin))
   )
 
 }

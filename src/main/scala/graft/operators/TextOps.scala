@@ -1545,6 +1545,35 @@ object TextOps {
               |       CAST(sum(n_docs) OVER w AS BIGINT) / CAST(sum(n_docs) OVER () AS BIGINT) AS surv_frac
               |FROM pb
               |WINDOW w AS (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              |ORDER BY threshold_bucket""".stripMargin))
+              |ORDER BY threshold_bucket""".stripMargin)),
+
+    // ── Persisted unigram LM, end-to-end: build → load → score ──
+    QueryDef(
+      "q133_familiarity_from_store",
+      (s, dir) => {
+        // q84's production form, oracle-graded end-to-end (the VERDICT r9
+        // #1 discipline applied to the LM store): the unigram table
+        // persisted by `IndexStore.saveUnigramLM`, familiarity scored by
+        // `IndexStore.familiarity` against the store. Scored against its
+        // own corpus's LM the result is q84 bit-for-bit, so q84's oracle
+        // grades the persisted path through the independent engine —
+        // integer sums + sequential divisions, hash-exact.
+        val docs = Tables.load(s, dir, "documents")
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-q133-store").toString
+        IndexStore.saveUnigramLM(docs, scratch)
+        IndexStore.familiarity(docs, scratch).orderBy("doc_id")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, w FROM (
+             |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+             |  WHERE w <> ''),
+             |uni AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM uni)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS sumc,
+             |       CAST(sum(c) AS BIGINT) / count(*) / tot AS familiarity
+             |FROM words JOIN uni USING (w), tot
+             |GROUP BY doc_id, tot
+             |ORDER BY doc_id""".stripMargin))
   )
 }

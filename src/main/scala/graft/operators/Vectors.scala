@@ -910,6 +910,82 @@ object Vectors {
               |  ORDER BY asim DESC, vec_id LIMIT $PqRerank)
               |SELECT t.vec_id, ${dotSql("x.en", "qn")} AS sim
               |FROM cand t JOIN vn x ON x.vec_id = t.vec_id, qd
+              |ORDER BY sim DESC, t.vec_id LIMIT 5""".stripMargin)),
+
+    // ── Persisted IVF index, end-to-end: build → load → probe search ──
+    QueryDef(
+      "q131_ivf_ann_from_store",
+      (s, dir) => {
+        // q34's production form, oracle-graded end-to-end: the two-level
+        // IVF layout persisted (`IndexStore.saveIvfIndex` — coarse array,
+        // fine cells, vectors partitioned by coarse cell, cid-sorted
+        // within), the single-probe search answered by `searchIvf` from
+        // the store: partition-pruned ccid read, cid row-group select,
+        // exact cosine top-k. Same oracle SQL as q34 — the independent
+        // engine re-derives the whole assignment from raw vectors, so a
+        // hash match proves the partitioned store round-trip (including
+        // the parquet PARTITION-column type round-trip, the r8 sharp
+        // edge) loses nothing.
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-q131-store").toString
+        IndexStore.saveIvfIndex(withNormalized(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("en")), scratch)
+        IndexStore.searchIvf(s, scratch, queryVecId = 0L, k = 5)
+      },
+      Some(s"""WITH $normCte,
+              |$ivfCtes,
+              |q AS (SELECT cid AS qcid, en AS qn FROM assigned WHERE vec_id = 0)
+              |SELECT a.vec_id, ${dotSql("a.en", "q.qn")} AS sim
+              |FROM assigned a, q WHERE a.cid = q.qcid AND a.vec_id <> 0
+              |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // ── Persisted IVFPQ (IVFADC) index, end-to-end: build → probe → ADC ──
+    QueryDef(
+      "q132_ivfpq_ann_from_store",
+      (s, dir) => {
+        // The production ANN layout (coarse routing over position codes),
+        // oracle-graded end-to-end: `IndexStore.saveIvfPqIndex` persists
+        // the coarse array + codebook + ccid-partitioned codes; the search
+        // probes coarse cells, decodes only their codes, ADC-scores, and
+        // exact-re-ranks. Probed with every cell (probeCoarse ≥ cell
+        // count), the result is bit-identical to the flat PQ scan — so
+        // q88's oracle grades the full store round-trip through the
+        // independent engine; the recall-vs-read trade at small
+        // probeCoarse is IndexStoreSpec's business.
+        val emb = withNormalized(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("en"))
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-q132-store").toString
+        IndexStore.saveIvfPqIndex(emb, scratch)
+        IndexStore.searchIvfPq(emb, scratch, queryVecId = 0L, k = 5,
+          probeCoarse = 1000000)
+      },
+      Some(s"""WITH $normCte,
+              |par AS (SELECT greatest(CAST(1 AS BIGINT), count(*) // $PqK) AS step FROM vn),
+              |cbl AS (
+              |  SELECT list_sort(list(struct_pack(s := s, cid := cid, cn := cn))) AS cb FROM (
+              |    SELECT s, vec_id AS cid,
+              |           en[CAST(s * sub + 1 AS INT) : CAST(s * sub + sub AS INT)] AS cn
+              |    FROM (SELECT vec_id, en, len(en) // $PqM AS sub, unnest(range(0, $PqM)) AS s
+              |          FROM vn, par WHERE vec_id % step = 0))),
+              |coded AS (
+              |  SELECT vec_id,
+              |         flatten([(list_sort([struct_pack(
+              |             d := ${dotSql("c.cn", "c.cn")}
+              |                  - 2.0e0 * list_reduce(
+              |                      [en[CAST(s * (len(en) // $PqM) + i AS INT)] * c.cn[i]
+              |                       for i in range(1, len(c.cn) + 1)], (x, y) -> x + y),
+              |             cid := c.cid, cn := c.cn)
+              |           for c in cb if c.s = s])[1]).cn
+              |          for s in range(0, $PqM)]) AS rx
+              |  FROM vn, cbl),
+              |qd AS (SELECT en AS qn FROM vn WHERE vec_id = 0),
+              |cand AS (
+              |  SELECT vec_id, ${dotSql("rx", "qn")} AS asim
+              |  FROM coded, qd WHERE vec_id <> 0
+              |  ORDER BY asim DESC, vec_id LIMIT $PqRerank)
+              |SELECT t.vec_id, ${dotSql("x.en", "qn")} AS sim
+              |FROM cand t JOIN vn x ON x.vec_id = t.vec_id, qd
               |ORDER BY sim DESC, t.vec_id LIMIT 5""".stripMargin))
   )
 
