@@ -23,6 +23,10 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index append-winnow <docsDir> <indexPath>"
   *   sbt "runMain graft.Index winnow-audit <indexPath> [--min-shared N]"
   *   sbt "runMain graft.Index winnow-check <batchDocsDir> <indexPath> [--min-shared N]"
+  *   sbt "runMain graft.Index build-phash <docsDir> <indexPath>"
+  *   sbt "runMain graft.Index phash-dedupe <batchDocsDir> <indexPath>
+  *        [--out <dir>] [--append-kept]"
+  *   sbt "runMain graft.Index phash-audit <indexPath>"
   *   sbt "runMain graft.Index append-pairs <docsDir> <indexPath>"
   *   sbt "runMain graft.Index audit      <indexPath> [--tau T] [--contain]"
   *   sbt "runMain graft.Index components <indexPath> [--tau T]"
@@ -160,6 +164,39 @@ object Index {
         val nb = IndexStore.loadWinnowBuckets(spark, path).count()
         s"""{"mode":"append-winnow","docs":$n,"buckets":$nb,"index":"$path"}"""
 
+      case "build-phash" :: docsDir :: path :: Nil =>
+        val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+        val n = docs.count()
+        IndexStore.savePhashIndex(docs, path)
+        val ng = IndexStore.loadPhashGrid(spark, path).count()
+        s"""{"mode":"build-phash","docs":$n,"signatures":$ng,"index":"$path"}"""
+
+      case "phash-dedupe" :: batchDir :: path :: rest =>
+        val out = rest.sliding(2).collectFirst { case List("--out", v) => v }
+        val appendKept = rest.contains("--append-kept")
+        val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+          .localCheckpoint(true) // read once: verdicts + optional append
+        val verdicts = IndexStore.phashDedupBatch(batch, path)
+          .localCheckpoint(true) // decisions must precede the index append
+        val nBatch = batch.count()
+        val nDup = verdicts.filter(col("keep") === 0).count()
+        out.foreach(o => verdicts.write.mode("overwrite").parquet(o))
+        if (appendKept) {
+          val kept = batch.join(
+            verdicts.filter(col("keep") === 1).select("doc_id"), Seq("doc_id"))
+          IndexStore.appendPhashBatch(kept, path)
+        }
+        s"""{"mode":"phash-dedupe","batch":$nBatch,"dups":$nDup,"kept":${nBatch - nDup},"appended":$appendKept${out.map(o => s""","out":"$o"""").getOrElse("")}}"""
+
+      case "phash-audit" :: path :: Nil =>
+        val pairs = IndexStore.phashPairsFrom(spark, path)
+        val stats = pairs
+          .agg(count(lit(1)).as("pairs"),
+            countDistinct(col("b")).as("dup_docs"),
+            coalesce(max("hamming"), lit(0L)).as("max_hamming"))
+          .head()
+        s"""{"mode":"phash-audit","pairs":${stats.getLong(0)},"dup_docs":${stats.getLong(1)},"max_hamming":${stats.getLong(2)}}"""
+
       case "winnow-check" :: batchDir :: path :: rest =>
         val minShared = rest.sliding(2)
           .collectFirst { case List("--min-shared", v) => v.toInt }
@@ -271,7 +308,7 @@ object Index {
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|components|consolidate|build-registry|decontam ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|components|consolidate|build-registry|decontam ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

@@ -141,6 +141,98 @@ object IndexStore {
         when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
   }
 
+  // ── perceptual-hash (q136) media signature index ──
+
+  /** q136's band rows with the partition prefix — pfx is letter-prefixed
+    * for the same partition-column type-inference reason as the LSH
+    * index ("p" + first hex pixel of the band key; '-' pixels are safe:
+    * the letter prefix keeps every value a string). */
+  private def phashBandPfx(grid: DataFrame): DataFrame =
+    Multimodal.phashBandRows(grid)
+      .withColumn("pfx", concat(lit("p"), substring(col("key"), 1, 1)))
+
+  /** Persist the standing corpus's perceptual-hash state at `path`:
+    * band rows partitioned by key prefix (the search join prunes to the
+    * batch's prefixes) + the signature grid for Hamming verification.
+    * One-time, linear — the same single doc-keyed agg q136 pays. */
+  def savePhashIndex(docs: DataFrame, path: String): Unit = {
+    val grid = Multimodal.phashGrid(docs).localCheckpoint(true)
+    phashBandPfx(grid)
+      .repartition(col("pfx"))
+      .sortWithinPartitions("key", "bi", "doc_id")
+      .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/phash/bands")
+    grid.write.mode("overwrite").parquet(s"$path/phash/grid")
+  }
+
+  /** Fold a (kept) media batch's signature state into the standing index —
+    * same layout, no rewrite of prior data. */
+  def appendPhashBatch(batch: DataFrame, path: String): Unit = {
+    val grid = Multimodal.phashGrid(batch).localCheckpoint(true)
+    phashBandPfx(grid)
+      .sortWithinPartitions("key", "bi", "doc_id")
+      .write.mode("append").partitionBy("pfx").parquet(s"$path/phash/bands")
+    grid.write.mode("append").parquet(s"$path/phash/grid")
+  }
+
+  /** (doc_id, pixels, bi, key, pfx) — pfx comes back as the partition
+    * column (string by construction). */
+  def loadPhashBands(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/phash/bands")
+      .select(col("doc_id"), col("pixels"), col("bi").cast("int").as("bi"),
+        col("key"), col("pfx").cast("string").as("pfx"))
+
+  def loadPhashGrid(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/phash/grid")
+
+  /** q136's pair search answered FROM the persisted index: band rows are
+    * the store scan (the parquet write is the lineage barrier q136's
+    * localCheckpoint provides in-query), pairs verified by pixel Hamming.
+    * Bit-identical to q136 when the store holds the same corpus. */
+  def phashPairsFrom(spark: SparkSession, path: String): DataFrame = {
+    val bx = loadPhashBands(spark, path).select("doc_id", "pixels", "bi", "key")
+    val xa = bx.toDF("a", "pa", "bi", "key")
+    val yb = bx.toDF("b", "pb", "bi", "key")
+    xa.join(yb, Seq("bi", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        Multimodal.phashHamming("pa", "pb").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= Multimodal.PhashHamTau)
+  }
+
+  /** Incremental media dedup (the q80 discipline for the phash index):
+    * an incoming media batch audited against the standing signature index
+    * AND earlier-id batch docs, without re-reading (or re-hashing) the
+    * standing corpus. Returns (doc_id, dup_of, keep) for every batch doc
+    * — dup_of = the smallest matching doc_id at Hamming ≤ PhashHamTau.
+    *
+    * Scale shape: the batch grid is small (AQE broadcasts it); the store
+    * scan carries the pfx partition column so the candidate join prunes
+    * to the batch's band-key prefixes; Hamming runs on bucket-mates only,
+    * off the two signature columns already in the joined rows — the grid
+    * table is never touched (signatures ride with the band rows). */
+  def phashDedupBatch(batch: DataFrame, path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val batchBx = phashBandPfx(Multimodal.phashGrid(batch).localCheckpoint(true))
+    val store = loadPhashBands(spark, path)
+    val candCorpus = store.as("x").join(batchBx.as("y"),
+        col("x.pfx") === col("y.pfx") && col("x.bi") === col("y.bi") &&
+          col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("a"), col("x.pixels").as("pa"),
+        col("y.doc_id").as("b"), col("y.pixels").as("pb"))
+    val candBatch = batchBx.as("x").join(batchBx.as("y"),
+        col("x.bi") === col("y.bi") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("x.pixels").as("pa"),
+        col("y.doc_id").as("b"), col("y.pixels").as("pb"))
+    val dup = candCorpus.unionByName(candBatch).distinct()
+      .filter(Multimodal.phashHamming("pa", "pb") <= Multimodal.PhashHamTau)
+      .groupBy(col("b").as("doc_id")).agg(min("a").as("dup_of"))
+    batch.select("doc_id")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
+  }
+
   // ── df-capped inverted index (the pair-audit family's shared core) ──
 
   /** Persist the df-capped inverted index the whole pair-audit family

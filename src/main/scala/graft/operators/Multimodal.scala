@@ -29,6 +29,63 @@ object Multimodal {
 
   val BatchSize = 64
 
+  /** q136 perceptual-hash parameters: 16 pixel bins, 4 bands of 4 hex
+    * chars, Hamming verify threshold (measured bimodal at sf0.01: true
+    * near-dups land at 0–1, band collisions at 9–12). */
+  val PhashBins = 16
+  val PhashBands = 4
+  val PhashBandW = 4
+  val PhashHamTau = 3
+
+  /** q136's perceptual signature: one-permutation binned min-hash over
+    * content-defined patches (stub: word 3-grams via Dedup.shinglesRaw —
+    * a production media build swaps in rolling-hash CDC over decoded
+    * bytes). Bin k of 16 takes min(h) over the doc's patch hashes with
+    * h % 16 = k; the bin's next nibble becomes one hex pixel, '-' marks
+    * an empty bin. ONE doc-keyed partial+final agg with FIXED 16-long
+    * state per doc. Returns (doc_id, pixels). */
+  def phashGrid(docs: DataFrame): DataFrame = {
+    val ph = Dedup.shinglesRaw(docs)
+      .select(col("doc_id"),
+        expr("cast(conv(substr(md5(s), 1, 15), 16, 10) AS bigint)").as("h"))
+    val mins = (0 until PhashBins).map(k =>
+      min(when(col("h") % PhashBins === k, col("h"))).as(s"m$k"))
+    ph.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), concat((0 until PhashBins).map(k =>
+        expr(s"coalesce(substr('0123456789abcdef', cast((m$k div 16) % 16 AS int) + 1, 1), '-')")): _*)
+        .as("pixels"))
+  }
+
+  /** Band rows of a signature grid: (doc_id, pixels, bi, key). */
+  def phashBandRows(grid: DataFrame): DataFrame =
+    grid.select(col("doc_id"), col("pixels"), explode(array(
+      (0 until PhashBands).map(k => struct(lit(k).as("bi"),
+        expr(s"substring(pixels, ${k * PhashBandW + 1}, $PhashBandW)").as("key"))): _*)).as("e"))
+      .select(col("doc_id"), col("pixels"), col("e.bi").as("bi"), col("e.key").as("key"))
+
+  /** Pixel-wise Hamming distance between two 16-char signatures. */
+  def phashHamming(pa: String, pb: String): org.apache.spark.sql.Column =
+    expr(
+      s"""cast(aggregate(sequence(1, $PhashBins), 0, (acc, i) ->
+         |  acc + if(substring($pa, i, 1) = substring($pb, i, 1), 0, 1)) AS bigint)""".stripMargin)
+
+  /** The search half of q136 over a (doc_id, pixels) grid: band-bucket
+    * equi-join (pigeonhole: a ≤3-distant pair agrees on ≥1 of the 4
+    * bands), Hamming verify on bucket-mates only. The caller supplies a
+    * lineage-barriered grid (localCheckpoint or a parquet store scan) —
+    * without the barrier the 16-pixel construction inlines into every
+    * band key and the join residual. */
+  def phashPairs(grid: DataFrame): DataFrame = {
+    val bx = phashBandRows(grid)
+    val xa = bx.toDF("a", "pa", "bi", "key")
+    val yb = bx.toDF("b", "pb", "bi", "key")
+    xa.join(yb, Seq("bi", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), phashHamming("pa", "pb").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashHamTau)
+  }
+
   /** Documents → media records (payload = utf8 bytes standing in for a real
     * media blob). Narrow projection; binary stays columnar in parquet. */
   def toMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
@@ -62,6 +119,38 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch => batch.map(decodeStub) }
     }
+  }
+
+  /** Shared q136/q139 oracle: the signature grid + band-blocked Hamming
+    * search in portable DuckDB SQL (def, not val — safe from object-init
+    * order). */
+  private def phashOracleSql: String = {
+    val minCols = (0 until PhashBins).map(k =>
+      s"coalesce(substr('0123456789abcdef', CAST((min(CASE WHEN h % 16 = $k THEN h END) // 16) % 16 AS INT) + 1, 1), '-') AS c$k")
+      .mkString(",\n       ")
+    val pix = (0 until PhashBins).map(k => s"c$k").mkString(" || ")
+    val ham =
+      """CAST(list_sum([CASE WHEN substr(x.pixels, i, 1) = substr(y.pixels, i, 1) THEN 0 ELSE 1 END
+        |                      for i in range(1, 17)]) AS BIGINT)""".stripMargin
+    s"""WITH wt AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM wt)),
+       |pw AS (
+       |  SELECT doc_id, list_reduce([(strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1)::BIGINT
+       |                 for i in range(1, 16)], (a, b) -> a * 16 + b) AS h
+       |  FROM sh),
+       |g0 AS (
+       |  SELECT doc_id, $minCols
+       |  FROM pw GROUP BY doc_id),
+       |grid AS (SELECT doc_id, $pix AS pixels FROM g0),
+       |bx AS (
+       |  SELECT doc_id, pixels, k AS bi, substr(pixels, CAST(k * 4 + 1 AS INT), 4) AS key
+       |  FROM grid, range(0, 4) t(k))
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, $ham AS hamming
+       |FROM bx x JOIN bx y ON x.bi = y.bi AND x.key = y.key AND x.doc_id < y.doc_id
+       |WHERE $ham <= 3
+       |ORDER BY a, b""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -209,6 +298,64 @@ object Multimodal {
              |       count(b.m) / count(*) AS boiler_frac
              |FROM fr f LEFT JOIN bf b ON b.sig = f.sig
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── Perceptual-hash near-dup (media fingerprint LSH) ──
+    QueryDef(
+      "q136_phash_neardup",
+      (s, dir) => {
+        // Image/audio near-dup detection by perceptual hash — the
+        // multimodal twin of q23/q54: byte-exact dedup (q21) misses
+        // re-encoded or lightly-edited media, so each payload reduces to a
+        // compact perceptual signature and near-dups are low-Hamming
+        // signature pairs. The signature is a one-permutation binned
+        // min-hash (Li et al., one-permutation hashing): each
+        // content-defined patch of the payload hashes to a 60-bit h, bin
+        // k ∈ [0,16) takes min(h) over its patches (h % 16 = k), and the
+        // bin's next nibble ((min div 16) % 16) becomes one hex "pixel" —
+        // 16 pixels, '-' for an empty bin. Min-per-bin is edit-robust
+        // (inserting or dropping a non-minimal patch leaves the bin's
+        // pixel unchanged), unlike q56's positional grid, which shifts
+        // every cell boundary on a one-byte edit. Patches are
+        // content-defined chunks — stubbed here as the corpus's word
+        // 3-grams (Dedup.shinglesRaw, the q22 derivation); a production
+        // media build swaps in rolling-hash CDC over decoded bytes with no
+        // plan change. Measured at sf0.01: candidate Hamming is cleanly
+        // bimodal (0-1 for true near-dups vs 9-12 for band collisions), so
+        // HamTau = 3 separates exactly.
+        //
+        // 100 TB shape: signature build is ONE doc_id-keyed partial+final
+        // agg with FIXED 16-long state per doc (never a per-doc patch
+        // list); search blocks on the 4 4-hex bands (pigeonhole: a ≤3-
+        // distant pair agrees on ≥1 band; 16^4 values per band keeps
+        // buckets O(1)-ish — widen the grid to grow), verifies Hamming
+        // only on bucket-mates. localCheckpoint = the q54 barrier: without
+        // it the 16-pixel construction inlines into every band key and
+        // the join residual.
+        phashPairs(phashGrid(Tables.load(s, dir, "documents"))
+          .localCheckpoint(true))
+          .orderBy("a", "b")
+      },
+      Some(phashOracleSql)),
+
+    // ── Persisted phash index, end-to-end: build → persist → search ──
+    QueryDef(
+      "q139_phash_from_store",
+      (s, dir) => {
+        // q136's production form, oracle-graded end-to-end (the q127-q135
+        // discipline applied to the media index): the signature/band state
+        // persisted by `IndexStore.savePhashIndex`, pairs answered by
+        // `IndexStore.phashPairsFrom` reading ONLY the store. Same corpus
+        // ⇒ bit-identical to q136, so q136's oracle grades the persisted
+        // path through the independent engine. The standing-index batch
+        // workflow (`appendPhashBatch` / `phashDedupBatch`) is pinned
+        // store≡in-query by IndexStoreSpec.
+        val docs = Tables.load(s, dir, "documents")
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-q139-store").toString
+        IndexStore.savePhashIndex(docs, scratch)
+        IndexStore.phashPairsFrom(s, scratch).orderBy("a", "b")
+      },
+      Some(phashOracleSql)),
 
     // ── Shot-boundary detection (scene cuts) ──
     QueryDef(

@@ -1574,6 +1574,144 @@ object TextOps {
              |       CAST(sum(c) AS BIGINT) / count(*) / tot AS familiarity
              |FROM words JOIN uni USING (w), tot
              |GROUP BY doc_id, tot
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── Hashing-trick linear classifier (model-based quality filter) ──
+    QueryDef(
+      "q137_hashed_classifier",
+      (s, dir) => {
+        // The fasttext-filter pattern (CCNet/GPT-3-style curation): score
+        // every document with a FROZEN linear model over hashed n-gram
+        // features — the model-based quality cut that runs after q27's
+        // heuristics. Features are word unigrams + adjacent bigrams,
+        // hashed into 2^20 buckets (the hashing trick: no vocabulary
+        // table, collisions priced in), each bucket carrying a frozen
+        // weight. The trained weight vector is STUBBED deterministically
+        // from the bucket id ((bkt * 2654435761) % 1024, a Knuth
+        // multiplicative mix — swap in a broadcast weight array from a
+        // real training run with no plan change); weights are kept
+        // non-negative and the 511500 mean is subtracted AFTER the
+        // integer division so every div operand is non-negative (Spark
+        // div truncates toward zero, DuckDB // floors — they agree only
+        // on non-negative operands).
+        //
+        // 100 TB shape: feature explode is narrow (array built per row,
+        // hashed AFTER the explode so md5 stays codegen'd, never inside
+        // an interpreted lambda), then ONE doc_id-keyed partial+final
+        // agg; the weight is computed arithmetic, so there is no model
+        // join at all. Score state per doc = two longs.
+        val B = 1048576L
+        val feats = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+          // q53's sequence clamp: sequence(0, -1) yields [0, -1], so the
+          // bigram index list is clamped at 0 and filtered by predicate.
+          .select(col("doc_id"), explode(expr(
+            """concat(ws, transform(
+              |  filter(sequence(0, greatest(size(ws) - 2, 0)), i -> i <= size(ws) - 2),
+              |  i -> concat(element_at(ws, i + 1), '_', element_at(ws, i + 2))))""".stripMargin))
+            .as("f"))
+        feats
+          .select(col("doc_id"),
+            (expr("cast(conv(substr(md5(f), 1, 15), 16, 10) AS bigint)") % B).as("bkt"))
+          .select(col("doc_id"), ((col("bkt") * 2654435761L) % 1024L).as("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_feats"), sum("w").as("sw"))
+          .select(col("doc_id"), col("n_feats"),
+            (expr("sw * 1000 div n_feats") - 511500L).as("score_milli"))
+          .withColumn("keep",
+            when(col("score_milli") > 0, 1L).otherwise(0L))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+             |f AS (
+             |  SELECT doc_id,
+             |         unnest(ws || [ws[i] || '_' || ws[i+1] for i in range(1, len(ws))]) AS f
+             |  FROM t),
+             |b AS (
+             |  SELECT doc_id,
+             |         (list_reduce([(strpos('0123456789abcdef', substr(md5(f), i, 1)) - 1)::BIGINT
+             |                       for i in range(1, 16)], (a, b) -> a * 16 + b) % 1048576)
+             |           * 2654435761 % 1024 AS w
+             |  FROM f),
+             |sc AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             |         CAST(sum(w) AS BIGINT) * 1000 // count(*) - 511500 AS score_milli
+             |  FROM b GROUP BY doc_id)
+             |SELECT doc_id, n_feats, score_milli,
+             |       CAST(CASE WHEN score_milli > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ── Token-budget epoch allocation (mixture planner) ──
+    QueryDef(
+      "q138_epoch_mixture",
+      (s, dir) => {
+        // The mixture PLANNER: q99 computes temperature shares, but a real
+        // training run allocates a fixed token budget under a per-source
+        // EPOCH CAP (a small high-quality source may repeat at most
+        // EpochCap times before memorization risk outweighs its weight).
+        // Allocation = two-round capped water-filling in exact integer
+        // arithmetic: round 1 gives each source min(cap_s, w_s·T/W) where
+        // w_s = isqrt(tokens_s) (integer temperature-0.5 weight) and
+        // T = 2× corpus tokens; round 2 redistributes the undistributed
+        // remainder over the still-uncapped sources by the same weights.
+        // isqrt is exact on both engines: floor(sqrt(double)) then a ±1
+        // correction against t itself, so a 1-ulp libm divergence cannot
+        // leak into the hash-compared integers. Every division operand is
+        // non-negative (round-1 floors sum to ≤ T), so div and // agree.
+        //
+        // 100 TB shape: the corpus is scanned ONCE into a source-keyed
+        // partial+final agg (catalog-sized frame); both water-filling
+        // rounds ride on 1-row broadcast aggregates of that frame —
+        // nothing wider than |sources| ever shuffles again.
+        val EpochCap = 4L
+        val base = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            size(split(trim(col("text")), " ")).cast("long").as("nw"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("t"))
+          .withColumn("s0", expr("cast(floor(sqrt(cast(t AS double))) AS bigint)"))
+          .withColumn("w", expr(
+            "s0 + if((s0 + 1) * (s0 + 1) <= t, 1, 0) - if(s0 * s0 > t, 1, 0)"))
+        val g = base.agg(sum("t").as("tt"), sum("w").as("wsum"))
+        val r1 = base.crossJoin(broadcast(g))
+          .withColumn("cap", col("t") * EpochCap)
+          .withColumn("budget", col("tt") * 2L)
+          .withColumn("alloc1", least(col("cap"), expr("w * budget div wsum")))
+        val g2 = r1.agg(sum("alloc1").as("a1sum"),
+          sum(when(col("alloc1") < col("cap"), col("w")).otherwise(0L)).as("w2"))
+        r1.crossJoin(broadcast(g2))
+          .withColumn("alloc",
+            when(col("alloc1") >= col("cap") || col("w2") === 0L, col("alloc1"))
+              .otherwise(least(col("cap"),
+                col("alloc1") + expr("w * (budget - a1sum) div w2"))))
+          .select(col("source"), col("n_docs"), col("t"), col("w"), col("alloc"),
+            expr("alloc * 1000 div t").as("epochs_milli"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS t
+             |  FROM documents GROUP BY source),
+             |wt AS (
+             |  SELECT source, n_docs, t,
+             |         s0 + CASE WHEN (s0 + 1) * (s0 + 1) <= t THEN 1 ELSE 0 END
+             |            - CASE WHEN s0 * s0 > t THEN 1 ELSE 0 END AS w
+             |  FROM (SELECT *, CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS s0 FROM toks)),
+             |g AS (SELECT CAST(sum(t) AS BIGINT) AS tt, CAST(sum(w) AS BIGINT) AS wsum FROM wt),
+             |r1 AS (
+             |  SELECT source, n_docs, t, w, t * 4 AS cap, tt * 2 AS budget,
+             |         least(t * 4, w * (tt * 2) // wsum) AS alloc1
+             |  FROM wt, g),
+             |g2 AS (
+             |  SELECT CAST(sum(alloc1) AS BIGINT) AS a1sum,
+             |         CAST(sum(CASE WHEN alloc1 < cap THEN w ELSE 0 END) AS BIGINT) AS w2
+             |  FROM r1),
+             |fin AS (
+             |  SELECT source, n_docs, t, w,
+             |         CASE WHEN alloc1 >= cap OR w2 = 0 THEN alloc1
+             |              ELSE least(cap, alloc1 + w * (budget - a1sum) // w2) END AS alloc
+             |  FROM r1, g2)
+             |SELECT source, n_docs, t, w, alloc, alloc * 1000 // t AS epochs_milli
+             |FROM fin ORDER BY source""".stripMargin))
   )
 }

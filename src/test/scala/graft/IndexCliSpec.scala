@@ -252,4 +252,49 @@ class IndexCliSpec extends AnyFunSuite {
     assert(isat.getLong(1) > 0L && isat.getLong(1) < isat.getLong(0))
     assert(isat.getDouble(2) > 0.0 && isat.getDouble(2) < 1.0)
   }
+
+  test("build-phash → phash-dedupe → --append-kept: the media crawl loop") {
+    val base = tmp("phash")
+    val standingDir = base.resolve("standing"); val batchDir = base.resolve("batch")
+    val idx = base.resolve("idx").toString
+    val docs = Tables.load(spark, sf, "documents")
+    docs.filter(col("doc_id") % 4 =!= 0)
+      .write.parquet(s"$standingDir/documents.parquet")
+    docs.filter(col("doc_id") % 4 === 0)
+      .write.parquet(s"$batchDir/documents.parquet")
+
+    val b = Index.run(spark, List("build-phash", standingDir.toString, idx))
+    assert(b.contains(""""mode":"build-phash""""), b)
+
+    // Reference verdicts from a standing-only twin index (the CLI call
+    // below appends into idx, so the direct comparison needs its own).
+    val idx2 = base.resolve("idx2").toString
+    IndexStore.savePhashIndex(
+      spark.read.parquet(s"$standingDir/documents.parquet"), idx2)
+    val want = IndexStore.phashDedupBatch(
+        spark.read.parquet(s"$batchDir/documents.parquet"), idx2)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getInt(2))).toSet
+    assert(want.exists(_._3 == 0), "no near-dup media in the batch — vacuous fixture")
+
+    val out = base.resolve("verdicts").toString
+    val d = Index.run(spark,
+      List("phash-dedupe", batchDir.toString, idx, "--out", out, "--append-kept"))
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getInt(2))).toSet
+    assert(got === want)
+    val nKept = want.count(_._3 == 1); val nDup = want.size - nKept
+    assert(d.contains(s""""dups":$nDup""") && d.contains(s""""kept":$nKept"""), d)
+
+    // --append-kept grew the index by exactly the kept docs' signatures.
+    assert(IndexStore.loadPhashGrid(spark, idx)
+      .filter(col("doc_id") % 4 === 0).count() === nKept.toLong)
+
+    // Full-corpus index audit == the q136 in-query pair scan.
+    val idx3 = base.resolve("idx3").toString
+    Index.run(spark, List("build-phash", sf, idx3))
+    val q136 = SparkEntry.queries("q136_phash_neardup")(spark, sf).collect()
+    val a = Index.run(spark, List("phash-audit", idx3))
+    assert(a.contains(s""""pairs":${q136.length}"""), a)
+    assert(a.contains(s""""max_hamming":${q136.map(_.getLong(2)).max}"""), a)
+  }
 }

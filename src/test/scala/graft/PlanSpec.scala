@@ -704,4 +704,46 @@ class PlanSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
     }.nonEmpty, "the 1-row weight frame must broadcast into the scan")
   }
+
+  test("q136 phash: search joins only band buckets; no cartesian, no window") {
+    // The signature-grid agg runs EAGERLY behind the localCheckpoint
+    // barrier (the q54 pattern), so the static plan is the search half:
+    // band-bucket equi-join + pair distinct. Nothing may degrade to a
+    // cartesian, and no corpus-wide window may appear.
+    assert(collectAll("q136_phash_neardup") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "phash search degraded to a cartesian product")
+    assert(collectAll("q136_phash_neardup") { case w: WindowExec => w }.isEmpty)
+    hashShuffleKeys("q136_phash_neardup").foreach { keys =>
+      assert(keys.subsetOf(Set("bi", "key", "a", "b", "hamming")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q137 hashed classifier: no model join at all; one doc-keyed agg shuffle") {
+    // The frozen weight is computed arithmetic on the bucket id — there
+    // must be NO join of any kind, and the only exchange is the per-doc
+    // partial+final aggregation.
+    assert(collectAll("q137_hashed_classifier") { case j: BroadcastHashJoinExec => j }.isEmpty)
+    assert(collectAll("q137_hashed_classifier") { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(collectAll("q137_hashed_classifier") {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "a weight-table join crept in — the weight is computed, not joined")
+    assert(collectAll("q137_hashed_classifier") { case w: WindowExec => w }.isEmpty)
+    hashShuffleKeys("q137_hashed_classifier").foreach { keys =>
+      assert(keys.subsetOf(Set("doc_id")), s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q138 epoch mixture: one source-keyed agg; water-filling rides on 1-row broadcasts") {
+    assert(collectAll("q138_epoch_mixture") {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.size >= 2, "both water-filling rounds must join their 1-row globals by broadcast")
+    assert(collectAll("q138_epoch_mixture") { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(collectAll("q138_epoch_mixture") { case w: WindowExec => w }.isEmpty)
+    hashShuffleKeys("q138_epoch_mixture").foreach { keys =>
+      assert(keys.subsetOf(Set("source", "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
 }

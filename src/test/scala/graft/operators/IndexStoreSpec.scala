@@ -325,4 +325,68 @@ class IndexStoreSpec extends AnyFunSuite {
       plan.matches("(?s).*PartitionFilters: \\[[^\\]]*ccid[^\\]]*\\].*"),
       s"expected a ccid partition filter in:\n$plan")
   }
+
+  test("phash batch dedup over the persisted index == the in-memory twin") {
+    val docs = Tables.load(spark, sf, "documents")
+    val standing = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+
+    val path = tmp("phash")
+    IndexStore.savePhashIndex(standing, path)
+    val got = IndexStore.phashDedupBatch(batch, path)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getInt(2)))
+
+    // Independent twin: same decision computed from in-memory band rows
+    // (standing side never persisted).
+    val sbx = Multimodal.phashBandRows(
+      Multimodal.phashGrid(standing).localCheckpoint(true))
+    val bbx = Multimodal.phashBandRows(
+      Multimodal.phashGrid(batch).localCheckpoint(true))
+    val candCorpus = sbx.as("x").join(bbx.as("y"),
+        col("x.bi") === col("y.bi") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("a"), col("x.pixels").as("pa"),
+        col("y.doc_id").as("b"), col("y.pixels").as("pb"))
+    val candBatch = bbx.as("x").join(bbx.as("y"),
+        col("x.bi") === col("y.bi") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("x.pixels").as("pa"),
+        col("y.doc_id").as("b"), col("y.pixels").as("pb"))
+    val dup = candCorpus.unionByName(candBatch).distinct()
+      .filter(Multimodal.phashHamming("pa", "pb") <= Multimodal.PhashHamTau)
+      .groupBy(col("b").as("doc_id")).agg(min("a").as("dup_of"))
+    val want = batch.select("doc_id")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getInt(2)))
+
+    assert(got.length === want.length)
+    assert(got.sameElements(want))
+    // The audit must flag something at this sf (near-dups exist) or the
+    // test is vacuous.
+    assert(got.exists(_._3 == 0), "no batch doc flagged — vacuous fixture")
+  }
+
+  test("appendPhashBatch == rebuilding the phash index over the union") {
+    val docs = Tables.load(spark, sf, "documents")
+    val standing = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+
+    val incr = tmp("phash-incr")
+    IndexStore.savePhashIndex(standing, incr)
+    IndexStore.appendPhashBatch(batch, incr)
+    val full = tmp("phash-full")
+    IndexStore.savePhashIndex(docs, full)
+
+    def bandSet(p: String) = IndexStore.loadPhashBands(spark, p)
+      .select("doc_id", "bi", "key", "pixels").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    def gridSet(p: String) = IndexStore.loadPhashGrid(spark, p)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    assert(bandSet(incr) === bandSet(full))
+    assert(gridSet(incr) === gridSet(full))
+  }
 }

@@ -42,11 +42,21 @@ class JobCountSpec extends AnyFunSuite {
   // builds its registry ARTIFACT (distinct-shingle localCheckpoint + the
   // bloom sketch collected to a literal) at construction — the in-query
   // stand-in for a registry that production persists once per version
-  // (buildDecontamRegistry / bloomDecontamFrom).
+  // (buildDecontamRegistry / bloomDecontamFrom). The q127-q135 from-store
+  // family builds its persisted index INTO a scratch store at construction
+  // by definition — the whole point of those entries is to oracle-grade
+  // the build→persist→answer round trip — and q136 localCheckpoints its
+  // signature grid (the q54 barrier).
   private val eagerByDesign = Set(
     "q47_dedup_components", "q58_dedup_keep", "q54_simhash_pairs",
     "q73_curation_pipeline", "q59_ann_knn_join", "q91_edit_distance",
-    "q102_dup_consolidate", "q105_bloom_decontam")
+    "q102_dup_consolidate", "q105_bloom_decontam",
+    "q127_pairs_from_store", "q128_consolidate_from_store",
+    "q129_winnow_pairs_from_store", "q130_pq_ann_from_store",
+    "q131_ivf_ann_from_store", "q132_ivfpq_ann_from_store",
+    "q133_familiarity_from_store", "q134_decontam_from_store",
+    "q135_incremental_dedup_from_store", "q136_phash_neardup",
+    "q139_phash_from_store")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached
