@@ -133,6 +133,8 @@ object Stress {
         winnowStress(spark, args(1), args(2).toInt)
       case Some("growth") =>
         growth(spark, args(1), args(2).toInt)
+      case Some("phash") =>
+        phashStress(spark, args(1), args(2).toInt)
       case Some("snapdiff") =>
         snapDiff(spark, args(1), args(2).toInt)
       case Some("consolidate") =>
@@ -303,6 +305,56 @@ object Stress {
       val q118Sec = min3(() => Dedup.winnowPairs(docs))
       val q118Pairs = Dedup.winnowPairs(docs).count()
       println(f"""{"mode":"growth","corpus":"$tag","n":$n,"shingle_types":${dist.getLong(0)},"mid_band":${dist.getLong(1)},"stop_band":${dist.getLong(2)},"max_df":${dist.getLong(3)},"state_bound":$stateBound,"informative_fan_in":$fanIn,"build_sec":$buildSec%.1f,"q22_sec_min3":$q22Sec%.2f,"q22_pairs":$q22Pairs,"q118_sec_min3":$q118Sec%.2f,"q118_pairs":$q118Pairs}""")
+    }
+  }
+
+  /** q136/q139 under natural vocabulary growth (growDocs — the fair-growth
+    * corpus): signature-grid build wall, max band-bucket fan-in, candidate
+    * and verified pair volume, q136 wall, and the per-batch
+    * `phashDedupBatch` wall of a fixed-size batch against base vs mult×
+    * standing indexes — the incdedup flatness discipline applied to the
+    * media index (batches must pay for the batch, not the corpus). */
+  def phashStress(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    import operators.{IndexStore, Multimodal}
+    val bigDir = scratch("phash", sfDir, mult)
+    growDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    def min3(mk: () => org.apache.spark.sql.DataFrame): Double =
+      (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        mk().queryExecution.toRdd.count()
+        (System.nanoTime() - t) / 1e9
+      }.min
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val idx = scratch("phash-idx", sfDir, mult, tag)
+      val tB = System.nanoTime()
+      IndexStore.savePhashIndex(docs, idx)
+      val buildSec = (System.nanoTime() - tB) / 1e9
+      val bands = IndexStore.loadPhashBands(spark, idx)
+      val fanIn = bands.groupBy("bi", "key").count()
+        .agg(max("count")).head().getLong(0)
+      val cand = bands.select(col("doc_id"), col("bi"), col("key")).as("x")
+        .join(bands.select(col("doc_id").as("b"), col("bi"), col("key")).as("y"),
+          Seq("bi", "key"))
+        .filter(col("doc_id") < col("b"))
+        .select(col("doc_id"), col("b")).distinct().count()
+      val pairs = IndexStore.phashPairsFrom(spark, idx).count()
+      val qSec = min3(() =>
+        Multimodal.phashPairs(Multimodal.phashGrid(docs).localCheckpoint(true)))
+      // Fixed-size batch (the BASE corpus's doc_id % 10 slice, rewritten to
+      // fresh ids so it never id-collides with the standing corpus) deduped
+      // against this corpus's standing index: per-batch wall must track the
+      // BATCH, not the standing corpus size.
+      val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", -col("doc_id") - 1)
+      val tD = System.nanoTime()
+      val verdicts = IndexStore.phashDedupBatch(batch, idx)
+      val nDup = verdicts.filter(col("keep") === 0).count()
+      val dedupSec = (System.nanoTime() - tD) / 1e9
+      println(f"""{"mode":"phash","corpus":"$tag","n":$n,"build_sec":$buildSec%.1f,"max_band_fan_in":$fanIn,"cand_pairs":$cand,"pairs":$pairs,"q136_sec_min3":$qSec%.2f,"batch_docs":${batch.count()},"batch_dups":$nDup,"batch_dedup_sec":$dedupSec%.1f}""")
     }
   }
 

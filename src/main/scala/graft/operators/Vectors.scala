@@ -986,7 +986,94 @@ object Vectors {
               |  ORDER BY asim DESC, vec_id LIMIT $PqRerank)
               |SELECT t.vec_id, ${dotSql("x.en", "qn")} AS sim
               |FROM cand t JOIN vn x ON x.vec_id = t.vec_id, qd
-              |ORDER BY sim DESC, t.vec_id LIMIT 5""".stripMargin))
+              |ORDER BY sim DESC, t.vec_id LIMIT 5""".stripMargin)),
+
+    // ── Contrastive hard-negative mining (embedding-training curation) ──
+    QueryDef(
+      "q140_hard_negatives",
+      (s, dir) => {
+        // Curation for contrastive/embedding training: for every anchor,
+        // the closest DIFFERENT-label vector (the hard negative — the
+        // example a triplet/InfoNCE batch needs) next to its closest
+        // SAME-label vector; margin = same_sim − neg_sim, and is_hard
+        // flags anchors whose nearest neighbor in the blocked
+        // neighborhood is already a negative (margin < 0) — label-noise
+        // and boundary cases, the rows a mining pass ships. Anchors with
+        // no same-label candidate report the sentinels same_b = −1 /
+        // same_sim = −2.0 (below any cosine — itself a mining signal);
+        // anchors with no negative candidate are out of scope by
+        // definition.
+        //
+        // 100 TB shape: q59's machinery verbatim — SRP-LSH bucket
+        // blocking, O(N) candidates, each a<b pair scored ONCE behind the
+        // localCheckpoint barrier (the symmetric mirror would otherwise
+        // re-run the whole candidates+verify subtree), then a vec_id-keyed
+        // window (never concentrates) and a per-anchor pivot. Labels join
+        // back by key; nothing all-pairs anywhere.
+        val raw = Tables.embeddings(s, dir)
+        val emb = withNormalized(raw).select(col("vec_id"), col("en"))
+        val lbl = raw.select(col("vec_id"), col("label").cast("long").as("lab"))
+        val scored = srpCandidates(emb, srpParams(raw))
+          .join(emb.select(col("vec_id").as("a"), col("en").as("na")), Seq("a"))
+          .join(emb.select(col("vec_id").as("b"), col("en").as("nb")), Seq("b"))
+          .withColumn("sim", dot(col("na"), col("nb")))
+          .select("a", "b", "sim")
+          .localCheckpoint(true)
+        val sym = scored.unionByName(scored.select(
+          col("b").as("a"), col("a").as("b"), col("sim")))
+        val withLbl = sym
+          .join(lbl.select(col("vec_id").as("a"), col("lab").as("la")), Seq("a"))
+          .join(lbl.select(col("vec_id").as("b"), col("lab").as("lb")), Seq("b"))
+          .withColumn("same", (col("la") === col("lb")).cast("int"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("a", "same").orderBy(col("sim").desc, col("b"))
+        withLbl
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+          .groupBy(col("a"), col("la").as("label"))
+          .agg(
+            max(when(col("same") === 0, col("b"))).as("neg_b"),
+            max(when(col("same") === 0, col("sim"))).as("neg_sim"),
+            max(when(col("same") === 1, col("b"))).as("same_b0"),
+            max(when(col("same") === 1, col("sim"))).as("same_sim0"))
+          .filter(col("neg_b").isNotNull)
+          .select(col("a"), col("label"), col("neg_b"), col("neg_sim"),
+            coalesce(col("same_b0"), lit(-1L)).as("same_b"),
+            coalesce(col("same_sim0"), expr("-2.0e0")).as("same_sim"))
+          .withColumn("margin", col("same_sim") - col("neg_sim"))
+          .withColumn("is_hard",
+            when(col("margin") < 0, 1L).otherwise(0L))
+          .orderBy("a")
+      },
+      Some(s"""WITH $normCte,
+              |$srpCandCtes,
+              |sym AS (SELECT a, b FROM cand UNION ALL SELECT b AS a, a AS b FROM cand),
+              |scored AS (
+              |  SELECT s.a, s.b, ${dotSql("x.en", "y.en")} AS sim,
+              |         CAST(x.label AS BIGINT) AS la, CAST(y.label AS BIGINT) AS lb
+              |  FROM sym s JOIN vn x ON x.vec_id = s.a JOIN vn y ON y.vec_id = s.b),
+              |best AS (
+              |  SELECT a, la, b, sim, same FROM (
+              |    SELECT a, la, b, sim,
+              |           CASE WHEN la = lb THEN 1 ELSE 0 END AS same,
+              |           row_number() OVER (PARTITION BY a, CASE WHEN la = lb THEN 1 ELSE 0 END
+              |                              ORDER BY sim DESC, b) AS rnk
+              |    FROM scored)
+              |  WHERE rnk = 1),
+              |piv AS (
+              |  SELECT a, la AS label,
+              |         max(CASE WHEN same = 0 THEN b END) AS neg_b,
+              |         max(CASE WHEN same = 0 THEN sim END) AS neg_sim,
+              |         max(CASE WHEN same = 1 THEN b END) AS same_b0,
+              |         max(CASE WHEN same = 1 THEN sim END) AS same_sim0
+              |  FROM best GROUP BY a, la)
+              |SELECT a, label, neg_b, neg_sim,
+              |       coalesce(same_b0, -1) AS same_b,
+              |       coalesce(same_sim0, -2.0e0) AS same_sim,
+              |       coalesce(same_sim0, -2.0e0) - neg_sim AS margin,
+              |       CAST(CASE WHEN coalesce(same_sim0, -2.0e0) - neg_sim < 0
+              |            THEN 1 ELSE 0 END AS BIGINT) AS is_hard
+              |FROM piv WHERE neg_b IS NOT NULL
+              |ORDER BY a""".stripMargin))
   )
 
   /** q88's PQ codebook as a broadcast 1-row frame `cb`: for each of the

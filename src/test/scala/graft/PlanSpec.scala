@@ -735,6 +735,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q140 hard negatives: anchor-keyed window over blocked candidates, no product") {
+    // The scored-candidate build runs eagerly behind q59's checkpoint
+    // barrier; the static plan is the label join + per-anchor pivot. The
+    // window must key by (a, same) — never a global sort — and nothing
+    // may degrade to a product join.
+    assert(collectAll("q140_hard_negatives") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    val wins = collectAll("q140_hard_negatives") { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the per-anchor rank window")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "rank window is unkeyed — a global sort at corpus scale"))
+    hashShuffleKeys("q140_hard_negatives").foreach { keys =>
+      assert(keys.subsetOf(Set("a", "b", "vec_id", "same", "label", "la", "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q138 epoch mixture: one source-keyed agg; water-filling rides on 1-row broadcasts") {
     assert(collectAll("q138_epoch_mixture") {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
