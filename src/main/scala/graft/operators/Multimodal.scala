@@ -86,6 +86,57 @@ object Multimodal {
       .filter(col("hamming") <= PhashHamTau)
   }
 
+  /** JVM twin of `phashGrid` for the streaming path (state-keyed streams
+    * need the signature computed in-row, not via a streaming aggregation):
+    * same word split (single-space, space-trim only — Spark's `trim`
+    * strips ' ' alone, so String.trim with its ≤U+0020 sweep would
+    * diverge), same 3-gram patches, same md5 15-hex fold, same min-per-bin
+    * nibble. MultimodalSpec pins bit-parity against phashGrid for every
+    * corpus doc. None for docs under ShingleN words (no grid row in the
+    * batch derivation either). */
+  def phashSignatureJvm(text: String): Option[String] = {
+    val n = Dedup.ShingleN
+    var s = 0; var e = text.length
+    while (s < e && text.charAt(s) == ' ') s += 1
+    while (e > s && text.charAt(e - 1) == ' ') e -= 1
+    val words = text.substring(s, e).split(" ", -1)
+    if (words.length < n) None
+    else {
+      val mins = Array.fill(PhashBins)(Long.MaxValue)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexd = "0123456789abcdef"
+      var i = 0
+      while (i <= words.length - n) {
+        val g = new StringBuilder(words(i))
+        var k = 1
+        while (k < n) { g.append(' ').append(words(i + k)); k += 1 }
+        val dig = md.digest(g.toString.getBytes("UTF-8"))
+        md.reset()
+        // first 15 hex chars = the top 7.5 bytes, MSB-first
+        var h = 0L
+        var j = 0
+        while (j < 7) { h = h * 256 + (dig(j) & 0xff); j += 1 }
+        h = h * 16 + ((dig(7) & 0xff) >> 4)
+        val b = (h % PhashBins).toInt
+        if (h < mins(b)) mins(b) = h
+        i += 1
+      }
+      val sb = new StringBuilder(PhashBins)
+      mins.foreach { m =>
+        sb.append(if (m == Long.MaxValue) '-'
+          else hexd.charAt(((m / 16) % 16).toInt))
+      }
+      Some(sb.toString)
+    }
+  }
+
+  /** JVM twin of `phashHamming` (16-char pixel strings). */
+  def phashHammingJvm(a: String, b: String): Int = {
+    var d = 0; var i = 0
+    while (i < PhashBins) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
+    d
+  }
+
   /** Documents → media records (payload = utf8 bytes standing in for a real
     * media blob). Narrow projection; binary stays columnar in parquet. */
   def toMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

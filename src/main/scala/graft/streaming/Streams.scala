@@ -345,6 +345,60 @@ object Streams {
       }
   }
 
+  final case class PhashVerdict(doc_id: Long, dup_of: Long)
+
+  /** q136/`phashDedupBatch`'s streaming twin: the standing perceptual-hash
+    * band index lives in flatMapGroupsWithState state (keyed by (band,
+    * key) bucket, each bucket holding its members' (doc_id, pixels)), and
+    * every micro-batch's media docs are checked against it — earlier-batch
+    * members regardless of id, same-batch members by the earlier-id greedy
+    * rule, matches at pixel Hamming ≤ PhashHamTau. A doc can emit one
+    * verdict per colliding bucket; the per-doc `dup_of` is the min over
+    * emissions (a stateless per-batch reduction downstream, exactly the
+    * `incrementalDedupStream` contract).
+    *
+    * The signature is computed IN-ROW by `Multimodal.phashSignatureJvm`
+    * (spec-pinned bit-equal to the batch `phashGrid` derivation) — a
+    * streaming groupBy(doc_id) aggregation would be a second stateful
+    * operator; in-row derivation keeps the plan one narrow projection into
+    * the single keyed state op, the same shape as the LSH stream. State =
+    * exactly what `IndexStore.savePhashIndex` persists between batch runs;
+    * NoTimeout because a standing index never evicts (durability across
+    * restarts is the parquet layout, this is the in-stream form). */
+  def phashDedupStream(docs: DataFrame): Dataset[PhashVerdict] = {
+    import graft.operators.Multimodal
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bx = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Multimodal.phashSignatureJvm(text).toSeq.flatMap { px =>
+          (0 until Multimodal.PhashBands).map { b =>
+            (id, px, b, px.substring(b * Multimodal.PhashBandW, (b + 1) * Multimodal.PhashBandW))
+          }
+        }
+      }
+    bx.groupByKey(t => (t._3, t._4))
+      .flatMapGroupsWithState[Seq[(Long, String)], PhashVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Seq[(Long, String)]]) =>
+          val members =
+            scala.collection.mutable.ArrayBuffer.from(state.getOption.getOrElse(Seq.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PhashVerdict]
+          rows.toArray.sortBy(_._1).foreach { case (id, px, _, _) =>
+            var best = Long.MaxValue
+            members.foreach { case (mid, mpx) =>
+              if (mid != id && mid < best &&
+                  Multimodal.phashHammingJvm(px, mpx) <= Multimodal.PhashHamTau)
+                best = mid
+            }
+            if (best != Long.MaxValue) out += PhashVerdict(id, best)
+            members += ((id, px))
+          }
+          state.update(members.toSeq)
+          out.iterator
+      }
+  }
+
   /** q86's streaming form: score a document stream against the PERSISTED
     * frozen reference LM (`IndexStore.saveUnigramLM`) — STATELESS by
     * construction: a frozen LM makes every doc's score final on arrival,

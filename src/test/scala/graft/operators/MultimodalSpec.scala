@@ -23,4 +23,26 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(f => f.doc_id -> (f.width, f.height, f.features.toSeq)).toMap
     assert(repart === single)
   }
+
+  test("JVM phash signature is bit-equal to the batch phashGrid for every corpus doc") {
+    // The streaming path derives the signature in-row via
+    // phashSignatureJvm; any divergence from the declarative phashGrid
+    // (word split, md5 fold, bin minima, nibble pick) would silently break
+    // stream-vs-batch dedup parity. Pin equality doc-by-doc, plus the
+    // under-ShingleN and empty-bin edges.
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val want = Multimodal.phashGrid(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = docs.select("doc_id", "text").collect().flatMap { r =>
+      Multimodal.phashSignatureJvm(r.getString(1)).map(r.getLong(0) -> _)
+    }.toMap
+    assert(got.size === want.size)
+    assert(got === want)
+    assert(Multimodal.phashSignatureJvm("one two") === None,
+      "under-ShingleN docs must produce no signature, like the batch filter")
+    // A 3-word doc has exactly one patch -> exactly one populated bin.
+    val one = Multimodal.phashSignatureJvm("one two three").get
+    assert(one.count(_ == '-') === 15)
+    assert(Multimodal.phashHammingJvm(one, one) === 0)
+  }
 }

@@ -254,6 +254,34 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming phash dedup across micro-batches matches the q136 pair greedy") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // Id-ordered micro-batches (ids < 250, then the rest): "earlier batch"
+    // then coincides with "smaller id", so the stream's decision order is
+    // exactly q136's a < b total order and per-doc min(dup_of) must equal
+    // the greedy derived from the q136 pair table: dup_of(b) = min a with
+    // Hamming <= PhashHamTau. Two batches pin that bucket state SURVIVES
+    // the micro-batch boundary.
+    val tmp = landBatches(Seq(
+      docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250)))
+    val got = Streams.runToMemory(spark,
+        Streams.phashDedupStream(
+          Streams.readDocsStream(spark, tmp.getPath, "*.parquet", Some(1))).toDF(),
+        "phash_mb")
+      .groupBy("doc_id").agg(min("dup_of").as("dup_of"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val pairs = graft.SparkEntry.queries("q136_phash_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = pairs.groupBy(_._2).map { case (b, rs) => b -> rs.map(_._1).min }
+    assert(want.nonEmpty, "fixture must contain phash near-dups")
+    // Cross-boundary evidence: at least one flagged doc's dup_of lives in
+    // the earlier micro-batch.
+    assert(want.exists { case (b, a) => b >= 250 && a < 250 },
+      "no cross-batch pair — the state-survival claim would be vacuous")
+    assert(got === want)
+  }
+
   test("streaming familiarity vs the persisted LM matches batch q86 across micro-batches") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     // Freeze q86's reference slice as the persisted LM, then stream the
