@@ -175,15 +175,14 @@ object Multimodal {
   /** Shared q136/q139 oracle: the signature grid + band-blocked Hamming
     * search in portable DuckDB SQL (def, not val — safe from object-init
     * order). */
-  private def phashOracleSql: String = {
+  /** DuckDB CTE chain `wt → sh → pw → g0 → grid(doc_id, pixels)` — the
+    * signature-grid derivation shared by the q136/q139/q141 oracles. */
+  private def phashGridCtes: String = {
     val minCols = (0 until PhashBins).map(k =>
       s"coalesce(substr('0123456789abcdef', CAST((min(CASE WHEN h % 16 = $k THEN h END) // 16) % 16 AS INT) + 1, 1), '-') AS c$k")
       .mkString(",\n       ")
     val pix = (0 until PhashBins).map(k => s"c$k").mkString(" || ")
-    val ham =
-      """CAST(list_sum([CASE WHEN substr(x.pixels, i, 1) = substr(y.pixels, i, 1) THEN 0 ELSE 1 END
-        |                      for i in range(1, 17)]) AS BIGINT)""".stripMargin
-    s"""WITH wt AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    s"""wt AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
        |sh AS (
        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM wt)),
@@ -194,7 +193,17 @@ object Multimodal {
        |g0 AS (
        |  SELECT doc_id, $minCols
        |  FROM pw GROUP BY doc_id),
-       |grid AS (SELECT doc_id, $pix AS pixels FROM g0),
+       |grid AS (SELECT doc_id, $pix AS pixels FROM g0)""".stripMargin
+  }
+
+  /** Pixel-wise Hamming between the aliased `x`/`y` grid rows, DuckDB. */
+  private def phashHamSql: String =
+    """CAST(list_sum([CASE WHEN substr(x.pixels, i, 1) = substr(y.pixels, i, 1) THEN 0 ELSE 1 END
+      |                      for i in range(1, 17)]) AS BIGINT)""".stripMargin
+
+  private def phashOracleSql: String = {
+    val ham = phashHamSql
+    s"""WITH $phashGridCtes,
        |bx AS (
        |  SELECT doc_id, pixels, k AS bi, substr(pixels, CAST(k * 4 + 1 AS INT), 4) AS key
        |  FROM grid, range(0, 4) t(k))
@@ -407,6 +416,74 @@ object Multimodal {
         IndexStore.phashPairsFrom(s, scratch).orderBy("a", "b")
       },
       Some(phashOracleSql)),
+
+    // ── Phash blocking recall calibration (the q123 discipline) ──
+    QueryDef(
+      "q141_phash_calibration",
+      (s, dir) => {
+        // q123's calibration discipline applied to the phash search: how
+        // much of the pair mass at each Hamming distance does the 4-band
+        // blocking actually surface? Truth comes from SINGLE-PIXEL
+        // blocking over a hash-sampled 10% anchor set — 16 width-1 bands
+        // find every sampled pair at Hamming ≤ 15 by pigeonhole (only
+        // ham-16 pairs, sharing nothing, are out of scope), and the
+        // sample bounds the quadratic term by the CALIBRATION BUDGET, not
+        // the corpus (a deployment tunes bands on a fixed sample, exactly
+        // like q123 calibrates bands×rows). Output: per Hamming value,
+        // sampled pair count, band-blocked count, recall. Pigeonhole
+        // shows as recall = 1.0 on every row ≤ 3 (MultimodalSpec pins
+        // it); the 4–15 tail is the number the band count buys.
+        //
+        // Shapes: equi-joins only (the pixel-position explode is the
+        // blocking key — no cartesian anywhere); both pair sets are
+        // sample-bounded; one ≤17-row output agg.
+        val grid = phashGrid(Tables.load(s, dir, "documents"))
+          .filter(expr(
+            "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint) % 10 = 0"))
+          .localCheckpoint(true)
+        val px = grid.select(col("doc_id"), col("pixels"), explode(expr(
+          "transform(sequence(1, 16), i -> struct(i AS pos, substring(pixels, i, 1) AS pv))")).as("e"))
+          .select(col("doc_id"), col("pixels"), col("e.pos").as("pos"), col("e.pv").as("pv"))
+        val xa = px.toDF("a", "pa", "pos", "pv")
+        val yb = px.toDF("b", "pb", "pos", "pv")
+        val truth = xa.join(yb, Seq("pos", "pv")).filter(col("a") < col("b"))
+          .select(col("a"), col("b"), phashHamming("pa", "pb").as("hamming"))
+          .distinct()
+        val found = phashBandRows(grid).select("doc_id", "bi", "key")
+          .toDF("a", "bi", "key")
+          .join(phashBandRows(grid).select("doc_id", "bi", "key").toDF("b", "bi", "key"),
+            Seq("bi", "key"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+          .withColumn("m", lit(1))
+        truth.join(found, Seq("a", "b"), "left")
+          .groupBy("hamming")
+          .agg(count(lit(1)).as("n_pairs"), count(col("m")).as("n_blocked"))
+          .withColumn("recall", col("n_blocked") / col("n_pairs"))
+          .orderBy("hamming")
+      },
+      Some(s"""WITH $phashGridCtes,
+              |samp AS (
+              |  SELECT doc_id, pixels FROM grid
+              |  WHERE list_reduce([(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+              |                     for i in range(1, 16)], (a, b) -> a * 16 + b) % 10 = 0),
+              |px AS (
+              |  SELECT doc_id, pixels, i AS pos, substr(pixels, CAST(i AS INT), 1) AS pv
+              |  FROM samp, range(1, 17) t(i)),
+              |truth AS (
+              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, $phashHamSql AS hamming
+              |  FROM px x JOIN px y ON x.pos = y.pos AND x.pv = y.pv AND x.doc_id < y.doc_id),
+              |bx AS (
+              |  SELECT doc_id, k AS bi, substr(pixels, CAST(k * 4 + 1 AS INT), 4) AS key
+              |  FROM samp, range(0, 4) t(k)),
+              |found AS (
+              |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, 1 AS m
+              |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.key = y.key AND x.doc_id < y.doc_id)
+              |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+              |       CAST(count(f.m) AS BIGINT) AS n_blocked,
+              |       count(f.m) / count(*) AS recall
+              |FROM truth t LEFT JOIN found f USING (a, b)
+              |GROUP BY hamming ORDER BY hamming""".stripMargin)),
 
     // ── Shot-boundary detection (scene cuts) ──
     QueryDef(

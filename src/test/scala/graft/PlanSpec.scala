@@ -753,6 +753,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q141 phash calibration: equi-joins only on sampled pixel/band keys") {
+    assert(collectAll("q141_phash_calibration") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "the truth side must block on pixel positions, never cross-join")
+    assert(collectAll("q141_phash_calibration") { case w: WindowExec => w }.isEmpty)
+    hashShuffleKeys("q141_phash_calibration").foreach { keys =>
+      assert(keys.subsetOf(Set("pos", "pv", "bi", "key", "a", "b", "hamming")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q138 epoch mixture: one source-keyed agg; water-filling rides on 1-row broadcasts") {
     assert(collectAll("q138_epoch_mixture") {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j

@@ -45,4 +45,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(one.count(_ == '-') === 15)
     assert(Multimodal.phashHammingJvm(one, one) === 0)
   }
+
+  test("q141 pigeonhole: band-blocking recall is exactly 1.0 at Hamming <= 3") {
+    // 4 bands of 4 pixels: a pair differing in <= 3 positions must agree
+    // on at least one whole band — every such sampled truth pair MUST be
+    // blocked. A recall < 1.0 on any such row is a blocking-logic bug,
+    // not a tuning matter.
+    val rows = graft.SparkEntry.queries("q141_phash_calibration")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.filter(_._1 <= 3).foreach { case (h, n, b, rec) =>
+      assert(b === n && rec === 1.0, s"pigeonhole violated at hamming=$h: $b/$n")
+    }
+    // And the tail exists: some sampled pair mass sits above the guarantee.
+    assert(rows.exists(_._1 > 3), "sample produced no >3-hamming pairs — vacuous")
+  }
 }
