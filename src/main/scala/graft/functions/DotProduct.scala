@@ -104,6 +104,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WinnowFps].getName, "graft_winnow"),
       (children: Seq[Expression]) => WinnowFps(children.head))
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_phashsig"),
+      new ExpressionInfo(classOf[PhashSig].getName, "graft_phashsig"),
+      (children: Seq[Expression]) => PhashSig(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
       (children: Seq[Expression]) => L2Normalize(children.head))

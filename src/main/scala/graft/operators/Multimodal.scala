@@ -38,23 +38,25 @@ object Multimodal {
   val PhashHamTau = 3
 
   /** q136's perceptual signature: one-permutation binned min-hash over
-    * content-defined patches (stub: word 3-grams via Dedup.shinglesRaw —
-    * a production media build swaps in rolling-hash CDC over decoded
-    * bytes). Bin k of 16 takes min(h) over the doc's patch hashes with
-    * h % 16 = k; the bin's next nibble becomes one hex pixel, '-' marks
-    * an empty bin. ONE doc-keyed partial+final agg with FIXED 16-long
-    * state per doc. Returns (doc_id, pixels). */
+    * content-defined patches (stub: word 3-grams — a production media
+    * build swaps in rolling-hash CDC over decoded bytes). Bin k of 16
+    * takes min(h) over the doc's patch hashes with h % 16 = k; the bin's
+    * next nibble becomes one hex pixel, '-' marks an empty bin. Returns
+    * (doc_id, pixels).
+    *
+    * The signature is a pure per-row reduction, computed by the codegen'd
+    * `graft_phashsig` expression (functions/PhashSig) — a NARROW SCAN
+    * with zero exchanges (PlanSpec pin). The first formulation (shingle
+    * explode → 16-conditional-min groupBy(doc_id)) paid a corpus-wide
+    * doc_id hash shuffle for what is row-local arithmetic; the oracle's
+    * nibble fold pins the expression's bit-parity through DuckDB at all
+    * three SFs, and the streaming twin shares the same compute core. */
   def phashGrid(docs: DataFrame): DataFrame = {
-    val ph = Dedup.shinglesRaw(docs)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
       .select(col("doc_id"),
-        expr("cast(conv(substr(md5(s), 1, 15), 16, 10) AS bigint)").as("h"))
-    val mins = (0 until PhashBins).map(k =>
-      min(when(col("h") % PhashBins === k, col("h"))).as(s"m$k"))
-    ph.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), concat((0 until PhashBins).map(k =>
-        expr(s"coalesce(substr('0123456789abcdef', cast((m$k div 16) % 16 AS int) + 1, 1), '-')")): _*)
-        .as("pixels"))
+        call_function("graft_phashsig", split(trim(col("text")), " ")).as("pixels"))
+      .filter(col("pixels").isNotNull)
   }
 
   /** Band rows of a signature grid: (doc_id, pixels, bi, key). */
@@ -101,33 +103,7 @@ object Multimodal {
     while (e > s && text.charAt(e - 1) == ' ') e -= 1
     val words = text.substring(s, e).split(" ", -1)
     if (words.length < n) None
-    else {
-      val mins = Array.fill(PhashBins)(Long.MaxValue)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hexd = "0123456789abcdef"
-      var i = 0
-      while (i <= words.length - n) {
-        val g = new StringBuilder(words(i))
-        var k = 1
-        while (k < n) { g.append(' ').append(words(i + k)); k += 1 }
-        val dig = md.digest(g.toString.getBytes("UTF-8"))
-        md.reset()
-        // first 15 hex chars = the top 7.5 bytes, MSB-first
-        var h = 0L
-        var j = 0
-        while (j < 7) { h = h * 256 + (dig(j) & 0xff); j += 1 }
-        h = h * 16 + ((dig(7) & 0xff) >> 4)
-        val b = (h % PhashBins).toInt
-        if (h < mins(b)) mins(b) = h
-        i += 1
-      }
-      val sb = new StringBuilder(PhashBins)
-      mins.foreach { m =>
-        sb.append(if (m == Long.MaxValue) '-'
-          else hexd.charAt(((m / 16) % 16).toInt))
-      }
-      Some(sb.toString)
-    }
+    else Some(graft.functions.PhashSig.computeWords(words))
   }
 
   /** JVM twin of `phashHamming` (16-char pixel strings). */

@@ -46,6 +46,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.phashHammingJvm(one, one) === 0)
   }
 
+  test("phashGrid is a pure narrow scan: zero exchanges before the barrier") {
+    // The codegen'd graft_phashsig computes the signature in-row; the
+    // explode → groupBy(doc_id) formulation it replaced paid a corpus-wide
+    // hash shuffle for row-local arithmetic. Any exchange reappearing here
+    // is a regression to that shape.
+    graft.StaticPlans {
+      val plan = Multimodal.phashGrid(graft.Tables.load(spark, dir, "documents"))
+        .queryExecution.executedPlan
+      val exchanges = plan.collectWithSubqueries {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, s"signature build shuffles:\n$plan")
+    }
+  }
+
   test("q141 pigeonhole: band-blocking recall is exactly 1.0 at Hamming <= 3") {
     // 4 bands of 4 pixels: a pair differing in <= 3 positions must agree
     // on at least one whole band — every such sampled truth pair MUST be
