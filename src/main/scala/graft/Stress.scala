@@ -355,6 +355,46 @@ object Stress {
       val nDup = verdicts.filter(col("keep") === 0).count()
       val dedupSec = (System.nanoTime() - tD) / 1e9
       println(f"""{"mode":"phash","corpus":"$tag","n":$n,"build_sec":$buildSec%.1f,"max_band_fan_in":$fanIn,"cand_pairs":$cand,"pairs":$pairs,"q136_sec_min3":$qSec%.2f,"batch_docs":${batch.count()},"batch_dups":$nDup,"batch_dedup_sec":$dedupSec%.1f}""")
+
+      // The SCALE LEVER, measured two ways on the same corpus:
+      // (a) "phash32" — the naive widening (32 bins, 8 bands of 4, tau
+      //     scaled to 6/32 = 3/16): REJECTED by this data — ~190-gram
+      //     docs starve 32 bins into shared '-' runs and band fan-in
+      //     EXPLODES (169 vs 23 at base) — kept as the measured negative;
+      // (b) "phashdeep" — depth 2 (16 bins × 2 hex chars, 4 bands of 8
+      //     chars): same cells, same min-per-bin robustness, accidental
+      //     cell agreement / band collisions drop ~16×/65536× — fan-in
+      //     must collapse to the true-near-dup floor.
+      // Cell Hamming for depth 2 compares 2-char groups as ONE cell.
+      graft.functions.GraftFunctions.register(spark)
+      def variant(mode: String, bins: Int, depth: Int, bands: Int, tau: Int): Unit = {
+        val cellW = (bins / bands) * depth
+        val vGrid = docs
+          .select(col("doc_id"), call_function("graft_phashsig",
+            split(trim(col("text")), " "), lit(bins), lit(depth)).as("pixels"))
+          .filter(col("pixels").isNotNull)
+          .localCheckpoint(true)
+        val vbx = vGrid.select(col("doc_id"), col("pixels"), explode(array(
+          (0 until bands).map(k => struct(lit(k).as("bi"),
+            expr(s"substring(pixels, ${k * cellW + 1}, $cellW)").as("key"))): _*)).as("e"))
+          .select(col("doc_id"), col("pixels"), col("e.bi").as("bi"), col("e.key").as("key"))
+        val vFan = vbx.groupBy("bi", "key").count()
+          .agg(max("count")).head().getLong(0)
+        val vxa = vbx.toDF("a", "pa", "bi", "key")
+        val vyb = vbx.toDF("b", "pb", "bi", "key")
+        val vJoined = vxa.join(vyb, Seq("bi", "key")).filter(col("a") < col("b"))
+        val vCand = vJoined.select("a", "b").distinct().count()
+        val vPairs = vJoined
+          .select(col("a"), col("b"), expr(
+            s"""cast(aggregate(sequence(0, ${bins - 1}), 0, (acc, i) ->
+               |  acc + if(substring(pa, i * $depth + 1, $depth) = substring(pb, i * $depth + 1, $depth), 0, 1)) AS bigint)""".stripMargin)
+            .as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= tau).count()
+        println(s"""{"mode":"$mode","corpus":"$tag","n":$n,"max_band_fan_in":$vFan,"cand_pairs":$vCand,"pairs":$vPairs}""")
+      }
+      variant("phash32", bins = 32, depth = 1, bands = 8, tau = 6)
+      variant("phashdeep", bins = 16, depth = 2, bands = 4, tau = 3)
     }
   }
 

@@ -33,7 +33,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_phashsig"),
       new ExpressionInfo(classOf[PhashSig].getName, "graft_phashsig"),
-      (children: Seq[Expression]) => PhashSig(children.head)))
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => PhashSig(c)
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(b: Int,
+            org.apache.spark.sql.types.IntegerType)) => PhashSig(c, b)
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(b: Int,
+            org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.catalyst.expressions.Literal(d: Int,
+            org.apache.spark.sql.types.IntegerType)) => PhashSig(c, b, d)
+        case other => throw new IllegalArgumentException(
+          s"graft_phashsig expects (words[, bins-literal[, depth-literal]]), got ${other.size} args")
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),

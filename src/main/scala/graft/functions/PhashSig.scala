@@ -26,8 +26,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * doc_id hash shuffle (the only exchange in the old derivation)
   * disappears entirely, and the streaming twin shares this exact
   * derivation instead of mirroring it. One md5 per gram, one pass.
+  *
+  * `bins` (default 16; any positive multiple of 4 up to 64) and `depth`
+  * (hex chars per bin, default 1) are both REAL and honored. The SCALE
+  * lever is `depth`: deeper pixels keep min-per-bin edit robustness
+  * while accidental cell agreement drops 16^(depth-1)× — the phash
+  * Stress measures depth 2 collapsing band fan-in to the true-dup floor
+  * at 10×, where the 32-bin widening attempt FAILED (short docs starve
+  * extra bins into shared '-' runs; both measured, PERF.md).
   */
-case class PhashSig(child: Expression) extends UnaryExpression {
+case class PhashSig(child: Expression, bins: Int = PhashSig.Bins,
+    depth: Int = 1) extends UnaryExpression {
+  require(bins > 0 && bins % 4 == 0 && bins <= 64,
+    s"graft_phashsig bins must be a positive multiple of 4 <= 64, got $bins")
+  require(depth >= 1 && depth <= 4,
+    s"graft_phashsig depth must be in [1, 4] hex chars per bin, got $depth")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -39,11 +52,11 @@ case class PhashSig(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_phashsig"
 
   override def nullSafeEval(input: Any): Any =
-    PhashSig.compute(input.asInstanceOf[ArrayData])
+    PhashSig.compute(input.asInstanceOf[ArrayData], bins, depth)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.PhashSig.compute($c);
+      ${ev.value} = graft.functions.PhashSig.compute($c, $bins, $depth);
       ${ev.isNull} = ${ev.value} == null;
     """)
 
@@ -70,7 +83,7 @@ object PhashSig {
     (h << 4) | ((d(7) >> 4) & 0xfL)
   }
 
-  def compute(words: ArrayData): UTF8String = {
+  def compute(words: ArrayData, bins: Int, depth: Int = 1): UTF8String = {
     val n = words.numElements()
     if (n < ShingleN) return null
     val strs = new Array[String](n)
@@ -79,15 +92,15 @@ object PhashSig {
       strs(w) = if (words.isNullAt(w)) null else words.getUTF8String(w).toString
       w += 1
     }
-    UTF8String.fromString(computeWords(strs))
+    UTF8String.fromString(computeWords(strs, bins, depth))
   }
 
   /** Shared core — also the streaming path's in-row derivation
     * (Multimodal.phashSignatureJvm). Null words are skipped inside a gram
     * like concat_ws does. */
-  def computeWords(words: Array[String]): String = {
+  def computeWords(words: Array[String], bins: Int = Bins, depth: Int = 1): String = {
     val md = digests.get()
-    val mins = Array.fill(Bins)(Long.MaxValue)
+    val mins = Array.fill(bins)(Long.MaxValue)
     val nGrams = words.length - ShingleN + 1
     var i = 0
     while (i < nGrams) {
@@ -103,15 +116,28 @@ object PhashSig {
         t += 1
       }
       val h = hash60(md, sb.toString.getBytes("UTF-8"))
-      val b = (h % Bins).toInt
+      val b = (h % bins).toInt
       if (h < mins(b)) mins(b) = h
       i += 1
     }
-    val out = new java.lang.StringBuilder(Bins)
+    // Pixel = `depth` hex chars of (min div bins): the divisor must clear
+    // EVERY bin-selector bit or bin and pixel correlate and band keys lose
+    // entropy (measured: div 16 at bins = 32 shares bit 4 with the
+    // selector — one bit less per pixel, 16× the band collisions, fan-in
+    // 169 vs 23 on the same corpus). For the default (16, 1) this is
+    // exactly the oracle-pinned (min // 16) % 16. depth > 1 is the SCALE
+    // lever: each cell keeps min-per-bin edit robustness while accidental
+    // cell agreement drops 16^(depth-1)× — adding bins instead starves
+    // short docs into shared '-' runs (measured, PERF.md phash stress).
+    val out = new java.lang.StringBuilder(bins * depth)
     var k = 0
-    while (k < Bins) {
-      out.append(if (mins(k) == Long.MaxValue) '-'
-        else hexd.charAt(((mins(k) / 16) % 16).toInt))
+    while (k < bins) {
+      if (mins(k) == Long.MaxValue) { var d = 0; while (d < depth) { out.append('-'); d += 1 } }
+      else {
+        val v = (mins(k) / bins) % (1L << (4 * depth))
+        var d = depth - 1
+        while (d >= 0) { out.append(hexd.charAt(((v >> (4 * d)) & 0xf).toInt)); d -= 1 }
+      }
       k += 1
     }
     out.toString
