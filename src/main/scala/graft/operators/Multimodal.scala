@@ -393,6 +393,72 @@ object Multimodal {
       },
       Some(phashOracleSql)),
 
+    // ── Deep-pixel phash near-dup (the measured scale variant) ──
+    QueryDef(
+      "q142_phash_deep",
+      (s, dir) => {
+        // q136 at depth 2 — the signature the NEXT corpus decade deploys
+        // (PERF.md phash stress: identical bin structure and edit
+        // robustness, accidental band collisions ÷65536, every surviving
+        // 10× candidate a genuine full-band sharer). 16 bins × 2 hex
+        // chars; bands are 4 × 8 chars; Hamming counts 2-char CELLS. The
+        // oracle re-derives the deep pixels independently, so the depth
+        // parameter (and the div-by-bins entropy fix it depends on) is
+        // graded through DuckDB, not just spec-pinned.
+        graft.functions.GraftFunctions.register(s)
+        val CellW = 2; val BandW = 4 * CellW; val HamTau = 3
+        val grid = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), call_function("graft_phashsig",
+            split(trim(col("text")), " "), lit(PhashBins), lit(2)).as("pixels"))
+          .filter(col("pixels").isNotNull)
+          .localCheckpoint(true)
+        val bx = grid.select(col("doc_id"), col("pixels"), explode(array(
+          (0 until PhashBands).map(k => struct(lit(k).as("bi"),
+            expr(s"substring(pixels, ${k * BandW + 1}, $BandW)").as("key"))): _*)).as("e"))
+          .select(col("doc_id"), col("pixels"), col("e.bi").as("bi"), col("e.key").as("key"))
+        val xa = bx.toDF("a", "pa", "bi", "key")
+        val yb = bx.toDF("b", "pb", "bi", "key")
+        xa.join(yb, Seq("bi", "key")).filter(col("a") < col("b"))
+          .select(col("a"), col("b"), expr(
+            s"""cast(aggregate(sequence(0, ${PhashBins - 1}), 0, (acc, i) ->
+               |  acc + if(substring(pa, i * $CellW + 1, $CellW) = substring(pb, i * $CellW + 1, $CellW), 0, 1)) AS bigint)""".stripMargin)
+            .as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= HamTau)
+          .orderBy("a", "b")
+      },
+      Some {
+        // single-line per column: interpolated newlines would collide with
+        // the outer stripMargin (a leading '||' loses its first char)
+        val deepCols = (0 until PhashBins).map { k =>
+          val m = s"min(CASE WHEN h % 16 = $k THEN h END)"
+          s"CASE WHEN $m IS NULL THEN '--' ELSE substr('0123456789abcdef', CAST((($m // 16) % 256) // 16 AS INT) + 1, 1) || substr('0123456789abcdef', CAST((($m // 16) % 256) % 16 AS INT) + 1, 1) END AS c$k"
+        }.mkString(",\n       ")
+        val pix = (0 until PhashBins).map(k => s"c$k").mkString(" || ")
+        val ham =
+          """CAST(list_sum([CASE WHEN substr(x.pixels, i * 2 + 1, 2) = substr(y.pixels, i * 2 + 1, 2) THEN 0 ELSE 1 END
+            |                      for i in range(0, 16)]) AS BIGINT)""".stripMargin
+        s"""WITH wt AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+           |sh AS (
+           |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+           |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM wt)),
+           |pw AS (
+           |  SELECT doc_id, list_reduce([(strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1)::BIGINT
+           |                 for i in range(1, 16)], (a, b) -> a * 16 + b) AS h
+           |  FROM sh),
+           |g0 AS (
+           |  SELECT doc_id, $deepCols
+           |  FROM pw GROUP BY doc_id),
+           |grid AS (SELECT doc_id, $pix AS pixels FROM g0),
+           |bx AS (
+           |  SELECT doc_id, pixels, k AS bi, substr(pixels, CAST(k * 8 + 1 AS INT), 8) AS key
+           |  FROM grid, range(0, 4) t(k))
+           |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, $ham AS hamming
+           |FROM bx x JOIN bx y ON x.bi = y.bi AND x.key = y.key AND x.doc_id < y.doc_id
+           |WHERE $ham <= 3
+           |ORDER BY a, b""".stripMargin
+      }),
+
     // ── Phash blocking recall calibration (the q123 discipline) ──
     QueryDef(
       "q141_phash_calibration",
