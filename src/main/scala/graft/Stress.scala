@@ -102,6 +102,13 @@ import org.apache.spark.sql.functions._
   *     corpus — the search cost is one coded linear scan (the table read
   *     is codes, 4 B/vector) plus the constant-depth re-rank, and recall
   *     is the number the re-rank depth buys.
+  *
+  * 100×-decade runs need `SPARK_DRIVER_MEM=48g` (build.sbt plumbs it to
+  * -Xmx): the AUDIT frames these modes materialize for judging — exact
+  * uncapped df distributions, all-candidate counts — outgrow the 8 GB
+  * default heap at 500k docs. The engine paths under test are the same
+  * bounded aggregations at every scale; it's the stress's own
+  * measurement frames that are corpus-sized by design.
   */
 object Stress {
 
