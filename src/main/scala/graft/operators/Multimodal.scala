@@ -459,6 +459,48 @@ object Multimodal {
            |ORDER BY a, b""".stripMargin
       }),
 
+    // ── Incremental media dedup over the persisted phash index ──
+    QueryDef(
+      "q143_phash_incremental",
+      (s, dir) => {
+        // The q80/q135 discipline completed for the media index: a
+        // standing corpus (doc_id % 4 ≠ 0) persisted by savePhashIndex,
+        // an incoming media batch (doc_id % 4 = 0) audited against it by
+        // `IndexStore.phashDedupBatch` — (doc_id, dup_of, keep), dup_of =
+        // the smallest matching id at Hamming ≤ PhashHamTau (standing
+        // docs match regardless of id, batch docs by the earlier-id
+        // greedy rule). The oracle needs NO blocking simulation: the
+        // 4-band scheme is provably LOSSLESS at Hamming ≤ 3 (pigeonhole —
+        // the guarantee q141 pins at exactly 1.0), so all-pairs Hamming
+        // over the re-derived grids is the same answer through the
+        // independent engine.
+        val docs = Tables.load(s, dir, "documents")
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-q143-store").toString
+        IndexStore.savePhashIndex(docs.filter(col("doc_id") % 4 =!= 0), scratch)
+        IndexStore.phashDedupBatch(docs.filter(col("doc_id") % 4 === 0), scratch)
+          .orderBy("doc_id")
+      },
+      Some {
+        val ham =
+          """CAST(list_sum([CASE WHEN substr(x.pixels, i, 1) = substr(y.pixels, i, 1) THEN 0 ELSE 1 END
+            |                      for i in range(1, 17)]) AS BIGINT)""".stripMargin
+        s"""WITH $phashGridCtes,
+           |cand AS (
+           |  SELECT x.doc_id AS a, y.doc_id AS b, $ham AS hamming
+           |  FROM grid x JOIN grid y
+           |    ON y.doc_id % 4 = 0 AND x.doc_id <> y.doc_id
+           |   AND (x.doc_id % 4 <> 0 OR x.doc_id < y.doc_id)),
+           |dup AS (
+           |  SELECT b AS doc_id, min(a) AS dup_of FROM cand
+           |  WHERE hamming <= 3 GROUP BY b)
+           |SELECT d.doc_id, dup.dup_of,
+           |       CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS keep
+           |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+           |WHERE d.doc_id % 4 = 0
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
     // ── Phash blocking recall calibration (the q123 discipline) ──
     QueryDef(
       "q141_phash_calibration",
