@@ -764,6 +764,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q142 deep phash: q136's search shape at depth 2 — band equi-join, no cartesian") {
+    assert(collectAll("q142_phash_deep") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll("q142_phash_deep") { case w: WindowExec => w }.isEmpty)
+    hashShuffleKeys("q142_phash_deep").foreach { keys =>
+      assert(keys.subsetOf(Set("bi", "key", "a", "b", "hamming")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q143 phash incremental: store-vs-batch equi-joins only; batch-keyed aggregation") {
+    // The store build runs eagerly; the static plan is the candidate join
+    // (store bands ⋈ batch bands on (pfx, bi, key) + the batch self-join)
+    // and the per-batch-doc min aggregation — nothing may degrade to a
+    // product, and no window may appear.
+    assert(collectAll("q143_phash_incremental") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll("q143_phash_incremental") { case w: WindowExec => w }.isEmpty)
+    hashShuffleKeys("q143_phash_incremental").foreach { keys =>
+      assert(keys.subsetOf(Set("pfx", "bi", "key", "a", "b", "pa", "pb", "doc_id", "dup_of")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q138 epoch mixture: one source-keyed agg; water-filling rides on 1-row broadcasts") {
     assert(collectAll("q138_epoch_mixture") {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
