@@ -195,7 +195,11 @@ object Index {
             countDistinct(col("b")).as("dup_docs"),
             coalesce(max("hamming"), lit(0L)).as("max_hamming"))
           .head()
-        s"""{"mode":"phash-audit","pairs":${stats.getLong(0)},"dup_docs":${stats.getLong(1)},"max_hamming":${stats.getLong(2)}}"""
+        // Bucket-heat meter (VERDICT r10 #1): how much of the band index
+        // runs over the sub-band re-blocking threshold, and the residual
+        // (band, sub-band) fan-in that actually bounds pairing cost now.
+        val sat = IndexStore.phashIndexSaturation(spark, path).head()
+        s"""{"mode":"phash-audit","pairs":${stats.getLong(0)},"dup_docs":${stats.getLong(1)},"max_hamming":${stats.getLong(2)},"total_buckets":${sat.getLong(0)},"hot_buckets":${sat.getLong(1)},"max_fan_in":${sat.getLong(2)},"hot_rows":${sat.getLong(4)},"max_sub_fan_in":${sat.getLong(5)},"saturation":${sat.getDouble(6)}}"""
 
       case "winnow-check" :: batchDir :: path :: rest =>
         val minShared = rest.sliding(2)

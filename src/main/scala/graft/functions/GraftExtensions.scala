@@ -41,8 +41,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.types.IntegerType),
             org.apache.spark.sql.catalyst.expressions.Literal(d: Int,
             org.apache.spark.sql.types.IntegerType)) => PhashSig(c, b, d)
-        case other => throw new IllegalArgumentException(
-          s"graft_phashsig expects (words[, bins-literal[, depth-literal]]), got ${other.size} args")
+        case other if other.size < 1 || other.size > 3 =>
+          throw new IllegalArgumentException(
+            s"graft_phashsig expects (words[, bins-literal[, depth-literal]]), got ${other.size} args")
+        case other =>
+          // Arity is fine — the bins/depth argument just isn't an INT
+          // literal (r10 ADVICE: "got N args" misled SQL users passing
+          // foldable expressions like 8*2, which Catalyst has not folded
+          // at function-build time).
+          throw new IllegalArgumentException(
+            "graft_phashsig bins/depth arguments must be INT literals " +
+              s"(constant expressions are not folded at registration); got: " +
+              other.drop(1).map(_.sql).mkString(", "))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_l2norm"),

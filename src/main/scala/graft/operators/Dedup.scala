@@ -1788,8 +1788,7 @@ object Dedup {
         // pin (IndexStoreSpec). At 100 TB this split is the whole point:
         // the index builds once per corpus version; every audit after
         // starts from the bucket scan and never re-shingles text.
-        val scratch = java.nio.file.Files
-          .createTempDirectory("graft-q127-store").toString
+        val scratch = graft.Scratch.dir("q127-store")
         IndexStore.savePairIndex(Tables.load(s, dir, "documents"), scratch)
         jaccardPairsFrom(IndexStore.loadPairBuckets(s, scratch))
           .orderBy("a", "b")
@@ -1811,8 +1810,7 @@ object Dedup {
         // engine. The corpus text is touched exactly twice ever: once by
         // the index build, once by the doc_id-keyed metadata join.
         val docs = Tables.load(s, dir, "documents")
-        val scratch = java.nio.file.Files
-          .createTempDirectory("graft-q128-store").toString
+        val scratch = graft.Scratch.dir("q128-store")
         IndexStore.savePairIndex(docs, scratch)
         consolidateFrom(IndexStore.loadPairBuckets(s, scratch), docs)
       },
@@ -1842,8 +1840,7 @@ object Dedup {
         // from the persisted buckets. Same oracle SQL as q118 — the
         // independent engine re-derives every fingerprint from text, so a
         // hash match proves the store round-trip loses nothing.
-        val scratch = java.nio.file.Files
-          .createTempDirectory("graft-q129-store").toString
+        val scratch = graft.Scratch.dir("q129-store")
         IndexStore.saveWinnowIndex(Tables.load(s, dir, "documents"), scratch)
         winnowPairsFrom(IndexStore.loadWinnowBuckets(s, scratch))
           .orderBy("a", "b")
@@ -1873,8 +1870,7 @@ object Dedup {
         // verified, so it can't change the result set) — a green row
         // proves the persisted registry round-trip, bloom bytes included.
         val docs = Tables.load(s, dir, "documents")
-        val scratch = java.nio.file.Files
-          .createTempDirectory("graft-q134-store").toString
+        val scratch = graft.Scratch.dir("q134-store")
         IndexStore.saveDecontamRegistry(docs.filter(col("doc_id") % 4 === 0),
           scratch)
         IndexStore.decontaminate(docs.filter(col("doc_id") % 4 =!= 0), scratch)
@@ -1902,8 +1898,7 @@ object Dedup {
         // proves the persisted band/shingle round-trip and the greedy
         // keep decision end-to-end.
         val docs = Tables.load(s, dir, "documents")
-        val scratch = java.nio.file.Files
-          .createTempDirectory("graft-q135-store").toString
+        val scratch = graft.Scratch.dir("q135-store")
         IndexStore.saveLshIndex(docs.filter(col("doc_id") % 4 =!= 0), scratch)
         IndexStore.incrementalDedup(docs.filter(col("doc_id") % 4 === 0),
             IndexStore.loadLshBands(s, scratch),

@@ -119,9 +119,12 @@ object IndexStore {
     val cb =
       if (corpusBands.columns.contains("pfx")) corpusBands
       else corpusBands.withColumn("pfx", concat(lit("p"), substring(col("bh"), 1, 2)))
+    // a ≠ b: a replayed batch doc whose id already stands in the index
+    // must not self-match at Jaccard 1 (the streaming twin's mid != id
+    // rule — batch and stream agree on replays).
     val candCorpus = cb.as("x").join(batchBx.as("y"),
         col("x.pfx") === col("y.pfx") && col("x.bi") === col("y.bi") &&
-          col("x.bh") === col("y.bh"))
+          col("x.bh") === col("y.bh") && col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
     val candBatch = batchBx.as("x").join(batchBx.as("y"),
         col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") &&
@@ -186,51 +189,105 @@ object IndexStore {
 
   /** q136's pair search answered FROM the persisted index: band rows are
     * the store scan (the parquet write is the lineage barrier q136's
-    * localCheckpoint provides in-query), pairs verified by pixel Hamming.
-    * Bit-identical to q136 when the store holds the same corpus. */
-  def phashPairsFrom(spark: SparkSession, path: String): DataFrame = {
-    val bx = loadPhashBands(spark, path).select("doc_id", "pixels", "bi", "key")
-    val xa = bx.toDF("a", "pa", "bi", "key")
-    val yb = bx.toDF("b", "pb", "bi", "key")
-    xa.join(yb, Seq("bi", "key")).filter(col("a") < col("b"))
+    * localCheckpoint provides in-query), hot buckets exactly re-blocked on
+    * complement sub-bands (`Multimodal.phashCandidates`), pairs verified
+    * by pixel Hamming. Bit-identical to q136 when the store holds the
+    * same corpus. */
+  def phashPairsFrom(spark: SparkSession, path: String): DataFrame =
+    Multimodal.phashCandidates(
+        loadPhashBands(spark, path).select("doc_id", "pixels", "bi", "key"))
       .select(col("a"), col("b"),
         Multimodal.phashHamming("pa", "pb").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= Multimodal.PhashHamTau)
-  }
 
   /** Incremental media dedup (the q80 discipline for the phash index):
     * an incoming media batch audited against the standing signature index
     * AND earlier-id batch docs, without re-reading (or re-hashing) the
     * standing corpus. Returns (doc_id, dup_of, keep) for every batch doc
     * — dup_of = the smallest matching doc_id at Hamming ≤ PhashHamTau.
+    * A batch doc whose id already stands in the index (a replay of an
+    * --append-kept batch) is NOT its own dup: the a ≠ b guard mirrors the
+    * streaming twin's mid != id rule, so batch and stream agree on
+    * replays.
     *
     * Scale shape: the batch grid is small (AQE broadcasts it); the store
     * scan carries the pfx partition column so the candidate join prunes
-    * to the batch's band-key prefixes; Hamming runs on bucket-mates only,
-    * off the two signature columns already in the joined rows — the grid
-    * table is never touched (signatures ride with the band rows). */
+    * to the batch's band-key prefixes. BOTH join sides carry complement
+    * sub-band keys (`Multimodal.subBandRows` — exact at the verify
+    * threshold by pigeonhole), so a hot standing bucket contributes only
+    * the members that already agree with the batch doc on ≥ 7 pixels:
+    * per-batch join output tracks true matches, not bucket heat (the
+    * uncapped join paid |bucket| rows per batch hit — 2,148 at the 100×
+    * growth stress, 10^6 for a viral media cluster). No distinct
+    * materializes the candidate set: Hamming filters the joined rows
+    * directly and the per-doc min aggregation folds duplicates map-side,
+    * so the only corpus-side shuffle is the output-bound groupBy(b). The
+    * grid table is never touched (signatures ride with the band rows). */
   def phashDedupBatch(batch: DataFrame, path: String): DataFrame = {
     val spark = batch.sparkSession
-    val batchBx = phashBandPfx(Multimodal.phashGrid(batch).localCheckpoint(true))
-    val store = loadPhashBands(spark, path)
+    val batchBx = Multimodal.subBandRows(
+      phashBandPfx(Multimodal.phashGrid(batch).localCheckpoint(true)))
+    val store = Multimodal.subBandRows(loadPhashBands(spark, path))
     val candCorpus = store.as("x").join(batchBx.as("y"),
         col("x.pfx") === col("y.pfx") && col("x.bi") === col("y.bi") &&
-          col("x.key") === col("y.key"))
+          col("x.key") === col("y.key") && col("x.sj") === col("y.sj") &&
+          col("x.skey") === col("y.skey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("x.pixels").as("pa"),
         col("y.doc_id").as("b"), col("y.pixels").as("pb"))
     val candBatch = batchBx.as("x").join(batchBx.as("y"),
         col("x.bi") === col("y.bi") && col("x.key") === col("y.key") &&
+          col("x.sj") === col("y.sj") && col("x.skey") === col("y.skey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("x.pixels").as("pa"),
         col("y.doc_id").as("b"), col("y.pixels").as("pb"))
-    val dup = candCorpus.unionByName(candBatch).distinct()
+    val dup = candCorpus.unionByName(candBatch)
       .filter(Multimodal.phashHamming("pa", "pb") <= Multimodal.PhashHamTau)
       .groupBy(col("b").as("doc_id")).agg(min("a").as("dup_of"))
     batch.select("doc_id")
       .join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
         when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
+  }
+
+  /** Bucket-heat meter for the standing phash index (the r10 verdict's
+    * saturation-meter ask, mirroring `winnowIndexSaturation`): how much of
+    * the band index is over the `PhashFanInCap` re-blocking threshold, and
+    * what residual fan-in the sub-band refinement leaves. One row:
+    *   total_buckets / hot_buckets — band buckets, and those over the cap;
+    *   max_fan_in — hottest raw band bucket (grows linearly with corpus
+    *     heat: 23 → 235 → 2,148 across the 100× growth stress);
+    *   hot_rows / total_rows, saturation — member rows living in hot
+    *     buckets (the mass that pays the 4× sub-band explode) and their
+    *     fraction;
+    *   max_sub_fan_in — hottest (band, sub-band) bucket AFTER re-blocking:
+    *     the number that actually bounds per-member pairing cost now, and
+    *     the one to watch — a residual hot sub-bucket is signature-near
+    *     mass that genuinely belongs together (consolidate it via
+    *     `Multimodal.phashConsolidate`) or grounds for a deeper signature
+    *     (`graft_phashsig(w, 16, 2)`, q142). */
+  def phashIndexSaturation(spark: SparkSession, path: String): DataFrame = {
+    val bands = loadPhashBands(spark, path)
+    val sizes = bands.groupBy("bi", "key").agg(count(lit(1)).as("bsz"))
+    val base = sizes.agg(
+      count(lit(1)).as("total_buckets"),
+      coalesce(sum(when(col("bsz") > Multimodal.PhashFanInCap, 1L)
+        .otherwise(0L)), lit(0L)).as("hot_buckets"),
+      coalesce(max("bsz"), lit(0L)).as("max_fan_in"),
+      coalesce(sum("bsz"), lit(0L)).as("total_rows"),
+      coalesce(sum(when(col("bsz") > Multimodal.PhashFanInCap, col("bsz"))
+        .otherwise(0L)), lit(0L)).as("hot_rows"))
+    val hot = bands.join(sizes.filter(col("bsz") > Multimodal.PhashFanInCap),
+      Seq("bi", "key"))
+    val sub = Multimodal.subBandRows(hot)
+      .groupBy("bi", "key", "sj", "skey").agg(count(lit(1)).as("ssz"))
+      .agg(coalesce(max("ssz"), lit(0L)).as("max_sub_fan_in"))
+    base.crossJoin(broadcast(sub))
+      .select(col("total_buckets"), col("hot_buckets"), col("max_fan_in"),
+        col("total_rows"), col("hot_rows"), col("max_sub_fan_in"),
+        when(col("total_rows") === 0L, lit(0.0))
+          .otherwise(col("hot_rows").cast("double") / col("total_rows"))
+          .as("saturation"))
   }
 
   // ── df-capped inverted index (the pair-audit family's shared core) ──

@@ -37,6 +37,20 @@ object Multimodal {
   val PhashBandW = 4
   val PhashHamTau = 3
 
+  /** Band-bucket fan-in cap for the self-pair search (r10 VERDICT #1):
+    * buckets at or under the cap pair directly; hotter buckets are
+    * re-blocked on complement sub-bands (`subBandRows`) before pairing —
+    * an EXACT refinement (pigeonhole, see subBandRows), so the cap is a
+    * cost lever, never a recall knob. 64 is ~3× the base-corpus max
+    * fan-in: normal buckets never pay the 4× sub-band explode, while the
+    * measured hot mass (the '----' empty-band buckets, whose members
+    * share nothing but signal starvation — fan-in 235 → 2,148 → linear
+    * in corpus at 10×/100× growth, hence quadratic candidates) always
+    * does. */
+  val PhashFanInCap = 64
+  val PhashSubBands = 4
+  val PhashSubBandW: Int = (PhashBins - PhashBandW) / PhashSubBands // 12/4 = 3
+
   /** q136's perceptual signature: one-permutation binned min-hash over
     * content-defined patches (stub: word 3-grams — a production media
     * build swaps in rolling-hash CDC over decoded bytes). Bin k of 16
@@ -72,21 +86,74 @@ object Multimodal {
       s"""cast(aggregate(sequence(1, $PhashBins), 0, (acc, i) ->
          |  acc + if(substring($pa, i, 1) = substring($pb, i, 1), 0, 1)) AS bigint)""".stripMargin)
 
+  /** Complement sub-band rows of a band-row frame: each (doc_id, pixels,
+    * bi, key) row explodes into `PhashSubBands` rows carrying (sj, skey),
+    * where skey is the j-th 3-pixel group of the 12 pixels OUTSIDE band
+    * bi, in pixel order.
+    *
+    * This is the EXACT second blocking level (the r10 verdict's phash
+    * bucket-cap ask, solved without a recall knob): a pair at Hamming ≤
+    * PhashHamTau (= 3) that agrees on band bi has ≤ 3 mismatching pixels
+    * total, hence ≤ 3 among the 12 complement pixels — so by pigeonhole
+    * it agrees EXACTLY on ≥ 1 of the 4 complement groups. Re-blocking a
+    * hot bucket's members on (sj, skey) therefore loses no pair at the
+    * verify threshold; it only stops the bucket's quadratic all-pairs.
+    * (The r10 alternative — SemCap-style min-id representatives — was
+    * rejected by measurement: the hot buckets are the '----' EMPTY-BAND
+    * buckets, 230 distinct signatures among 235 members at 10× growth,
+    * so id-capped pairing would silently drop genuine matches whose ids
+    * rank past the cap. Sub-band refinement caps the same cost exactly.)
+    * Extra columns on `b` (pfx, bsz) ride through untouched. */
+  private[graft] def subBandRows(b: DataFrame): DataFrame =
+    b.withColumn("comp", expr(
+        s"concat(substring(pixels, 1, bi * $PhashBandW), " +
+          s"substring(pixels, bi * $PhashBandW + ${PhashBandW + 1}, $PhashBins))"))
+      .withColumn("e", explode(array((0 until PhashSubBands).map(j =>
+        struct(lit(j).as("sj"),
+          expr(s"substring(comp, ${j * PhashSubBandW + 1}, $PhashSubBandW)")
+            .as("skey"))): _*)))
+      .withColumn("sj", col("e.sj")).withColumn("skey", col("e.skey"))
+      .drop("e", "comp")
+
+  /** Exact band-blocked candidate pairs (a, pa, b, pb) of one band-row
+    * frame: per-bucket sizes are computed on the SMALL keyed frame and
+    * joined back (the q58 discipline — never a corpus window); buckets at
+    * or under `cap` self-join whole, hotter buckets re-block on complement
+    * sub-bands first (`subBandRows` — exact at Hamming ≤ PhashHamTau).
+    * Candidate volume is Σ_cold m² + Σ_hot Σ_sub m_s² — the measured 100×
+    * quadratic cliff (21M candidates at 500k docs, all from linearly-hot
+    * empty-band buckets) collapses to near the true-pair floor, while the
+    * pair SET is provably unchanged. */
+  private[graft] def phashCandidates(bx: DataFrame,
+      cap: Int = PhashFanInCap): DataFrame = {
+    val sizes = bx.groupBy("bi", "key").agg(count(lit(1)).as("bsz"))
+    val sized = bx.join(sizes, Seq("bi", "key"))
+    def pairs(x: DataFrame, keys: Seq[String]): DataFrame = {
+      val xa = x.select(keys.map(col) :+ col("doc_id").as("a") :+
+        col("pixels").as("pa"): _*)
+      val yb = x.select(keys.map(col) :+ col("doc_id").as("b") :+
+        col("pixels").as("pb"): _*)
+      xa.join(yb, keys).filter(col("a") < col("b"))
+        .select("a", "pa", "b", "pb")
+    }
+    pairs(sized.filter(col("bsz") <= cap), Seq("bi", "key"))
+      .unionByName(
+        pairs(subBandRows(sized.filter(col("bsz") > cap)),
+          Seq("bi", "key", "sj", "skey")))
+      .distinct()
+  }
+
   /** The search half of q136 over a (doc_id, pixels) grid: band-bucket
     * equi-join (pigeonhole: a ≤3-distant pair agrees on ≥1 of the 4
-    * bands), Hamming verify on bucket-mates only. The caller supplies a
-    * lineage-barriered grid (localCheckpoint or a parquet store scan) —
-    * without the barrier the 16-pixel construction inlines into every
-    * band key and the join residual. */
-  def phashPairs(grid: DataFrame): DataFrame = {
-    val bx = phashBandRows(grid)
-    val xa = bx.toDF("a", "pa", "bi", "key")
-    val yb = bx.toDF("b", "pb", "bi", "key")
-    xa.join(yb, Seq("bi", "key")).filter(col("a") < col("b"))
+    * bands) with hot buckets exactly re-blocked on complement sub-bands
+    * (`phashCandidates`), Hamming verify on bucket-mates only. The caller
+    * supplies a lineage-barriered grid (localCheckpoint or a parquet
+    * store scan) — without the barrier the 16-pixel construction inlines
+    * into every band key and the join residual. */
+  def phashPairs(grid: DataFrame): DataFrame =
+    phashCandidates(phashBandRows(grid))
       .select(col("a"), col("b"), phashHamming("pa", "pb").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= PhashHamTau)
-  }
 
   /** JVM twin of `phashGrid` for the streaming path (state-keyed streams
     * need the signature computed in-row, not via a streaming aggregation):
@@ -112,6 +179,19 @@ object Multimodal {
     while (i < PhashBins) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
     d
   }
+
+  /** Media-cluster consolidation (q144 — the q102 twin for the phash
+    * family): connected components over the phash near-dup pair graph,
+    * then per-cluster provenance (member count, distinct sources, merged
+    * source list, total bytes-as-chars) via ONE doc_id-keyed join of the
+    * small component map into the corpus — `Dedup.consolidateComponents`,
+    * q58's accepted scale shape. This is how a 10^6-copy viral media
+    * cluster is handled at 100 TB: the capped pair search finds its edges
+    * band-locally, components collapse it to ONE row, and nothing ever
+    * enumerates the cluster's quadratic pair closure. */
+  def phashConsolidate(docs: DataFrame): DataFrame =
+    Dedup.consolidateComponents(
+      phashPairs(phashGrid(docs).localCheckpoint(true)).select("a", "b"), docs)
 
   /** Documents → media records (payload = utf8 bytes standing in for a real
     * media blob). Narrow projection; binary stays columnar in parquet. */
@@ -386,8 +466,7 @@ object Multimodal {
         // workflow (`appendPhashBatch` / `phashDedupBatch`) is pinned
         // store≡in-query by IndexStoreSpec.
         val docs = Tables.load(s, dir, "documents")
-        val scratch = java.nio.file.Files
-          .createTempDirectory("graft-q139-store").toString
+        val scratch = graft.Scratch.dir("q139-store")
         IndexStore.savePhashIndex(docs, scratch)
         IndexStore.phashPairsFrom(s, scratch).orderBy("a", "b")
       },
@@ -475,8 +554,7 @@ object Multimodal {
         // over the re-derived grids is the same answer through the
         // independent engine.
         val docs = Tables.load(s, dir, "documents")
-        val scratch = java.nio.file.Files
-          .createTempDirectory("graft-q143-store").toString
+        val scratch = graft.Scratch.dir("q143-store")
         IndexStore.savePhashIndex(docs.filter(col("doc_id") % 4 =!= 0), scratch)
         IndexStore.phashDedupBatch(docs.filter(col("doc_id") % 4 === 0), scratch)
           .orderBy("doc_id")
@@ -499,6 +577,46 @@ object Multimodal {
            |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
            |WHERE d.doc_id % 4 = 0
            |ORDER BY d.doc_id""".stripMargin
+      }),
+
+    // ── Media-cluster consolidation (q102's twin for the phash family) ──
+    QueryDef(
+      "q144_phash_consolidate",
+      (s, dir) => {
+        // The r10 verdict's #2 ask: once band buckets are capped, a large
+        // media cluster must be COLLAPSED via components, never
+        // enumerated. Pair graph = the capped q136 search; components +
+        // provenance merge = the q102/q128 machinery verbatim (component
+        // map is small — only docs in some near-dup pair — and joins the
+        // corpus exactly once on doc_id). The oracle re-derives the pair
+        // graph all-pairs in DuckDB and walks reachability recursively,
+        // so both the capped blocking's losslessness AND the component
+        // labels are graded through the independent engine.
+        phashConsolidate(Tables.load(s, dir, "documents"))
+      },
+      Some {
+        val ham = phashHamSql
+        s"""WITH RECURSIVE $phashGridCtes,
+           |bx AS (
+           |  SELECT doc_id, pixels, k AS bi, substr(pixels, CAST(k * 4 + 1 AS INT), 4) AS key
+           |  FROM grid, range(0, 4) t(k)),
+           |jp AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.key = y.key AND x.doc_id < y.doc_id
+           |  WHERE $ham <= 3),
+           |sym AS (SELECT a, b FROM jp UNION ALL SELECT b, a FROM jp),
+           |reach(v, r) AS (
+           |  SELECT DISTINCT a, a FROM sym
+           |  UNION
+           |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b),
+           |comp AS (SELECT v, min(r) AS lbl FROM reach GROUP BY v)
+           |SELECT comp.lbl AS component,
+           |       CAST(count(*) AS BIGINT) AS n_members,
+           |       CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           |       array_to_string(list_sort(list(DISTINCT d.source)), ',') AS sources,
+           |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+           |FROM comp JOIN documents d ON d.doc_id = comp.v
+           |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
     // ── Phash blocking recall calibration (the q123 discipline) ──

@@ -1559,8 +1559,7 @@ object TextOps {
         // grades the persisted path through the independent engine —
         // integer sums + sequential divisions, hash-exact.
         val docs = Tables.load(s, dir, "documents")
-        val scratch = java.nio.file.Files
-          .createTempDirectory("graft-q133-store").toString
+        val scratch = graft.Scratch.dir("q133-store")
         IndexStore.saveUnigramLM(docs, scratch)
         IndexStore.familiarity(docs, scratch).orderBy("doc_id")
       },

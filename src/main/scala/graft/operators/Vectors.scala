@@ -879,8 +879,7 @@ object Vectors {
         // codes at rest; only PqRerank exact vectors ever re-read.
         val emb = withNormalized(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("en"))
-        val scratch = java.nio.file.Files
-          .createTempDirectory("graft-q130-store").toString
+        val scratch = graft.Scratch.dir("q130-store")
         IndexStore.savePqIndex(emb, scratch)
         IndexStore.searchPq(emb, scratch, queryVecId = 0L, k = 5)
       },
@@ -926,8 +925,7 @@ object Vectors {
         // hash match proves the partitioned store round-trip (including
         // the parquet PARTITION-column type round-trip, the r8 sharp
         // edge) loses nothing.
-        val scratch = java.nio.file.Files
-          .createTempDirectory("graft-q131-store").toString
+        val scratch = graft.Scratch.dir("q131-store")
         IndexStore.saveIvfIndex(withNormalized(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("en")), scratch)
         IndexStore.searchIvf(s, scratch, queryVecId = 0L, k = 5)
@@ -954,8 +952,7 @@ object Vectors {
         // probeCoarse is IndexStoreSpec's business.
         val emb = withNormalized(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("en"))
-        val scratch = java.nio.file.Files
-          .createTempDirectory("graft-q132-store").toString
+        val scratch = graft.Scratch.dir("q132-store")
         IndexStore.saveIvfPqIndex(emb, scratch)
         IndexStore.searchIvfPq(emb, scratch, queryVecId = 0L, k = 5,
           probeCoarse = 1000000)

@@ -324,23 +324,33 @@ object Streams {
           state.getOption.getOrElse(Seq.empty)
             .foreach { case (id, sh) => members += ((id, sh.toSet)) }
           val out = scala.collection.mutable.ArrayBuffer.empty[DupVerdict]
+          var changed = false
           // id order within the batch = q80's earlier-id greedy rule;
           // members from earlier batches (the standing corpus) count
           // regardless of id, like q80's corpus side.
           rows.toArray.sortBy(_._1).foreach { case (id, shSeq, _, _) =>
             val sh = shSeq.toSet
             var best = Long.MaxValue
+            var replay = false
             members.foreach { case (mid, msh) =>
-              if (mid != id && mid < best) {
+              if (mid == id && msh == sh) replay = true
+              else if (mid != id && mid < best) {
                 val inter = if (msh.size < sh.size) msh.count(sh) else sh.count(msh)
                 val j = inter.toDouble / (msh.size + sh.size - inter)
                 if (j >= tau) best = mid
               }
             }
             if (best != Long.MaxValue) out += DupVerdict(id, best)
-            members += ((id, sh))
+            // Replays of an (id, shingle-set) already in the bucket are not
+            // re-appended — state grows with DISTINCT standing docs, never
+            // with re-delivery (the phash twin's r10-ADVICE rule).
+            if (!replay) { members += ((id, sh)); changed = true }
           }
-          state.update(members.map { case (id, sh) => (id, sh.toSeq) }.toSeq)
+          // A pure-replay batch rewrites nothing: numRowsUpdated stays 0
+          // (the stateMeter's replay signal) and the state store skips the
+          // checkpoint write for this key.
+          if (changed)
+            state.update(members.map { case (id, sh) => (id, sh.toSeq) }.toSeq)
           out.iterator
       }
   }
@@ -348,14 +358,30 @@ object Streams {
   final case class PhashVerdict(doc_id: Long, dup_of: Long)
 
   /** q136/`phashDedupBatch`'s streaming twin: the standing perceptual-hash
-    * band index lives in flatMapGroupsWithState state (keyed by (band,
-    * key) bucket, each bucket holding its members' (doc_id, pixels)), and
-    * every micro-batch's media docs are checked against it — earlier-batch
+    * band index lives in flatMapGroupsWithState state, and every
+    * micro-batch's media docs are checked against it — earlier-batch
     * members regardless of id, same-batch members by the earlier-id greedy
     * rule, matches at pixel Hamming ≤ PhashHamTau. A doc can emit one
     * verdict per colliding bucket; the per-doc `dup_of` is the min over
     * emissions (a stateless per-batch reduction downstream, exactly the
     * `incrementalDedupStream` contract).
+    *
+    * State keys are (band, key, sub-band, sub-key) — the SAME exact
+    * complement-sub-band refinement the r11 batch path uses
+    * (`Multimodal.subBandRows`): a ≤3-distant pair sharing a band agrees
+    * exactly on ≥1 of the 4 complement 3-pixel groups, so the finer
+    * keying loses no pair while bounding per-arrival compare cost by the
+    * SUB-bucket's occupancy instead of the raw band bucket's (the '----'
+    * empty-band bucket grows linearly with the corpus — unrefined, every
+    * arrival in it paid a full linear scan). The trade is 16 state rows
+    * per doc instead of 4; `stateMeter` is the per-batch gauge on that
+    * growth. A replayed (id, pixels) already present in the bucket is NOT
+    * re-appended (r10 ADVICE: replays otherwise grow state linearly with
+    * duplicate entries) — note the standing semantics still differ from
+    * the CLI --append-kept workflow by design: the stream indexes every
+    * arrival including detected dups (so later copies dedup against the
+    * EARLIEST seen, q136's greedy), while the batch workflow folds in
+    * kept docs only.
     *
     * The signature is computed IN-ROW by `Multimodal.phashSignatureJvm`
     * (spec-pinned bit-equal to the batch `phashGrid` derivation) — a
@@ -369,32 +395,43 @@ object Streams {
     import graft.operators.Multimodal
     val spark = docs.sparkSession
     import spark.implicits._
+    val bw = Multimodal.PhashBandW
+    val sw = Multimodal.PhashSubBandW
     val bx = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         Multimodal.phashSignatureJvm(text).toSeq.flatMap { px =>
-          (0 until Multimodal.PhashBands).map { b =>
-            (id, px, b, px.substring(b * Multimodal.PhashBandW, (b + 1) * Multimodal.PhashBandW))
+          (0 until Multimodal.PhashBands).flatMap { b =>
+            val key = px.substring(b * bw, (b + 1) * bw)
+            val comp = px.substring(0, b * bw) + px.substring((b + 1) * bw)
+            (0 until Multimodal.PhashSubBands).map { j =>
+              (id, px, b, key, j, comp.substring(j * sw, (j + 1) * sw))
+            }
           }
         }
       }
-    bx.groupByKey(t => (t._3, t._4))
+    bx.groupByKey(t => (t._3, t._4, t._5, t._6))
       .flatMapGroupsWithState[Seq[(Long, String)], PhashVerdict](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, rows, state: GroupState[Seq[(Long, String)]]) =>
           val members =
             scala.collection.mutable.ArrayBuffer.from(state.getOption.getOrElse(Seq.empty))
           val out = scala.collection.mutable.ArrayBuffer.empty[PhashVerdict]
-          rows.toArray.sortBy(_._1).foreach { case (id, px, _, _) =>
+          var changed = false
+          rows.toArray.sortBy(_._1).foreach { case (id, px, _, _, _, _) =>
             var best = Long.MaxValue
+            var replay = false
             members.foreach { case (mid, mpx) =>
-              if (mid != id && mid < best &&
+              if (mid == id && mpx == px) replay = true
+              else if (mid != id && mid < best &&
                   Multimodal.phashHammingJvm(px, mpx) <= Multimodal.PhashHamTau)
                 best = mid
             }
             if (best != Long.MaxValue) out += PhashVerdict(id, best)
-            members += ((id, px))
+            if (!replay) { members += ((id, px)); changed = true }
           }
-          state.update(members.toSeq)
+          // Pure-replay batches rewrite nothing (numRowsUpdated == 0 — the
+          // stateMeter's replay signal; no checkpoint write for this key).
+          if (changed) state.update(members.toSeq)
           out.iterator
       }
   }
@@ -587,6 +624,30 @@ object Streams {
       }
   }
 
+  final case class StateMeterRow(
+      batch_id: Long, state_rows: Long, state_bytes: Long,
+      rows_updated: Long)
+
+  /** Standing-state growth meter for the NoTimeout dedup twins (VERDICT
+    * r10 #3): the LSH and phash streams hold a standing index in keyed
+    * state that GROWS with the corpus by design — a deployment must see
+    * that growth per batch, before the state store does. One row per
+    * completed micro-batch from the engine's own progress accounting
+    * (`StreamingQueryProgress.stateOperators` — rows held, store bytes,
+    * rows written this batch), summed across stateful operators. Read it
+    * after (or during) a run: `stateMeter(query)`; a foreachBatch sink in
+    * production would emit the same rows to a metrics table. StreamsSpec
+    * pins that the metric tracks a planted index's growth across batches
+    * for both twins. */
+  def stateMeter(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[StateMeterRow] =
+    q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(p => StateMeterRow(
+        p.batchId,
+        p.stateOperators.map(_.numRowsTotal).sum,
+        p.stateOperators.map(_.memoryUsedBytes).sum,
+        p.stateOperators.map(_.numRowsUpdated).sum))
+
   /** Drain the stream with Trigger.AvailableNow into an in-memory table and
     * return it (spec/driver harness; production would writeStream to a sink). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String): DataFrame = {
@@ -594,5 +655,14 @@ object Streams {
       .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** `runToMemory` plus the drained run's per-batch `stateMeter` rows. */
+  def runToMemoryMetered(spark: SparkSession, stream: DataFrame,
+      name: String): (DataFrame, Seq[StateMeterRow]) = {
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (spark.table(name), stateMeter(q))
   }
 }

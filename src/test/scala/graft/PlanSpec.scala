@@ -715,7 +715,11 @@ class PlanSpec extends AnyFunSuite {
     }.isEmpty, "phash search degraded to a cartesian product")
     assert(collectAll("q136_phash_neardup") { case w: WindowExec => w }.isEmpty)
     hashShuffleKeys("q136_phash_neardup").foreach { keys =>
-      assert(keys.subsetOf(Set("bi", "key", "a", "b", "hamming")),
+      // (bi, key): bucket sizes + cold pair join; (bi, key, sj, skey): the
+      // hot buckets' exact sub-band re-block (r11); (a, pa, b, pb): the
+      // candidate distinct.
+      assert(keys.subsetOf(Set("bi", "key", "sj", "skey", "bsz",
+        "a", "b", "pa", "pb", "hamming")),
         s"unexpected shuffle key: $keys")
     }
   }
@@ -785,7 +789,8 @@ class PlanSpec extends AnyFunSuite {
     }.isEmpty)
     assert(collectAll("q143_phash_incremental") { case w: WindowExec => w }.isEmpty)
     hashShuffleKeys("q143_phash_incremental").foreach { keys =>
-      assert(keys.subsetOf(Set("pfx", "bi", "key", "a", "b", "pa", "pb", "doc_id", "dup_of")),
+      assert(keys.subsetOf(Set("pfx", "bi", "key", "sj", "skey",
+        "a", "b", "pa", "pb", "doc_id", "dup_of")),
         s"unexpected shuffle key: $keys")
     }
   }

@@ -369,6 +369,56 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(got.exists(_._3 == 0), "no batch doc flagged — vacuous fixture")
   }
 
+  test("replayed batch docs never self-match (phash + LSH store dedup)") {
+    // r10 ADVICE: a batch re-run against an index it was already folded
+    // into (--append-kept then re-dedupe) found each doc at Hamming 0 /
+    // Jaccard 1 against ITSELF and flagged it dup_of = own id. The a != b
+    // guard must make replays behave exactly like the streaming twins'
+    // mid != id rule: a replayed doc may be a dup of a DIFFERENT standing
+    // doc, never of itself.
+    val docs = Tables.load(spark, sf, "documents")
+    val replay = docs.filter(col("doc_id") % 4 === 0)
+
+    val pp = tmp("phash-replay")
+    IndexStore.savePhashIndex(docs, pp) // the batch's ids ALREADY stand
+    val pv = IndexStore.phashDedupBatch(replay, pp).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    assert(pv.nonEmpty)
+    pv.foreach { case (id, dupOf) =>
+      assert(!dupOf.contains(id), s"phash: doc $id flagged dup of itself")
+    }
+
+    val lp = tmp("lsh-replay")
+    IndexStore.saveLshIndex(docs, lp)
+    val lv = IndexStore.incrementalDedup(replay,
+        IndexStore.loadLshBands(spark, lp), IndexStore.loadLshShingles(spark, lp))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    assert(lv.nonEmpty)
+    lv.foreach { case (id, dupOf) =>
+      assert(!dupOf.contains(id), s"lsh: doc $id flagged dup of itself")
+    }
+  }
+
+  test("phash index saturation meter counts hot buckets and residual sub fan-in") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("phash-sat")
+    IndexStore.savePhashIndex(docs, path)
+    val r = IndexStore.phashIndexSaturation(spark, path).head()
+    val bands = IndexStore.loadPhashBands(spark, path)
+    val sizes = bands.groupBy("bi", "key").count()
+    val wantTotal = sizes.count()
+    val wantMax = sizes.agg(max("count")).head().getLong(0)
+    assert(r.getLong(0) === wantTotal)
+    assert(r.getLong(2) === wantMax)
+    assert(r.getLong(3) === bands.count()) // total_rows
+    // residual sub fan-in never exceeds the raw fan-in; saturation in [0,1]
+    assert(r.getLong(5) <= wantMax)
+    assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    // hot accounting is internally consistent
+    assert((r.getLong(1) == 0L) === (r.getLong(4) == 0L))
+  }
+
   test("appendPhashBatch == rebuilding the phash index over the union") {
     val docs = Tables.load(spark, sf, "documents")
     val standing = docs.filter(col("doc_id") % 4 =!= 0)

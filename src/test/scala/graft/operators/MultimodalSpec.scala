@@ -61,6 +61,50 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("sub-band refinement is exact: any fan-in cap yields the same pair set") {
+    // The r11 hot-bucket re-block (subBandRows) must be a COST lever, not
+    // a recall knob: a pair at Hamming <= 3 sharing a band agrees exactly
+    // on >= 1 complement sub-band (pigeonhole), so forcing EVERY bucket
+    // through the refinement (cap = 0) and forcing NONE (cap = MaxValue,
+    // the pre-r11 shape) must produce identical verified pairs.
+    import org.apache.spark.sql.functions.col
+    val bx = Multimodal.phashBandRows(
+      Multimodal.phashGrid(graft.Tables.load(spark, dir, "documents"))
+        .localCheckpoint(true))
+    def pairSet(cap: Int) = Multimodal.phashCandidates(bx, cap)
+      .select(col("a"), col("b"),
+        Multimodal.phashHamming("pa", "pb").as("hamming"))
+      .filter(col("hamming") <= Multimodal.PhashHamTau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val refined = pairSet(0)
+    val plain = pairSet(Int.MaxValue)
+    assert(refined.nonEmpty, "no pairs at this sf — vacuous")
+    assert(refined === plain)
+  }
+
+  test("q144 media consolidation matches a driver-side union-find over q136 pairs") {
+    // The oracle grades q144 end-to-end; this pins the component labels
+    // against an independent in-JVM union-find, so a CC regression is
+    // caught at unit speed without DuckDB.
+    val edges = graft.SparkEntry.queries("q136_phash_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .groupBy(find).map { case (_, vs) => vs.min -> vs.length }
+    val got = graft.SparkEntry.queries("q144_phash_consolidate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got === want)
+  }
+
   test("q141 pigeonhole: band-blocking recall is exactly 1.0 at Hamming <= 3") {
     // 4 bands of 4 pixels: a pair differing in <= 3 positions must agree
     // on at least one whole band — every such sampled truth pair MUST be

@@ -282,6 +282,51 @@ class StreamsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("state meter tracks standing-index growth for both dedup twins; replays add nothing") {
+    // VERDICT r10 #3: the LSH and phash twins hold NoTimeout state that
+    // grows with the standing index BY DESIGN — the meter must show that
+    // growth per micro-batch. Three staged batches: two disjoint doc
+    // slices, then an exact REPLAY of the first. State rows must grow
+    // across the first two batches (the planted index) and stay FLAT on
+    // the replay (the r10-ADVICE dedup-on-append rule: re-delivered
+    // (id, signature) entries are not re-appended).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val tmp = landBatches(Seq(b1, b2, b1))
+
+    val (_, phashMeter) = Streams.runToMemoryMetered(spark,
+      Streams.phashDedupStream(
+        Streams.readDocsStream(spark, tmp.getPath, "*.parquet", Some(1))).toDF(),
+      "phash_meter")
+    assert(phashMeter.size === 3, s"expected 3 metered batches: $phashMeter")
+    val pm = phashMeter.sortBy(_.batch_id)
+    val pRows = pm.map(_.state_rows)
+    assert(pRows(1) > pRows(0), s"planted growth not visible: $pRows")
+    // Replay: no new buckets AND no duplicate member entries — rows flat,
+    // and the no-op-update rule means NOTHING was rewritten (memory bytes
+    // are not asserted: the HDFS-backed store's gauge counts retained
+    // version maps, which advance per batch regardless of content).
+    assert(pRows(2) === pRows(1), s"replay grew phash state: $pRows")
+    assert(pm(2).rows_updated === 0L,
+      s"replay rewrote state rows: ${pm.map(_.rows_updated)}")
+    assert(pm(1).rows_updated > 0L)
+    assert(phashMeter.forall(_.state_bytes > 0))
+
+    val (_, lshMeter) = Streams.runToMemoryMetered(spark,
+      Streams.incrementalDedupStream(
+        Streams.readDocsStream(spark, landBatches(Seq(b1, b2, b1)).getPath,
+          "*.parquet", Some(1))).toDF(),
+      "lsh_meter")
+    assert(lshMeter.size === 3)
+    val lm = lshMeter.sortBy(_.batch_id)
+    val lRows = lm.map(_.state_rows)
+    assert(lRows(1) > lRows(0), s"planted growth not visible: $lRows")
+    assert(lRows(2) === lRows(1), s"replay grew LSH state: $lRows")
+    assert(lm(2).rows_updated === 0L,
+      s"replay rewrote LSH state rows: ${lm.map(_.rows_updated)}")
+  }
+
   test("streaming familiarity vs the persisted LM matches batch q86 across micro-batches") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     // Freeze q86's reference slice as the persisted LM, then stream the
