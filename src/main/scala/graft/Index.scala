@@ -27,6 +27,8 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index phash-dedupe <batchDocsDir> <indexPath>
   *        [--out <dir>] [--append-kept]"
   *   sbt "runMain graft.Index phash-audit <indexPath>"
+  *   sbt "runMain graft.Index consolidate-phash <docsDir> <indexPath>
+  *        [--out <dir>]"
   *   sbt "runMain graft.Index append-pairs <docsDir> <indexPath>"
   *   sbt "runMain graft.Index audit      <indexPath> [--tau T] [--contain]"
   *   sbt "runMain graft.Index components <indexPath> [--tau T]"
@@ -269,6 +271,21 @@ object Index {
         out.foreach(o => cons.write.mode("overwrite").parquet(o))
         s"""{"mode":"consolidate","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}${out.map(o => s""","out":"$o"""").getOrElse("")}}"""
 
+      case "consolidate-phash" :: docsDir :: path :: rest =>
+        // q144's from-store form: media-cluster consolidation with the
+        // pair graph read from the persisted phash index (skipping the
+        // signature build); corpus touched once for the metadata join.
+        val out = rest.sliding(2).collectFirst { case List("--out", v) => v }
+        val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+        val cons = IndexStore.phashConsolidateFrom(spark, path, docs)
+          .localCheckpoint(true) // stats + optional write read it twice
+        val stats = cons.agg(count(lit(1)).as("n_components"),
+            coalesce(sum("n_members"), lit(0L)).as("n_docs"),
+            coalesce(max("n_members"), lit(0L)).as("largest"))
+          .head()
+        out.foreach(o => cons.write.mode("overwrite").parquet(o))
+        s"""{"mode":"consolidate-phash","n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}${out.map(o => s""","out":"$o"""").getOrElse("")}}"""
+
       case "build-registry" :: docsDir :: path :: rest =>
         // q105's one-time artifact: distinct shingle table + bloom sketch
         // of a benchmark/eval registry corpus.
@@ -312,7 +329,7 @@ object Index {
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|components|consolidate|build-registry|decontam ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

@@ -342,14 +342,36 @@ object Stress {
       val bands = IndexStore.loadPhashBands(spark, idx)
       val fanIn = bands.groupBy("bi", "key").count()
         .agg(max("count")).head().getLong(0)
-      val cand = bands.select(col("doc_id"), col("bi"), col("key")).as("x")
-        .join(bands.select(col("doc_id").as("b"), col("bi"), col("key")).as("y"),
-          Seq("bi", "key"))
-        .filter(col("doc_id") < col("b"))
-        .select(col("doc_id"), col("b")).distinct().count()
+      // cand_pairs: the RAW uncapped band-join volume (the r10 number — the
+      // quadratic cliff this stress exists to watch); cand_capped: what the
+      // r11 engine path actually generates after hot buckets re-block
+      // recursively (exact — the pair count must not move). The raw count
+      // is an AUDIT frame, quadratic by definition — at the 1000× decade
+      // it would be ~2×10^9 joined rows, so it is skipped there (-1): the
+      // engine path never generates it, and re-measuring a known-quadratic
+      // baseline at every decade is wasted compute (the phash32 rule).
+      val cand =
+        if (mult > 100 && tag != "base") -1L
+        else bands.select(col("doc_id"), col("bi"), col("key")).as("x")
+          .join(bands.select(col("doc_id").as("b"), col("bi"), col("key")).as("y"),
+            Seq("bi", "key"))
+          .filter(col("doc_id") < col("b"))
+          .select(col("doc_id"), col("b")).distinct().count()
+      val candCapped = Multimodal.phashCandidates(
+          bands.select("doc_id", "pixels", "bi", "key"))
+        .select("a", "b").distinct().count()
+      val sat = IndexStore.phashIndexSaturation(spark, idx).head()
       val pairs = IndexStore.phashPairsFrom(spark, idx).count()
-      val qSec = min3(() =>
-        Multimodal.phashPairs(Multimodal.phashGrid(docs).localCheckpoint(true)))
+      // min-of-1 at the 1000× decade: a single q136 pass is ~minutes there
+      // and the min-of-3 protocol buys nothing a ±10% read needs.
+      val qSec =
+        if (mult > 100 && tag != "base") {
+          val t = System.nanoTime()
+          Multimodal.phashPairs(Multimodal.phashGrid(docs).localCheckpoint(true))
+            .queryExecution.toRdd.count()
+          (System.nanoTime() - t) / 1e9
+        } else min3(() =>
+          Multimodal.phashPairs(Multimodal.phashGrid(docs).localCheckpoint(true)))
       // Fixed-size batch (the BASE corpus's doc_id % 10 slice, rewritten to
       // fresh ids so it never id-collides with the standing corpus) deduped
       // against this corpus's standing index: per-batch wall must track the
@@ -361,7 +383,16 @@ object Stress {
       val verdicts = IndexStore.phashDedupBatch(batch, idx)
       val nDup = verdicts.filter(col("keep") === 0).count()
       val dedupSec = (System.nanoTime() - tD) / 1e9
-      println(f"""{"mode":"phash","corpus":"$tag","n":$n,"build_sec":$buildSec%.1f,"max_band_fan_in":$fanIn,"cand_pairs":$cand,"pairs":$pairs,"q136_sec_min3":$qSec%.2f,"batch_docs":${batch.count()},"batch_dups":$nDup,"batch_dedup_sec":$dedupSec%.1f}""")
+      println(f"""{"mode":"phash","corpus":"$tag","n":$n,"build_sec":$buildSec%.1f,"max_band_fan_in":$fanIn,"cand_pairs":$cand,"cand_capped":$candCapped,"hot_buckets":${sat.getLong(1)},"max_sub_fan_in":${sat.getLong(5)},"saturation":${sat.getDouble(6)}%.4f,"pairs":$pairs,"q136_sec_min3":$qSec%.2f,"batch_docs":${batch.count()},"batch_dups":$nDup,"batch_dedup_sec":$dedupSec%.1f}""")
+
+      // q144's stress row (VERDICT r10 #2): collapse the pair graph via
+      // components + provenance — the wall must track the PAIR graph (its
+      // edges and the small component map), never the corpus beyond the
+      // one metadata join.
+      val tC = System.nanoTime()
+      val nComp = Multimodal.phashConsolidate(docs).count()
+      val consSec = (System.nanoTime() - tC) / 1e9
+      println(f"""{"mode":"phashconsolidate","corpus":"$tag","n":$n,"components":$nComp,"wall_sec":$consSec%.1f}""")
 
       // The SCALE LEVER, measured two ways on the same corpus:
       // (a) "phash32" — the naive widening (32 bins, 8 bands of 4, tau
@@ -406,7 +437,58 @@ object Stress {
       // pressure before finishing), and re-measuring a rejected variant at
       // every decade is wasted compute. The working lever runs everywhere.
       if (tag == "base") variant("phash32", bins = 32, depth = 1, bands = 8, tau = 6)
-      variant("phashdeep", bins = 16, depth = 2, bands = 4, tau = 3)
+      // The deep variant's cand audit is the raw (uncapped) join — skip it
+      // at the 1000× decade for the same reason as cand_pairs above.
+      if (mult <= 100 || tag == "base")
+        variant("phashdeep", bins = 16, depth = 2, bands = 4, tau = 3)
+
+      // Depth-2 blocking recall calibration ON THE GROWTH CORPUS (VERDICT
+      // r10 #6): q141 grades recall at base scale, depth 1 — but the
+      // signature the next corpus decade deploys is (16, 2) (q142), so the
+      // pigeonhole claim must be MEASURED where it will be used. The q141
+      // machinery verbatim at depth 2: hash-sampled 10% anchors, truth
+      // from single-CELL blocking (16 2-char cells find every sampled
+      // pair at cell-Hamming <= 15), found = the 4 8-char-band blocking;
+      // recall per cell-Hamming value — rows <= 3 must print 1.0 (the
+      // deployed guarantee), the 4+ tail is what the band count buys.
+      // Skipped at 100×: the truth side's single-cell buckets are the
+      // calibration BUDGET, and 50k sampled anchors outgrow it — a
+      // deployment calibrates on a fixed sample, not the corpus.
+      if (tag == "base" || mult <= 10) {
+        val deep = docs
+          .select(col("doc_id"), call_function("graft_phashsig",
+            split(trim(col("text")), " "), lit(16), lit(2)).as("pixels"))
+          .filter(col("pixels").isNotNull)
+          .filter(expr(
+            "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint) % 10 = 0"))
+          .localCheckpoint(true)
+        val px = deep.select(col("doc_id"), col("pixels"), explode(expr(
+          "transform(sequence(0, 15), i -> struct(i AS pos, substring(pixels, i * 2 + 1, 2) AS pv))")).as("e"))
+          .select(col("doc_id"), col("pixels"), col("e.pos").as("pos"), col("e.pv").as("pv"))
+        val cellHam = expr(
+          """cast(aggregate(sequence(0, 15), 0, (acc, i) ->
+            |  acc + if(substring(pa, i * 2 + 1, 2) = substring(pb, i * 2 + 1, 2), 0, 1)) AS bigint)""".stripMargin)
+        val truth = px.toDF("a", "pa", "pos", "pv")
+          .join(px.toDF("b", "pb", "pos", "pv"), Seq("pos", "pv"))
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"), cellHam.as("hamming"))
+          .distinct()
+        val dbx = deep.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, 3), k -> struct(k AS bi, substring(pixels, k * 8 + 1, 8) AS key))")).as("e"))
+          .select(col("doc_id"), col("e.bi").as("bi"), col("e.key").as("key"))
+        val found = dbx.toDF("a", "bi", "key")
+          .join(dbx.toDF("b", "bi", "key"), Seq("bi", "key"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct().withColumn("m", lit(1))
+        val cal = truth.join(found, Seq("a", "b"), "left")
+          .groupBy("hamming")
+          .agg(count(lit(1)).as("n_pairs"), count(col("m")).as("n_blocked"))
+          .withColumn("recall", col("n_blocked") / col("n_pairs"))
+          .orderBy("hamming")
+          .collect()
+          .map(r => f"""[${r.getLong(0)},${r.getLong(1)},${r.getLong(2)},${r.getDouble(3)}%.4f]""")
+        println(s"""{"mode":"phashdeepcal","corpus":"$tag","n":$n,"rows_h_np_nb_recall":[${cal.mkString(",")}]}""")
+      }
     }
   }
 
@@ -837,7 +919,23 @@ object Stress {
       val probedGot = IndexStore.searchIvfPq(emb, idx, 0L, 5, probeCoarse = 3)
         .collect().map(_.getLong(0)).toSet
       val probedRecall = (probedGot intersect exact).size / 5.0
-      println(f"""{"mode":"pq","corpus":"$tag","n":$n,"build_sec":$buildSec%.1f,"search_sec_min3":$searchSec%.2f,"recall5":$recall%.1f,"ivfpq_build_sec":$ivfpqBuildSec%.1f,"probed_sec_min3":$probedSec%.2f,"probed_recall5":$probedRecall%.1f}""")
+      // Probed-partition accounting (VERDICT r10 #4): how many coarse-cell
+      // partitions the IVFPQ search touches, of how many, and the code
+      // rows actually read — the per-query read fraction that must SHRINK
+      // as the corpus decade grows (cells scale ~ sqrt N, probed stays 3).
+      val codeCells = spark.read.parquet(s"$idx/ivfpq/codes")
+        .select(col("ccid").cast("long").as("ccid"))
+      val totalCells = codeCells.select("ccid").distinct().count()
+      val coarseArr = spark.read.parquet(s"$idx/ivfpq/coarse")
+      val topc = emb.filter(col("vec_id") === 0L).limit(1)
+        .select(col("en").as("qn"))
+        .crossJoin(broadcast(coarseArr))
+        .select(col("qn"), explode(col("cc")).as("c"))
+        .select(col("c.ccid").as("ccid"),
+          Vectors.dot(col("qn"), col("c.cn")).as("csim"))
+        .orderBy(col("csim").desc, col("ccid")).limit(3).select("ccid")
+      val probedRows = codeCells.join(broadcast(topc), Seq("ccid")).count()
+      println(f"""{"mode":"pq","corpus":"$tag","n":$n,"build_sec":$buildSec%.1f,"search_sec_min3":$searchSec%.2f,"recall5":$recall%.1f,"ivfpq_build_sec":$ivfpqBuildSec%.1f,"probed_sec_min3":$probedSec%.2f,"probed_recall5":$probedRecall%.1f,"cells":$totalCells,"probed_cells":3,"probed_rows":$probedRows,"read_frac":${probedRows.toDouble / n}%.4f}""")
     }
   }
 

@@ -250,6 +250,17 @@ object IndexStore {
         when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
   }
 
+  /** q144 off the store (the q128 discipline for the media index): media
+    * cluster consolidation — components + per-cluster provenance — with
+    * the pair graph answered FROM the persisted phash index, skipping the
+    * signature build. The corpus text is touched exactly once, by the
+    * doc_id-keyed metadata join; bit-identical to `Multimodal
+    * .phashConsolidate` on the same corpus (same capped-exact pair set). */
+  def phashConsolidateFrom(spark: SparkSession, path: String,
+      docs: DataFrame): DataFrame =
+    Dedup.consolidateComponents(
+      phashPairsFrom(spark, path).select("a", "b"), docs)
+
   /** Bucket-heat meter for the standing phash index (the r10 verdict's
     * saturation-meter ask, mirroring `winnowIndexSaturation`): how much of
     * the band index is over the `PhashFanInCap` re-blocking threshold, and

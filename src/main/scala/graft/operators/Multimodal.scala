@@ -116,31 +116,90 @@ object Multimodal {
       .drop("e", "comp")
 
   /** Exact band-blocked candidate pairs (a, pa, b, pb) of one band-row
-    * frame: per-bucket sizes are computed on the SMALL keyed frame and
-    * joined back (the q58 discipline — never a corpus window); buckets at
-    * or under `cap` self-join whole, hotter buckets re-block on complement
-    * sub-bands first (`subBandRows` — exact at Hamming ≤ PhashHamTau).
-    * Candidate volume is Σ_cold m² + Σ_hot Σ_sub m_s² — the measured 100×
-    * quadratic cliff (21M candidates at 500k docs, all from linearly-hot
-    * empty-band buckets) collapses to near the true-pair floor, while the
-    * pair SET is provably unchanged. */
+    * frame, with RECURSIVE refinement of hot buckets. Per level: bucket
+    * sizes are computed on the small keyed frame and joined back (the q58
+    * discipline — never a corpus window); buckets at or under `cap`
+    * self-join whole; hotter buckets re-block on 4 near-equal groups of
+    * their REMAINING (so-far-unkeyed) pixels and recurse — the level-1
+    * pigeonhole argument (≤ 3 total mismatches, ≥ 4 nonempty groups ⇒ one
+    * group agrees exactly) holds verbatim at EVERY level, so refinement
+    * depth is a cost lever, never a recall knob. Once ≤ 3 pixels remain
+    * unkeyed, the bucket's members already agree on ≥ 13 pixels, so every
+    * member pair is a true Hamming ≤ 3 pair — pairing there is
+    * OUTPUT-BOUND by construction. Depth is ≤ 7 (12 → 9 → 7 → 6 → 5 → 4 →
+    * 3 remaining pixels in the worst path); each level materializes its
+    * still-hot residue behind a localCheckpoint and exits as soon as the
+    * residue is empty (1–2 levels on the measured corpora — callers are
+    * eager-by-design queries, so the per-level driver check is the
+    * already-accepted pattern).
+    *
+    * Why recursion, measured: one-level refinement cut the 100× growth
+    * corpus's 21.0M raw candidates to 7.0M — still superlinear, because
+    * at 500k docs the sub-buckets themselves go hot (max sub fan-in 154)
+    * and bucket heat keeps growing linearly with the corpus. Recursion
+    * re-applies the same exact split wherever heat survives, so candidate
+    * volume converges to Σ_cold m² (cold ≤ cap by definition) plus the
+    * true-pair mass. */
   private[graft] def phashCandidates(bx: DataFrame,
       cap: Int = PhashFanInCap): DataFrame = {
-    val sizes = bx.groupBy("bi", "key").agg(count(lit(1)).as("bsz"))
-    val sized = bx.join(sizes, Seq("bi", "key"))
-    def pairs(x: DataFrame, keys: Seq[String]): DataFrame = {
-      val xa = x.select(keys.map(col) :+ col("doc_id").as("a") :+
-        col("pixels").as("pa"): _*)
-      val yb = x.select(keys.map(col) :+ col("doc_id").as("b") :+
-        col("pixels").as("pb"): _*)
-      xa.join(yb, keys).filter(col("a") < col("b"))
+    def pairAll(x: DataFrame): DataFrame = {
+      val xa = x.select(col("gk"), col("doc_id").as("a"), col("pixels").as("pa"))
+      val yb = x.select(col("gk"), col("doc_id").as("b"), col("pixels").as("pb"))
+      xa.join(yb, Seq("gk")).filter(col("a") < col("b"))
         .select("a", "pa", "b", "pb")
     }
-    pairs(sized.filter(col("bsz") <= cap), Seq("bi", "key"))
-      .unionByName(
-        pairs(subBandRows(sized.filter(col("bsz") > cap)),
-          Seq("bi", "key", "sj", "skey")))
-      .distinct()
+    // Running state: gk = the accumulated agreement key (band + chosen
+    // groups, ':'/'|'-delimited so distinct paths can't collide), comp =
+    // the pixels not yet folded into gk.
+    var pend = bx
+      .withColumn("gk", concat(col("bi").cast("string"), lit(":"), col("key")))
+      .withColumn("comp", expr(
+        s"concat(substring(pixels, 1, bi * $PhashBandW), " +
+          s"substring(pixels, bi * $PhashBandW + ${PhashBandW + 1}, $PhashBins))"))
+      .select("doc_id", "pixels", "gk", "comp")
+    val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var level = 0
+    while (level < 8 && pend != null) {
+      // The per-bucket size frame is SMALL (one row per occupied key) —
+      // checkpoint it so the hot-existence probe and the pair join both
+      // read it materialized instead of re-aggregating `pend`. `cl` rides
+      // along so the probe can see that ≤3-pixel leaves never count as
+      // hot without touching the member rows.
+      // mono = every member agrees on ALL remaining pixels (min = max —
+      // partial-aggregatable, no distinct): splitting such a bucket can
+      // never separate it, and every member pair already agrees on ≥ 13
+      // pixels' worth... on the whole signature — pair-all is exact AND
+      // output-bound. This is the viral-clone guard: a 10^6-copy cluster
+      // goes straight to the leaf instead of riding all levels at 4^l
+      // rows per member.
+      val sizes = pend.groupBy("gk")
+        .agg(count(lit(1)).as("bsz"), max(length(col("comp"))).as("cl"),
+          (min(col("comp")) === max(col("comp"))).as("mono"))
+        .localCheckpoint(true)
+      val sized = pend.join(sizes.select("gk", "bsz", "mono"), Seq("gk"))
+      // Leaves: under the cap, OR ≤ 3 unkeyed pixels, OR signature-
+      // monomorphic (pair-all is exact and output-bound in all three).
+      acc += pairAll(sized.filter(
+        col("bsz") <= cap || length(col("comp")) <= 3 || col("mono")))
+      pend =
+        if (sizes.filter(col("bsz") > cap && col("cl") > 3 && !col("mono")).isEmpty) null
+        else sized.filter(col("bsz") > cap && length(col("comp")) > 3 && !col("mono"))
+          .withColumn("e", explode(array((0 until PhashSubBands).map { j =>
+            val st = s"cast($j * length(comp) div 4 AS int)"
+            val en = s"cast((${j + 1}) * length(comp) div 4 AS int)"
+            struct(lit(j).as("j"),
+              expr(s"substring(comp, $st + 1, $en - $st)").as("sk"),
+              expr(s"concat(substring(comp, 1, $st), substring(comp, $en + 1, $PhashBins))")
+                .as("rest"))
+          }: _*)))
+          .select(col("doc_id"), col("pixels"),
+            concat(col("gk"), lit("|"), col("e.j"), lit(":"), col("e.sk")).as("gk"),
+            col("e.rest").as("comp"))
+          .localCheckpoint(true)
+      level += 1
+    }
+    require(pend == null, "phash refinement failed to terminate (bug)")
+    acc.reduce(_ unionByName _).distinct()
   }
 
   /** The search half of q136 over a (doc_id, pixels) grid: band-bucket
@@ -593,6 +652,46 @@ object Multimodal {
         // so both the capped blocking's losslessness AND the component
         // labels are graded through the independent engine.
         phashConsolidate(Tables.load(s, dir, "documents"))
+      },
+      Some {
+        val ham = phashHamSql
+        s"""WITH RECURSIVE $phashGridCtes,
+           |bx AS (
+           |  SELECT doc_id, pixels, k AS bi, substr(pixels, CAST(k * 4 + 1 AS INT), 4) AS key
+           |  FROM grid, range(0, 4) t(k)),
+           |jp AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.key = y.key AND x.doc_id < y.doc_id
+           |  WHERE $ham <= 3),
+           |sym AS (SELECT a, b FROM jp UNION ALL SELECT b, a FROM jp),
+           |reach(v, r) AS (
+           |  SELECT DISTINCT a, a FROM sym
+           |  UNION
+           |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b),
+           |comp AS (SELECT v, min(r) AS lbl FROM reach GROUP BY v)
+           |SELECT comp.lbl AS component,
+           |       CAST(count(*) AS BIGINT) AS n_members,
+           |       CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           |       array_to_string(list_sort(list(DISTINCT d.source)), ',') AS sources,
+           |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+           |FROM comp JOIN documents d ON d.doc_id = comp.v
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // ── Media consolidation FROM the persisted phash index (q128 twin) ──
+    QueryDef(
+      "q145_phash_consolidate_from_store",
+      (s, dir) => {
+        // q144's production form, oracle-graded end-to-end (the q128
+        // discipline for the media index): the signature/band state
+        // persisted by savePhashIndex, the pair graph answered FROM the
+        // store, components + provenance on top. Same oracle as q144 — a
+        // green row proves the full build→persist→pairs→consolidate path
+        // against the independent engine.
+        val docs = Tables.load(s, dir, "documents")
+        val scratch = graft.Scratch.dir("q145-store")
+        IndexStore.savePhashIndex(docs, scratch)
+        IndexStore.phashConsolidateFrom(s, scratch, docs)
       },
       Some {
         val ham = phashHamSql

@@ -289,12 +289,26 @@ class IndexCliSpec extends AnyFunSuite {
     assert(IndexStore.loadPhashGrid(spark, idx)
       .filter(col("doc_id") % 4 === 0).count() === nKept.toLong)
 
-    // Full-corpus index audit == the q136 in-query pair scan.
+    // Full-corpus index audit == the q136 in-query pair scan; the r11
+    // bucket-heat meter fields are present and internally consistent.
     val idx3 = base.resolve("idx3").toString
     Index.run(spark, List("build-phash", sf, idx3))
     val q136 = SparkEntry.queries("q136_phash_neardup")(spark, sf).collect()
     val a = Index.run(spark, List("phash-audit", idx3))
     assert(a.contains(s""""pairs":${q136.length}"""), a)
     assert(a.contains(s""""max_hamming":${q136.map(_.getLong(2)).max}"""), a)
+    assert(a.contains(""""max_fan_in":""") && a.contains(""""saturation":"""), a)
+
+    // consolidate-phash off the store == q144 BIT-IDENTICAL (same capped
+    // exact pair set, same component labels, same provenance rollup).
+    val outM = base.resolve("media-consolidated").toString
+    val mc = Index.run(spark,
+      List("consolidate-phash", sf, idx3, "--out", outM))
+    val gotM = spark.read.parquet(outM).orderBy("component")
+      .collect().map(_.toSeq).toSeq
+    val wantM = SparkEntry.queries("q144_phash_consolidate")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(gotM === wantM)
+    assert(mc.contains(s""""n_components":${wantM.size}"""), mc)
   }
 }

@@ -715,11 +715,10 @@ class PlanSpec extends AnyFunSuite {
     }.isEmpty, "phash search degraded to a cartesian product")
     assert(collectAll("q136_phash_neardup") { case w: WindowExec => w }.isEmpty)
     hashShuffleKeys("q136_phash_neardup").foreach { keys =>
-      // (bi, key): bucket sizes + cold pair join; (bi, key, sj, skey): the
-      // hot buckets' exact sub-band re-block (r11); (a, pa, b, pb): the
-      // candidate distinct.
-      assert(keys.subsetOf(Set("bi", "key", "sj", "skey", "bsz",
-        "a", "b", "pa", "pb", "hamming")),
+      // gk: the recursive refinement's accumulated agreement key (bucket
+      // sizes + per-level pair joins, r11); (a, pa, b, pb): the candidate
+      // distinct.
+      assert(keys.subsetOf(Set("gk", "bsz", "a", "b", "pa", "pb", "hamming")),
         s"unexpected shuffle key: $keys")
     }
   }
