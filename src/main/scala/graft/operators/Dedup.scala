@@ -276,8 +276,9 @@ object Dedup {
        |  FROM wh)""".stripMargin
   }
 
-  /** DuckDB twin of `shingles` as a CTE body (n = 3). */
-  private val shingleCte =
+  /** DuckDB twin of `shingles` as a CTE body (n = 3). `private[operators]`
+    * so q146's cross-signal oracle can compose it with the phash chain. */
+  private[operators] val shingleCte =
     """sh AS (
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]

@@ -630,15 +630,35 @@ object IndexStore {
       .write.mode("append").parquet(s"$path/pq/codes")
   }
 
+  /** Re-rank depth for the persisted ADC searches: `rerank` if positive,
+    * else max(PqRerank, corpus/2000) — 0.05% of the code table. The r11 2M
+    * certification measured WHY a constant depth fails at scale: a
+    * 1000-copy near-dup cluster quantizes IDENTICALLY at PqK = 16, the
+    * query's ADC score saturates in an 871-way tie at asim = 1.0, and the
+    * deterministic vec_id tiebreak hands the constant-100 re-rank an
+    * arbitrary id-slice of the tie — recall@5 was 0.0 at 2M vectors (1.0
+    * at 200k). Depth must cover the tie width, which tracks the largest
+    * duplicate cluster: 0.05% is ≥ the measured 871 at 2M and costs ~1k
+    * exact dots against a 2M-row coded scan (noise). Unchanged (= 100) at
+    * every harness SF, so the q88-parity pins and the q130/q132 oracles
+    * (LIMIT 100) are unaffected. The orthogonal production lever: dedup
+    * the corpus FIRST (q81 semdedup exists for exactly this mass). */
+  private def autoRerank(spark: SparkSession, codesPath: String,
+      rerank: Int): Int =
+    if (rerank > 0) rerank
+    else math.max(Vectors.PqRerank,
+      (spark.read.parquet(codesPath).count() / 2000L).toInt)
+
   /** q88's ADC search over the PERSISTED codes: the approx scan reads ONLY
     * the codes table (decoded against the loaded 1-row codebook); `emb` is
-    * touched for the query row and the PqRerank exact re-rank candidates.
-    * Bit-identical to in-query q88 for the same corpus — IndexStoreSpec
-    * pins it. */
+    * touched for the query row and the re-rank candidates (depth
+    * `autoRerank` — corpus-scaled, see there). Bit-identical to in-query
+    * q88 for the same corpus at harness scale — IndexStoreSpec pins it. */
   def searchPq(emb: DataFrame, path: String, queryVecId: Long,
-      k: Int): DataFrame = {
+      k: Int, rerank: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    val rr = autoRerank(spark, s"$path/pq/codes", rerank)
     val cb = spark.read.parquet(s"$path/pq/codebook")
     val rx = Vectors.pqDecode(spark.read.parquet(s"$path/pq/codes"), cb)
     val qn = emb.filter(col("vec_id") === queryVecId).limit(1)
@@ -646,7 +666,7 @@ object IndexStore {
     val cand = rx.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(qn))
       .select(col("vec_id"), Vectors.dot(col("rx"), col("qn")).as("asim"))
-      .orderBy(col("asim").desc, col("vec_id")).limit(Vectors.PqRerank)
+      .orderBy(col("asim").desc, col("vec_id")).limit(rr)
     cand.join(emb, Seq("vec_id")).crossJoin(broadcast(qn))
       .select(col("vec_id"), Vectors.dot(col("en"), col("qn")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id")).limit(k)
@@ -685,9 +705,10 @@ object IndexStore {
     * pins that equivalence; at small probeCoarse it trades recall for a
     * per-query read that shrinks as cells/corpus. */
   def searchIvfPq(emb: DataFrame, path: String, queryVecId: Long, k: Int,
-      probeCoarse: Int): DataFrame = {
+      probeCoarse: Int, rerank: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    val rr = autoRerank(spark, s"$path/ivfpq/codes", rerank)
     val coarse = spark.read.parquet(s"$path/ivfpq/coarse")
     val cb = spark.read.parquet(s"$path/ivfpq/codebook")
     val codes = spark.read.parquet(s"$path/ivfpq/codes")
@@ -707,7 +728,7 @@ object IndexStore {
     val cand = rx.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(qn))
       .select(col("vec_id"), Vectors.dot(col("rx"), col("qn")).as("asim"))
-      .orderBy(col("asim").desc, col("vec_id")).limit(Vectors.PqRerank)
+      .orderBy(col("asim").desc, col("vec_id")).limit(rr)
     cand.join(emb, Seq("vec_id")).crossJoin(broadcast(qn))
       .select(col("vec_id"), Vectors.dot(col("en"), col("qn")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id")).limit(k)

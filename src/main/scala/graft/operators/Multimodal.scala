@@ -291,24 +291,28 @@ object Multimodal {
     * search in portable DuckDB SQL (def, not val — safe from object-init
     * order). */
   /** DuckDB CTE chain `wt → sh → pw → g0 → grid(doc_id, pixels)` — the
-    * signature-grid derivation shared by the q136/q139/q141 oracles. */
-  private def phashGridCtes: String = {
+    * signature-grid derivation shared by the q136/q139/q141 oracles. A
+    * non-empty `prefix` renames every CTE (`<p>wt … <p>grid`) so the
+    * chain can compose with oracles that define their own `sh` (q146
+    * joins it with the text-shingle chain). */
+  private def phashGridCtes(prefix: String = ""): String = {
+    val p = prefix
     val minCols = (0 until PhashBins).map(k =>
       s"coalesce(substr('0123456789abcdef', CAST((min(CASE WHEN h % 16 = $k THEN h END) // 16) % 16 AS INT) + 1, 1), '-') AS c$k")
       .mkString(",\n       ")
     val pix = (0 until PhashBins).map(k => s"c$k").mkString(" || ")
-    s"""wt AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
-       |sh AS (
+    s"""${p}wt AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+       |${p}sh AS (
        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
-       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM wt)),
-       |pw AS (
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM ${p}wt)),
+       |${p}pw AS (
        |  SELECT doc_id, list_reduce([(strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1)::BIGINT
        |                 for i in range(1, 16)], (a, b) -> a * 16 + b) AS h
-       |  FROM sh),
-       |g0 AS (
+       |  FROM ${p}sh),
+       |${p}g0 AS (
        |  SELECT doc_id, $minCols
-       |  FROM pw GROUP BY doc_id),
-       |grid AS (SELECT doc_id, $pix AS pixels FROM g0)""".stripMargin
+       |  FROM ${p}pw GROUP BY doc_id),
+       |${p}grid AS (SELECT doc_id, $pix AS pixels FROM ${p}g0)""".stripMargin
   }
 
   /** Pixel-wise Hamming between the aliased `x`/`y` grid rows, DuckDB. */
@@ -318,7 +322,7 @@ object Multimodal {
 
   private def phashOracleSql: String = {
     val ham = phashHamSql
-    s"""WITH $phashGridCtes,
+    s"""WITH ${phashGridCtes()},
        |bx AS (
        |  SELECT doc_id, pixels, k AS bi, substr(pixels, CAST(k * 4 + 1 AS INT), 4) AS key
        |  FROM grid, range(0, 4) t(k))
@@ -622,7 +626,7 @@ object Multimodal {
         val ham =
           """CAST(list_sum([CASE WHEN substr(x.pixels, i, 1) = substr(y.pixels, i, 1) THEN 0 ELSE 1 END
             |                      for i in range(1, 17)]) AS BIGINT)""".stripMargin
-        s"""WITH $phashGridCtes,
+        s"""WITH ${phashGridCtes()},
            |cand AS (
            |  SELECT x.doc_id AS a, y.doc_id AS b, $ham AS hamming
            |  FROM grid x JOIN grid y
@@ -655,7 +659,7 @@ object Multimodal {
       },
       Some {
         val ham = phashHamSql
-        s"""WITH RECURSIVE $phashGridCtes,
+        s"""WITH RECURSIVE ${phashGridCtes()},
            |bx AS (
            |  SELECT doc_id, pixels, k AS bi, substr(pixels, CAST(k * 4 + 1 AS INT), 4) AS key
            |  FROM grid, range(0, 4) t(k)),
@@ -695,7 +699,7 @@ object Multimodal {
       },
       Some {
         val ham = phashHamSql
-        s"""WITH RECURSIVE $phashGridCtes,
+        s"""WITH RECURSIVE ${phashGridCtes()},
            |bx AS (
            |  SELECT doc_id, pixels, k AS bi, substr(pixels, CAST(k * 4 + 1 AS INT), 4) AS key
            |  FROM grid, range(0, 4) t(k)),
@@ -716,6 +720,62 @@ object Multimodal {
            |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
            |FROM comp JOIN documents d ON d.doc_id = comp.v
            |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // ── Cross-signal dedup consensus: textual ⊗ perceptual evidence ──
+    QueryDef(
+      "q146_dedup_consensus",
+      (s, dir) => {
+        // A curation pass rarely trusts ONE dedup signal: exact-text
+        // Jaccard (q22) misses re-encoded/reformatted media, the
+        // perceptual hash (q136) misses text rewrites that change every
+        // patch. This operator consolidates both pair sets into one
+        // evidence table — FULL OUTER on (a, b), each row carrying the
+        // signal values it has and a consensus tally. Pairs found by BOTH
+        // are highest-confidence dups (delete-safe); phash-only pairs are
+        // the re-encodings text dedup can't see; jaccard-only pairs are
+        // patch-starved docs. Downstream, n_signals feeds the keep/drop
+        // policy exactly like q58's keep-set.
+        //
+        // 100 TB shape: both inputs are the already-capped blocked
+        // machineries (df-capped inverted index; recursive-refined phash
+        // buckets); the consensus itself is ONE pair-keyed equi-join of
+        // two pair tables — no corpus re-scan, no window, nothing wider
+        // than the pair frames.
+        val docs = Tables.load(s, dir, "documents")
+        val jp = Dedup.jaccardPairs(docs).select("a", "b", "jaccard")
+        val pp = phashPairs(phashGrid(docs).localCheckpoint(true))
+          .select("a", "b", "hamming")
+        jp.join(pp, Seq("a", "b"), "full_outer")
+          .select(col("a"), col("b"), col("jaccard"), col("hamming"),
+            (when(col("jaccard").isNotNull, 1L).otherwise(0L) +
+              when(col("hamming").isNotNull, 1L).otherwise(0L)).as("n_signals"),
+            concat_ws(",",
+              when(col("jaccard").isNotNull, lit("jaccard")),
+              when(col("hamming").isNotNull, lit("phash"))).as("signals"))
+          .orderBy("a", "b")
+      },
+      Some {
+        val p = "ph_"
+        val ham = phashHamSql
+        s"""WITH ${Dedup.shingleCte},
+           |${Dedup.jaccardPairsCtes()},
+           |${phashGridCtes(p)},
+           |bx AS (
+           |  SELECT doc_id, pixels, k AS bi, substr(pixels, CAST(k * 4 + 1 AS INT), 4) AS key
+           |  FROM ${p}grid, range(0, 4) t(k)),
+           |pp AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, $ham AS hamming
+           |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.key = y.key AND x.doc_id < y.doc_id
+           |  WHERE $ham <= 3)
+           |SELECT coalesce(j.a, p.a) AS a, coalesce(j.b, p.b) AS b,
+           |       j.jaccard, p.hamming,
+           |       CAST(CASE WHEN j.a IS NOT NULL THEN 1 ELSE 0 END +
+           |            CASE WHEN p.a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_signals,
+           |       concat_ws(',', CASE WHEN j.a IS NOT NULL THEN 'jaccard' END,
+           |                      CASE WHEN p.a IS NOT NULL THEN 'phash' END) AS signals
+           |FROM jp j FULL OUTER JOIN pp p ON p.a = j.a AND p.b = j.b
+           |ORDER BY a, b""".stripMargin
       }),
 
     // ── Phash blocking recall calibration (the q123 discipline) ──
@@ -763,7 +823,7 @@ object Multimodal {
           .withColumn("recall", col("n_blocked") / col("n_pairs"))
           .orderBy("hamming")
       },
-      Some(s"""WITH $phashGridCtes,
+      Some(s"""WITH ${phashGridCtes()},
               |samp AS (
               |  SELECT doc_id, pixels FROM grid
               |  WHERE list_reduce([(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT

@@ -260,6 +260,33 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(stored === direct)
   }
 
+  test("ADC re-rank depth is honored and corpus-scaled (the 2M recall-0 fix)") {
+    // The r11 2M certification found recall@5 = 0.0: duplicate clusters
+    // saturate the ADC score into ties wider than a constant re-rank
+    // depth. The fix scales depth with the code table (max(100, n/2000));
+    // this pins the parameter's mechanics at unit scale: an explicit
+    // depth of 1 feeds the exact re-rank exactly one candidate, while a
+    // generous depth reproduces the default's answer.
+    val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("en"))
+    val path = tmp("pq-rerank")
+    IndexStore.savePqIndex(emb, path)
+    val starved = IndexStore.searchPq(emb, path, 0L, 5, rerank = 1).collect()
+    assert(starved.length === 1, "rerank=1 must leave exactly one candidate")
+    // Depth >= corpus means the "approx" stage passes EVERYTHING to the
+    // exact re-rank — the result must be the brute-force exact top-5
+    // (this is precisely the property that makes a too-shallow depth the
+    // only possible recall leak, and what the 2M fix widens with n).
+    val deep = IndexStore.searchPq(emb, path, 0L, 5, rerank = 1000000)
+      .collect().map(_.getLong(0)).toSeq
+    val qn = emb.filter(col("vec_id") === 0L).limit(1).select(col("en").as("qn"))
+    val exact = emb.filter(col("vec_id") =!= 0L).crossJoin(broadcast(qn))
+      .select(col("vec_id"), Vectors.dot(col("en"), col("qn")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(deep === exact, "full-depth re-rank must equal brute force")
+  }
+
   test("multi-probe IVF search over the persisted index == in-query q77") {
     val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
       .select(col("vec_id"), col("en"))
