@@ -271,10 +271,12 @@ object IndexStore {
     *   hot_rows / total_rows, saturation — member rows living in hot
     *     buckets (the mass that pays the 4× sub-band explode) and their
     *     fraction;
-    *   max_sub_fan_in — hottest (band, sub-band) bucket AFTER re-blocking:
-    *     the number that actually bounds per-member pairing cost now, and
-    *     the one to watch — a residual hot sub-bucket is signature-near
-    *     mass that genuinely belongs together (consolidate it via
+    *   max_sub_fan_in — hottest (band, sub-band) bucket after ONE
+    *     re-blocking level (the meter's cheap proxy; the search itself
+    *     refines RECURSIVELY below the cap — `Multimodal.phashCandidates`
+    *     — so pairing cost is bounded by the cap or the true-pair mass
+    *     regardless). A residual hot sub-bucket is signature-near mass
+    *     that genuinely belongs together (consolidate it via
     *     `Multimodal.phashConsolidate`) or grounds for a deeper signature
     *     (`graft_phashsig(w, 16, 2)`, q142). */
   def phashIndexSaturation(spark: SparkSession, path: String): DataFrame = {
