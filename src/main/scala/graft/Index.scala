@@ -27,6 +27,7 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index phash-dedupe <batchDocsDir> <indexPath>
   *        [--out <dir>] [--append-kept]"
   *   sbt "runMain graft.Index phash-audit <indexPath>"
+  *   sbt "runMain graft.Index phash-search <indexPath> <docId> <k>"
   *   sbt "runMain graft.Index consolidate-phash <docsDir> <indexPath>
   *        [--out <dir>]"
   *   sbt "runMain graft.Index append-pairs <docsDir> <indexPath>"
@@ -271,6 +272,16 @@ object Index {
         out.foreach(o => cons.write.mode("overwrite").parquet(o))
         s"""{"mode":"consolidate","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}${out.map(o => s""","out":"$o"""").getOrElse("")}}"""
 
+      case "phash-search" :: path :: docId :: k :: Nil =>
+        // Point media search over the persisted signature index: the
+        // query's band rows broadcast, the store read prunes to their
+        // pfx partitions, neighbors at Hamming <= tau ranked.
+        val hits = IndexStore.searchPhash(spark, path, docId.toLong, k.toInt)
+          .collect()
+        val hitJson = hits.map(r =>
+          s"""{"doc_id":${r.getLong(0)},"hamming":${r.getLong(1)}}""").mkString(",")
+        s"""{"mode":"phash-search","query":$docId,"k":$k,"hits":[$hitJson]}"""
+
       case "consolidate-phash" :: docsDir :: path :: rest =>
         // q144's from-store form: media-cluster consolidation with the
         // pair graph read from the persisted phash index (skipping the
@@ -329,7 +340,7 @@ object Index {
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

@@ -250,6 +250,31 @@ object IndexStore {
         when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
   }
 
+  /** Point search over the persisted phash index (the media family's
+    * `searchIvf` twin): the query doc's ≤ k nearest standing neighbors at
+    * Hamming ≤ PhashHamTau, ordered (hamming, doc_id). The query's pixels
+    * load by id from the grid table (one lookup); its 4 band rows
+    * broadcast into the band-table join, which carries the pfx partition
+    * column so the store read prunes to ≤ 4 prefixes — a per-query read
+    * that shrinks with the band-key space, never a corpus scan. Complete
+    * at the threshold by pigeonhole (a ≤3-distant neighbor shares ≥ 1
+    * band). */
+  def searchPhash(spark: SparkSession, path: String, docId: Long,
+      k: Int): DataFrame = {
+    val q = loadPhashGrid(spark, path).filter(col("doc_id") === docId).limit(1)
+    val qbx = Multimodal.phashBandRows(q)
+      .select(col("pixels").as("qp"), col("bi"),
+        col("key"), concat(lit("p"), substring(col("key"), 1, 1)).as("pfx"))
+    loadPhashBands(spark, path).join(broadcast(qbx), Seq("pfx", "bi", "key"))
+      .filter(col("doc_id") =!= docId)
+      .select(col("doc_id"),
+        Multimodal.phashHamming("pixels", "qp").as("hamming"))
+      .groupBy("doc_id").agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= Multimodal.PhashHamTau)
+      .orderBy(col("hamming"), col("doc_id"))
+      .limit(k)
+  }
+
   /** q144 off the store (the q128 discipline for the media index): media
     * cluster consolidation — components + per-cluster provenance — with
     * the pair graph answered FROM the persisted phash index, skipping the

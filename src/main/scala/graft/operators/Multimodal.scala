@@ -778,6 +778,54 @@ object Multimodal {
            |ORDER BY a, b""".stripMargin
       }),
 
+    // ── Per-doc media kNN at the verify threshold (retrieval seed lists) ──
+    QueryDef(
+      "q147_phash_knn",
+      (s, dir) => {
+        // Each media doc's ≤ 5 nearest neighbors at Hamming ≤ PhashHamTau
+        // — the neighbor lists a retrieval/cluster-seeding pass consumes
+        // (q59's kNN-join shape for the media index; the point-query twin
+        // over the PERSISTED store is `IndexStore.searchPhash`). Complete
+        // at the threshold by pigeonhole; ranked (hamming, nbr) for a
+        // deterministic total order.
+        //
+        // 100 TB shape: the rank window runs over the PAIR frame (output-
+        // sized, capped by the recursive refinement), keyed by doc — the
+        // corpus itself is never windowed or re-shuffled.
+        val K = 5
+        val pp = phashPairs(
+          phashGrid(Tables.load(s, dir, "documents")).localCheckpoint(true))
+        val sym = pp.select(col("a").as("d"), col("b").as("nbr"), col("hamming"))
+          .unionByName(
+            pp.select(col("b").as("d"), col("a").as("nbr"), col("hamming")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("d").orderBy(col("hamming"), col("nbr"))
+        sym.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= K)
+          .select(col("d").as("doc_id"), col("rank"), col("nbr"), col("hamming"))
+          .orderBy("doc_id", "rank")
+      },
+      Some {
+        val ham = phashHamSql
+        s"""WITH ${phashGridCtes()},
+           |bx AS (
+           |  SELECT doc_id, pixels, k AS bi, substr(pixels, CAST(k * 4 + 1 AS INT), 4) AS key
+           |  FROM grid, range(0, 4) t(k)),
+           |pp AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, $ham AS hamming
+           |  FROM bx x JOIN bx y ON x.bi = y.bi AND x.key = y.key AND x.doc_id < y.doc_id
+           |  WHERE $ham <= 3),
+           |sym AS (
+           |  SELECT a AS d, b AS nbr, hamming FROM pp
+           |  UNION ALL SELECT b, a, hamming FROM pp)
+           |SELECT doc_id, rank, nbr, hamming FROM (
+           |  SELECT d AS doc_id,
+           |         CAST(row_number() OVER (PARTITION BY d ORDER BY hamming, nbr) AS BIGINT) AS rank,
+           |         nbr, hamming
+           |  FROM sym)
+           |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+      }),
+
     // ── Phash blocking recall calibration (the q123 discipline) ──
     QueryDef(
       "q141_phash_calibration",

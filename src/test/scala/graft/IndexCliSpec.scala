@@ -299,6 +299,19 @@ class IndexCliSpec extends AnyFunSuite {
     assert(a.contains(s""""max_hamming":${q136.map(_.getLong(2)).max}"""), a)
     assert(a.contains(""""max_fan_in":""") && a.contains(""""saturation":"""), a)
 
+    // phash-search point query == the pair table's neighbor list for that
+    // doc (symmetric closure, ranked (hamming, id)) — derived from q136's
+    // already-oracle-graded pairs, independent of searchPhash internals.
+    val qDoc = q136.map(_.getLong(0)).min
+    val wantNbrs = q136
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(1), r.getLong(0), r.getLong(2))))
+      .filter(_._1 == qDoc).map(t => (t._3, t._2)).sorted.take(3)
+      .map { case (h, id) => s"""{"doc_id":$id,"hamming":$h}""" }
+    assert(wantNbrs.nonEmpty, "query doc has no neighbors — vacuous")
+    val psr = Index.run(spark, List("phash-search", idx3, qDoc.toString, "3"))
+    assert(psr.contains(s"""\"hits\":[${wantNbrs.mkString(",")}]"""), psr)
+
     // consolidate-phash off the store == q144 BIT-IDENTICAL (same capped
     // exact pair set, same component labels, same provenance rollup).
     val outM = base.resolve("media-consolidated").toString

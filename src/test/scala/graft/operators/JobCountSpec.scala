@@ -58,7 +58,8 @@ class JobCountSpec extends AnyFunSuite {
     "q135_incremental_dedup_from_store", "q136_phash_neardup",
     "q139_phash_from_store", "q140_hard_negatives", "q141_phash_calibration",
     "q142_phash_deep", "q143_phash_incremental", "q144_phash_consolidate",
-    "q145_phash_consolidate_from_store", "q146_dedup_consensus")
+    "q145_phash_consolidate_from_store", "q146_dedup_consensus",
+    "q147_phash_knn")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached
