@@ -63,6 +63,13 @@ object Dedup {
   val BoilerN = 8
   val BoilerDf = 3
 
+  /** q148/q151 cross-document exact-substring dedup: span length (words)
+    * above which a repeated run counts as a cross-doc duplicate. Published
+    * systems use ~50 BPE tokens (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"); 8 words matches this corpus's
+    * 10–99-word documents the way BoilerN does. */
+  val CrossN = 8
+
   /** q91 edit-similarity threshold: 1 - lev/max(len) ≥ EditTau. */
   val EditTau = 0.5
   /** q91 candidate gate: ≥ this many shared informative shingles before
@@ -153,6 +160,112 @@ object Dedup {
       .select(col("doc_id"), col("cleaned"),
         (col("n0") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** q148's core: cross-document EXACT repeated-span removal — every
+    * occurrence of a CrossN-word run whose FIRST corpus occurrence lives in
+    * an earlier document (min doc_id over all docs containing the run) is
+    * stripped; the earliest document keeps its copy intact. The exact-
+    * substring counterpart of the fuzzy near-dup family (doc-granular
+    * MinHash/Jaccard): after near-dup REMOVAL a corpus still carries long
+    * verbatim quotes/templates embedded in otherwise-distinct documents,
+    * and span-granular dedup is the published fix (Lee et al. 2022 use a
+    * suffix array; re-expressed here as the distributed gram→min-doc-id
+    * index, which needs no global sort). Returns (doc_id, cleaned,
+    * n_removed); docs under CrossN words pass through, a doc that is
+    * entirely earlier-seen text comes out NULL. Within-doc repeats of a
+    * doc's OWN first-occurrence grams are q103's business, not this one's.
+    *
+    * 100 TB shape: grams travel as 60-bit md5-fold hashes (the winnow-
+    * index discipline — ~6× narrower shuffle rows than CrossN-word
+    * strings; the independent oracle applies the same fold, so a collision
+    * cannot diverge the engines), the gram index is a plain min()
+    * aggregation — O(1) state per key, partial/map-side combinable, no
+    * capped-set machinery needed — and the decision join fans out exactly
+    * one row per gram OCCURRENCE (the index side is one row per distinct
+    * gram), so a viral 10^6-doc boilerplate gram costs 10^6 linear rows,
+    * never 10^12 pairs. The gram scan is evaluated twice (once feeding the
+    * index aggregation, once feeding the decision join) — two narrow
+    * codegen'd md5 passes, the q85 trade; the single-pass alternative
+    * (min over a gh-keyed window) buffers each gram's full occurrence list
+    * per window group, which a hot boilerplate gram breaks at scale.
+    * Cover-expansion and re-assembly mirror boilerplateStrip exactly. */
+  def crossdocStrip(docs: DataFrame, n: Int = CrossN): DataFrame = {
+    val w = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+    val pos = w.select(col("doc_id"), posexplode(col("w")).as(Seq("i", "wd")))
+    val gr = w.filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(w) - $n),
+           |  i -> struct(i AS i,
+           |    cast(conv(substr(md5(concat_ws(' ', slice(w, i + 1, $n))), 1, 15), 16, 10) AS bigint) AS gh))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.gh").as("gh"))
+    // Index only grams seen MORE THAN ONCE: a unique gram's min is its own
+    // doc, so it can never cover anything — the filter drops the long tail
+    // (most of the index) with zero semantic change (count(*), not
+    // countDistinct: a same-doc double occurrence survives the filter but
+    // still fails doc_id > first_doc — harmless, and the state stays two
+    // counters per key). At this corpus the filtered index is small enough
+    // that AQE broadcasts it into the decision join.
+    val firstDoc = gr.groupBy("gh")
+      .agg(min("doc_id").as("first_doc"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("gh", "first_doc")
+    val cov = gr.join(firstDoc, Seq("gh"))
+      .filter(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("ci"))
+      .distinct()
+    val kept = pos.join(cov,
+        pos("doc_id") === cov("doc_id") && pos("i") === cov("ci"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", expr("transform(array_sort(collect_list(struct(i, wd))), x -> x.wd)")).as("cleaned"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), size(split(trim(col("text")), " ")).cast("long").as("n0"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cleaned"),
+        (col("n0") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** DuckDB twin of crossdocStrip's gram scan + gram→min-doc index as CTEs
+    * `wt(doc_id, w)` / `gr(doc_id, i, gh)` (0-based i, the q103 bridge) /
+    * `fd(gh, first_doc)`; shared by q148 and q151. The gh fold is the q79
+    * portable md5 nibble reduction — bit-identical to Spark's
+    * conv(substr(md5(s),1,15),16,10). */
+  private[operators] def crossdocCtes(n: Int = CrossN): String =
+    s"""wt AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |gr AS (
+       |  SELECT doc_id, i - 1 AS i,
+       |         list_reduce([(strpos('0123456789abcdef',
+       |                              substr(md5(array_to_string(w[i : i + ${n - 1}], ' ')), j, 1)) - 1)::BIGINT
+       |                      for j in range(1, 16)], (a, b) -> a * 16 + b) AS gh
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${n - 2})) AS i
+       |        FROM wt WHERE len(w) >= $n)),
+       |fd AS (SELECT gh, min(doc_id) AS first_doc FROM gr
+       |       GROUP BY gh HAVING count(*) > 1)""".stripMargin
+
+  /** DuckDB twin of the strip/re-assembly half over prior CTEs `wt`/`gr`/
+    * `fd` and a doc filter: covered positions → anti-join → string_agg.
+    * `docPred` restricts WHICH documents are emitted (q151's batch slice);
+    * the gram index above it always spans the full corpus. */
+  private[operators] def crossdocStripSql(n: Int = CrossN,
+      docPred: String = "TRUE"): String =
+    s"""cov AS (
+       |  SELECT DISTINCT doc_id, unnest(range(i, i + $n)) AS ci
+       |  FROM (SELECT g.doc_id, g.i FROM gr g JOIN fd USING (gh)
+       |        WHERE g.doc_id > fd.first_doc)),
+       |pos AS (
+       |  SELECT doc_id, p.i AS i, p.wd AS wd FROM (
+       |    SELECT doc_id, unnest([struct_pack(i := i - 1, wd := w[i])
+       |                           for i in range(1, len(w) + 1)]) AS p
+       |    FROM wt)),
+       |kept AS (
+       |  SELECT p.doc_id, string_agg(p.wd, ' ' ORDER BY p.i) AS cleaned,
+       |         count(*) AS n_kept
+       |  FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.ci = p.i
+       |  WHERE c.ci IS NULL GROUP BY p.doc_id)
+       |SELECT d.doc_id, k.cleaned,
+       |       len(string_split(trim(d.text), ' '))::BIGINT - coalesce(k.n_kept, 0)::BIGINT AS n_removed
+       |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+       |WHERE $docPred
+       |ORDER BY d.doc_id""".stripMargin
 
   /** q62's core, reusable from the Curate pipeline: doc_ids of `docs`
     * sharing ≥ k distinct shingles with ANY document of `bench` (the
@@ -1933,7 +2046,69 @@ object Dedup {
               |       CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS keep
               |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
               |WHERE d.doc_id % 4 = 0
-              |ORDER BY d.doc_id""".stripMargin))
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ── Cross-document exact repeated-span removal (span-granular dedup) ──
+    QueryDef(
+      "q148_crossdoc_strip",
+      (s, dir) => crossdocStrip(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(s"""WITH ${crossdocCtes()},
+              |${crossdocStripSql()}""".stripMargin)),
+
+    // ── Cluster-aware leakage-free train/val/test split ──
+    QueryDef(
+      "q149_cluster_split",
+      (s, dir) => {
+        // q96 fences EXACT duplicates by content-hashing the text; q97
+        // then AUDITS the near-dup pairs that still straddle the fence.
+        // This operator closes that loop: the split is assigned per
+        // NEAR-DUP COMPONENT (q47's connected components over the verified
+        // Jaccard pairs), so every doc of a cluster lands on the same side
+        // and cross-split near-dup leakage is zero BY CONSTRUCTION
+        // (ClusterSplitSpec asserts it against q22's pairs). Hash of the
+        // component label (not the raw text) drives the bucket — the same
+        // portable 60-bit md5 fold as q96, same 90/5/5 bucket fences —
+        // so the assignment is reproducible from the component map alone.
+        // Shapes add nothing to q58: the corpus sees ONE doc_id-keyed join
+        // against the component map (AQE broadcasts it when small);
+        // singletons fall through as their own component via coalesce.
+        val docs = Tables.load(s, dir, "documents")
+        val edges = jaccardPairs(docs).select("a", "b").persist()
+        val comp = connectedComponents(edges)
+        edges.unpersist()
+        docs.select(col("doc_id"))
+          .join(comp.select(col("v").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component"))
+          .withColumn("hb",
+            expr(s"cast(conv(substr(md5(cast(component AS string)), 1, 15), 16, 10) AS bigint) % $SplitBuckets"))
+          .select(col("doc_id"), col("component"),
+            when(col("hb") < TrainBuckets, lit("train"))
+              .when(col("hb") < ValBuckets, lit("val"))
+              .otherwise(lit("test")).as("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |${jaccardPairsCtes()},
+              |sym AS (SELECT a, b FROM jp UNION ALL SELECT b, a FROM jp),
+              |reach(v, r) AS (
+              |  SELECT DISTINCT a, a FROM sym
+              |  UNION
+              |  SELECT s.a, reach.r FROM sym s JOIN reach ON reach.v = s.b),
+              |comp AS (SELECT v, min(r) AS lbl FROM reach GROUP BY v),
+              |m AS (SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS component
+              |      FROM documents d LEFT JOIN comp c ON c.v = d.doc_id)
+              |SELECT doc_id, component,
+              |       CASE WHEN hb < $TrainBuckets THEN 'train'
+              |            WHEN hb < $ValBuckets THEN 'val'
+              |            ELSE 'test' END AS split
+              |FROM (SELECT doc_id, component,
+              |             list_reduce([(strpos('0123456789abcdef',
+              |                                  substr(md5(CAST(component AS VARCHAR)), i, 1)) - 1)::BIGINT
+              |                          for i in range(1, 16)], (a, b) -> a * 16 + b)
+              |               % $SplitBuckets AS hb
+              |      FROM m)
+              |ORDER BY doc_id""".stripMargin))
   )
 
 }

@@ -188,6 +188,23 @@ object TextOps {
     * narrow explode, re-assembly one doc_id-keyed aggregation. No
     * cross-document state at all, so the op scales embarrassingly with
     * the corpus. */
+  /** q150's corpus pass: the q27 quality score bucketed into the q60
+    * bounded histogram, token-weighted — (source, b, c, tk) with state
+    * ≤ sources × HistK counter rows. Public so CrossdocSpec can pin the
+    * cut's greedy maximality against the raw per-bucket sums. */
+  def budgetHistogram(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
+      .withColumn("nw", size(split(trim(col("text")), " ")).cast("long"))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      .withColumn("stop_ratio",
+        expr(s"(${cntSql("p", " the ")} + ${cntSql("p", " a ")})") / col("nw"))
+      .withColumn("score", expr(
+        "3.0e-1 * least(nw / 1.0e2, 1.0e0) + 4.0e-1 * (1.0e0 - stop_ratio) + 3.0e-1 * least((n_alpha / nw) / 8.0e0, 1.0e0)"))
+      .withColumn("b", least(floor(col("score") * HistK), lit(HistK - 1L)))
+      .groupBy("source", "b")
+      .agg(count(lit(1)).as("c"), sum("nw").as("tk"))
+
   def selfRepStrip(docs: DataFrame, n: Int = IntraN): DataFrame = {
     val w = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
     val pos = w.select(col("doc_id"), posexplode(col("w")).as(Seq("i", "wd")))
@@ -1711,6 +1728,113 @@ object TextOps {
              |              ELSE least(cap, alloc1 + w * (budget - a1sum) // w2) END AS alloc
              |  FROM r1, g2)
              |SELECT source, n_docs, t, w, alloc, alloc * 1000 // t AS epochs_milli
-             |FROM fin ORDER BY source""".stripMargin))
+             |FROM fin ORDER BY source""".stripMargin)),
+
+    // ── Token-budget quality cutoff per source (histogram-exact) ──
+    QueryDef(
+      "q150_budget_cut",
+      (s, dir) => {
+        // The doc-SELECTION half of the mixture planners: q99 decides how
+        // many tokens each source contributes at temperature α = 0.5; this
+        // operator decides WHICH docs fill that budget — the highest-
+        // quality ones — without ever sorting the corpus. The per-source
+        // quality cutoff comes from the q60/q76 bounded histogram: bucket
+        // the q27 score into 4096 power-of-two cells, accumulate (docs,
+        // tokens) per cell, then walk the per-source cells top-down until
+        // the NEXT cell would blow the allocation. cut_b is the lowest
+        // kept bucket (HistK = nothing fits, thr its exact double edge);
+        // kept docs/tokens read off the same cumulative rows. Scale shape:
+        // the corpus is scanned ONCE into a partial+final agg whose state
+        // is ≤ sources × 4096 counter rows; everything after (totals, the
+        // q99 sqrt-fold denominator, the descending cumsum window, the
+        // cut) runs on that catalog-sized frame — the corpus never sees a
+        // window or a second pass, and a per-doc keep flag is a cheap
+        // narrow re-derivation (score ≥ thr) downstream pipelines fuse
+        // into their own scan.
+        // The histogram fans out into four downstream subtrees (totals,
+        // the sqrt-fold denominator, the cumsum window, the cut) — without
+        // a barrier each reference re-plans the corpus scan (5 scans in
+        // the static plan; exchange reuse recovers SOME at runtime, but
+        // the measured cost was ~3 scans). localCheckpoint(true) of the
+        // ≤ sources × 4096-row frame is the q54/q73 barrier: the corpus
+        // is scanned exactly once, everything after runs on rows that fit
+        // in one block. (q150 is on JobCountSpec's eagerByDesign list.)
+        val hist = budgetHistogram(Tables.load(s, dir, "documents"))
+          .localCheckpoint(true)
+        val toks = hist.groupBy("source")
+          .agg(sum("c").as("n_docs"), sum("tk").as("t"))
+        // q99's exact sequential sqrt fold over the SORTED per-source
+        // array — double addition is order-sensitive, the order is pinned.
+        val den = toks.agg(expr(
+          """aggregate(transform(array_sort(collect_list(struct(source, t))),
+            |          x -> sqrt(cast(x.t AS double))),
+            |          cast(0 AS double), (a, x) -> a + x)""".stripMargin).as("den"))
+        val alloc = toks.crossJoin(broadcast(den))
+          .select(col("source"), col("n_docs"), col("t"),
+            expr(s"$MixBudget * (sqrt(cast(t AS double)) / den)").as("alloc_tokens"))
+        val wd = Window.partitionBy("source").orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = hist
+          .withColumn("cumt", sum("tk").over(wd))
+          .withColumn("cumd", sum("c").over(wd))
+          .join(alloc.select("source", "alloc_tokens"), Seq("source"))
+        // cumt is monotone along the descending walk, so the kept rows are
+        // exactly the prefix under budget; min(b)/max(cum*) read the cut.
+        cum.filter(col("cumt") <= col("alloc_tokens"))
+          .groupBy("source")
+          .agg(min("b").as("cb"), max("cumd").as("kd"), max("cumt").as("kt"))
+          .join(alloc, Seq("source"), "right")
+          .select(col("source"), col("n_docs"), col("t"), col("alloc_tokens"),
+            coalesce(col("cb"), lit(HistK.toLong)).as("cut_b"),
+            (coalesce(col("cb"), lit(HistK.toLong)) / lit(HistK.toDouble)).as("thr"),
+            coalesce(col("kd"), lit(0L)).as("kept_docs"),
+            coalesce(col("kt"), lit(0L)).as("kept_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT source, n_words AS nw,
+              |         3.0e-1 * least(n_words / 1.0e2, 1.0e0)
+              |           + 4.0e-1 * (1.0e0 - (${cntSql("p", " the ")} + ${cntSql("p", " a ")}) / n_words)
+              |           + 3.0e-1 * least((n_alpha / n_words) / 8.0e0, 1.0e0) AS score
+              |  FROM (SELECT source, ' ' || lower(text) || ' ' AS p,
+              |               len(string_split(trim(text), ' '))::BIGINT AS n_words,
+              |               length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS n_alpha
+              |        FROM documents)),
+              |hist AS (
+              |  SELECT source, least(CAST(floor(score * $HistK) AS BIGINT), ${HistK - 1}) AS b,
+              |         CAST(count(*) AS BIGINT) AS c, CAST(sum(nw) AS BIGINT) AS tk
+              |  FROM d GROUP BY source, b),
+              |toks AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+              |                CAST(sum(tk) AS BIGINT) AS t
+              |         FROM hist GROUP BY source),
+              |den AS (
+              |  SELECT list_reduce(
+              |           list_prepend(CAST(0 AS DOUBLE),
+              |             [sqrt(CAST(x.t AS DOUBLE))
+              |              for x in list_sort(list(struct_pack(source := source, t := t)))]),
+              |           (a, b) -> a + b) AS den
+              |  FROM toks),
+              |alloc AS (
+              |  SELECT source, n_docs, t,
+              |         $MixBudget * (sqrt(CAST(t AS DOUBLE)) / den) AS alloc_tokens
+              |  FROM toks, den),
+              |cum AS (
+              |  SELECT source, b,
+              |         CAST(sum(tk) OVER (PARTITION BY source ORDER BY b DESC
+              |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumt,
+              |         CAST(sum(c) OVER (PARTITION BY source ORDER BY b DESC
+              |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumd
+              |  FROM hist),
+              |cut AS (
+              |  SELECT c.source, min(c.b) AS cb, max(c.cumd) AS kd, max(c.cumt) AS kt
+              |  FROM cum c JOIN alloc a ON a.source = c.source
+              |  WHERE c.cumt <= a.alloc_tokens GROUP BY c.source)
+              |SELECT a.source, a.n_docs, a.t, a.alloc_tokens,
+              |       coalesce(cut.cb, $HistK) AS cut_b,
+              |       coalesce(cut.cb, $HistK) / ${HistK}.0e0 AS thr,
+              |       coalesce(cut.kd, 0) AS kept_docs,
+              |       coalesce(cut.kt, 0) AS kept_tokens
+              |FROM alloc a LEFT JOIN cut ON cut.source = a.source
+              |ORDER BY a.source""".stripMargin))
   )
 }

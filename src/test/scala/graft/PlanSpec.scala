@@ -352,6 +352,92 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q148 crossdoc strip: gram strings never shuffle (hashed index), no window, no product") {
+    assert(collectAll("q148_crossdoc_strip") { case w: WindowExec => w }.isEmpty,
+      "the gram→min-doc index must be an O(1)-state agg, not a window")
+    assert(collectAll("q148_crossdoc_strip") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    val exchanges = collectAll("q148_crossdoc_strip") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    // The index aggregation and the decision join are keyed by the 60-bit
+    // gram HASH; everything after is doc-keyed. Gram/word-array/text
+    // columns in any exchange would mean the corpus text is being moved.
+    exchanges.foreach { e =>
+      val keys = e.outputPartitioning
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.flatMap(_.references.map(_.name)).toSet
+      assert(keys.subsetOf(Set("gh", "doc_id", "ci")),
+        s"unexpected shuffle key: $keys")
+      val names = e.output.map(_.name).toSet
+      assert(!names.contains("text") && !names.contains("w") && !names.contains("s"),
+        s"corpus text/gram strings in an exchange: $names")
+    }
+    assert(exchanges.exists { e =>
+      e.outputPartitioning
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.flatMap(_.references.map(_.name)).toSet == Set("gh")
+    }, "expected a gh-keyed exchange (the gram index)")
+    // min() index: partial + final hash aggregates (map-side combine).
+    assert(collectAll("q148_crossdoc_strip") { case a: HashAggregateExec => a }.size >= 2)
+  }
+
+  test("q149 cluster split: corpus sees one doc_id-keyed join, no window, no product") {
+    assert(collectAll("q149_cluster_split") { case w: WindowExec => w }.isEmpty,
+      "split assignment must ride the component-map join, not a corpus window")
+    assert(collectAll("q149_cluster_split") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll("q149_cluster_split") {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty)
+    collectAll("q149_cluster_split") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.foreach { e =>
+      val keys = e.outputPartitioning
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.flatMap(_.references.map(_.name)).toSet
+      assert(keys.subsetOf(Set("doc_id", "v")), s"unexpected shuffle key: $keys")
+      val names = e.output.map(_.name).toSet
+      assert(!names.contains("text"), s"corpus text in an exchange: $names")
+    }
+  }
+
+  test("q150 budget cut: corpus reaches ONE (source,b) histogram agg; windows only on the catalog frame") {
+    assert(collectAll("q150_budget_cut") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    // Hash exchanges carry only histogram keys — never per-doc rows.
+    collectAll("q150_budget_cut") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.foreach { e =>
+      val keys = e.outputPartitioning
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.flatMap(_.references.map(_.name)).toSet
+      assert(keys.subsetOf(Set("source", "b")), s"unexpected shuffle key: $keys")
+      val names = e.output.map(_.name).toSet
+      assert(!names.contains("text") && !names.contains("doc_id"),
+        s"per-doc rows in an exchange: $names")
+    }
+    // The only windows are the descending cumsums over the histogram —
+    // partitioned by source (never a global single-partition window).
+    collectAll("q150_budget_cut") { case w: WindowExec => w }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "global window on the budget path")
+    }
+    // The corpus never appears in this plan at all: the histogram barrier
+    // (localCheckpoint at construction) is the only corpus pass, so the
+    // final plan reads ONE checkpointed catalog-sized RDD — zero parquet
+    // scans of documents.
+    assert(collectAll("q150_budget_cut") { case f: FileSourceScanExec => f }.isEmpty,
+      "corpus re-scanned past the histogram barrier")
+    val aggs = collectAll("q150_budget_cut") { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected partial + final hash aggregates")
+  }
+
   test("q104 changeset apply is one id-keyed equi-join; shuffle keys stay (doc_id, source)") {
     assert(collectAll("q104_changeset_apply") { case w: WindowExec => w }.isEmpty)
     assert(collectAll("q104_changeset_apply") {

@@ -59,7 +59,12 @@ class JobCountSpec extends AnyFunSuite {
     "q139_phash_from_store", "q140_hard_negatives", "q141_phash_calibration",
     "q142_phash_deep", "q143_phash_incremental", "q144_phash_consolidate",
     "q145_phash_consolidate_from_store", "q146_dedup_consensus",
-    "q147_phash_knn")
+    "q147_phash_knn",
+    // q149 assigns splits off the same eager pointer-jumping component
+    // map as q47/q58; q150 localCheckpoints its catalog-sized histogram
+    // against the 4-way downstream fan-out re-scanning the corpus (the
+    // q73 barrier).
+    "q149_cluster_split", "q150_budget_cut")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached
