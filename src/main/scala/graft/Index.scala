@@ -167,6 +167,33 @@ object Index {
         val nb = IndexStore.loadWinnowBuckets(spark, path).count()
         s"""{"mode":"append-winnow","docs":$n,"buckets":$nb,"index":"$path"}"""
 
+      case "build-grams" :: docsDir :: path :: Nil =>
+        val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+        val n = docs.count()
+        IndexStore.saveGramIndex(docs, path)
+        val ng = IndexStore.loadGramIndex(spark, path).count()
+        s"""{"mode":"build-grams","docs":$n,"grams":$ng,"index":"$path"}"""
+
+      case "strip-batch" :: batchDir :: path :: rest =>
+        val out = rest.sliding(2).collectFirst { case List("--out", v) => v }
+        val appendKept = rest.contains("--append-kept")
+        val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+          .localCheckpoint(true) // read once: strip + optional append
+        val stripped = IndexStore.crossdocStripBatch(batch,
+            IndexStore.loadGramIndex(spark, path))
+          .localCheckpoint(true) // decisions must precede the index append
+        val nBatch = batch.count()
+        val nTouched = stripped.filter(col("n_removed") > 0).count()
+        val nWords = stripped.agg(coalesce(sum("n_removed"), lit(0L)))
+          .head().getLong(0)
+        out.foreach(o => stripped.write.mode("overwrite").parquet(o))
+        // --append-kept folds the batch's OWN gram mins into the standing
+        // index so the next batch dedups against it; the stripped text is
+        // the OUTPUT, the index keeps original-batch grams (the earliest
+        // copy of each run stays findable).
+        if (appendKept) IndexStore.appendGramBatch(batch, path)
+        s"""{"mode":"strip-batch","batch":$nBatch,"docs_touched":$nTouched,"words_removed":$nWords,"appended":$appendKept${out.map(o => s""","out":"$o"""").getOrElse("")}}"""
+
       case "build-phash" :: docsDir :: path :: Nil =>
         val docs = spark.read.parquet(s"$docsDir/documents.parquet")
         val n = docs.count()
@@ -340,7 +367,7 @@ object Index {
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

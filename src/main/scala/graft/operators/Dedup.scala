@@ -189,30 +189,25 @@ object Dedup {
     * (min over a gh-keyed window) buffers each gram's full occurrence list
     * per window group, which a hot boilerplate gram breaks at scale.
     * Cover-expansion and re-assembly mirror boilerplateStrip exactly. */
-  def crossdocStrip(docs: DataFrame, n: Int = CrossN): DataFrame = {
-    val w = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-    val pos = w.select(col("doc_id"), posexplode(col("w")).as(Seq("i", "wd")))
-    val gr = w.filter(size(col("w")) >= n)
+  /** (doc_id, i, gh) gram-occurrence rows — 0-based start positions, 60-bit
+    * md5-fold hashes; narrow, zero shuffle. Shared by q148 and the
+    * persisted gram index (IndexStore.saveGramIndex / q151). */
+  private[operators] def gramRows(docs: DataFrame, n: Int = CrossN): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, size(w) - $n),
            |  i -> struct(i AS i,
            |    cast(conv(substr(md5(concat_ws(' ', slice(w, i + 1, $n))), 1, 15), 16, 10) AS bigint) AS gh))"""
           .stripMargin)).as("p"))
       .select(col("doc_id"), col("p.i").as("i"), col("p.gh").as("gh"))
-    // Index only grams seen MORE THAN ONCE: a unique gram's min is its own
-    // doc, so it can never cover anything — the filter drops the long tail
-    // (most of the index) with zero semantic change (count(*), not
-    // countDistinct: a same-doc double occurrence survives the filter but
-    // still fails doc_id > first_doc — harmless, and the state stays two
-    // counters per key). At this corpus the filtered index is small enough
-    // that AQE broadcasts it into the decision join.
-    val firstDoc = gr.groupBy("gh")
-      .agg(min("doc_id").as("first_doc"), count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select("gh", "first_doc")
-    val cov = gr.join(firstDoc, Seq("gh"))
-      .filter(col("doc_id") > col("first_doc"))
-      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("ci"))
-      .distinct()
+
+  /** Strip/re-assembly tail shared by q148/q151: drop every position of
+    * `docs` covered by `cov(doc_id, ci)`, re-join surviving words in
+    * order. Fully-covered docs come out cleaned = NULL. */
+  private[operators] def stripCovered(docs: DataFrame, cov: DataFrame): DataFrame = {
+    val pos = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "wd")))
     val kept = pos.join(cov,
         pos("doc_id") === cov("doc_id") && pos("i") === cov("ci"), "left_anti")
       .groupBy("doc_id")
@@ -222,6 +217,28 @@ object Dedup {
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cleaned"),
         (col("n0") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  def crossdocStrip(docs: DataFrame, n: Int = CrossN): DataFrame = {
+    val gr = gramRows(docs, n)
+    // Index only grams seen MORE THAN ONCE: a unique gram's min is its own
+    // doc, so it can never cover anything — the filter drops the long tail
+    // (most of the index) with zero semantic change (count(*), not
+    // countDistinct: a same-doc double occurrence survives the filter but
+    // still fails doc_id > first_doc — harmless, and the state stays two
+    // counters per key). At this corpus the filtered index is small enough
+    // that AQE broadcasts it into the decision join. NOTE this filter is
+    // an IN-QUERY optimization only — the persisted index keeps every
+    // gram, because a standing gram with one occurrence can still cover a
+    // future batch's copy (IndexStore.saveGramIndex).
+    val firstDoc = gr.groupBy("gh")
+      .agg(min("doc_id").as("first_doc"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("gh", "first_doc")
+    val cov = gr.join(firstDoc, Seq("gh"))
+      .filter(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("ci"))
+      .distinct()
+    stripCovered(docs, cov)
   }
 
   /** DuckDB twin of crossdocStrip's gram scan + gram→min-doc index as CTEs
@@ -2108,7 +2125,29 @@ object Dedup {
               |                          for i in range(1, 16)], (a, b) -> a * 16 + b)
               |               % $SplitBuckets AS hb
               |      FROM m)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ── q148 over the persisted gram index (exact-substring store) ──
+    QueryDef(
+      "q151_crossdoc_from_store",
+      (s, dir) => {
+        // q148's production form, oracle-graded end-to-end: the standing
+        // corpus's gram→min-doc index persisted by saveGramIndex, the
+        // incoming batch stripped against the LOADED state by
+        // crossdocStripBatch — the standing corpus's text is never
+        // re-read, work scales with the batch. Same gram CTEs as q148 in
+        // the oracle (the independent engine re-derives every gram hash
+        // from text, restricted to batch rows at the end), so a hash match
+        // proves the persist→load→min-combine→strip round trip.
+        val docs = Tables.load(s, dir, "documents")
+        val scratch = graft.Scratch.dir("q151-store")
+        IndexStore.saveGramIndex(docs.filter(col("doc_id") % 4 =!= 0), scratch)
+        IndexStore.crossdocStripBatch(docs.filter(col("doc_id") % 4 === 0),
+            IndexStore.loadGramIndex(s, scratch))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${crossdocCtes()},
+              |${crossdocStripSql(docPred = "d.doc_id % 4 = 0")}""".stripMargin))
   )
 
 }

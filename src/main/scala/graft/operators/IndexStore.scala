@@ -144,6 +144,77 @@ object IndexStore {
         when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
   }
 
+  // ── cross-document gram (exact-substring) index — q148's at-rest form ──
+
+  /** Partition prefix for the gram index: letter-prefixed low-6-bits
+    * bucket of the 60-bit gram hash (64 dirs). Letter prefix for the same
+    * reason as the LSH pfx: numeric-looking partition values come back
+    * type-inferred and break the string equi-join. */
+  private def gramPfx: org.apache.spark.sql.Column =
+    concat(lit("g"), pmod(col("gh"), lit(64L)).cast("string"))
+
+  /** Build the standing corpus's gram→min-doc index at `path` (one-time,
+    * linear — the q148 gram scan into a min() aggregation). Unlike the
+    * in-query q148, the persisted index keeps EVERY distinct gram, not
+    * just df>1 ones: a standing gram with a single occurrence can still
+    * cover a future batch's copy of the same run. */
+  def saveGramIndex(docs: DataFrame, path: String): Unit =
+    Dedup.gramRows(docs)
+      .groupBy("gh").agg(min("doc_id").as("first_doc"))
+      .withColumn("pfx", gramPfx)
+      .repartition(col("pfx"))
+      .sortWithinPartitions("gh")
+      .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/grams/index")
+
+  /** Append a (kept) batch's gram mins — no rewrite of prior data. A gram
+    * already present lands as a SECOND (gh, first_doc) row; readers take
+    * min over matched rows (crossdocStripBatch), so appends never need a
+    * compaction to stay correct. */
+  def appendGramBatch(batch: DataFrame, path: String): Unit =
+    Dedup.gramRows(batch)
+      .groupBy("gh").agg(min("doc_id").as("first_doc"))
+      .withColumn("pfx", gramPfx)
+      .sortWithinPartitions("gh")
+      .write.mode("append").partitionBy("pfx").parquet(s"$path/grams/index")
+
+  /** (gh, first_doc, pfx) — pfx comes back as the partition column;
+    * duplicate gh rows possible after appends (min-combine on read). */
+  def loadGramIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/grams/index")
+      .select(col("gh"), col("first_doc"), col("pfx").cast("string").as("pfx"))
+
+  /** q148's decision over PERSISTED state: strip from `batch` every
+    * CrossN-gram span whose first occurrence lives in the standing corpus
+    * OR in an earlier-id batch doc — without re-scanning (or re-hashing)
+    * the corpus text. Equivalent to crossdocStrip over standing ∪ batch
+    * restricted to batch docs (IndexStoreSpec pins it). The batch's
+    * distinct gram keys broadcast into the index scan (the corpus index
+    * never shuffles; the join carries the pfx partition column so the
+    * scan prunes to the batch's buckets); min-aggregation over MATCHED
+    * rows only both shrinks the work to the batch's grams and absorbs
+    * append-duplicate index rows. A replayed batch doc whose id already
+    * stands in the index never self-covers: the strict doc_id > first_doc
+    * guard is the a ≠ b rule of the LSH/phash twins. */
+  def crossdocStripBatch(batch: DataFrame, index: DataFrame): DataFrame = {
+    val n = Dedup.CrossN
+    val bg = Dedup.gramRows(batch)
+    val internal = bg.groupBy("gh").agg(min("doc_id").as("fd_b"))
+    val idx =
+      if (index.columns.contains("pfx")) index
+      else index.withColumn("pfx", gramPfx)
+    val bkeys = bg.select("gh").distinct().withColumn("pfx", gramPfx)
+    val matched = idx.join(broadcast(bkeys), Seq("pfx", "gh"))
+      .groupBy("gh").agg(min("first_doc").as("fd_s"))
+    val fd = internal.join(matched, Seq("gh"), "left")
+      .select(col("gh"),
+        least(coalesce(col("fd_s"), col("fd_b")), col("fd_b")).as("first_doc"))
+    val cov = bg.join(fd, Seq("gh"))
+      .filter(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("ci"))
+      .distinct()
+    Dedup.stripCovered(batch, cov)
+  }
+
   // ── perceptual-hash (q136) media signature index ──
 
   /** q136's band rows with the partition prefix — pfx is letter-prefixed

@@ -324,4 +324,36 @@ class IndexCliSpec extends AnyFunSuite {
     assert(gotM === wantM)
     assert(mc.contains(s""""n_components":${wantM.size}"""), mc)
   }
+
+  test("build-grams → strip-batch → --append-kept: the exact-substring crawl loop") {
+    val base = tmp("grams")
+    val standingDir = base.resolve("standing"); val batchDir = base.resolve("batch")
+    val idx = base.resolve("idx").toString
+    val docs = Tables.load(spark, sf, "documents")
+    docs.filter(col("doc_id") % 4 =!= 0)
+      .write.parquet(s"$standingDir/documents.parquet")
+    docs.filter(col("doc_id") % 4 === 0)
+      .write.parquet(s"$batchDir/documents.parquet")
+
+    val b = Index.run(spark, List("build-grams", standingDir.toString, idx))
+    assert(b.contains(""""mode":"build-grams""""), b)
+
+    val out = base.resolve("stripped").toString
+    val s1 = Index.run(spark,
+      List("strip-batch", batchDir.toString, idx, "--out", out, "--append-kept"))
+    // Stripped table == q151 (the store path's equivalence, via the CLI).
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    val want = SparkEntry.queries("q151_crossdoc_from_store")(spark, sf)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(got === want)
+    val nTouched = want.count(_._3 > 0)
+    assert(s1.contains(s""""docs_touched":$nTouched"""), s1)
+
+    // After --append-kept, a replay of the same batch strips NOTHING new
+    // beyond what the full-corpus q148 would: its own grams min-combine to
+    // itself (strict > guard), earlier-doc grams still strip.
+    val s2 = Index.run(spark, List("strip-batch", batchDir.toString, idx))
+    assert(s2.contains(s""""docs_touched":$nTouched"""), s2)
+  }
 }

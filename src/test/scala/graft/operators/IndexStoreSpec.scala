@@ -466,4 +466,49 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(bandSet(incr) === bandSet(full))
     assert(gridSet(incr) === gridSet(full))
   }
+
+  test("crossdocStripBatch over the persisted gram index == in-query q148 on the batch slice") {
+    val docs = Tables.load(spark, sf, "documents")
+    val standing = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+
+    val path = tmp("grams")
+    IndexStore.saveGramIndex(standing, path)
+    val got = IndexStore.crossdocStripBatch(batch,
+        IndexStore.loadGramIndex(spark, path))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+
+    val want = Dedup.crossdocStrip(docs)
+      .filter(col("doc_id") % 4 === 0).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+
+    assert(got.length === want.length && got.length > 0)
+    assert(got.sameElements(want))
+  }
+
+  test("gram index: appends min-combine on read; replayed batch docs never self-cover") {
+    import spark.implicits._
+    val span = (1 to 12).map(i => s"g$i").mkString(" ")
+    val standing = Seq((2L, s"own prose one $span trailing words here padding"),
+        (3L, "unrelated standing document with plenty of distinct words inside"))
+      .toDF("doc_id", "text")
+    val path = tmp("grams-replay")
+    IndexStore.saveGramIndex(standing, path)
+    // append a KEPT batch, then replay the same doc as a new batch
+    val kept = Seq((8L, s"later copy embeds $span within different framing text"))
+      .toDF("doc_id", "text")
+    IndexStore.appendGramBatch(kept, path)
+    val idx = IndexStore.loadGramIndex(spark, path)
+    // duplicate gh rows exist for the span grams (standing + appended):
+    val dupGh = idx.groupBy("gh").count().filter(col("count") > 1).count()
+    assert(dupGh > 0, "expected append-duplicate gh rows")
+    val replay = IndexStore.crossdocStripBatch(kept, idx)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    // doc 8's non-span grams min-combine to first_doc = 8 (its own append):
+    // strict > means they never cover; the span grams still strip (first
+    // occurrence is standing doc 2).
+    assert(replay.toSeq === Seq((8L,
+      Some("later copy embeds within different framing text"), 12L)))
+  }
 }

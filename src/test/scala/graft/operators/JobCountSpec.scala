@@ -64,7 +64,10 @@ class JobCountSpec extends AnyFunSuite {
     // map as q47/q58; q150 localCheckpoints its catalog-sized histogram
     // against the 4-way downstream fan-out re-scanning the corpus (the
     // q73 barrier).
-    "q149_cluster_split", "q150_budget_cut")
+    "q149_cluster_split", "q150_budget_cut",
+    // q151 builds its persisted gram index into a scratch store at
+    // construction, like the rest of the from-store family.
+    "q151_crossdoc_from_store")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached
