@@ -142,6 +142,8 @@ object Stress {
         growth(spark, args(1), args(2).toInt)
       case Some("phash") =>
         phashStress(spark, args(1), args(2).toInt)
+      case Some("crossdoc") =>
+        crossdocStress(spark, args(1), args(2).toInt)
       case Some("snapdiff") =>
         snapDiff(spark, args(1), args(2).toInt)
       case Some("consolidate") =>
@@ -312,6 +314,66 @@ object Stress {
       val q118Sec = min3(() => Dedup.winnowPairs(docs))
       val q118Pairs = Dedup.winnowPairs(docs).count()
       println(f"""{"mode":"growth","corpus":"$tag","n":$n,"shingle_types":${dist.getLong(0)},"mid_band":${dist.getLong(1)},"stop_band":${dist.getLong(2)},"max_df":${dist.getLong(3)},"state_bound":$stateBound,"informative_fan_in":$fanIn,"build_sec":$buildSec%.1f,"q22_sec_min3":$q22Sec%.2f,"q22_pairs":$q22Pairs,"q118_sec_min3":$q118Sec%.2f,"q118_pairs":$q118Pairs}""")
+    }
+  }
+
+  /** q148/q151 under natural vocabulary growth (growDocs — the fair-growth
+    * corpus: the per-rep word-type map preserves every within-rep shared
+    * run verbatim, while cross-rep runs need all CrossN words in the 30%
+    * shared head, ~0.3^8 ≈ 7e-5 — so genuine duplicate-gram structure
+    * grows ~linearly with mult). Measures the exact-substring family's
+    * scale law: gram volume (linear in corpus words), dup-gram index size,
+    * covered-start volume (one row per occurrence of a duplicated gram —
+    * NEVER pairs, the shape that keeps a 10^6-copy run linear), q148 wall,
+    * persisted-index build wall, and the per-batch strip wall of a
+    * FIXED-size batch against base vs mult× standing indexes — the
+    * incdedup flatness discipline (batches pay for the batch, not the
+    * corpus). */
+  def crossdocStress(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    import operators.{Dedup, IndexStore}
+    val bigDir = scratch("crossdoc", sfDir, mult)
+    growDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    def min3(mk: () => org.apache.spark.sql.DataFrame): Double =
+      (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        mk().queryExecution.toRdd.count()
+        (System.nanoTime() - t) / 1e9
+      }.min
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val gr = Dedup.gramRows(docs)
+      val occ = gr.count()
+      val fd = gr.groupBy("gh")
+        .agg(min("doc_id").as("first_doc"), count(lit(1)).as("cnt"))
+      val stats = fd.agg(count(lit(1)).as("types"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_types"),
+        max("cnt").as("max_occ")).head()
+      val covStarts = gr.join(
+          fd.filter(col("cnt") > 1).select("gh", "first_doc"), Seq("gh"))
+        .filter(col("doc_id") > col("first_doc")).count()
+      val touched = Dedup.crossdocStrip(docs)
+        .filter(col("n_removed") > 0).count()
+      val qSec = min3(() => Dedup.crossdocStrip(docs))
+      // Fixed-size batch (the BASE corpus's doc_id % 10 slice, re-id'd
+      // ABOVE the standing range so it arrives "later" and strips against
+      // standing-held first occurrences) against this corpus's index.
+      val idx = scratch("crossdoc-idx", sfDir, mult, tag)
+      val tB = System.nanoTime()
+      IndexStore.saveGramIndex(docs, idx)
+      val buildSec = (System.nanoTime() - tB) / 1e9
+      val idxRows = IndexStore.loadGramIndex(spark, idx).count()
+      val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      val batchN = batch.count()
+      val tS = System.nanoTime()
+      val stripped = IndexStore.crossdocStripBatch(batch,
+        IndexStore.loadGramIndex(spark, idx))
+      val batchTouched = stripped.filter(col("n_removed") > 0).count()
+      val stripSec = (System.nanoTime() - tS) / 1e9
+      println(f"""{"mode":"crossdoc","corpus":"$tag","n":$n,"gram_occ":$occ,"gram_types":${stats.getLong(0)},"dup_types":${stats.getLong(1)},"max_occ":${stats.getLong(2)},"covered_starts":$covStarts,"docs_touched":$touched,"q148_sec_min3":$qSec%.2f,"index_build_sec":$buildSec%.1f,"index_grams":$idxRows,"batch_docs":$batchN,"batch_touched":$batchTouched,"batch_strip_sec":$stripSec%.1f}""")
     }
   }
 

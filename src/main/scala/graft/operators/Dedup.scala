@@ -190,9 +190,9 @@ object Dedup {
     * per window group, which a hot boilerplate gram breaks at scale.
     * Cover-expansion and re-assembly mirror boilerplateStrip exactly. */
   /** (doc_id, i, gh) gram-occurrence rows — 0-based start positions, 60-bit
-    * md5-fold hashes; narrow, zero shuffle. Shared by q148 and the
-    * persisted gram index (IndexStore.saveGramIndex / q151). */
-  private[operators] def gramRows(docs: DataFrame, n: Int = CrossN): DataFrame =
+    * md5-fold hashes; narrow, zero shuffle. Shared by q148, the persisted
+    * gram index (IndexStore.saveGramIndex / q151), and Stress crossdoc. */
+  private[graft] def gramRows(docs: DataFrame, n: Int = CrossN): DataFrame =
     docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), explode(expr(
@@ -202,10 +202,11 @@ object Dedup {
           .stripMargin)).as("p"))
       .select(col("doc_id"), col("p.i").as("i"), col("p.gh").as("gh"))
 
-  /** Strip/re-assembly tail shared by q148/q151: drop every position of
-    * `docs` covered by `cov(doc_id, ci)`, re-join surviving words in
-    * order. Fully-covered docs come out cleaned = NULL. */
-  private[operators] def stripCovered(docs: DataFrame, cov: DataFrame): DataFrame = {
+  /** Strip/re-assembly tail shared by q148/q151 and the streaming twin's
+    * downstream fold: drop every position of `docs` covered by
+    * `cov(doc_id, ci)`, re-join surviving words in order. Fully-covered
+    * docs come out cleaned = NULL. */
+  private[graft] def stripCovered(docs: DataFrame, cov: DataFrame): DataFrame = {
     val pos = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "wd")))
     val kept = pos.join(cov,

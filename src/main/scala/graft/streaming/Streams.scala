@@ -357,6 +357,51 @@ object Streams {
 
   final case class PhashVerdict(doc_id: Long, dup_of: Long)
 
+  final case class CoverOut(doc_id: Long, i: Long)
+
+  /** q148/`crossdocStripBatch`'s streaming twin: the standing gram→min-doc
+    * index lives in flatMapGroupsWithState state (keyed by the 60-bit gram
+    * hash), and every micro-batch's gram occurrences are checked against
+    * it — an occurrence whose gram was first seen in an EARLIER doc
+    * (earlier batch, or earlier id within this batch) emits a covered
+    * START row. The strip/re-assembly half is deliberately downstream and
+    * stateless (Dedup.stripCovered over the expanded starts in
+    * foreachBatch — the incrementalDedupStream contract: one keyed state
+    * op, reductions outside it).
+    *
+    * Per-key state is ONE Long (the min doc_id) — the lightest standing
+    * state of the dedup twins: where the LSH twin keeps each member's
+    * shingle set and the phash twin its pixel string, the gram index is
+    * already its own decision (strict doc_id > first_doc, the a ≠ b replay
+    * guard). NoTimeout because a standing index never evicts; durability
+    * across restarts is `IndexStore.saveGramIndex`'s parquet layout, this
+    * is the in-stream form. A replayed doc updates nothing (its id IS the
+    * stored min, or the min is older) — a pure-replay batch leaves
+    * rows_updated = 0, the stateMeter's replay signal. */
+  def crossdocCoverStream(docs: DataFrame): Dataset[CoverOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gr = graft.operators.Dedup.gramRows(docs)
+      .as[(Long, Int, Long)] // (doc_id, i, gh)
+    gr.groupByKey(_._3)
+      .flatMapGroupsWithState[Long, CoverOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          val init = state.getOption.getOrElse(Long.MaxValue)
+          var first = init
+          val out = scala.collection.mutable.ArrayBuffer.empty[CoverOut]
+          // (doc_id, i) order within the batch = the earlier-id rule: a
+          // smaller-id doc arriving in the SAME batch covers its later
+          // batch-mates, exactly crossdocStripBatch's min-combine.
+          rows.toArray.sortBy(t => (t._1, t._2)).foreach { case (id, i, _) =>
+            if (first < id) out += CoverOut(id, i.toLong)
+            if (id < first) first = id
+          }
+          if (first != init) state.update(first)
+          out.iterator
+      }
+  }
+
   /** q136/`phashDedupBatch`'s streaming twin: the standing perceptual-hash
     * band index lives in flatMapGroupsWithState state, and every
     * micro-batch's media docs are checked against it — earlier-batch

@@ -282,6 +282,54 @@ class StreamsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming crossdoc cover across micro-batches reconstructs q151's strip exactly") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // Micro-batch 1 = the standing corpus, micro-batch 2 = the crawl
+    // batch: the gram→min-doc state built by batch 1 must survive and
+    // cover batch 2's duplicated spans, so stripCovered over the emitted
+    // starts reproduces the persisted-index q151 verbatim.
+    val standing = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    val tmp = landBatches(Seq(standing, batch))
+    val covers = Streams.runToMemory(spark,
+        Streams.crossdocCoverStream(
+          Streams.readDocsStream(spark, tmp.getPath, "*.parquet", Some(1))).toDF(),
+        "crossdoc_mb")
+      .filter(col("doc_id") % 4 === 0) // standing-internal covers not under test
+    val cov = covers
+      .select(col("doc_id"),
+        explode(expr(s"sequence(i, i + ${Dedup.CrossN - 1})")).as("ci"))
+      .distinct()
+    val got = Dedup.stripCovered(batch, cov).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    val want = graft.SparkEntry.queries("q151_crossdoc_from_store")(spark, dir)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    assert(want.exists(_._3 > 0), "fixture must contain cross-doc spans")
+    assert(got.sameElements(want))
+  }
+
+  test("crossdoc gram state meter: growth across batches, replay updates nothing") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val (_, meter) = Streams.runToMemoryMetered(spark,
+      Streams.crossdocCoverStream(
+        Streams.readDocsStream(spark, landBatches(Seq(b1, b2, b1)).getPath,
+          "*.parquet", Some(1))).toDF(),
+      "crossdoc_meter")
+    assert(meter.size === 3)
+    val m = meter.sortBy(_.batch_id)
+    val rows = m.map(_.state_rows)
+    assert(rows(1) > rows(0), s"planted gram growth not visible: $rows")
+    // Replay of batch 1: every replayed gram's stored min is already ≤ the
+    // arriving ids, so NOTHING is rewritten — rows flat, rows_updated 0.
+    assert(rows(2) === rows(1), s"replay grew gram state: $rows")
+    assert(m(2).rows_updated === 0L,
+      s"replay rewrote gram state: ${m.map(_.rows_updated)}")
+    assert(m(1).rows_updated > 0L)
+  }
+
   test("state meter tracks standing-index growth for both dedup twins; replays add nothing") {
     // VERDICT r10 #3: the LSH and phash twins hold NoTimeout state that
     // grows with the standing index BY DESIGN — the meter must show that
