@@ -34,6 +34,12 @@ import graft.operators.{Dedup, TextOps}
   *                         quality, so self-repetition loops neither
   *                         inflate shingle sets nor token counts. Zero
   *                         cross-document state: every stage doc-keyed.
+  *   --strip-crossdoc      q148: span-granular cross-doc dedup AFTER the
+  *                         near-dup keep-set — doc-granular dedup first,
+  *                         exact-substring for the sub-threshold tail
+  *                         (embedded quotes, forwarded blocks), the
+  *                         published composition; the earliest surviving
+  *                         copy keeps its span.
   *   --bench <parquet>     q62: drop docs sharing ≥ --contam-k (default 5)
   *                         distinct shingles with any doc of the held-out
   *                         eval set at <parquet> (a documents-shaped
@@ -72,6 +78,7 @@ object Curate {
       stripBoilerplate: Boolean = false,
       boilerDf: Int = Dedup.BoilerDf,
       stripSelfrep: Boolean = false,
+      stripCrossdoc: Boolean = false,
       benchPath: Option[String] = None,
       fuzzyTau: Option[Double] = None,
       registryPath: Option[String] = None,
@@ -91,13 +98,14 @@ object Curate {
 
   private def parse(args: List[String]): Config = {
     val usage = "usage: Curate <docsDir> <outDir> [tokenBudget] " +
-      "[--strip-boilerplate] [--bp-df N] [--strip-selfrep] [--bench <parquet>] " +
-      "[--fuzzy-tau X] [--registry <index>] [--contam-k N] [--tau X]"
+      "[--strip-boilerplate] [--bp-df N] [--strip-selfrep] [--strip-crossdoc] " +
+      "[--bench <parquet>] [--fuzzy-tau X] [--registry <index>] [--contam-k N] [--tau X]"
     def loop(rest: List[String], cfg: Config): Config = rest match {
       case Nil => cfg
       case "--strip-boilerplate" :: t => loop(t, cfg.copy(stripBoilerplate = true))
       case "--bp-df" :: v :: t => loop(t, cfg.copy(boilerDf = v.toInt))
       case "--strip-selfrep" :: t => loop(t, cfg.copy(stripSelfrep = true))
+      case "--strip-crossdoc" :: t => loop(t, cfg.copy(stripCrossdoc = true))
       case "--bench" :: v :: t => loop(t, cfg.copy(benchPath = Some(v)))
       case "--fuzzy-tau" :: v :: t => loop(t, cfg.copy(fuzzyTau = Some(v.toDouble)))
       case "--registry" :: v :: t => loop(t, cfg.copy(registryPath = Some(v)))
@@ -175,6 +183,25 @@ object Curate {
       .drop("lbl")
     val nKept = kept.count()
 
+    // 3b. (optional) Cross-document exact-substring strip (q148): the
+    //     span-granular pass AFTER doc-granular dedup — the published
+    //     composition (Lee et al. 2022 run both): whole near-dup docs are
+    //     already collapsed by stage 3, so what remains is sub-threshold
+    //     embedded duplication (long quotes, forwarded blocks) in
+    //     otherwise-distinct survivors; the earliest copy keeps its span.
+    //     Running it BEFORE near-dup would gut the very shingle overlap
+    //     stage 3 clusters on. Docs reduced to nothing drop out; same
+    //     fan-out barrier as the other strip stages.
+    val crossStripped =
+      if (!cfg.stripCrossdoc) kept
+      else kept.drop("text")
+        .join(Dedup.crossdocStrip(kept)
+            .filter(col("cleaned").isNotNull && trim(col("cleaned")) =!= "")
+            .select(col("doc_id"), col("cleaned").as("text")),
+          Seq("doc_id"))
+        .localCheckpoint(true)
+    val nCross = if (cfg.stripCrossdoc) crossStripped.count() else nKept
+
     // 4. (optional) Eval-set decontamination: drop docs sharing ≥ contamK
     //    distinct shingles with the held-out benchmark — q62's broadcast
     //    form (--bench) or q105's persisted-registry bloom-prefiltered
@@ -186,23 +213,24 @@ object Curate {
     val decon = (cfg.benchPath, cfg.registryPath) match {
       case (Some(bp), _) =>
         val bench = spark.read.parquet(bp)
-        val exactDrop = Dedup.contaminatedDocs(kept, bench, cfg.contamK)
+        val exactDrop = Dedup.contaminatedDocs(crossStripped, bench, cfg.contamK)
         val drop = cfg.fuzzyTau match {
           case Some(ft) => exactDrop.union(
-            Dedup.fuzzyContainmentPairs(kept, bench, ft)
+            Dedup.fuzzyContainmentPairs(crossStripped, bench, ft)
               .select("doc_id").distinct()).distinct()
           case None => exactDrop
         }
-        kept.join(drop, Seq("doc_id"), "left_anti")
+        crossStripped.join(drop, Seq("doc_id"), "left_anti")
       case (None, Some(rp)) =>
-        kept.join(operators.IndexStore.decontaminate(kept, rp, cfg.contamK)
+        crossStripped.join(
+          operators.IndexStore.decontaminate(crossStripped, rp, cfg.contamK)
             .select("doc_id"),
           Seq("doc_id"), "left_anti")
-      case (None, None) => kept
+      case (None, None) => crossStripped
     }
     val nDecon =
       if (cfg.benchPath.isDefined || cfg.registryPath.isDefined) decon.count()
-      else nKept
+      else nCross
 
     // 5. PII redaction: emails first (they contain digit runs), then digit
     //    runs — the q61 two-pass order, a pure codegen'd projection.
@@ -236,7 +264,7 @@ object Curate {
     val nPacks = written.agg(countDistinct("pack_id")).head().getLong(0)
 
     val json =
-      s"""{"docs_in":$nIn,"after_exact_dedup":$nExact,"after_boilerplate":$nStripped,"after_selfrep":$nSelf,"after_neardup":$nKept,"after_decontam":$nDecon,"after_quality_cut":$nOut,"packs":$nPacks,"token_budget":${cfg.budget},"out":"${cfg.outDir}/curated.parquet"}"""
+      s"""{"docs_in":$nIn,"after_exact_dedup":$nExact,"after_boilerplate":$nStripped,"after_selfrep":$nSelf,"after_neardup":$nKept,"after_crossdoc":$nCross,"after_decontam":$nDecon,"after_quality_cut":$nOut,"packs":$nPacks,"token_budget":${cfg.budget},"out":"${cfg.outDir}/curated.parquet"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(s"${cfg.outDir}/stats.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     json

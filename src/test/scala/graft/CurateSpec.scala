@@ -170,6 +170,47 @@ class CurateSpec extends AnyFunSuite {
     assert(out.filter(col("tokens") =!= 10L).count() === 0L)
   }
 
+  test("--strip-crossdoc engages after near-dup: embedded quote stripped from the later doc only") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-curate-xd")
+    val docsDir = base.resolve("corpus"); val outDir = base.resolve("out")
+
+    // Docs 1 and 2 share one 10-word "quote" embedded in otherwise-
+    // disjoint 20-word prose. Near-dup Jaccard runs over INFORMATIVE
+    // (df ≥ 2) shingles, so decoys 10/11 each repeat one doc's prose —
+    // making the prose informative (without them the quote would be the
+    // docs' ENTIRE informative sets and 1-2 would merge at Jaccard 1.0).
+    // At tau 0.3: J(1,10) = 18/26 merges (decoy dropped, keeper 1),
+    // J(1,2) = 8/44 ≈ 0.18 stays apart — doc-level dedup keeps both
+    // quote-holders, and the span strip must remove the quote from the
+    // LATER one only. Doc 0 is standalone (untouched path).
+    val quote = (0 until 10).map(j => s"q$j").mkString(" ")
+    val prose = (i: Long) => (0 until 20).map(j => s"p${i}w$j").mkString(" ")
+    val rows = Seq(
+      (0L, prose(0), "en", "web"),
+      (1L, s"${prose(1)} $quote", "en", "web"),
+      (2L, s"$quote ${prose(2)}", "en", "web"),
+      (10L, prose(1), "en", "web"),
+      (11L, prose(2), "en", "web"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+
+    val json = Curate.run(spark, Curate.Config(
+      docsDir.toString, outDir.toString, budget = 64L,
+      stripCrossdoc = true, tau = 0.3))
+    val m = """"(\w+)":(\d+)""".r.findAllMatchIn(json)
+      .map(x => x.group(1) -> x.group(2).toLong).toMap
+    assert(m("after_neardup") === 3L, json)   // decoys merged away; 1-2 sub-threshold
+    assert(m("after_crossdoc") === 3L, json)  // nobody emptied
+
+    val out = spark.read.parquet(s"$outDir/curated.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === prose(0))
+    assert(out(1L) === s"${prose(1)} $quote", "doc 1 is the earliest holder — quote stays")
+    assert(out(2L) === prose(2), "doc 2's later copy of the quote must strip")
+  }
+
   test("CLI flag parsing routes to the same Config") {
     // Private parse is exercised through main-style args via reflection-free
     // path: just re-run the default chain with positional budget to pin the
