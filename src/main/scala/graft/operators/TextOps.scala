@@ -175,6 +175,11 @@ object TextOps {
   val RetrQ = 10
   val RetrK = 5
 
+  /** q152 importance selection: target slice modulus (the q114 eval
+    * stand-in — spread over the id space) and the manifest size. */
+  val ImpMod = 50
+  val ImpK = 50
+
   /** q103's core: remove every LATER occurrence of an IntraN-gram that
     * already appeared earlier in the SAME document (the first occurrence
     * keeps its span) — the cleaning counterpart of q78's repetition
@@ -1835,6 +1840,65 @@ object TextOps {
               |       coalesce(cut.kd, 0) AS kept_docs,
               |       coalesce(cut.kt, 0) AS kept_tokens
               |FROM alloc a LEFT JOIN cut ON cut.source = a.source
-              |ORDER BY a.source""".stripMargin))
+              |ORDER BY a.source""".stripMargin)),
+
+    // ── Importance-weighted selection toward a target distribution ──
+    QueryDef(
+      "q152_importance_select",
+      (s, dir) => {
+        // The DSIR capability (Xie et al. 2023, "Data Selection for
+        // Language Models via Importance Resampling" — public knowledge):
+        // pick the corpus docs whose word distribution looks most like a
+        // small TARGET set (here the deterministic doc_id % ImpMod slice;
+        // in production the downstream task's format corpus), by the
+        // ratio of target-LM to corpus-LM likelihood. Published DSIR uses
+        // log-likelihood ratios; logs are the cross-engine libm ulp
+        // hazard (q84's scaladoc), so the score here is the ratio of
+        // ARITHMETIC-mean word probabilities — same "which LM explains
+        // this doc better" monotone signal, built exclusively from exact
+        // integer sums and SEQUENTIAL double divisions (the q84/q86
+        // overflow-safe discipline; a sumt × ctot bigint product would
+        // wrap near 2^63 at exactly the corpus sizes this op targets).
+        // Scale: two vocab-sized unigram tables (AQE broadcasts them back
+        // into the word scan), one doc_id-keyed aggregation, and a
+        // TakeOrdered top-K — no global sort, no window, nothing corpus².
+        val words = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val cuni = words.groupBy("w").agg(count(lit(1)).as("cc"))
+        val tuni = words.filter(col("doc_id") % ImpMod === 0)
+          .groupBy("w").agg(count(lit(1)).as("tc"))
+        val ctot = cuni.agg(sum("cc").cast("long").as("ctot"))
+        val ttot = tuni.agg(sum("tc").cast("long").as("ttot"))
+        words.join(cuni, Seq("w")).join(tuni, Seq("w"), "left")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("nw"),
+            sum("cc").as("sumc"),
+            coalesce(sum("tc"), lit(0L)).as("sumt"))
+          .crossJoin(broadcast(ctot)).crossJoin(broadcast(ttot))
+          .select(col("doc_id"), col("nw"), col("sumt"), col("sumc"),
+            expr("(sumt / nw / ttot) / (sumc / nw / ctot)").as("ratio"))
+          .orderBy(col("ratio").desc, col("doc_id"))
+          .limit(ImpK)
+      },
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, w FROM (
+              |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+              |  WHERE w <> ''),
+              |cuni AS (SELECT w, count(*) AS cc FROM words GROUP BY w),
+              |tuni AS (SELECT w, count(*) AS tc FROM words
+              |         WHERE doc_id % $ImpMod = 0 GROUP BY w),
+              |ctot AS (SELECT CAST(sum(cc) AS BIGINT) AS ctot FROM cuni),
+              |ttot AS (SELECT CAST(sum(tc) AS BIGINT) AS ttot FROM tuni),
+              |d AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+              |         CAST(sum(cc) AS BIGINT) AS sumc,
+              |         CAST(coalesce(sum(tc), 0) AS BIGINT) AS sumt
+              |  FROM words JOIN cuni USING (w) LEFT JOIN tuni USING (w)
+              |  GROUP BY doc_id)
+              |SELECT doc_id, nw, sumt, sumc,
+              |       (sumt / nw / ttot) / (sumc / nw / ctot) AS ratio
+              |FROM d, ctot, ttot
+              |ORDER BY ratio DESC, doc_id LIMIT $ImpK""".stripMargin))
   )
 }

@@ -438,6 +438,30 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs.size >= 2, "expected partial + final hash aggregates")
   }
 
+  test("q152 importance select: top-K via TakeOrdered, no global sort, no window") {
+    assert(collectAll("q152_importance_select") { case w: WindowExec => w }.isEmpty,
+      "ranking must be a TakeOrdered, not a row_number window")
+    assert(collectAll("q152_importance_select") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll("q152_importance_select") {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "expected a TakeOrderedAndProject for the top-K manifest")
+    // The LM joins are word-keyed; the doc aggregation doc-keyed. No text
+    // column ever shuffles (the word explode is narrow).
+    collectAll("q152_importance_select") {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.foreach { e =>
+      val keys = e.outputPartitioning
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.flatMap(_.references.map(_.name)).toSet
+      assert(keys.subsetOf(Set("w", "doc_id")), s"unexpected shuffle key: $keys")
+      assert(!e.output.map(_.name).toSet.contains("text"),
+        s"corpus text in an exchange")
+    }
+  }
+
   test("q104 changeset apply is one id-keyed equi-join; shuffle keys stay (doc_id, source)") {
     assert(collectAll("q104_changeset_apply") { case w: WindowExec => w }.isEmpty)
     assert(collectAll("q104_changeset_apply") {
