@@ -87,4 +87,19 @@ class AdaptivePlansSpec extends AnyFunSuite {
     assert(smj === 0 && cp === 0, s"degraded: smj=$smj cp=$cp")
     assert(ex <= 1, s"exchange count grew: $ex")
   }
+
+  test("q148 executed under AQE: df>1 gram index broadcasts into the decision join, no SMJ") {
+    val (ex, bhj, smj, cp) = counts(executedNodes("q148_crossdoc_strip"))
+    assert(smj === 0 && cp === 0, s"degraded: smj=$smj cp=$cp")
+    assert(bhj >= 1, "AQE stopped broadcasting the filtered gram index")
+    // gram-index agg + cover distinct + kept agg + final join sides.
+    assert(ex <= 6, s"exchange count grew: $ex")
+  }
+
+  test("q149 executed tail under AQE: component-map join broadcasts past the CC barrier, no SMJ") {
+    val (ex, bhj, smj, cp) = counts(executedNodes("q149_cluster_split"))
+    assert(smj === 0 && cp === 0, s"degraded: smj=$smj cp=$cp")
+    assert(bhj >= 1, "AQE stopped broadcasting the component map")
+    assert(ex <= 3, s"exchange count grew: $ex")
+  }
 }
