@@ -353,9 +353,20 @@ object Stress {
       val covStarts = gr.join(
           fd.filter(col("cnt") > 1).select("gh", "first_doc"), Seq("gh"))
         .filter(col("doc_id") > col("first_doc")).count()
-      val touched = Dedup.crossdocStrip(docs)
-        .filter(col("n_removed") > 0).count()
-      val qSec = min3(() => Dedup.crossdocStrip(docs))
+      // Past the 100× decade: min-of-1 and no separate touched-count pass
+      // (each is a full extra evaluation of a ~linear multi-minute query;
+      // the phash32 rule — linearity is certified at 100×, the next
+      // decade's question is the WALL and the batch-strip flatness).
+      val big = mult > 100 && tag != "base"
+      val touched =
+        if (big) -1L
+        else Dedup.crossdocStrip(docs).filter(col("n_removed") > 0).count()
+      val qSec =
+        if (big) {
+          val t = System.nanoTime()
+          Dedup.crossdocStrip(docs).queryExecution.toRdd.count()
+          (System.nanoTime() - t) / 1e9
+        } else min3(() => Dedup.crossdocStrip(docs))
       // Fixed-size batch (the BASE corpus's doc_id % 10 slice, re-id'd
       // ABOVE the standing range so it arrives "later" and strips against
       // standing-held first occurrences) against this corpus's index.
