@@ -1,0 +1,313 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Filter/score QA evaluation operators — the audit layer a curation
+  * pipeline runs BEFORE it trusts a quality heuristic with a corpus:
+  * discrimination (q153 per-language ROC-AUC of the score), calibration
+  * (q154 reliability bins), inter-filter agreement (q155 Cohen's kappa
+  * between the hard-rule and soft-score filters), and the dataloader
+  * shard manifest with its mixture-parity audit (q156).
+  *
+  * Scale discipline shared by the family: every operator collapses the
+  * corpus in ONE narrow scored scan into a bounded aggregate (≤ langs ×
+  * `AucBins`, `CalBins`, 4, or `Shards` × sources rows respectively);
+  * windows and joins run only over those bounded frames — the q113/q109
+  * agg-under-window shape, pinned in PlanSpec. Doubles appear only as
+  * final divisions / exact-half terms of integer counts, so every result
+  * is partition-order-exact and hash-portable against the DuckDB oracle.
+  */
+object Eval {
+
+  /** q153: score-quantization resolution. Scores live in [0, 1]; 4096
+    * fixed bins bound the rank-sum state (and the cumulative window's
+    * input) at 4096 rows per class AT ANY corpus size, vs an exact
+    * Mann-Whitney whose rank window would globally sort N docs on one
+    * partition. The quantized AUC is the operator's DEFINITION, not an
+    * approximation of something else: ties inside a bin count ½ (the
+    * standard tie-corrected U), and bin edges k/4096 are power-of-two
+    * exact doubles in both engines. */
+  val AucBins = 4096
+
+  /** q154: reliability-diagram bins (score deciles). */
+  val CalBins = 10
+
+  /** q154/q153 positive class: the language the q27 heuristic's stop-word
+    * list is built from — the AUC/calibration tables quantify exactly how
+    * English-centric the score is (q124 reports the drop rates; these two
+    * report the ranking/probability structure behind them). */
+  val PosLang = "en"
+
+  /** q156: dataloader shard count. Production uses O(1k) shards over O(10)
+    * named sources — the manifest stays catalog-sized either way. */
+  val Shards = 16
+
+  /** The q27 quality-score scan as a DuckDB CTE body: `(SELECT lang,
+    * score FROM documents)` — shared verbatim by q153/q154/q155 so the
+    * three oracles can never drift from each other. Single-line fragments
+    * only (the stripMargin leading-pipe hazard). */
+  private def scoredSql: String =
+    s"""(SELECT doc_id, lang,
+       |        3.0e-1 * least(n_words / 1.0e2, 1.0e0)
+       |          + 4.0e-1 * (1.0e0 - (${TextOps.cntSql("p", " the ")} + ${TextOps.cntSql("p", " a ")}) / n_words)
+       |          + 3.0e-1 * least((n_alpha / n_words) / 8.0e0, 1.0e0) AS score
+       | FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p,
+       |              len(string_split(trim(text), ' '))::BIGINT AS n_words,
+       |              length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS n_alpha
+       |       FROM documents))""".stripMargin.replace("\n", " ")
+
+  /** Tie-corrected one-vs-rest Mann-Whitney AUC per `lang` over a
+    * `(lang, score)` frame, on `AucBins`-quantized scores → `(lang,
+    * n_pos, n_neg, auc)`. Factored out of q153 so EvalSpec can check it
+    * against a brute-force pairwise count on small frames. */
+  def binnedAuc(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val binned = scored
+      .withColumn("b",
+        least(floor(col("score") * AucBins), lit(AucBins - 1L)).cast("long"))
+      .groupBy("lang", "b").agg(count(lit(1)).as("c"))
+    val allBin = binned.groupBy("b").agg(sum("c").as("ca"))
+      .withColumn("cuma", sum("ca").over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)))
+    val langBin = binned
+      .withColumn("cump", sum("c").over(
+        Window.partitionBy("lang").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val terms = langBin.join(broadcast(allBin), Seq("b"))
+      .withColumn("neg_b", col("ca") - col("c"))
+      .withColumn("neg_below", (col("cuma") - col("ca")) - (col("cump") - col("c")))
+      .withColumn("term", col("c") * (col("neg_below") + col("neg_b") / lit(2.0)))
+    terms.groupBy("lang")
+      .agg(sum("term").as("u"), sum("c").as("n_pos"))
+      .crossJoin(broadcast(allBin.agg(sum("ca").as("n_all"))))
+      .withColumn("n_neg", col("n_all") - col("n_pos"))
+      .select(col("lang"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u") / (col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Per-language ROC-AUC of the quality score (discrimination audit) ──
+    QueryDef(
+      "q153_score_auc",
+      (s, dir) => {
+        // For each language L: AUC = P(score(doc∈L) > score(doc∉L)) +
+        // ½·P(equal) — the tie-corrected Mann-Whitney rank-sum, the
+        // standard scalar for "how strongly does this score separate L
+        // from the rest of the corpus". An English-built heuristic with
+        // AUC(en) ≫ 0.5 is quantified language bias (the ranking-level
+        // companion to q124's drop-rate table); a trained quality
+        // classifier evaluated against a weak label lands on this same
+        // operator.
+        //
+        // 100 TB shape: ONE scored scan collapses to (lang, bin) counts
+        // (≤ langs × AucBins rows, map-side combined — the only corpus
+        // exchange). The U statistic needs, per bin, the count of
+        // negatives in strictly-lower bins plus half the same-bin
+        // negatives: both come from cumulative windows over the BOUNDED
+        // binned frames (global ≤ AucBins rows, per-lang partitions),
+        // never over docs. Terms are integer-times-exact-half doubles, so
+        // the sum is order-exact and the oracle hash holds.
+        binnedAuc(TextOps.qualityScored(Tables.load(s, dir, "documents")))
+          .orderBy("lang")
+      },
+      Some(s"""WITH scored AS $scoredSql,
+              |binned AS (
+              |  SELECT lang, least(CAST(floor(score * $AucBins) AS BIGINT), ${AucBins - 1}) AS b,
+              |         CAST(count(*) AS BIGINT) AS c
+              |  FROM scored GROUP BY lang, b),
+              |ab AS (
+              |  SELECT b, ca,
+              |         CAST(sum(ca) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma
+              |  FROM (SELECT b, CAST(sum(c) AS BIGINT) AS ca FROM binned GROUP BY b)),
+              |lb AS (
+              |  SELECT lang, b, c,
+              |         CAST(sum(c) OVER (PARTITION BY lang ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cump
+              |  FROM binned),
+              |t AS (
+              |  SELECT lang,
+              |         sum(c * (((cuma - ca) - (cump - c)) + (ca - c) / 2.0e0)) AS u,
+              |         CAST(sum(c) AS BIGINT) AS n_pos
+              |  FROM lb JOIN ab USING (b) GROUP BY lang),
+              |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM binned)
+              |SELECT lang, n_pos, n_all - n_pos AS n_neg,
+              |       CASE WHEN n_pos > 0 AND n_all - n_pos > 0
+              |            THEN u / (CAST(n_pos AS DOUBLE) * CAST(n_all - n_pos AS DOUBLE)) END AS auc
+              |FROM t, tot ORDER BY lang""".stripMargin)),
+
+    // ── Calibration / reliability bins for the quality score ──
+    QueryDef(
+      "q154_score_calibration",
+      (s, dir) => {
+        // The reliability diagram behind a threshold choice: bucket the
+        // score into deciles and report, per bin, volume, positives
+        // (PosLang docs — the weak label the heuristic implicitly
+        // predicts), the empirical positive rate, and the FIXED-POINT
+        // mean score (partition-order-exact, the q124 discipline). A
+        // well-calibrated score has pos_rate rising monotonically with
+        // mean_score; a flat tail is exactly the "score can't rank its
+        // own top" failure q113's sweep cannot see.
+        //
+        // 100 TB shape: one scored scan → ≤ CalBins-row partial+final
+        // aggregate. Nothing else moves.
+        TextOps.qualityScored(Tables.load(s, dir, "documents"))
+          .withColumn("bin",
+            least(floor(col("score") * CalBins), lit(CalBins - 1L)).cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lang") === PosLang, 1L).otherwise(0L)).as("n_pos"),
+            sum(expr("cast(floor(score * 1.0e6) AS bigint)")).as("qsum"))
+          .select(col("bin"), col("n_docs"), col("n_pos"),
+            (col("n_pos") / col("n_docs")).as("pos_rate"),
+            expr("cast(qsum AS double) / 1.0e6 / cast(n_docs AS double)").as("mean_score"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH scored AS $scoredSql
+              |SELECT least(CAST(floor(score * $CalBins) AS BIGINT), ${CalBins - 1}) AS bin,
+              |       CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(CASE WHEN lang = '$PosLang' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+              |       CAST(sum(CASE WHEN lang = '$PosLang' THEN 1 ELSE 0 END) AS BIGINT)
+              |         / CAST(count(*) AS BIGINT) AS pos_rate,
+              |       CAST(sum(CAST(floor(score * 1.0e6) AS BIGINT)) AS DOUBLE) / 1.0e6
+              |         / CAST(count(*) AS DOUBLE) AS mean_score
+              |FROM scored GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // ── Inter-filter agreement: hard rules vs soft score (Cohen's κ) ──
+    QueryDef(
+      "q155_filter_agreement",
+      (s, dir) => {
+        // Two filters ship side by side in this engine: q90's hard Gopher
+        // rules and the q60/q124 soft-score cut (score ≥ BiasCut). Before
+        // replacing one with the other — or chaining them — the owner
+        // needs to know whether they agree beyond chance: Cohen's
+        // κ = (p_o − p_e) / (1 − p_e) over the 2×2 keep/drop table.
+        // κ ≈ 1 means the cheap rule set is a drop-in for the score; κ
+        // near 0 means they drop DIFFERENT documents and chaining them
+        // compounds loss (the q124 lesson at the filter-pair level).
+        //
+        // 100 TB shape: both decisions are narrow codegen'd expressions
+        // in ONE scan, collapsed by a single partial+final aggregate to
+        // one row of four cell counts; κ is driver-free rational
+        // arithmetic on that row. Zero joins, zero windows.
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
+          .withColumn("w", split(trim(col("text")), " "))
+          .withColumn("n_words", size(col("w")).cast("long"))
+          .withColumn("n_wchars",
+            length(regexp_replace(trim(col("text")), " ", "")).cast("long"))
+          .withColumn("n_alpha",
+            length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+          .withColumn("n_alpha_w",
+            expr("size(filter(w, x -> x rlike '[a-z]'))").cast("long"))
+          .withColumn("stop_hits", expr(
+            s"size(array_intersect(w, array(${TextOps.StopWords.map("'" + _ + "'").mkString(", ")})))")
+            .cast("long"))
+          .withColumn("score", expr(
+            s"3.0e-1 * least(n_words / 1.0e2, 1.0e0) + 4.0e-1 * (1.0e0 - (${TextOps.cntSql("p", " the ")} + ${TextOps.cntSql("p", " a ")}) / n_words) + 3.0e-1 * least((n_alpha / n_words) / 8.0e0, 1.0e0)"))
+          .withColumn("rule_keep",
+            when(col("n_words").between(TextOps.MinWords, TextOps.MaxWords) &&
+              (col("n_wchars") / col("n_words")).between(TextOps.WlenLo, TextOps.WlenHi) &&
+              col("n_alpha_w") / col("n_words") >= TextOps.AlphaTau &&
+              col("stop_hits") >= TextOps.StopMin, 1L).otherwise(0L))
+          .withColumn("score_keep",
+            when(col("score") >= TextOps.BiasCut, 1L).otherwise(0L))
+        d.agg(
+          count(lit(1)).as("n"),
+          sum(col("rule_keep") * col("score_keep")).as("n11"),
+          sum(col("rule_keep") * (lit(1L) - col("score_keep"))).as("n10"),
+          sum((lit(1L) - col("rule_keep")) * col("score_keep")).as("n01"),
+          sum((lit(1L) - col("rule_keep")) * (lit(1L) - col("score_keep"))).as("n00"))
+          .withColumn("p_o", (col("n11") + col("n00")) / col("n"))
+          .withColumn("p_e",
+            ((col("n11") + col("n10")) / col("n")) * ((col("n11") + col("n01")) / col("n"))
+              + ((col("n01") + col("n00")) / col("n")) * ((col("n10") + col("n00")) / col("n")))
+          .withColumn("kappa",
+            when(col("p_e") =!= 1.0, (col("p_o") - col("p_e")) / (lit(1.0) - col("p_e"))))
+          .select("n", "n11", "n10", "n01", "n00", "p_o", "kappa")
+          .orderBy("n")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT CASE WHEN n_words BETWEEN ${TextOps.MinWords} AND ${TextOps.MaxWords} AND n_wchars / n_words >= ${TextOps.WlenLo} AND n_wchars / n_words <= ${TextOps.WlenHi} AND n_alpha_w / n_words >= ${TextOps.AlphaTau} AND stop_hits >= ${TextOps.StopMin} THEN 1 ELSE 0 END AS rule_keep,
+              |         CASE WHEN 3.0e-1 * least(n_words / 1.0e2, 1.0e0) + 4.0e-1 * (1.0e0 - (${TextOps.cntSql("p", " the ")} + ${TextOps.cntSql("p", " a ")}) / n_words) + 3.0e-1 * least((n_alpha / n_words) / 8.0e0, 1.0e0) >= 7.0e-1 THEN 1 ELSE 0 END AS score_keep
+              |  FROM (SELECT ' ' || lower(text) || ' ' AS p,
+              |               string_split(trim(text), ' ') AS w,
+              |               len(string_split(trim(text), ' '))::BIGINT AS n_words,
+              |               length(replace(trim(text), ' ', ''))::BIGINT AS n_wchars,
+              |               length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS n_alpha,
+              |               len(list_filter(string_split(trim(text), ' '), x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha_w,
+              |               len(list_intersect(string_split(trim(text), ' '), [${TextOps.StopWords.map("'" + _ + "'").mkString(", ")}]))::BIGINT AS stop_hits
+              |        FROM documents)),
+              |cells AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |         CAST(sum(rule_keep * score_keep) AS BIGINT) AS n11,
+              |         CAST(sum(rule_keep * (1 - score_keep)) AS BIGINT) AS n10,
+              |         CAST(sum((1 - rule_keep) * score_keep) AS BIGINT) AS n01,
+              |         CAST(sum((1 - rule_keep) * (1 - score_keep)) AS BIGINT) AS n00
+              |  FROM d),
+              |probs AS (
+              |  SELECT n, n11, n10, n01, n00, (n11 + n00) / n AS p_o,
+              |         ((n11 + n10) / n) * ((n11 + n01) / n) + ((n01 + n00) / n) * ((n10 + n00) / n) AS p_e
+              |  FROM cells)
+              |SELECT n, n11, n10, n01, n00, p_o,
+              |       CASE WHEN p_e <> 1.0e0 THEN (p_o - p_e) / (1.0e0 - p_e) END AS kappa
+              |FROM probs ORDER BY n""".stripMargin)),
+
+    // ── Deterministic dataloader shard manifest + mixture-parity audit ──
+    QueryDef(
+      "q156_shard_manifest",
+      (s, dir) => {
+        // The last artifact before training: assign every document to one
+        // of `Shards` dataloader shards by a PORTABLE content-free hash
+        // of its id (md5-hex folded to a bigint — the q79 determinism
+        // discipline, no RNG, replayable forever), and audit that hash
+        // sharding preserved the source mixture inside every shard: per
+        // (shard, source) — docs, tokens, the source's share of its shard
+        // vs its global share, and the absolute deviation. Hash sharding
+        // is the scale answer to "shuffle the corpus": no global sort, no
+        // RNG state, and the audit proves each shard is a faithful
+        // mixture sample (max |dev| is the number a dataloader owner
+        // watches).
+        //
+        // 100 TB shape: one narrow scan (hash + token count are
+        // codegen'd) into a (shard, source) partial+final aggregate —
+        // Shards × sources rows (both catalog-sized: named sources, O(1k)
+        // shards). The share/parity windows run over THAT frame only.
+        val g = Tables.load(s, dir, "documents")
+          .withColumn("shard", expr(
+            s"cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint) % $Shards"))
+          .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
+          .groupBy("shard", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"))
+        g.withColumn("shard_docs",
+            sum("n_docs").over(Window.partitionBy("shard")))
+          .withColumn("source_docs",
+            sum("n_docs").over(Window.partitionBy("source")))
+          .withColumn("all_docs", sum("n_docs").over(Window.partitionBy()))
+          .withColumn("shard_share", col("n_docs") / col("shard_docs"))
+          .withColumn("global_share", col("source_docs") / col("all_docs"))
+          .withColumn("abs_dev", abs(col("shard_share") - col("global_share")))
+          .select("shard", "source", "n_docs", "n_tokens", "shard_share",
+            "global_share", "abs_dev")
+          .orderBy("shard", "source")
+      },
+      Some(s"""WITH g AS (
+              |  SELECT list_reduce([(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT for i in range(1, 16)], (a, b) -> a * 16 + b) % $Shards AS shard,
+              |         source, CAST(count(*) AS BIGINT) AS n_docs,
+              |         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+              |  FROM documents GROUP BY shard, source),
+              |w AS (
+              |  SELECT shard, source, n_docs, n_tokens,
+              |         CAST(sum(n_docs) OVER (PARTITION BY shard) AS BIGINT) AS shard_docs,
+              |         CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS source_docs,
+              |         CAST(sum(n_docs) OVER () AS BIGINT) AS all_docs
+              |  FROM g)
+              |SELECT shard, source, n_docs, n_tokens,
+              |       n_docs / shard_docs AS shard_share,
+              |       source_docs / all_docs AS global_share,
+              |       abs(n_docs / shard_docs - source_docs / all_docs) AS abs_dev
+              |FROM w ORDER BY shard, source""".stripMargin)))
+}

@@ -27,7 +27,7 @@ object TextOps {
 
   /** Occurrence count of literal `m` in column expression `p` (SQL text,
     * valid in both Spark SQL and DuckDB). */
-  private def cntSql(p: String, m: String): String =
+  private[operators] def cntSql(p: String, m: String): String =
     s"(length($p) - length(replace($p, '$m', ''))) / ${m.length}"
 
   private def scoreSql(p: String, ms: Seq[String]): String =

@@ -915,4 +915,54 @@ class PlanSpec extends AnyFunSuite {
         s"unexpected shuffle key: $keys")
     }
   }
+
+  test("q153 AUC windows run over the binned aggregate, never raw docs") {
+    val wins = collectAll("q153_score_auc") { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the cumulative-count windows")
+    wins.foreach { w =>
+      assert(w.find { case _: HashAggregateExec => true; case _ => false }.nonEmpty,
+        "window input is not the (lang, bin) aggregated frame")
+    }
+    assert(collectAll("q153_score_auc") { case j: SortMergeJoinExec => j }.isEmpty,
+      "bin join must broadcast, not sort-merge")
+    hashShuffleKeys("q153_score_auc").foreach { keys =>
+      assert(keys.subsetOf(Set("lang", "b", "_groupingexpression")),
+        s"unexpected shuffle key (raw docs must never re-shuffle): $keys")
+    }
+  }
+
+  test("q154 calibration is one bounded partial+final agg — no window, no join") {
+    assert(collectAll("q154_score_calibration") { case w: WindowExec => w }.isEmpty)
+    val aggs = collectAll("q154_score_calibration") { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected partial + final hash aggregates")
+    hashShuffleKeys("q154_score_calibration").foreach { keys =>
+      assert(keys.subsetOf(Set("bin", "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q155 agreement: both filter decisions fold into ONE scan and one global agg") {
+    assert(collectAll("q155_filter_agreement") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q155_filter_agreement") {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "the two decisions must not rejoin — same-row expressions")
+    assert(hashShuffleKeys("q155_filter_agreement").isEmpty,
+      "global agg needs no hash exchange — partials meet at a single partition")
+    assert(collectAll("q155_filter_agreement") {
+      case f: FileSourceScanExec => f
+    }.size === 1, "both filters must share one documents scan")
+  }
+
+  test("q156 shard manifest: parity windows run over the (shard, source) aggregate") {
+    val wins = collectAll("q156_shard_manifest") { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the share/parity windows")
+    wins.foreach { w =>
+      assert(w.find { case _: HashAggregateExec => true; case _ => false }.nonEmpty,
+        "window input is not the aggregated manifest frame")
+    }
+    hashShuffleKeys("q156_shard_manifest").foreach { keys =>
+      assert(keys.subsetOf(Set("shard", "source", "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
 }
