@@ -146,6 +146,8 @@ object Stress {
         crossdocStress(spark, args(1), args(2).toInt)
       case Some("snapdiff") =>
         snapDiff(spark, args(1), args(2).toInt)
+      case Some("eval") =>
+        evalStress(spark, args(1), args(2).toInt)
       case Some("consolidate") =>
         consolidate(spark, args(1), args(2).toInt)
       case Some("bloom") =>
@@ -586,6 +588,34 @@ object Stress {
         (System.nanoTime() - t0) / 1e9
       }.min
       println(f"""{"mode":"lsh","corpus":"$tag","n":$n,"pairs":${stats.getLong(0) / 2},"pairs_per_doc":${stats.getLong(0).toDouble / n}%.2f,"max_per_doc":${stats.getLong(1)},"q23_sec_min3":$q23sec%.1f}""")
+    }
+  }
+
+  /** Certify the q153-q157 eval family's bounded-state claim at mult×
+    * docs: every member collapses the corpus into a catalog-sized
+    * aggregate, so (a) the intermediate frames the windows see must stay
+    * CONSTANT-sized as the corpus grows (binned_rows ≤ langs × AucBins,
+    * manifest_rows = Shards × sources), and (b) walls must grow at most
+    * linearly with the scan. A super-linear wall or a growing binned
+    * frame means a window or join leaked onto raw docs. */
+  def evalStress(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val bigDir = scratch("eval", sfDir, mult)
+    inflateDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val n = spark.read.parquet(s"$dir/documents.parquet").count()
+      val binnedRows = operators.TextOps
+        .qualityScored(Tables.load(spark, dir, "documents"))
+        .withColumn("b", least(floor(col("score") * operators.Eval.AucBins),
+          lit(operators.Eval.AucBins - 1L)).cast("long"))
+        .groupBy("lang", "b").count().count()
+      val manifestRows = SparkEntry.queries("q156_shard_manifest")(spark, dir).count()
+      def min3(name: String): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"""{"mode":"eval","corpus":"$tag","n":$n,"binned_rows":$binnedRows,"manifest_rows":$manifestRows,"q153_sec":${min3("q153_score_auc")}%.2f,"q154_sec":${min3("q154_score_calibration")}%.2f,"q155_sec":${min3("q155_filter_agreement")}%.2f,"q156_sec":${min3("q156_shard_manifest")}%.2f,"q157_sec":${min3("q157_score_drift")}%.2f}""")
     }
   }
 

@@ -309,5 +309,58 @@ object Eval {
               |       n_docs / shard_docs AS shard_share,
               |       source_docs / all_docs AS global_share,
               |       abs(n_docs / shard_docs - source_docs / all_docs) AS abs_dev
-              |FROM w ORDER BY shard, source""".stripMargin)))
+              |FROM w ORDER BY shard, source""".stripMargin)),
+
+    // ── Score-distribution drift between two corpus slices (TV distance) ──
+    QueryDef(
+      "q157_score_drift",
+      (s, dir) => {
+        // Did the SCORE DISTRIBUTION move between two corpus slices (here
+        // the deterministic doc_id parity split — in production,
+        // consecutive crawl snapshots)? q89 answers this for vocabulary;
+        // this is the same monitor at the quality-score level: per decile
+        // bin, each slice's share and the |Δshare|, plus the scalar
+        // total-variation distance ½·Σ|Δ| — the number a drift alarm
+        // thresholds on. A moved score distribution silently re-tunes
+        // every downstream cut (q60's median, q150's budget walk), so it
+        // is the FIRST thing to check when kept-volume shifts.
+        //
+        // Portability: the TV sum runs over doubles whose ADDITION ORDER a
+        // bare window does not fix — so the scalar is summed as exact
+        // integer cross-products |n_a·tb − n_b·ta| (order-free) and
+        // divided once at the end. Per-bin shares stay single-division
+        // doubles. 100 TB shape: one scored scan → ≤ CalBins-row agg (both
+        // slice counts as conditional sums in ONE aggregation); the window
+        // runs over that bounded frame.
+        val b = TextOps.qualityScored(Tables.load(s, dir, "documents"))
+          .withColumn("bin",
+            least(floor(col("score") * CalBins), lit(CalBins - 1L)).cast("long"))
+          .withColumn("sl", (col("doc_id") % 2 === 0).cast("long"))
+          .groupBy("bin")
+          .agg(sum("sl").as("n_a"), sum(lit(1L) - col("sl")).as("n_b"))
+        b.crossJoin(broadcast(
+            b.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))))
+          .withColumn("share_a", col("n_a") / col("ta"))
+          .withColumn("share_b", col("n_b") / col("tb"))
+          .withColumn("abs_diff", abs(col("share_a") - col("share_b")))
+          .withColumn("tv",
+            sum(abs(col("n_a") * col("tb") - col("n_b") * col("ta")))
+              .over(Window.partitionBy()).cast("double")
+              / (lit(2.0) * col("ta") * col("tb")))
+          .select("bin", "n_a", "n_b", "share_a", "share_b", "abs_diff", "tv")
+          .orderBy("bin")
+      },
+      Some(s"""WITH scored AS $scoredSql,
+              |b AS (
+              |  SELECT least(CAST(floor(score * $CalBins) AS BIGINT), ${CalBins - 1}) AS bin,
+              |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+              |  FROM scored GROUP BY bin),
+              |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM b)
+              |SELECT bin, n_a, n_b,
+              |       n_a / ta AS share_a, n_b / tb AS share_b,
+              |       abs(n_a / ta - n_b / tb) AS abs_diff,
+              |       CAST(CAST(sum(abs(n_a * tb - n_b * ta)) OVER () AS BIGINT) AS DOUBLE)
+              |         / (2.0e0 * ta * tb) AS tv
+              |FROM b, t ORDER BY bin""".stripMargin)))
 }

@@ -953,6 +953,21 @@ class PlanSpec extends AnyFunSuite {
     }.size === 1, "both filters must share one documents scan")
   }
 
+  test("q157 drift: the TV window runs over the decile aggregate; one corpus shuffle") {
+    val wins = collectAll("q157_score_drift") { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the TV window")
+    wins.foreach { w =>
+      assert(w.find { case _: HashAggregateExec => true; case _ => false }.nonEmpty,
+        "window input is not the binned aggregate frame")
+    }
+    assert(collectAll("q157_score_drift") { case j: SortMergeJoinExec => j }.isEmpty,
+      "totals join must broadcast, not sort-merge")
+    hashShuffleKeys("q157_score_drift").foreach { keys =>
+      assert(keys.subsetOf(Set("bin", "_groupingexpression")),
+        s"unexpected shuffle key (raw docs must never re-shuffle): $keys")
+    }
+  }
+
   test("q156 shard manifest: parity windows run over the (shard, source) aggregate") {
     val wins = collectAll("q156_shard_manifest") { case w: WindowExec => w }
     assert(wins.nonEmpty, "expected the share/parity windows")

@@ -61,6 +61,19 @@ class EvalSpec extends AnyFunSuite {
     assert(maxDev < 0.5, s"pathological mixture deviation $maxDev")
   }
 
+  test("q157 drift: shares sum to 1 per slice, tv = half the L1, tv within [0, 1]") {
+    val rows = SparkEntry.queries("q157_score_drift")(spark, dir).collect()
+    def col(r: org.apache.spark.sql.Row, c: String) = r.getDouble(r.fieldIndex(c))
+    assert(math.abs(rows.map(col(_, "share_a")).sum - 1.0) < 1e-12)
+    assert(math.abs(rows.map(col(_, "share_b")).sum - 1.0) < 1e-12)
+    val tv = col(rows.head, "tv")
+    assert(rows.forall(r => math.abs(col(r, "tv") - tv) < 1e-15),
+      "tv must be the same scalar on every row")
+    assert(tv >= 0.0 && tv <= 1.0)
+    // the exact-integer tv agrees with the double L1 within float tolerance
+    assert(math.abs(tv - rows.map(col(_, "abs_diff")).sum / 2.0) < 1e-9)
+  }
+
   test("q155 agreement cells partition the corpus and kappa is within [-1, 1]") {
     val r = SparkEntry.queries("q155_filter_agreement")(spark, dir).collect().head
     val n = r.getLong(r.fieldIndex("n"))
