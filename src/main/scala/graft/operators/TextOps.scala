@@ -1899,6 +1899,83 @@ object TextOps {
               |SELECT doc_id, nw, sumt, sumc,
               |       (sumt / nw / ttot) / (sumc / nw / ctot) AS ratio
               |FROM d, ctot, ttot
-              |ORDER BY ratio DESC, doc_id LIMIT $ImpK""".stripMargin))
+              |ORDER BY ratio DESC, doc_id LIMIT $ImpK""".stripMargin)),
+
+    // ── Deterministic prefix-balanced interleave (stride scheduling) ──
+    QueryDef(
+      "q158_interleave_manifest",
+      (s, dir) => {
+        // A reproducible global training order whose EVERY prefix
+        // preserves the source mixture (stride scheduling / low-
+        // discrepancy interleave): each doc gets the key
+        // (2·rk − 1)/(2·n_s) — rk its deterministic hash-shuffle rank
+        // within its source, n_s the source size — and the manifest
+        // position is that key's global rank, source-lexicographic on
+        // ties. Nothing global is ever windowed: the within-source rank
+        // uses the q51 blocked discipline ((source, 3-hex-bucket) rank
+        // windows + offsets from a sources×4096 bounded frame — bucket is
+        // an md5 PREFIX, so bucket order refines hash order), and the
+        // global position comes in CLOSED FORM from the broadcast
+        // per-source count list: for each source s', the number of its
+        // keys strictly below mine is min(n', ⌊(A·n' + n_s − 1)/(2·n_s)⌋)
+        // with A = 2·rk − 1, plus one per tying source that sorts before
+        // mine. Position arithmetic is exact DECIMAL(38,0) (Spark) /
+        // HUGEINT (DuckDB): A·n' reaches 2·n² and would wrap bigint at
+        // exactly the per-source sizes a 100 TB corpus has. The final
+        // orderBy is a range-partitioned sort — the one corpus-wide
+        // exchange an ordering manifest cannot avoid.
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(concat(lit("ilv:"), col("doc_id").cast("string"))).as("h"))
+          .withColumn("bkt", conv(substring(col("h"), 1, 3), 16, 10).cast("long"))
+        val cnt = docs.groupBy("source", "bkt").agg(count(lit(1)).as("c"))
+        val off = cnt
+          .withColumn("off", coalesce(
+            sum("c").over(Window.partitionBy("source").orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("source", "bkt", "off")
+        val ns = cnt.groupBy("source").agg(sum("c").as("ns"))
+        val nl = ns
+          .agg(collect_list(struct(col("source").as("src"), col("ns"))).as("nl"))
+          .select(sort_array(col("nl")).as("nl"))
+        docs
+          .join(broadcast(off), Seq("source", "bkt"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source", "bkt").orderBy("h", "doc_id")).cast("long"))
+          .withColumn("rk", col("off") + col("rn"))
+          .join(broadcast(ns), Seq("source"))
+          .crossJoin(broadcast(nl))
+          .withColumn("a", expr("CAST(2 * rk - 1 AS DECIMAL(20, 0))"))
+          .withColumn("pos", expr(
+            "CAST(1 + aggregate(nl, CAST(0 AS DECIMAL(38, 0)), (acc, x) -> acc " +
+              "+ least(CAST(x.ns AS DECIMAL(38, 0)), " +
+              "CAST((a * x.ns + ns - 1 - ((a * x.ns + ns - 1) % (2 * ns))) / (2 * ns) AS DECIMAL(38, 0))) " +
+              "+ (CASE WHEN x.src < source AND (a * x.ns + ns) % (2 * ns) = 0 " +
+              "THEN CAST(1 AS DECIMAL(38, 0)) ELSE CAST(0 AS DECIMAL(38, 0)) END)) AS BIGINT)"))
+          .select(col("doc_id"), col("source"), col("rk"), col("ns"), col("pos"))
+          .orderBy("pos")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, md5('ilv:' || CAST(doc_id AS VARCHAR)) AS h
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, source, h,
+             |         CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
+             |  FROM d),
+             |n AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+             |      FROM documents GROUP BY source),
+             |j AS (
+             |  SELECT r.doc_id, r.source, r.rk, n1.ns, n2.source AS s2, n2.ns AS n2
+             |  FROM r JOIN n n1 ON r.source = n1.source CROSS JOIN n n2),
+             |p AS (
+             |  SELECT doc_id, source, rk, ns,
+             |         1 + sum(least(CAST(n2 AS HUGEINT),
+             |                       (CAST(2 * rk - 1 AS HUGEINT) * n2 + ns - 1) // (2 * ns)))
+             |           + sum(CASE WHEN s2 < source
+             |                       AND (CAST(2 * rk - 1 AS HUGEINT) * n2 + ns) % (2 * ns) = 0
+             |                      THEN 1 ELSE 0 END) AS pos
+             |  FROM j GROUP BY doc_id, source, rk, ns)
+             |SELECT doc_id, source, rk, ns, CAST(pos AS BIGINT) AS pos
+             |FROM p ORDER BY pos""".stripMargin))
   )
 }

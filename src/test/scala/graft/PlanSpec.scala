@@ -968,6 +968,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q158 interleave: rank windows stay (source, bkt)-keyed; position is closed-form (no global window)") {
+    val wins = collectAll("q158_interleave_manifest") { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the blocked rank/offset windows")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "a global (unpartitioned) window crept into the interleave — " +
+          "the position must come from the closed form, not a corpus sort-rank")
+    }
+    assert(collectAll("q158_interleave_manifest") { case j: SortMergeJoinExec => j }.isEmpty,
+      "offset/count joins must broadcast, not sort-merge")
+    hashShuffleKeys("q158_interleave_manifest").foreach { keys =>
+      assert(keys.subsetOf(Set("source", "bkt")),
+        s"unexpected hash shuffle key (corpus may only shuffle on the blocked rank keys): $keys")
+    }
+  }
+
   test("q156 shard manifest: parity windows run over the (shard, source) aggregate") {
     val wins = collectAll("q156_shard_manifest") { case w: WindowExec => w }
     assert(wins.nonEmpty, "expected the share/parity windows")
