@@ -402,6 +402,73 @@ object Streams {
       }
   }
 
+  final case class DriftBin(bin: Long, salt: Int, run_n: Long)
+
+  /** q157's production form: a standing score-distribution drift monitor.
+    * Every arriving doc is quality-scored IN-ROW (the q27/q60 expression,
+    * a pure projection) and dropped into its CalBins decile bin; state is
+    * the RUNNING per-(bin, salt) count — one Long per key, at most
+    * CalBins × salts keys EVER, the hardest-bounded state of any twin
+    * (the dedup twins grow with the standing corpus by design; this one
+    * cannot grow past its key grid). The salt (doc_id % salts) exists
+    * purely for scale: CalBins alone is ~10 group keys, i.e. ~10 reducers
+    * seeing the whole stream — salting spreads the keyed shuffle salts×
+    * wider while the sink's fold (`driftFromBins`) sums the salts back
+    * out over a ≤ CalBins × salts-row frame. Emissions are CUMULATIVE
+    * counts (monotone per key), so the sink's latest-wins fold is a max —
+    * order-free. Replays DO increment counts (a distribution monitor
+    * counts arrivals; identifying re-deliveries is the dedup twins' job
+    * upstream) — but a distribution-neutral replay moves every bin
+    * proportionally, so the TV statistic it feeds barely moves: the right
+    * failure mode for a drift alarm. */
+  def scoreDriftStream(docs: DataFrame, salts: Int = 64): Dataset[DriftBin] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cb = graft.operators.Eval.CalBins
+    graft.operators.TextOps.qualityScored(docs)
+      .withColumn("bin",
+        least(floor(col("score") * cb), lit(cb - 1L)).cast("long"))
+      .withColumn("salt", pmod(col("doc_id"), lit(salts.toLong)).cast("int"))
+      .select("bin", "salt").as[(Long, Int)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, DriftBin](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((bin, salt), rows, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator.single(DriftBin(bin, salt, n))
+      }
+  }
+
+  /** Sink-side fold for `scoreDriftStream` output: latest cumulative count
+    * per (bin, salt) (a max — counts are monotone), salts summed back out,
+    * full-outer vs the REFERENCE `(bin, ref_n)` counts (zero-filled: a bin
+    * the stream has never hit still contributes its whole reference share
+    * to the distance), then q157's exact-integer total-variation
+    * arithmetic — per-bin shares as single divisions, the TV scalar from
+    * order-free integer cross products
+    * ½·Σ|run_n·ref_tot − ref_n·run_tot| / (run_tot·ref_tot). Input is
+    * ≤ CalBins × salts rows, so this runs anywhere, including per-batch
+    * inside foreachBatch (the stateless-downstream-fold contract the
+    * dedup twins established). */
+  def driftFromBins(bins: DataFrame, reference: DataFrame): DataFrame = {
+    val run = bins.groupBy("bin", "salt").agg(max("run_n").as("rn"))
+      .groupBy("bin").agg(sum("rn").as("run_n"))
+    val j = run.join(reference, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("run_n"), lit(0L)).as("run_n"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"))
+    j.crossJoin(broadcast(j.agg(sum("run_n").as("rt"), sum("ref_n").as("ft"))))
+      .withColumn("run_share", col("run_n") / col("rt"))
+      .withColumn("ref_share", col("ref_n") / col("ft"))
+      .withColumn("tv",
+        sum(abs(col("run_n") * col("ft") - col("ref_n") * col("rt")))
+          .over(Window.partitionBy()).cast("double")
+          / (lit(2.0) * col("rt") * col("ft")))
+      .select("bin", "run_n", "ref_n", "run_share", "ref_share", "tv")
+      .orderBy("bin")
+  }
+
   /** q136/`phashDedupBatch`'s streaming twin: the standing perceptual-hash
     * band index lives in flatMapGroupsWithState state, and every
     * micro-batch's media docs are checked against it — earlier-batch
