@@ -648,6 +648,15 @@ object Stress {
         stripBoilerplate = true, stripSelfrep = true, benchPath = Some(benchPq)))
       val sec8 = (System.nanoTime() - t2) / 1e9
       println(f"""{"mode":"curate","corpus":"$tag","stages":8,"sec":$sec8%.1f,"stats":$stats8}""")
+      // Full 9-stage chain (r12): + q148's span-granular cross-doc strip
+      // after the near-dup keep-set — the complete production pipeline.
+      val out9 = scratch("curate9-out", sfDir, mult, tag)
+      val t3 = System.nanoTime()
+      val stats9 = Curate.run(spark, Curate.Config(dir, out9,
+        stripBoilerplate = true, stripSelfrep = true, stripCrossdoc = true,
+        benchPath = Some(benchPq)))
+      val sec9 = (System.nanoTime() - t3) / 1e9
+      println(f"""{"mode":"curate","corpus":"$tag","stages":9,"sec":$sec9%.1f,"stats":$stats9}""")
     }
   }
 

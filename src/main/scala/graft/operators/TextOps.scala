@@ -1976,6 +1976,53 @@ object TextOps {
              |                      THEN 1 ELSE 0 END) AS pos
              |  FROM j GROUP BY doc_id, source, rk, ns)
              |SELECT doc_id, source, rk, ns, CAST(pos AS BIGINT) AS pos
-             |FROM p ORDER BY pos""".stripMargin))
+             |FROM p ORDER BY pos""".stripMargin)),
+
+    // ── Heavy-hitter vocabulary: Misra–Gries sketch + exact verify ──
+    QueryDef(
+      "q159_heavy_hitters",
+      (s, dir) => {
+        // The words occurring in more than n/(K+1) of the corpus's n word
+        // occurrences — stop-word discovery, tokenizer-special-token
+        // candidates, df-cap calibration — WITHOUT the full-vocabulary
+        // groupBy. At 100 TB the vocabulary shuffle IS the cost of the
+        // naive `groupBy(w).count()` (billions of distinct keys through
+        // the exchange); here pass 1 is a `MisraGriesAggregator` sketch —
+        // ≤ K rows of aggregation state per partition, one ≤ K-entry
+        // candidate pull on the driver (the q105 bloom-registry
+        // discipline; eagerByDesign) with the no-false-negatives
+        // guarantee above the n/(K+1) line — and pass 2 re-counts ONLY
+        // the candidates exactly (a ≤ K-key aggregation after a
+        // scan-level isin filter), stripping the sketch's merge-order-
+        // dependent false positives. Output = exactly the words with
+        // count ≥ thr, bit-equal to the full groupBy the oracle runs,
+        // deterministic at any partitioning (MisraGriesSpec varies merge
+        // order; the threshold rule is what makes over-approximation
+        // invisible).
+        val words = Tables.load(s, dir, "documents")
+          .select(explode(split(trim(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val K = 256
+        val mg = udaf(new graft.functions.MisraGriesAggregator(K))
+        val sk = words.agg(mg(col("w")).as("cand"), count(lit(1)).as("n")).head()
+        val cand = sk.getSeq[String](0)
+        val thr = sk.getLong(1) / (K + 1) + 1
+        words.filter(col("w").isin(cand: _*))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= thr)
+          .orderBy(col("cnt").desc, col("w"))
+      },
+      // The oracle is the full-vocabulary groupBy with the same derived
+      // threshold (n // 257 + 1 — K+1 = 257): the sketch path must agree
+      // exactly despite never shuffling the vocabulary.
+      Some("""WITH words AS (
+             |  SELECT w FROM (
+             |    SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+             |  WHERE w <> ''),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words)
+             |SELECT w, CAST(count(*) AS BIGINT) AS cnt
+             |FROM words GROUP BY w
+             |HAVING count(*) >= (SELECT n // 257 + 1 FROM t)
+             |ORDER BY cnt DESC, w""".stripMargin))
   )
 }

@@ -984,6 +984,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q159 heavy hitters: exact pass is candidate-restricted (InSet below the w-agg), no windows") {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.execution.FilterExec
+    val filters = collectAll("q159_heavy_hitters") {
+      case f: FilterExec if f.condition.find {
+        case _: In | _: InSet => true; case _ => false
+      }.isDefined => f
+    }
+    assert(filters.nonEmpty,
+      "no candidate-set filter below the aggregation — the exact pass is re-counting the full vocabulary")
+    hashShuffleKeys("q159_heavy_hitters").foreach { keys =>
+      assert(keys.subsetOf(Set("w")), s"unexpected shuffle key: $keys")
+    }
+    assert(collectAll("q159_heavy_hitters") { case w: WindowExec => w }.isEmpty)
+  }
+
   test("q156 shard manifest: parity windows run over the (shard, source) aggregate") {
     val wins = collectAll("q156_shard_manifest") { case w: WindowExec => w }
     assert(wins.nonEmpty, "expected the share/parity windows")

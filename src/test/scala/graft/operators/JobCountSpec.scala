@@ -67,7 +67,11 @@ class JobCountSpec extends AnyFunSuite {
     "q149_cluster_split", "q150_budget_cut",
     // q151 builds its persisted gram index into a scratch store at
     // construction, like the rest of the from-store family.
-    "q151_crossdoc_from_store")
+    "q151_crossdoc_from_store",
+    // q159 pulls its ≤ K-entry Misra–Gries candidate sketch (plus the
+    // exact word total) to the driver at construction — the q105
+    // bloom-registry discipline.
+    "q159_heavy_hitters")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached
