@@ -148,6 +148,8 @@ object Stress {
         snapDiff(spark, args(1), args(2).toInt)
       case Some("eval") =>
         evalStress(spark, args(1), args(2).toInt)
+      case Some("hll") =>
+        hllStress(spark, args(1), args(2).toInt)
       case Some("consolidate") =>
         consolidate(spark, args(1), args(2).toInt)
       case Some("bloom") =>
@@ -834,6 +836,50 @@ object Stress {
       val nComp = operators.Dedup.consolidateFrom(
         operators.IndexStore.loadPairBuckets(spark, idx), docs).count()
       println(f"""{"mode":"consolidate","corpus":"$tag","n":$n,"components":$nComp,"build_sec":$buildSec%.1f,"inquery_sec_min3":$inQuery%.2f,"store_sec_min3":$fromStore%.2f}""")
+    }
+  }
+
+  /** q160's scale certificate: HLL sketch accuracy + wall vs the exact
+    * rollup countDistinct it replaces, at base and mult× (inflateDocs'
+    * resampled vocabulary grows the distinct-gram population naturally).
+    * Claims under test: register state stays ≤ langs × HllM rows at ANY
+    * corpus size, every |rel_err| stays inside the m = 512 error band
+    * (~3σ ≈ 14%), and the sketch wall tracks the SCAN while the exact
+    * wall carries the corpus-wide distinct shuffle. */
+  def hllStress(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val bigDir = scratch("hll", sfDir, mult)
+    inflateDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      def g() = operators.Audit.gram5(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      def sketch() = {
+        val reg = operators.Audit.hllRegisters(g(), "lang", "g")
+        val all = reg.groupBy("idx").agg(max("r").as("r"))
+          .select(lit("__all__").as("grp"), col("idx"), col("r"))
+        operators.Audit.hllEstimate(reg.unionByName(all))
+      }
+      def exact() = g().rollup("lang").agg(countDistinct("g").as("n_exact"))
+        .select(coalesce(col("lang"), lit("__all__")).as("grp"), col("n_exact"))
+      def min3(mk: () => org.apache.spark.sql.DataFrame): Double =
+        (1 to 3).map { _ =>
+          val t = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t) / 1e9
+        }.min
+      val sketchSec = min3(() => sketch())
+      val exactSec = min3(() => exact())
+      val grams = g().count()
+      val stateRows = operators.Audit.hllRegisters(g(), "lang", "g").count()
+      val rows = sketch().join(exact(), Seq("grp"))
+        .select(col("grp"), col("est"), col("n_exact"))
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      val (_, estAll, exAll) = rows.find(_._1 == "__all__").get
+      val maxAbs = rows.map { case (_, e, x) => math.abs(e - x) / x }.max
+      println(f"""{"mode":"hll","corpus":"$tag","docs":$n,"grams":$grams,"state_rows":$stateRows,"est_all":$estAll%.1f,"exact_all":$exAll,"rel_err_all":${(estAll - exAll) / exAll}%.4f,"max_abs_rel_err":$maxAbs%.4f,"sketch_sec_min3":$sketchSec%.2f,"exact_sec_min3":$exactSec%.2f}""")
     }
   }
 

@@ -175,6 +175,73 @@ object TextOps {
   val RetrQ = 10
   val RetrK = 5
 
+  /** q110's scored-and-ranked sparse pipeline, factored so the q161 hybrid
+    * fusion can consume the SAME ranking the catalog grades (one source of
+    * truth — the fused ranks can never drift from the graded sparse ranks).
+    * Returns (qid, rk, doc_id, score), top RetrK per query, unordered.
+    * Construction and scale shape are q110's, unchanged — see the q110
+    * QueryDef scaladoc for the full design notes. */
+  def sparseRanked(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val cw = words.filter(col("doc_id") >= RetrQ)
+    val tf = cw.groupBy("doc_id", "w").agg(count(lit(1)).as("tfc"))
+    val dl = cw.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+    val st = dl.agg(count(lit(1)).as("nn"), sum("nd").cast("long").as("tot"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("dfc"))
+    val qt = words.filter(col("doc_id") < RetrQ)
+      .select(col("doc_id").as("qid"), col("w")).distinct()
+    val scored = tf.join(dl, Seq("doc_id"))
+      .join(broadcast(qt), Seq("w"))
+      .join(df, Seq("w"))
+      .crossJoin(broadcast(st))
+      .select(col("qid"), col("doc_id"), expr(
+        """cast(floor(1.0e6 * ((nn - dfc + 5.0e-1) / (dfc + 5.0e-1))
+          |  * (tfc * (1.2e0 + 1.0e0))
+          |  / (tfc + 1.2e0 * (1.0e0 - 7.5e-1 + 7.5e-1 * nd / (tot / nn)))) AS bigint)"""
+          .stripMargin).as("contrib"))
+      .groupBy("qid", "doc_id").agg(sum("contrib").as("sc"))
+      .as[(Long, Long, Long)]
+    scored.groupByKey(_._1)
+      .mapValues(t => graft.functions.Scored(t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(RetrK).toColumn.name("top"))
+      .flatMap { case (qid, items) =>
+        items.zipWithIndex.map { case (it, i) => (qid, i + 1L, it.doc_id, it.score) }
+      }
+      .toDF("qid", "rk", "doc_id", "score")
+  }
+
+  /** DuckDB twin of `sparseRanked` as a CTE chain ending in
+    * `spr(qid, doc_id, score, rk)` (rk already cut to RetrK) — q110's
+    * oracle body verbatim, shared by the q161 fusion oracle. */
+  private[operators] val sparseRankedCtes: String =
+    s"""words AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |cw AS (SELECT doc_id, w FROM words WHERE doc_id >= $RetrQ),
+       |tf AS (SELECT doc_id, w, count(*) AS tfc FROM cw GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS nd FROM cw GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(nd) AS BIGINT) AS tot FROM dl),
+       |df AS (SELECT w, count(*) AS dfc FROM tf GROUP BY w),
+       |qt AS (SELECT DISTINCT doc_id AS qid, w FROM words WHERE doc_id < $RetrQ),
+       |sc AS (
+       |  SELECT qid, tf.doc_id,
+       |         CAST(sum(CAST(floor(1.0e6 * ((nn - dfc + 5.0e-1) / (dfc + 5.0e-1))
+       |                  * (tfc * (1.2e0 + 1.0e0))
+       |                  / (tfc + 1.2e0 * (1.0e0 - 7.5e-1 + 7.5e-1 * nd / (tot / nn)))) AS BIGINT))
+       |              AS BIGINT) AS sc
+       |  FROM tf JOIN dl USING (doc_id) JOIN qt USING (w) JOIN df USING (w), st
+       |  GROUP BY 1, 2),
+       |spr AS (
+       |  SELECT qid, doc_id, sc AS score, rk FROM (
+       |    SELECT qid, doc_id, sc,
+       |           CAST(row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) AS BIGINT) AS rk
+       |    FROM sc)
+       |  WHERE rk <= $RetrK)""".stripMargin
+
   /** q152 importance selection: target slice modulus (the q114 eval
     * stand-in — spread over the id space) and the manifest size. */
   val ImpMod = 50
@@ -1198,7 +1265,6 @@ object TextOps {
     QueryDef(
       "q110_sparse_retrieval",
       (s, dir) => {
-        import s.implicits._
         // Retrieval is a training-pipeline primitive (retrieval-based
         // decontamination, targeted corpus mining, eval-set neighbor
         // audits): score corpus documents against each query doc's term
@@ -1211,65 +1277,17 @@ object TextOps {
         // integer SUM — order-free and hash-exact — where a double sum
         // would drift with partition order. Top-k per query via the
         // bounded TopKAggregator ((score DESC, doc_id) total order), never
-        // a corpus-wide rank window.
+        // a corpus-wide rank window. Body factored as `sparseRanked` so
+        // the q161 hybrid fusion consumes the exact graded ranking.
         //
         // 100 TB shape: postings build = two linear aggs + ONE
         // doc_id-keyed join (tf ⋈ doclen); the query-term table is tiny
         // and BROADCAST, so only matched postings flow on; df is
         // vocab-sized (AQE-broadcast); top-k state is RetrK per query.
-        val words = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
-          .filter(col("w") =!= "")
-        val cw = words.filter(col("doc_id") >= RetrQ)
-        val tf = cw.groupBy("doc_id", "w").agg(count(lit(1)).as("tfc"))
-        val dl = cw.groupBy("doc_id").agg(count(lit(1)).as("nd"))
-        val st = dl.agg(count(lit(1)).as("nn"), sum("nd").cast("long").as("tot"))
-        val df = tf.groupBy("w").agg(count(lit(1)).as("dfc"))
-        val qt = words.filter(col("doc_id") < RetrQ)
-          .select(col("doc_id").as("qid"), col("w")).distinct()
-        val scored = tf.join(dl, Seq("doc_id"))
-          .join(broadcast(qt), Seq("w"))
-          .join(df, Seq("w"))
-          .crossJoin(broadcast(st))
-          .select(col("qid"), col("doc_id"), expr(
-            """cast(floor(1.0e6 * ((nn - dfc + 5.0e-1) / (dfc + 5.0e-1))
-              |  * (tfc * (1.2e0 + 1.0e0))
-              |  / (tfc + 1.2e0 * (1.0e0 - 7.5e-1 + 7.5e-1 * nd / (tot / nn)))) AS bigint)"""
-              .stripMargin).as("contrib"))
-          .groupBy("qid", "doc_id").agg(sum("contrib").as("sc"))
-          .as[(Long, Long, Long)]
-        scored.groupByKey(_._1)
-          .mapValues(t => graft.functions.Scored(t._2, t._3))
-          .agg(new graft.functions.TopKAggregator(RetrK).toColumn.name("top"))
-          .flatMap { case (qid, items) =>
-            items.zipWithIndex.map { case (it, i) => (qid, i + 1L, it.doc_id, it.score) }
-          }
-          .toDF("qid", "rk", "doc_id", "score")
-          .orderBy("qid", "rk")
+        sparseRanked(s, dir).orderBy("qid", "rk")
       },
-      Some(s"""WITH words AS (
-              |  SELECT doc_id, w FROM (
-              |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
-              |  WHERE w <> ''),
-              |cw AS (SELECT doc_id, w FROM words WHERE doc_id >= $RetrQ),
-              |tf AS (SELECT doc_id, w, count(*) AS tfc FROM cw GROUP BY 1, 2),
-              |dl AS (SELECT doc_id, count(*) AS nd FROM cw GROUP BY 1),
-              |st AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(nd) AS BIGINT) AS tot FROM dl),
-              |df AS (SELECT w, count(*) AS dfc FROM tf GROUP BY w),
-              |qt AS (SELECT DISTINCT doc_id AS qid, w FROM words WHERE doc_id < $RetrQ),
-              |sc AS (
-              |  SELECT qid, tf.doc_id,
-              |         CAST(sum(CAST(floor(1.0e6 * ((nn - dfc + 5.0e-1) / (dfc + 5.0e-1))
-              |                  * (tfc * (1.2e0 + 1.0e0))
-              |                  / (tfc + 1.2e0 * (1.0e0 - 7.5e-1 + 7.5e-1 * nd / (tot / nn)))) AS BIGINT))
-              |              AS BIGINT) AS sc
-              |  FROM tf JOIN dl USING (doc_id) JOIN qt USING (w) JOIN df USING (w), st
-              |  GROUP BY 1, 2)
-              |SELECT qid, rk, doc_id, sc AS score FROM (
-              |  SELECT qid, doc_id, sc,
-              |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) AS BIGINT) AS rk
-              |  FROM sc)
-              |WHERE rk <= $RetrK ORDER BY qid, rk""".stripMargin)),
+      Some(s"""WITH $sparseRankedCtes
+              |SELECT qid, rk, doc_id, score FROM spr ORDER BY qid, rk""".stripMargin)),
 
     // ── Filter-bias audit: who does the quality cut actually drop? ──
     QueryDef(

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -65,6 +66,23 @@ object Vectors {
        |  FROM (SELECT vec_id, label, e, sqrt(${dotSql("e", "e")}) AS nrm
        |        FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)))""".stripMargin
 
+  /** DuckDB twin of `denseRanked` as a CTE chain ending in
+    * `den(qid, doc_id, score, rk)` (rk ≤ RetrK) — shared structure with
+    * the q110 sparse chain so the q161 fusion oracle composes the two. */
+  private val denseRankedCtes: String =
+    s"""$normCte,
+       |qv AS (SELECT vec_id AS qid, en AS qn FROM vn WHERE vec_id < ${TextOps.RetrQ}),
+       |dsc AS (
+       |  SELECT qid, vec_id AS doc_id,
+       |         CAST(floor(1.0e9 * ${dotSql("en", "qn")}) AS BIGINT) AS sc
+       |  FROM vn, qv WHERE vec_id >= ${TextOps.RetrQ}),
+       |den AS (
+       |  SELECT qid, doc_id, sc AS score, rk FROM (
+       |    SELECT qid, doc_id, sc,
+       |           CAST(row_number() OVER (PARTITION BY qid ORDER BY sc DESC, doc_id) AS BIGINT) AS rk
+       |    FROM dsc)
+       |  WHERE rk <= ${TextOps.RetrK})""".stripMargin
+
   /** Cosine near-dup report threshold for q33. */
   val NearDupTau = 0.45
 
@@ -87,6 +105,17 @@ object Vectors {
     * O(N^1.5)). */
   val SemTau = 0.25
   val SemCap = 8
+
+  /** q161 reciprocal-rank fusion: the standard RRF dampening constant
+    * (Cormack et al. 2009's k = 60) — rank r contributes 1/(k + r). */
+  val RrfK = 60
+
+  /** q162 matryoshka-style truncation audit: prefix dims graded against
+    * the full-dim ranking (Kusupati et al. 2022 — prefix slices of an
+    * embedding as cheaper search representations), and the top-k depth
+    * whose overlap is reported. p = 0 encodes the FULL vector internally. */
+  val MatPrefixes = Seq(8, 16)
+  val MatK = 5
 
   /** q88 product quantization: M subspaces × ~K stride-seeded codewords. */
   val PqM = 8
@@ -1070,8 +1099,178 @@ object Vectors {
               |       CAST(CASE WHEN coalesce(same_sim0, -2.0e0) - neg_sim < 0
               |            THEN 1 ELSE 0 END AS BIGINT) AS is_hard
               |FROM piv WHERE neg_b IS NOT NULL
-              |ORDER BY a""".stripMargin))
+              |ORDER BY a""".stripMargin)),
+
+    // ── Hybrid retrieval: reciprocal-rank fusion of sparse + dense ──
+    QueryDef(
+      "q161_rrf_fusion",
+      (s, dir) => {
+        // Production retrieval is hybrid: a lexical ranker (q110's BM25
+        // shape) catches exact-term matches, a dense ranker (cosine over
+        // embeddings) catches paraphrase — and reciprocal-rank fusion is
+        // the standard zero-tuning combiner: each list contributes
+        // 1/(RrfK + rank) for docs it ranked, docs in both lists add both
+        // terms. RANKS, not scores, so the two incomparable score scales
+        // never need calibration — which is also what makes the operator
+        // hash-portable: the fused score is a fixed two-term expression
+        // of small integers, identical IEEE in both engines.
+        //
+        // 100 TB shape: both inputs are the already-bounded top-RetrK
+        // lists (TopKAggregator state, never a corpus rank window) — the
+        // fusion itself joins two ≤ Q·RetrK frames and ranks within
+        // ≤ 2·RetrK candidates per query. The corpus is touched exactly
+        // twice: once by the sparse postings pipeline, once by the dense
+        // scan; everything downstream is catalog-sized.
+        val sp = TextOps.sparseRanked(s, dir)
+          .select(col("qid"), col("doc_id"), col("rk").as("rs"))
+        val dn = denseRanked(s, dir)
+          .select(col("qid"), col("doc_id"), col("rk").as("rd"))
+        val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+        sp.join(dn, Seq("qid", "doc_id"), "full_outer")
+          .withColumn("rrf", expr(
+            s"coalesce(1.0e0 / ($RrfK + rs), 0.0e0) + coalesce(1.0e0 / ($RrfK + rd), 0.0e0)"))
+          .withColumn("frk", row_number().over(w).cast("long"))
+          .filter(col("frk") <= TextOps.RetrK)
+          .select("qid", "frk", "doc_id", "rs", "rd", "rrf")
+          .orderBy("qid", "frk")
+      },
+      Some(s"""WITH ${TextOps.sparseRankedCtes},
+              |$denseRankedCtes,
+              |f AS (
+              |  SELECT coalesce(s.qid, d.qid) AS qid,
+              |         coalesce(s.doc_id, d.doc_id) AS doc_id,
+              |         s.rk AS rs, d.rk AS rd
+              |  FROM spr s FULL OUTER JOIN den d
+              |    ON s.qid = d.qid AND s.doc_id = d.doc_id),
+              |r AS (
+              |  SELECT qid, doc_id, rs, rd,
+              |         coalesce(1.0e0 / ($RrfK + rs), 0.0e0)
+              |           + coalesce(1.0e0 / ($RrfK + rd), 0.0e0) AS rrf
+              |  FROM f)
+              |SELECT qid, frk, doc_id, rs, rd, rrf FROM (
+              |  SELECT qid, doc_id, rs, rd, rrf,
+              |         CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS frk
+              |  FROM r)
+              |WHERE frk <= ${TextOps.RetrK}
+              |ORDER BY qid, frk""".stripMargin)),
+
+    // ── Matryoshka truncation audit: prefix-dim top-k fidelity ──
+    QueryDef(
+      "q162_matryoshka_fidelity",
+      (s, dir) => {
+        import s.implicits._
+        // Can the first p dimensions stand in for the full embedding in
+        // retrieval? For each query, rank the corpus by cosine over the
+        // RE-NORMALIZED p-prefix (the matryoshka deployment: store/scan
+        // only the prefix, cutting ANN memory dim/p-fold) and report
+        // |top-MatK(prefix) ∩ top-MatK(full)| per (prefix, query) — the
+        // overlap table that decides which truncation a cheaper index
+        // tier gets. On embeddings NOT trained matryoshka-style the
+        // overlap is expected to be poor at small p — that is the
+        // finding the audit exists to surface before anyone ships a
+        // truncated index.
+        //
+        // 100 TB shape: norms (full + both prefixes) are codegen'd
+        // primitive loops computed ONCE per corpus row below the join;
+        // the broadcast query row fan-out then costs only the dots. All
+        // three variant rankings ride one scan (3-struct explode into the
+        // (p, qid)-keyed bounded TopKAggregator — never a corpus rank
+        // window); the overlap join runs on ≤ 3·Q·MatK rows. The tiny
+        // top frame fans out into the full/prefix split, so it is
+        // localCheckpoint-barrier'd (the q59 pattern; JobCountSpec lists
+        // q162 eager-by-design).
+        GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+          call_function("graft_l2norm", col("e")).as("enf"),
+          call_function("graft_l2norm", expr(s"slice(e, 1, ${MatPrefixes(0)})")).as("en8"),
+          call_function("graft_l2norm", expr(s"slice(e, 1, ${MatPrefixes(1)})")).as("en16"))
+        val q = emb.filter(col("vec_id") < TextOps.RetrQ).select(
+          col("vec_id").as("qid"), col("enf").as("qnf"),
+          col("en8").as("qn8"), col("en16").as("qn16"))
+        val top = emb.filter(col("vec_id") >= TextOps.RetrQ)
+          .crossJoin(broadcast(q))
+          .select(col("qid"), col("vec_id"), expr(
+            s"""explode(array(
+               |  named_struct('p', 0, 'sc', cast(floor(1.0e9 * graft_dot(enf, qnf)) AS bigint)),
+               |  named_struct('p', ${MatPrefixes(0)}, 'sc', cast(floor(1.0e9 * graft_dot(en8, qn8)) AS bigint)),
+               |  named_struct('p', ${MatPrefixes(1)}, 'sc', cast(floor(1.0e9 * graft_dot(en16, qn16)) AS bigint))))"""
+              .stripMargin).as("v"))
+          .select(col("qid"), col("vec_id"), col("v.p").as("p"), col("v.sc").as("sc"))
+          .as[(Long, Long, Int, Long)]
+          .groupByKey(x => (x._3, x._1))
+          .mapValues(x => graft.functions.Scored(x._2, x._4))
+          .agg(new graft.functions.TopKAggregator(MatK).toColumn.name("top"))
+          .flatMap { case ((p, qid), items) => items.map(it => (p, qid, it.doc_id)) }
+          .toDF("p", "qid", "doc_id")
+          .localCheckpoint(true)
+        val full = top.filter(col("p") === 0).select(col("qid"), col("doc_id"))
+        val pre = top.filter(col("p") =!= 0)
+        val ov = pre.join(full, Seq("qid", "doc_id"))
+          .groupBy("p", "qid").agg(count(lit(1)).as("overlap"))
+        pre.select("p", "qid").distinct()
+          .join(ov, Seq("p", "qid"), "left")
+          .select(col("p").cast("long").as("prefix_dim"), col("qid"),
+            coalesce(col("overlap"), lit(0L)).as("overlap"))
+          .orderBy("prefix_dim", "qid")
+      },
+      Some {
+        val variants = Seq(
+          ("rf", "e"),
+          ("r8", s"e[1:${MatPrefixes(0)}]"),
+          ("r16", s"e[1:${MatPrefixes(1)}]"))
+        val rankCtes = variants.map { case (nm, sl) =>
+          s"""n$nm AS (
+             |  SELECT vec_id, [x / nrm for x in ep] AS en
+             |  FROM (SELECT vec_id, $sl AS ep, sqrt(${dotSql(s"($sl)", s"($sl)")}) AS nrm FROM ve)),
+             |$nm AS (
+             |  SELECT qid, doc_id FROM (
+             |    SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+             |           row_number() OVER (PARTITION BY q.vec_id
+             |             ORDER BY CAST(floor(1.0e9 * ${dotSql("c.en", "q.en")}) AS BIGINT) DESC, c.vec_id) AS rk
+             |    FROM n$nm c, n$nm q WHERE q.vec_id < ${TextOps.RetrQ} AND c.vec_id >= ${TextOps.RetrQ})
+             |  WHERE rk <= $MatK)""".stripMargin
+        }.mkString(",\n")
+        val ovCtes = Seq(("o8", "r8", MatPrefixes(0)), ("o16", "r16", MatPrefixes(1))).map {
+          case (onm, rnm, _) =>
+            s"""$onm AS (
+               |  SELECT $rnm.qid, CAST(count(rf.doc_id) AS BIGINT) AS overlap
+               |  FROM $rnm LEFT JOIN rf ON rf.qid = $rnm.qid AND rf.doc_id = $rnm.doc_id
+               |  GROUP BY $rnm.qid)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |$rankCtes,
+           |$ovCtes
+           |SELECT CAST(${MatPrefixes(0)} AS BIGINT) AS prefix_dim, qid, overlap FROM o8
+           |UNION ALL
+           |SELECT CAST(${MatPrefixes(1)} AS BIGINT) AS prefix_dim, qid, overlap FROM o16
+           |ORDER BY prefix_dim, qid""".stripMargin
+      })
   )
+
+  /** Dense top-RetrK cosine retrieval per query (qid, rk, doc_id, score):
+    * query rows broadcast over ONE normalized corpus scan, per-document
+    * scores fixed-point floored to bigints (floor(1e9·cos) — the q110
+    * discipline, so ranking and hash compare are integer-exact), top-k via
+    * the bounded TopKAggregator, never a corpus-wide rank window. The
+    * dense half of the q161 fusion. */
+  def denseRanked(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = withNormalized(Tables.embeddings(s, dir)).select(col("vec_id"), col("en"))
+    val q = emb.filter(col("vec_id") < TextOps.RetrQ)
+      .select(col("vec_id").as("qid"), col("en").as("qn"))
+    emb.filter(col("vec_id") >= TextOps.RetrQ)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        expr("cast(floor(1.0e9 * graft_dot(en, qn)) AS bigint)").as("sc"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.Scored(t._2, t._3))
+      .agg(new graft.functions.TopKAggregator(TextOps.RetrK).toColumn.name("top"))
+      .flatMap { case (qid, items) =>
+        items.zipWithIndex.map { case (it, i) => (qid, i + 1L, it.doc_id, it.score) }
+      }
+      .toDF("qid", "rk", "doc_id", "score")
+  }
 
   /** q88's PQ codebook as a broadcast 1-row frame `cb`: for each of the
     * PqM subspaces, the ~PqK stride-seeded sub-vectors (cid = the seed's

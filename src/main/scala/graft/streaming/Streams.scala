@@ -469,6 +469,59 @@ object Streams {
       .orderBy("bin")
   }
 
+  final case class HllReg(lang: String, idx: Long, r: Long)
+
+  /** q160's production form: a standing distinct-gram cardinality monitor.
+    * Every arriving doc's 5-grams are hashed IN-ROW (`Audit.hllRows`, a
+    * pure projection — no streaming aggregation), and state is the
+    * running HLL register: ONE Long (max ρ) per (lang, register) key — at
+    * most langs × HllM keys EVER, grid-bounded like the drift twin (the
+    * dedup twins grow with the standing corpus by design; a sketch
+    * monitor cannot grow past its register grid, which is the whole
+    * reason production cardinality monitors are sketches). Emissions are
+    * the CHANGED registers only — max is monotone, so the sink's
+    * latest-wins fold is itself a max and `hllFromRegisters` re-uses the
+    * batch estimator verbatim on ≤ langs × HllM rows. A batch that raises
+    * no register skips state.update entirely (rows_updated = 0 — the
+    * stateMeter replay signal; an HLL register stream is replay-immune by
+    * ALGEBRA: max is idempotent, so re-delivered data cannot move the
+    * estimate, unlike the count-based drift monitor). */
+  def hllRegisterStream(docs: DataFrame): Dataset[HllReg] = {
+    import graft.operators.Audit
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Audit.hllRows(Audit.gram5(docs), "lang", "g")
+      .as[(String, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[Long, HllReg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((lang, idx), rows, state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          var mx = prev
+          rows.foreach(t => if (t._3 > mx) mx = t._3)
+          if (mx > prev) {
+            state.update(mx)
+            Iterator.single(HllReg(lang, idx, mx))
+          } else Iterator.empty
+      }
+  }
+
+  /** Sink-side fold for `hllRegisterStream` output: latest register per
+    * (lang, idx) (a max — registers are monotone), then EXACTLY the batch
+    * q160 estimator (`Audit.hllEstimate`) over the per-lang frame plus
+    * the MAX-merged '__all__' row → (lang, used, est). Input is ≤ langs ×
+    * HllM rows, so this runs anywhere, including per-batch inside
+    * foreachBatch; StreamsSpec pins est bit-equal to the batch q160. */
+  def hllFromRegisters(regs: DataFrame): DataFrame = {
+    import graft.operators.Audit
+    val r = regs.groupBy("lang", "idx").agg(max("r").as("r"))
+    val all = r.groupBy("idx").agg(max("r").as("r"))
+      .select(lit("__all__").as("grp"), col("idx"), col("r"))
+    Audit.hllEstimate(
+      r.select(col("lang").as("grp"), col("idx"), col("r")).unionByName(all))
+      .withColumnRenamed("grp", "lang")
+  }
+
   /** q136/`phashDedupBatch`'s streaming twin: the standing perceptual-hash
     * band index lives in flatMapGroupsWithState state, and every
     * micro-batch's media docs are checked against it — earlier-batch

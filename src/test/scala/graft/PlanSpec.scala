@@ -1012,4 +1012,68 @@ class PlanSpec extends AnyFunSuite {
         s"unexpected shuffle key: $keys")
     }
   }
+
+  test("q160 HLL: register/estimate shuffles stay (lang, idx)-keyed or rollup-keyed; no window") {
+    assert(collectAll("q160_hll_distinct") { case w: WindowExec => w }.isEmpty,
+      "the sketch family must never rank or window the corpus")
+    hashShuffleKeys("q160_hll_distinct").foreach { keys =>
+      assert(keys.subsetOf(Set("grp", "idx", "lang", "g",
+        "spark_grouping_id", "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+    // the register aggregation is a plain max over longs: partial+final
+    // hash aggregates, map-side combined before the exchange
+    assert(collectAll("q160_hll_distinct") { case a: HashAggregateExec => a }.size >= 2)
+  }
+
+  test("q161 fusion: the ONLY window ranks the fused ≤2·RetrK candidate frame") {
+    val wins = collectAll("q161_rrf_fusion") { case w: WindowExec => w }
+    assert(wins.size === 1,
+      s"expected exactly the fused-rank window, got ${wins.size} — a corpus rank window crept in")
+    assert(collectAll("q161_rrf_fusion") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll("q161_rrf_fusion") { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the sparse half must keep its query-term broadcast")
+    assert(collectAll("q161_rrf_fusion") {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, "the dense half must broadcast the query rows over the scan")
+  }
+
+  test("q162 matryoshka: zero windows (TopK aggregation), overlap joins equi-keyed") {
+    // The executed plan starts at the localCheckpoint barrier (the ranked
+    // top frame); the dense-scan shape UPSTREAM of the barrier is q161's
+    // denseRanked pin. Downstream must stay catalog-sized: no window, no
+    // product, overlap joins keyed on (p, qid, doc_id) columns only.
+    assert(collectAll("q162_matryoshka_fidelity") { case w: WindowExec => w }.isEmpty,
+      "all three rankings must ride the bounded TopKAggregator, never a rank window")
+    assert(collectAll("q162_matryoshka_fidelity") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    hashShuffleKeys("q162_matryoshka_fidelity").foreach { keys =>
+      assert(keys.subsetOf(Set("p", "qid", "doc_id")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q163 PII audit: one source-keyed aggregate, no joins, no windows") {
+    assert(collectAll("q163_pii_audit") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q163_pii_audit") { case b: BroadcastHashJoinExec => b }.isEmpty)
+    assert(collectAll("q163_pii_audit") { case j: SortMergeJoinExec => j }.isEmpty)
+    hashShuffleKeys("q163_pii_audit").foreach { keys =>
+      assert(keys.subsetOf(Set("source")), s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q164 waterfill: every window runs over the |sources|-row aggregate") {
+    val wins = collectAll("q164_budget_waterfill") { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the rank/prefix-sum/max windows")
+    wins.foreach { w =>
+      assert(w.find { case _: HashAggregateExec => true; case _ => false }.nonEmpty,
+        "window input is not the per-source token aggregate")
+    }
+    hashShuffleKeys("q164_budget_waterfill").foreach { keys =>
+      assert(keys.subsetOf(Set("source")), s"unexpected shuffle key: $keys")
+    }
+  }
 }

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SharedSpark, SparkEntry, Tables}
+
+/** Corpus-audit family (q160/q163/q164) + fusion/truncation (q161/q162)
+  * semantics: sketch algebra, PII injection accounting, waterfill
+  * feasibility, fused-rank provenance. */
+class AuditSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q160: HLL register state is bounded at m rows/group, ρ in [1, RhoCap]") {
+    val reg = Audit.hllRegisters(
+      Audit.gram5(Tables.load(spark, dir, "documents")), "lang", "g")
+    val perGroup = reg.groupBy("grp").count().collect()
+    assert(perGroup.nonEmpty)
+    perGroup.foreach(r =>
+      assert(r.getLong(1) <= Audit.HllM, s"${r.getString(0)}: ${r.getLong(1)} > m"))
+    val Row = reg.agg(min("r"), max("r")).head()
+    assert(Row.getLong(0) >= 1L && Row.getLong(1) <= Audit.RhoCap.toLong)
+  }
+
+  test("q160: registers are duplication-insensitive (max over occurrences)") {
+    val g = Audit.gram5(Tables.load(spark, dir, "documents"))
+    val once = Audit.hllRegisters(g, "lang", "g")
+      .orderBy("grp", "idx").collect().toSeq
+    val twice = Audit.hllRegisters(g.unionAll(g), "lang", "g")
+      .orderBy("grp", "idx").collect().toSeq
+    assert(once === twice)
+  }
+
+  test("q160: MAX-merged per-lang registers estimate EXACTLY the pooled stream") {
+    // Mergeability is the sketch's contract: estimating the '__all__'
+    // row from max-merged per-lang registers must equal estimating from
+    // one pooled pass — same registers, bit-identical estimate.
+    val g = Audit.gram5(Tables.load(spark, dir, "documents"))
+    val pooled = Audit.hllEstimate(
+      Audit.hllRegisters(g.withColumn("lang", lit("__all__")), "lang", "g"))
+      .filter(col("grp") === "__all__").head()
+    val merged = SparkEntry.queries("q160_hll_distinct")(spark, dir)
+      .filter(col("lang") === "__all__").head()
+    assert(pooled.getLong(1) === merged.getLong(1)) // used
+    assert(pooled.getDouble(2) === merged.getDouble(2)) // est, exact
+  }
+
+  test("q160: estimate within ±15% of exact for every group (m=512 ⇒ σ≈4.6%)") {
+    SparkEntry.queries("q160_hll_distinct")(spark, dir).collect().foreach { r =>
+      val relErr = r.getDouble(4)
+      assert(math.abs(relErr) <= 0.15,
+        s"${r.getString(0)}: rel_err $relErr out of band (n_exact=${r.getLong(3)})")
+    }
+  }
+
+  test("q163: counts reproduce the injection moduli per source") {
+    val got = SparkEntry.queries("q163_pii_audit")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val expect = Tables.load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L)).as("em"),
+        sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)).as("ip"),
+        sum(when(col("doc_id") % 9 === 0, 1L).otherwise(0L)).as("num"),
+        sum(when(col("doc_id") % 3 === 0 || col("doc_id") % 7 === 0 ||
+          col("doc_id") % 9 === 0, 1L).otherwise(0L)).as("any"))
+      .collect()
+    assert(expect.nonEmpty)
+    expect.foreach { e =>
+      val r = got(e.getString(0))
+      assert(r.getLong(1) === e.getLong(1), "n_docs")
+      assert(r.getLong(3) === e.getLong(2), s"${e.getString(0)} n_email")
+      assert(r.getLong(4) === e.getLong(3), s"${e.getString(0)} n_ip")
+      assert(r.getLong(5) === e.getLong(4), s"${e.getString(0)} n_num")
+      assert(r.getLong(6) === e.getLong(5), s"${e.getString(0)} docs_with_pii")
+    }
+  }
+
+  test("q164: waterfill is feasible, tight, and min-share maximizing") {
+    val rows = SparkEntry.queries("q164_budget_waterfill")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getLong(2)
+    val total = rows.map(_.getLong(4)).sum
+    assert(total <= budget, "allocation exceeds budget")
+    assert(budget - total < rows.length.toLong,
+      "floored waterfill slack must be < |sources|")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1), s"${r.getString(0)}: alloc > tokens")
+      if (r.getLong(5) == 1L) assert(r.getLong(4) === r.getLong(3),
+        s"${r.getString(0)}: capped row must allocate exactly the water line")
+      else assert(r.getLong(4) === r.getLong(1),
+        s"${r.getString(0)}: full row must allocate all its tokens")
+    }
+    // both regimes exercised on this corpus, and every capped source gets
+    // the same (maximal-minimum) share
+    val (full, capped) = rows.partition(_.getLong(5) == 0L)
+    assert(full.nonEmpty && capped.nonEmpty)
+    assert(capped.map(_.getLong(4)).distinct.length === 1)
+    // full sources sit at or below the water line (the ascending-walk
+    // candidate is non-decreasing across full rows, so T_full ≤ cap)
+    val cap = capped.head.getLong(3)
+    full.foreach(r =>
+      assert(r.getLong(1) <= cap, s"${r.getString(0)} full above water line"))
+  }
+
+  test("q161: every fused hit comes from a source list, rrf recomputes, frk dense") {
+    val sp = TextOps.sparseRanked(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val dn = Vectors.denseRanked(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val fused = SparkEntry.queries("q161_rrf_fusion")(spark, dir).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val rs = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val rd = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(rs.isDefined || rd.isDefined, s"$key in neither list")
+      assert(sp.get(key) === rs, s"$key sparse rank provenance")
+      assert(dn.get(key) === rd, s"$key dense rank provenance")
+      val expect = rs.map(v => 1.0 / (Vectors.RrfK + v)).getOrElse(0.0) +
+        rd.map(v => 1.0 / (Vectors.RrfK + v)).getOrElse(0.0)
+      assert(r.getDouble(5) === expect, s"$key rrf")
+    }
+    // per query: frk is 1..k and rrf non-increasing in frk
+    fused.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(5) >= b.getDouble(5), s"q$qid order")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q162: full grid of (prefix, query) rows, overlap within [0, MatK]") {
+    val rows = SparkEntry.queries("q162_matryoshka_fidelity")(spark, dir).collect()
+    val grid = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qids = rows.map(_.getLong(1)).distinct
+    assert(qids.length === TextOps.RetrQ)
+    assert(grid.size === Vectors.MatPrefixes.size * TextOps.RetrQ)
+    Vectors.MatPrefixes.foreach(p =>
+      qids.foreach(q => assert(grid((p.toLong, q)), s"missing ($p, $q)")))
+    rows.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(2) <= Vectors.MatK.toLong))
+  }
+
+  test("q162: a prefix covering the full dimension overlaps MatK everywhere") {
+    // Self-consistency of the machinery: ranking by the re-normalized
+    // 64-prefix (the whole vector) must reproduce the full ranking.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"),
+      call_function("graft_l2norm", col("e")).as("enf"),
+      call_function("graft_l2norm", expr("slice(e, 1, 10000)")).as("enp"))
+    val q = emb.filter(col("vec_id") < TextOps.RetrQ).select(
+      col("vec_id").as("qid"), col("enf").as("qnf"), col("enp").as("qnp"))
+    val both = emb.filter(col("vec_id") >= TextOps.RetrQ)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        expr("cast(floor(1.0e9 * graft_dot(enf, qnf)) AS bigint)").as("sf"),
+        expr("cast(floor(1.0e9 * graft_dot(enp, qnp)) AS bigint)").as("sp"))
+      .collect()
+    both.foreach(r => assert(r.getLong(2) === r.getLong(3)))
+  }
+}

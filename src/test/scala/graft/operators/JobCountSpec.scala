@@ -71,7 +71,11 @@ class JobCountSpec extends AnyFunSuite {
     // q159 pulls its ≤ K-entry Misra–Gries candidate sketch (plus the
     // exact word total) to the driver at construction — the q105
     // bloom-registry discipline.
-    "q159_heavy_hitters")
+    "q159_heavy_hitters",
+    // q162 localCheckpoints its ≤ 3·Q·MatK top frame against the
+    // full/prefix downstream fan-out re-running the dense scans (the
+    // q59 barrier pattern).
+    "q162_matryoshka_fidelity")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached

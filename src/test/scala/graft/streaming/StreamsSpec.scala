@@ -382,6 +382,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(math.abs(tvGot - tvWant) < 1e-15, s"tv $tvGot != driver $tvWant")
   }
 
+  test("HLL register twin: grid-bounded state, estimate bit-equal to batch q160, replay is a state no-op") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val (regsDf, meter) = Streams.runToMemoryMetered(spark,
+      Streams.hllRegisterStream(
+        Streams.readDocsStream(spark, landBatches(Seq(b1, b2, b1)).getPath,
+          "*.parquet", Some(1))).toDF(),
+      "hll_mb")
+
+    // Register state can NEVER exceed the langs × m key grid.
+    val langs = docs.select("lang").distinct().count()
+    assert(meter.nonEmpty && meter.forall(_.state_rows <= langs * graft.operators.Audit.HllM),
+      s"state exceeded the langs × m grid: ${meter.map(_.state_rows)}")
+
+    // Replay of batch 1 is a no-op by ALGEBRA (max is idempotent): zero
+    // state writes, zero emissions, rows flat.
+    val m = meter.sortBy(_.batch_id)
+    assert(m.size === 3)
+    assert(m(1).rows_updated > 0L)
+    assert(m(2).rows_updated === 0L, s"replay rewrote registers: ${m.map(_.rows_updated)}")
+    assert(m(2).state_rows === m(1).state_rows)
+
+    // Sink fold reproduces the batch q160 sketch columns EXACTLY —
+    // including the MAX-merged '__all__' row (same registers ⇒ same
+    // integer fold ⇒ bit-identical estimate).
+    val got = Streams.hllFromRegisters(regsDf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.SparkEntry.queries("q160_hll_distinct")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+  }
+
   test("state meter tracks standing-index growth for both dedup twins; replays add nothing") {
     // VERDICT r10 #3: the LSH and phash twins hold NoTimeout state that
     // grows with the standing index BY DESIGN — the meter must show that
