@@ -150,6 +150,8 @@ object Stress {
         evalStress(spark, args(1), args(2).toInt)
       case Some("hll") =>
         hllStress(spark, args(1), args(2).toInt)
+      case Some("overlap") =>
+        overlapStress(spark, args(1), args(2).toInt)
       case Some("consolidate") =>
         consolidate(spark, args(1), args(2).toInt)
       case Some("bloom") =>
@@ -880,6 +882,46 @@ object Stress {
       val (_, estAll, exAll) = rows.find(_._1 == "__all__").get
       val maxAbs = rows.map { case (_, e, x) => math.abs(e - x) / x }.max
       println(f"""{"mode":"hll","corpus":"$tag","docs":$n,"grams":$grams,"state_rows":$stateRows,"est_all":$estAll%.1f,"exact_all":$exAll,"rel_err_all":${(estAll - exAll) / exAll}%.4f,"max_abs_rel_err":$maxAbs%.4f,"sketch_sec_min3":$sketchSec%.2f,"exact_sec_min3":$exactSec%.2f}""")
+    }
+  }
+
+  /** q165's scale split, measured: the pairwise source-overlap matrix
+    * from sketches (registers once, pair math on the |sources| × m grid)
+    * vs the exact pairwise intersection it replaces. The sketch wall
+    * must track the SCAN; the exact wall carries distinct + a gram-keyed
+    * pair join — and only the exact side grows past the decade (min-of-1
+    * above base, the crossdoc/phash rule for redundant heavy passes). */
+  def overlapStress(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val bigDir = scratch("overlap", sfDir, mult)
+    inflateDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      def minN(passes: Int)(mk: () => org.apache.spark.sql.DataFrame): Double =
+        (1 to passes).map { _ =>
+          val t = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t) / 1e9
+        }.min
+      val sketchSec = minN(3)(() =>
+        operators.Audit.overlapSketch(spark.read.parquet(s"$dir/documents.parquet")))
+      val exactPasses = if (tag == "base") 3 else 1
+      val exactSec = minN(exactPasses)(() =>
+        operators.Audit.overlapExact(spark.read.parquet(s"$dir/documents.parquet")))
+      val joined = operators.Audit.overlapSketch(docs)
+        .join(operators.Audit.overlapExact(docs), Seq("src_a", "src_b"))
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          col("na"), col("nb"), col("inter_exact"))
+        .collect()
+      val errs = joined.map { r =>
+        val (ea, eb, eu) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+        val (na, nb, ix) = (r.getLong(3), r.getLong(4), r.getLong(5))
+        val jEst = math.max(ea + eb - eu, 0.0) / eu
+        val jEx = ix.toDouble / (na + nb - ix)
+        math.abs(jEst - jEx)
+      }
+      println(f"""{"mode":"overlap","corpus":"$tag","docs":$n,"pairs":${joined.length},"max_jac_err":${errs.max}%.4f,"mean_jac_err":${errs.sum / errs.length}%.4f,"sketch_sec_min3":$sketchSec%.2f,"exact_sec_min$exactPasses":$exactSec%.2f}""")
     }
   }
 

@@ -50,6 +50,45 @@ object Audit {
   // ── q163 PII patterns (the Java/RE2 ∩ DuckDB regex subset, like q61) ──
   val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
+  /** q166 novelty curve: gram widths audited (2 ≈ local word pairs …
+    * 8 = CrossN, the exact-substring strip width). */
+  val NovWidths = Seq(2, 3, 5, 8)
+
+  /** q168 systematic sample: target sample size (points on the token
+    * axis; heavy documents legitimately absorb several). */
+  val SampleK = 25L
+
+  // ── q170 source-authority (fixed-point PageRank over the q167 graph) ──
+  /** Damping 0.85 as the integer pair (85, 100); rank mass lives on a
+    * 10⁹ fixed-point scale and edge shares on a 10⁶ scale, so every
+    * product stays far under 2⁶³ at any corpus size (rank ≤ ~10⁹, share
+    * ≤ 10⁶). Rounds fixed at 10 — the operator's DEFINITION (like q153's
+    * binning), so the oracle unrolls exactly the same arithmetic. */
+  val RankRounds = 10
+  val RankScale = 1000000000L
+  val ShareScale = 1000000L
+
+  /** q167's core, shared with q170: the (src_later, src_first, n_grams,
+    * n_docs, n_first_docs) cross-source shadowing matrix. */
+  def shadowMatrix(docs: DataFrame): DataFrame = {
+    val gr = Dedup.gramRows(docs)
+    val firstDoc = gr.groupBy("gh")
+      .agg(min("doc_id").as("first_doc"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("gh", "first_doc")
+    val cov = gr.join(firstDoc, Seq("gh"))
+      .filter(col("doc_id") > col("first_doc"))
+    val srcs = docs.select(col("doc_id"), col("source"))
+    cov
+      .join(srcs.select(col("doc_id"), col("source").as("src_later")),
+        Seq("doc_id"))
+      .join(srcs.select(col("doc_id").as("first_doc"),
+        col("source").as("src_first")), Seq("first_doc"))
+      .groupBy("src_later", "src_first")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct("doc_id").as("n_docs"),
+        countDistinct("first_doc").as("n_first_docs"))
+  }
+
   // ── q164 waterfilling: budget = floor(total_tokens · 19 / 20) — the
   // "rebalance by trimming the oversized tail" regime; on the near-uniform
   // test sources this still splits the frame into BOTH a fully-allocated
@@ -79,14 +118,18 @@ object Audit {
     "7.213e-1 / (1.0e0 + 1.079e0 / 5.12e2) * 2.62144e5 * 4.503599627370496e15" +
       s" / CAST($s AS DOUBLE)"
 
-  /** (lang, g) HllN-gram stream — the q103 gram-enumeration idiom. */
-  def gram5(docs: DataFrame): DataFrame =
+  /** (key, g) HllN-gram stream keyed by any doc column — the q103
+    * gram-enumeration idiom. */
+  def gramsBy(docs: DataFrame, key: String): DataFrame =
     docs
-      .select(col("lang"), split(trim(col("text")), " ").as("w"))
+      .select(col(key), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= HllN)
-      .select(col("lang"), explode(expr(
+      .select(col(key), explode(expr(
         s"transform(sequence(0, size(w) - $HllN), i -> concat_ws(' ', slice(w, i + 1, $HllN)))"))
         .as("g"))
+
+  /** (lang, g) HllN-gram stream (q160/streaming-twin grouping). */
+  def gram5(docs: DataFrame): DataFrame = gramsBy(docs, "lang")
 
   /** (grp, v) → per-occurrence (grp, idx, rho) rows — ρ via the
     * least-significant-set-bit trick: `z & -z` isolates the lowest set
@@ -111,6 +154,51 @@ object Audit {
     hllRows(items, grp, v)
       .groupBy("grp", "idx")
       .agg(max("rho").as("r"))
+
+  /** q165's sketch half, factored for the Stress `overlap` mode: ONE
+    * corpus gram scan → per-source registers, then every pairwise union
+    * estimated by MAX-merging register vectors on the dense |sources| × m
+    * grid. Returns (src_a, src_b, est_a, est_b, est_union) — the matrix
+    * at catalog cost, zero pairwise corpus work. */
+  def overlapSketch(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val reg = hllRegisters(gramsBy(docs, "source"), "source", "g")
+    val ps = hllEstimate(reg)
+    val dense = reg.select("grp").distinct()
+      .crossJoin(s.range(HllM).select(col("id").as("idx")))
+      .join(reg, Seq("grp", "idx"), "left")
+      .select(col("grp"), col("idx"), coalesce(col("r"), lit(0L)).as("r"))
+    val da = dense.select(col("grp").as("src_a"), col("idx"), col("r").as("ra"))
+    val db = dense.select(col("grp").as("src_b"), col("idx"), col("r").as("rb"))
+    da.join(db, Seq("idx")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(expr(
+        s"shiftleft(cast(1 AS bigint), cast($RhoCap - greatest(ra, rb) AS int))"))
+        .as("su"))
+      .select(col("src_a"), col("src_b"), expr(hllEstSql("su")).as("est_union"))
+      .join(ps.select(col("grp").as("src_a"), col("est").as("est_a")), Seq("src_a"))
+      .join(ps.select(col("grp").as("src_b"), col("est").as("est_b")), Seq("src_b"))
+      .select("src_a", "src_b", "est_a", "est_b", "est_union")
+  }
+
+  /** q165's exact verify half: per-source distinct-gram counts + pairwise
+    * exact intersections — the corpus-heavy pass the sketch replaces.
+    * Returns the FULL pair grid (src_a, src_b, na, nb, inter_exact),
+    * zero-filled for non-intersecting pairs. */
+  def overlapExact(docs: DataFrame): DataFrame = {
+    val dg = gramsBy(docs, "source").select("source", "g").distinct()
+    val pc = dg.groupBy("source").agg(count(lit(1)).as("nx"))
+    val ix = dg.select(col("source").as("src_a"), col("g"))
+      .join(dg.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter_exact"))
+    pc.select(col("source").as("src_a"), col("nx").as("na"))
+      .crossJoin(pc.select(col("source").as("src_b"), col("nx").as("nb")))
+      .filter(col("src_a") < col("src_b"))
+      .join(ix, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+        coalesce(col("inter_exact"), lit(0L)).as("inter_exact"))
+  }
 
   /** (grp, idx, r) registers → (grp, used, est): the exact dyadic fold +
     * estimator. Input may be any register frame (per-group, merged,
@@ -339,5 +427,463 @@ object Audit {
               |SELECT source, tokens, budget, CAST(max(cand) OVER () AS BIGINT) AS cap,
               |       CAST(CASE WHEN is_full THEN tokens ELSE max(cand) OVER () END AS BIGINT) AS alloc,
               |       CAST(CASE WHEN is_full THEN 0 ELSE 1 END AS BIGINT) AS capped
-              |FROM g ORDER BY source""".stripMargin)))
+              |FROM g ORDER BY source""".stripMargin)),
+
+    // ── Pairwise source-overlap matrix from sketches (HLL union algebra) ──
+    QueryDef(
+      "q165_source_overlap_sketch",
+      (s, dir) => {
+        // q93 computes cross-source overlap EXACTLY — a pairwise corpus
+        // join that a 100 TB deployment cannot afford per source pair.
+        // This is its sketch twin: per-source HLL registers (ONE corpus
+        // scan), then every pairwise gram-set union estimated by
+        // MAX-merging register vectors — |A∩B| ≈ E(A) + E(B) − E(A∪B),
+        // Jaccard from the same three numbers. ALL pairwise work happens
+        // on the |sources| × m register grid (catalog-sized), never on
+        // the corpus: 20 sources → 190 pairs × 512 registers. The exact
+        // intersection runs beside it as the verify pass with jac_err
+        // materialized — at this corpus the truth is near-zero overlap,
+        // and the column shows exactly how much inclusion–exclusion
+        // noise the sketch adds on top (the audit's finding either way).
+        //
+        // 100 TB shape: sketch side = one gram scan → (source, idx) max
+        // agg; dense expansion, pair join, and estimators all run on the
+        // register grid. The exact side (distinct + pair join) is the
+        // one corpus-heavy pass — it GRADES the sketch and is what the
+        // sketch replaces in production.
+        overlapSketch(Tables.load(s, dir, "documents"))
+          .join(overlapExact(Tables.load(s, dir, "documents")),
+            Seq("src_a", "src_b"))
+          .withColumn("union_exact", col("na") + col("nb") - col("inter_exact"))
+          .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+            col("est_union"),
+            expr("greatest(est_a + est_b - est_union, 0.0e0) / est_union")
+              .as("jac_est"),
+            col("inter_exact"), col("union_exact"),
+            expr("cast(inter_exact AS double) / union_exact").as("jac_exact"))
+          .withColumn("jac_err", abs(col("jac_est") - col("jac_exact")))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH wt AS (SELECT source, string_split(trim(text), ' ') AS w FROM documents),
+              |gr AS (
+              |  SELECT source, concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS g
+              |  FROM (SELECT source, w, unnest(range(1, len(w) - ${HllN - 2})) AS i
+              |        FROM wt WHERE len(w) >= $HllN)),
+              |hh AS (
+              |  SELECT source, h % $HllM AS idx, h // $HllM AS z
+              |  FROM (SELECT source, ${h60Duck("g")} AS h FROM gr)),
+              |rr AS (
+              |  SELECT source, idx,
+              |         max(CASE WHEN z = 0 THEN $RhoCap ELSE length(bin(z & -z)) END)::BIGINT AS r
+              |  FROM hh GROUP BY source, idx),
+              |dn AS (
+              |  SELECT s.source, i.idx, coalesce(rr.r, 0) AS r
+              |  FROM (SELECT DISTINCT source FROM rr) s
+              |  CROSS JOIN (SELECT unnest(range(0, $HllM)) AS idx) i
+              |  LEFT JOIN rr ON rr.source = s.source AND rr.idx = i.idx),
+              |ps AS (
+              |  SELECT source, ${hllEstSql(s"CAST(sum(1::BIGINT << ($RhoCap - r)) AS BIGINT)")} AS e
+              |  FROM dn GROUP BY source),
+              |pu AS (
+              |  SELECT a.source AS sa, b.source AS sb,
+              |         ${hllEstSql(s"CAST(sum(1::BIGINT << ($RhoCap - greatest(a.r, b.r))) AS BIGINT)")} AS eu
+              |  FROM dn a JOIN dn b ON a.idx = b.idx AND a.source < b.source
+              |  GROUP BY a.source, b.source),
+              |dg AS (SELECT DISTINCT source, g FROM gr),
+              |pc AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY source),
+              |ix AS (
+              |  SELECT a.source AS xa, b.source AS xb, CAST(count(*) AS BIGINT) AS inter_exact
+              |  FROM dg a JOIN dg b ON a.g = b.g AND a.source < b.source
+              |  GROUP BY 1, 2),
+              |out AS (
+              |  SELECT pu.sa AS src_a, pu.sb AS src_b,
+              |         pa.e AS est_a, pb.e AS est_b, pu.eu AS est_union,
+              |         greatest(pa.e + pb.e - pu.eu, 0.0e0) / pu.eu AS jac_est,
+              |         coalesce(ix.inter_exact, 0) AS inter_exact,
+              |         ca.n + cb.n - coalesce(ix.inter_exact, 0) AS union_exact,
+              |         CAST(coalesce(ix.inter_exact, 0) AS DOUBLE)
+              |           / (ca.n + cb.n - coalesce(ix.inter_exact, 0)) AS jac_exact
+              |  FROM pu
+              |  JOIN ps pa ON pa.source = pu.sa JOIN ps pb ON pb.source = pu.sb
+              |  JOIN pc ca ON ca.source = pu.sa JOIN pc cb ON cb.source = pu.sb
+              |  LEFT JOIN ix ON ix.xa = pu.sa AND ix.xb = pu.sb)
+              |SELECT src_a, src_b, est_a, est_b, est_union, jac_est,
+              |       CAST(inter_exact AS BIGINT) AS inter_exact,
+              |       CAST(union_exact AS BIGINT) AS union_exact, jac_exact,
+              |       abs(jac_est - jac_exact) AS jac_err
+              |FROM out ORDER BY src_a, src_b""".stripMargin)),
+
+    // ── Corpus redundancy/novelty curve across gram widths ──
+    QueryDef(
+      "q166_novelty_curve",
+      (s, dir) => {
+        // How redundant is the corpus at each phrase width? Per n-gram
+        // width: total occurrences, exact distinct grams, the type/token
+        // ratio, and the share of occurrences whose gram recurs in MORE
+        // THAN ONE document — the curve that justifies dedup design
+        // choices (CrossN = 8 for exact-substring stripping, the shingle
+        // widths, MaxDf policy): cross-doc repetition collapsing between
+        // n = 5 and n = 8 is the empirical "natural language rarely
+        // repeats 8-grams across documents" claim, measured on this
+        // corpus instead of assumed.
+        //
+        // 100 TB shape: ONE scan enumerates all four widths (a flattened
+        // per-row transform — grams never materialize as strings, they
+        // travel as 60-bit md5 folds, the q148 discipline); everything
+        // after is (n, gh)-keyed aggregation with map-side partials, and
+        // the final frame is |widths| rows.
+        val widths = NovWidths.mkString(", ")
+        val occ = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            s"""flatten(transform(array($widths), n ->
+               |  CASE WHEN size(w) >= n THEN
+               |    transform(sequence(0, size(w) - n),
+               |      i -> struct(cast(n AS bigint) AS n,
+               |        cast(conv(substr(md5(concat_ws(' ', slice(w, i + 1, n))), 1, 15), 16, 10) AS bigint) AS gh))
+               |  ELSE cast(array() AS array<struct<n:bigint,gh:bigint>>) END))"""
+              .stripMargin)).as("p"))
+          .select(col("doc_id"), col("p.n").as("n"), col("p.gh").as("gh"))
+        occ.groupBy("n", "gh")
+          .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("nd"))
+          .groupBy("n")
+          .agg(sum("cnt").as("total_occ"),
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("nd") > 1, col("cnt")).otherwise(0L)).as("crossdoc_occ"))
+          .select(col("n"), col("total_occ"), col("n_distinct"),
+            col("crossdoc_occ"),
+            expr("cast(n_distinct AS double) / total_occ").as("type_token_ratio"),
+            expr("cast(crossdoc_occ AS double) / total_occ").as("crossdoc_share"))
+          .orderBy("n")
+      },
+      Some {
+        val grams = NovWidths.map { n =>
+          s"""o$n AS (
+             |  SELECT doc_id, CAST($n AS BIGINT) AS n,
+             |         list_reduce([(strpos('0123456789abcdef',
+             |                              substr(md5(array_to_string(w[i : i + ${n - 1}], ' ')), j, 1)) - 1)::BIGINT
+             |                      for j in range(1, 16)], (a, b) -> a * 16 + b) AS gh
+             |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${n - 2})) AS i
+             |        FROM wt WHERE len(w) >= $n))""".stripMargin
+        }.mkString(",\n")
+        val union = NovWidths.map(n => s"SELECT * FROM o$n").mkString(" UNION ALL ")
+        s"""WITH wt AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+           |$grams,
+           |occ AS ($union),
+           |g1 AS (
+           |  SELECT n, gh, CAST(count(*) AS BIGINT) AS cnt,
+           |         CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+           |  FROM occ GROUP BY n, gh)
+           |SELECT n, CAST(sum(cnt) AS BIGINT) AS total_occ,
+           |       CAST(count(*) AS BIGINT) AS n_distinct,
+           |       CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS BIGINT) AS crossdoc_occ,
+           |       CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS type_token_ratio,
+           |       CAST(CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS BIGINT) AS DOUBLE)
+           |         / CAST(sum(cnt) AS BIGINT) AS crossdoc_share
+           |FROM g1 GROUP BY n ORDER BY n""".stripMargin
+      }),
+
+    // ── Cross-source shadowing matrix (strip-provenance forensics) ──
+    QueryDef(
+      "q167_strip_provenance",
+      (s, dir) => {
+        // q148 strips cross-document repeated spans; this reports WHO
+        // shadows WHOM: for every stripped gram occurrence (a CrossN-run
+        // whose first corpus occurrence lives in an earlier doc), the
+        // (source-of-the-later-doc, source-of-the-first-doc) cell gets
+        // the occurrence — the provenance matrix a licensing/contamination
+        // review reads before deleting anything (a source whose content
+        // is systematically shadowed BY one other source is a mirror; the
+        // diagonal is within-source syndication).
+        //
+        // 100 TB shape: the gram→min-doc index is q148's O(1)-state min
+        // aggregate; the decision join fans out one row per covered
+        // occurrence (linear); the two provenance joins are doc_id-keyed
+        // equi-joins against the slim (doc_id, source) map; output is
+        // ≤ |sources|² rows.
+        shadowMatrix(Tables.load(s, dir, "documents"))
+          .orderBy("src_later", "src_first")
+      },
+      Some(s"""WITH ${Dedup.crossdocCtes()},
+              |cv AS (
+              |  SELECT g.doc_id, fd.first_doc
+              |  FROM gr g JOIN fd USING (gh)
+              |  WHERE g.doc_id > fd.first_doc)
+              |SELECT dl.source AS src_later, df.source AS src_first,
+              |       CAST(count(*) AS BIGINT) AS n_grams,
+              |       CAST(count(DISTINCT cv.doc_id) AS BIGINT) AS n_docs,
+              |       CAST(count(DISTINCT cv.first_doc) AS BIGINT) AS n_first_docs
+              |FROM cv JOIN documents dl ON dl.doc_id = cv.doc_id
+              |        JOIN documents df ON df.doc_id = cv.first_doc
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── Token-weighted systematic sample (RNG-free, exact integers) ──
+    QueryDef(
+      "q168_weighted_sample",
+      (s, dir) => {
+        // A token-WEIGHTED sample without RNG state or a sort-by-random:
+        // lay the corpus on the token axis in doc_id order, drop SampleK
+        // equally-spaced points (offset = stride/2), and select every
+        // document whose token interval contains ≥ 1 point — selection
+        // probability proportional to length, heavy documents legitimately
+        // absorb several points (n_pts is the multiplicity an evaluator
+        // weights by). Systematic sampling is the classic survey-statistics
+        // answer to weighted sampling at scale: replayable forever, zero
+        // RNG, and the q79/q65 md5 tricks don't extend to WEIGHTED
+        // inclusion while this does.
+        //
+        // 100 TB shape: the cumulative position comes from the √N-blocked
+        // two-stage prefix sum (q51's machinery — per-block windows see
+        // ~√N rows, offsets broadcast); selection is then a pure narrow
+        // integer projection. The +shift term keeps every div operand
+        // positive (Spark div truncates, DuckDB // floors — they agree on
+        // non-negatives only, the documented engine edge).
+        val t = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), " ")).cast("long").as("tokens"))
+        val ps = TextOps.prefixSum(t)
+        val tot = ps.agg(max("cum").as("tot"))
+        ps.crossJoin(broadcast(tot))
+          .withColumn("stride", expr(s"greatest(tot div $SampleK, 1)"))
+          .withColumn("n_pts", expr(
+            s"(cum - stride div 2 + stride * $SampleK) div stride" +
+              s" - (cum - tokens - stride div 2 + stride * $SampleK) div stride"))
+          .filter(col("n_pts") >= 1)
+          .select("doc_id", "tokens", "cum", "n_pts")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS tokens
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, tokens,
+              |         CAST(sum(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              |  FROM t),
+              |tt AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot FROM t),
+              |g AS (
+              |  SELECT doc_id, tokens, cum, greatest(tot // $SampleK, 1) AS stride
+              |  FROM c, tt)
+              |SELECT doc_id, tokens, cum,
+              |       CAST((cum - stride // 2 + stride * $SampleK) // stride
+              |            - (cum - tokens - stride // 2 + stride * $SampleK) // stride AS BIGINT) AS n_pts
+              |FROM g
+              |WHERE (cum - stride // 2 + stride * $SampleK) // stride
+              |      - (cum - tokens - stride // 2 + stride * $SampleK) // stride >= 1
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ── Snapshot novelty from sketches (content-level corpus diff) ──
+    QueryDef(
+      "q169_snapshot_novelty",
+      (s, dir) => {
+        // q101 diffs snapshots EXACTLY at the row level (CDC); this
+        // answers the cheaper standing question — "how much genuinely new
+        // CONTENT did the new slice bring?" — from sketches alone:
+        // |B \ A| ≈ E(A∪B) − E(A), with the union estimated by
+        // MAX-merging the two register vectors (the q165 algebra on the
+        // snapshot axis; slices here = the deterministic doc_id parity
+        // split, in production consecutive crawl snapshots). The exact
+        // set difference runs beside it as the verify pass, with the
+        // error normalized by the union (the scale on which HLL noise
+        // lives).
+        //
+        // 100 TB shape: one gram scan → two register vectors (2 × 512
+        // rows); union merge + all three estimators on that grid. The
+        // exact side pays the distinct shuffles the sketch replaces.
+        val d2 = Tables.load(s, dir, "documents")
+          .withColumn("sl",
+            when(col("doc_id") % 2 === 0, "a").otherwise("b"))
+        val g = gramsBy(d2, "sl")
+        val reg = hllRegisters(g, "sl", "g")
+        val ps = hllEstimate(reg)
+        val dense = reg.select("grp").distinct()
+          .crossJoin(s.range(HllM).select(col("id").as("idx")))
+          .join(reg, Seq("grp", "idx"), "left")
+          .select(col("grp"), col("idx"), coalesce(col("r"), lit(0L)).as("r"))
+        val eu = dense.groupBy("idx").agg(max("r").as("r"))
+          .agg(sum(expr(
+            s"shiftleft(cast(1 AS bigint), cast($RhoCap - r AS int))")).as("su"))
+          .select(expr(hllEstSql("su")).as("est_union"))
+        val dg = g.select("sl", "g").distinct()
+        val exact = dg.groupBy("sl").agg(count(lit(1)).as("nx"))
+        val exactU = dg.select("g").distinct().agg(count(lit(1)).as("union_exact"))
+        ps.filter(col("grp") === "a")
+          .select(col("est").as("est_a"))
+          .crossJoin(ps.filter(col("grp") === "b").select(col("est").as("est_b")))
+          .crossJoin(eu)
+          .crossJoin(broadcast(
+            exact.filter(col("sl") === "a").select(col("nx").as("na"))))
+          .crossJoin(broadcast(
+            exact.filter(col("sl") === "b").select(col("nx").as("nb"))))
+          .crossJoin(broadcast(exactU))
+          .select(col("est_a"), col("est_b"), col("est_union"),
+            expr("greatest(est_union - est_a, 0.0e0)").as("new_in_b_est"),
+            col("na"), col("nb"), col("union_exact"),
+            expr("union_exact - na").as("new_in_b_exact"),
+            expr("abs(greatest(est_union - est_a, 0.0e0) - cast(union_exact - na AS double)) / union_exact")
+              .as("rel_err_vs_union"))
+          .orderBy("est_a")
+      },
+      Some(s"""WITH d2 AS (
+              |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS sl, text
+              |  FROM documents),
+              |wt AS (SELECT sl, string_split(trim(text), ' ') AS w FROM d2),
+              |gr AS (
+              |  SELECT sl, concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS g
+              |  FROM (SELECT sl, w, unnest(range(1, len(w) - ${HllN - 2})) AS i
+              |        FROM wt WHERE len(w) >= $HllN)),
+              |hh AS (
+              |  SELECT sl, h % $HllM AS idx, h // $HllM AS z
+              |  FROM (SELECT sl, ${h60Duck("g")} AS h FROM gr)),
+              |rr AS (
+              |  SELECT sl, idx,
+              |         max(CASE WHEN z = 0 THEN $RhoCap ELSE length(bin(z & -z)) END)::BIGINT AS r
+              |  FROM hh GROUP BY sl, idx),
+              |dn AS (
+              |  SELECT s.sl, i.idx, coalesce(rr.r, 0) AS r
+              |  FROM (SELECT DISTINCT sl FROM rr) s
+              |  CROSS JOIN (SELECT unnest(range(0, $HllM)) AS idx) i
+              |  LEFT JOIN rr ON rr.sl = s.sl AND rr.idx = i.idx),
+              |ps AS (
+              |  SELECT sl, ${hllEstSql(s"CAST(sum(1::BIGINT << ($RhoCap - r)) AS BIGINT)")} AS e
+              |  FROM dn GROUP BY sl),
+              |eu AS (
+              |  SELECT ${hllEstSql(s"CAST(sum(1::BIGINT << ($RhoCap - r)) AS BIGINT)")} AS est_union
+              |  FROM (SELECT idx, max(r) AS r FROM dn GROUP BY idx)),
+              |dg AS (SELECT DISTINCT sl, g FROM gr),
+              |ex AS (SELECT sl, CAST(count(*) AS BIGINT) AS nx FROM dg GROUP BY sl),
+              |exu AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS union_exact FROM gr)
+              |SELECT pa.e AS est_a, pb.e AS est_b, eu.est_union,
+              |       greatest(eu.est_union - pa.e, 0.0e0) AS new_in_b_est,
+              |       ea.nx AS na, eb.nx AS nb, exu.union_exact,
+              |       exu.union_exact - ea.nx AS new_in_b_exact,
+              |       abs(greatest(eu.est_union - pa.e, 0.0e0)
+              |           - CAST(exu.union_exact - ea.nx AS DOUBLE)) / exu.union_exact AS rel_err_vs_union
+              |FROM (SELECT e FROM ps WHERE sl = 'a') pa,
+              |     (SELECT e FROM ps WHERE sl = 'b') pb,
+              |     eu,
+              |     (SELECT nx FROM ex WHERE sl = 'a') ea,
+              |     (SELECT nx FROM ex WHERE sl = 'b') eb,
+              |     exu
+              |ORDER BY est_a""".stripMargin)),
+
+    // ── Source authority: fixed-point PageRank over the shadowing graph ──
+    QueryDef(
+      "q170_source_authority",
+      (s, dir) => {
+        // Which sources ORIGINATE content and which merely mirror it?
+        // PageRank (Brin & Page 1998; the CommonCrawl-domain-rank quality
+        // prior, re-expressed on this engine's own evidence) over q167's
+        // shadowing graph: an edge src_later → src_first is an
+        // endorsement of the ORIGINAL, weighted by shadowed grams, so
+        // authority accumulates on sources others copy FROM — the prior
+        // a mixture planner feeds into per-source quality weights.
+        //
+        // Portability: the textbook algorithm is all doubles; here rank
+        // mass lives on an integer 10⁹ scale, edge shares on an integer
+        // 10⁶ scale (precomputed ONCE — also the overflow guard: rank ×
+        // share ≤ 10¹⁵ at any corpus size, where rank × raw-gram-weight
+        // would overflow at web scale), damping is the (85, 100) integer
+        // pair, and exactly RankRounds = 10 rounds run — the oracle
+        // unrolls the same arithmetic, so the result is bit-exact across
+        // engines with zero float drift across iterations. Dangling mass
+        // (sources that shadow nobody) redistributes uniformly, the
+        // standard correction.
+        //
+        // 100 TB shape: the corpus is touched once (q167's matrix); the
+        // iteration runs on the |sources|²-bounded edge frame with a
+        // localCheckpoint barrier per round (the connectedComponents
+        // lineage discipline — JobCountSpec lists q170 eager-by-design).
+        // At web scale "sources" are domains (~10⁷) — still a keyed
+        // frame, never the corpus.
+        val docs = Tables.load(s, dir, "documents")
+        // ONE corpus pass builds the edge list; the barrier makes every
+        // later consumer (out-weights, shares, in-weights, the final
+        // joins) read the catalog-sized frame instead of re-running the
+        // gram matrix — and keeps the executed plan corpus-free.
+        val edges = shadowMatrix(docs)
+          .select(col("src_later").as("src"), col("src_first").as("dst"),
+            col("n_grams").as("w"))
+          .localCheckpoint(true)
+        val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+        val esh = edges.join(outw, Seq("src"))
+          .select(col("src"), col("dst"),
+            expr(s"(w * $ShareScale) div ow").as("sh"))
+          .localCheckpoint(true)
+        val nodes = docs.select("source").distinct()
+        val ncnt = nodes.agg(count(lit(1)).as("n"))
+        var r = nodes.crossJoin(broadcast(ncnt))
+          .select(col("source"), expr(s"$RankScale div n").as("r"))
+          .localCheckpoint(true)
+        for (_ <- 1 to RankRounds) {
+          val dang = r.join(outw.select(col("src").as("source")),
+              Seq("source"), "left_anti")
+            .agg(coalesce(sum("r"), lit(0L)).as("dm"))
+          val contrib = esh
+            .join(r.select(col("source").as("src"), col("r").as("pr")), Seq("src"))
+            .select(col("dst"), expr(s"(pr * sh) div $ShareScale").as("c"))
+            .groupBy("dst").agg(sum("c").as("contrib"))
+          r = nodes.crossJoin(broadcast(ncnt)).crossJoin(broadcast(dang))
+            .join(contrib.select(col("dst").as("source"), col("contrib")),
+              Seq("source"), "left")
+            .select(col("source"), expr(
+              s"(($RankScale div n) * 15) div 100" +
+                s" + (85 * (coalesce(contrib, 0) + dm div n)) div 100").as("r"))
+            .localCheckpoint(true)
+        }
+        val inw = edges.groupBy("dst").agg(sum("w").as("in_w"))
+        r.join(inw.select(col("dst").as("source"), col("in_w")),
+            Seq("source"), "left")
+          .join(outw.select(col("src").as("source"), col("ow").as("out_w")),
+            Seq("source"), "left")
+          .select(col("source"), col("r").as("authority"),
+            coalesce(col("in_w"), lit(0L)).as("in_w"),
+            coalesce(col("out_w"), lit(0L)).as("out_w"))
+          .orderBy("source")
+      },
+      Some {
+        val rounds = (1 to RankRounds).map { k =>
+          val p = s"r${k - 1}"
+          s"""d$k AS (
+             |  SELECT CAST(coalesce(sum(p.r), 0) AS BIGINT) AS dm
+             |  FROM $p p LEFT JOIN outw o ON o.src = p.source
+             |  WHERE o.src IS NULL),
+             |c$k AS (
+             |  SELECT e.dst, CAST(sum((p.r * e.sh) // $ShareScale) AS BIGINT) AS contrib
+             |  FROM esh e JOIN $p p ON p.source = e.src
+             |  GROUP BY e.dst),
+             |r$k AS MATERIALIZED (
+             |  SELECT n.source,
+             |         CAST((($RankScale // nn.n) * 15) // 100
+             |           + (85 * (coalesce(c.contrib, 0) + d$k.dm // nn.n)) // 100 AS BIGINT) AS r
+             |  FROM nodes n CROSS JOIN nn CROSS JOIN d$k
+             |  LEFT JOIN c$k c ON c.dst = n.source)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${Dedup.crossdocCtes(materializedGr = true)},
+           |cv AS (
+           |  SELECT g.doc_id, fd.first_doc
+           |  FROM gr g JOIN fd USING (gh)
+           |  WHERE g.doc_id > fd.first_doc),
+           |mx AS MATERIALIZED (
+           |  SELECT dl.source AS src, df.source AS dst, CAST(count(*) AS BIGINT) AS w
+           |  FROM cv JOIN documents dl ON dl.doc_id = cv.doc_id
+           |          JOIN documents df ON df.doc_id = cv.first_doc
+           |  GROUP BY 1, 2),
+           |outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM mx GROUP BY src),
+           |esh AS MATERIALIZED (
+           |  SELECT m.src, m.dst, (m.w * $ShareScale) // o.ow AS sh
+           |  FROM mx m JOIN outw o ON o.src = m.src),
+           |nodes AS MATERIALIZED (SELECT DISTINCT source FROM documents),
+           |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+           |r0 AS MATERIALIZED (SELECT source, CAST($RankScale // nn.n AS BIGINT) AS r FROM nodes, nn),
+           |$rounds,
+           |inw AS (SELECT dst, CAST(sum(w) AS BIGINT) AS in_w FROM mx GROUP BY dst)
+           |SELECT n.source, r$RankRounds.r AS authority,
+           |       CAST(coalesce(i.in_w, 0) AS BIGINT) AS in_w,
+           |       CAST(coalesce(o.ow, 0) AS BIGINT) AS out_w
+           |FROM nodes n
+           |JOIN r$RankRounds ON r$RankRounds.source = n.source
+           |LEFT JOIN inw i ON i.dst = n.source
+           |LEFT JOIN outw o ON o.src = n.source
+           |ORDER BY n.source""".stripMargin
+      }))
 }

@@ -247,9 +247,10 @@ object Dedup {
     * `fd(gh, first_doc)`; shared by q148 and q151. The gh fold is the q79
     * portable md5 nibble reduction — bit-identical to Spark's
     * conv(substr(md5(s),1,15),16,10). */
-  private[operators] def crossdocCtes(n: Int = CrossN): String =
+  private[operators] def crossdocCtes(n: Int = CrossN,
+      materializedGr: Boolean = false): String =
     s"""wt AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-       |gr AS (
+       |gr AS ${if (materializedGr) "MATERIALIZED " else ""}(
        |  SELECT doc_id, i - 1 AS i,
        |         list_reduce([(strpos('0123456789abcdef',
        |                              substr(md5(array_to_string(w[i : i + ${n - 1}], ' ')), j, 1)) - 1)::BIGINT

@@ -1065,6 +1065,72 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q165 overlap sketch: no window; pairwise work keyed on the register grid only") {
+    assert(collectAll("q165_source_overlap_sketch") { case w: WindowExec => w }.isEmpty)
+    hashShuffleKeys("q165_source_overlap_sketch").foreach { keys =>
+      assert(keys.subsetOf(Set("grp", "idx", "source", "g",
+        "src_a", "src_b", "id")),
+        s"unexpected shuffle key: $keys — pairwise work must stay on registers/distinct-grams")
+    }
+  }
+
+  test("q166 novelty curve: single scan, zero joins, (n, gh)-keyed aggregation only") {
+    assert(collectAll("q166_novelty_curve") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q166_novelty_curve") { case b: BroadcastHashJoinExec => b }.isEmpty)
+    assert(collectAll("q166_novelty_curve") { case j: SortMergeJoinExec => j }.isEmpty)
+    hashShuffleKeys("q166_novelty_curve").foreach { keys =>
+      assert(keys.subsetOf(Set("n", "gh", "doc_id")),
+        s"unexpected shuffle key: $keys")
+    }
+    val scans = collectAll("q166_novelty_curve") { case f: FileSourceScanExec => f }
+    assert(scans.size === 1, s"all four widths must ride ONE scan, got ${scans.size}")
+  }
+
+  test("q167 provenance: equi-joins only; no window; gram/doc-keyed exchanges") {
+    assert(collectAll("q167_strip_provenance") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q167_strip_provenance") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    // gid = the expand grouping id of the two count-distinct aggregates
+    hashShuffleKeys("q167_strip_provenance").foreach { keys =>
+      assert(keys.subsetOf(Set("gh", "doc_id", "first_doc",
+        "src_later", "src_first", "gid")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q168 weighted sample: selection is narrow arithmetic over the blocked prefix sum") {
+    // The only exchanges allowed are the √N-block machinery's (q51's
+    // shape): per-block windows + the broadcast offsets/totals. Selection
+    // itself adds NO shuffle and no join beyond broadcasts.
+    assert(collectAll("q168_weighted_sample") { case j: SortMergeJoinExec => j }.isEmpty)
+    hashShuffleKeys("q168_weighted_sample").foreach { keys =>
+      assert(keys.subsetOf(Set("block")), s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q169 snapshot novelty: sketch algebra on the register grid, no corpus window") {
+    assert(collectAll("q169_snapshot_novelty") { case w: WindowExec => w }.isEmpty)
+    hashShuffleKeys("q169_snapshot_novelty").foreach { keys =>
+      assert(keys.subsetOf(Set("grp", "idx", "sl", "g", "id")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q170 authority: post-barrier plan is catalog-sized — no window, no product") {
+    // The iteration itself runs at construction behind per-round barriers
+    // (JobCountSpec eager list); the executed plan must only join the
+    // final |sources|-row rank frame with the edge aggregates.
+    assert(collectAll("q170_source_authority") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q170_source_authority") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    hashShuffleKeys("q170_source_authority").foreach { keys =>
+      assert(keys.subsetOf(Set("source", "src", "dst")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q164 waterfill: every window runs over the |sources|-row aggregate") {
     val wins = collectAll("q164_budget_waterfill") { case w: WindowExec => w }
     assert(wins.nonEmpty, "expected the rank/prefix-sum/max windows")

@@ -144,6 +144,100 @@ class AuditSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(2) <= Vectors.MatK.toLong))
   }
 
+  test("q165: union dominance, jaccard in [0,1], sketch error bounded") {
+    val rows = SparkEntry.queries("q165_source_overlap_sketch")(spark, dir).collect()
+    val nSrc = Tables.load(spark, dir, "documents").select("source").distinct().count()
+    assert(rows.length === (nSrc * (nSrc - 1) / 2), "one row per unordered source pair")
+    rows.foreach { r =>
+      val (ea, eb, eu) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // max-merge can only raise registers ⇒ the union estimate dominates
+      assert(eu >= math.max(ea, eb) - 1e-9, s"${r.getString(0)}/${r.getString(1)} union < part")
+      val jac = r.getDouble(5)
+      assert(jac >= 0.0 && jac <= 1.0)
+      assert(r.getDouble(9) <= 0.2,
+        s"${r.getString(0)}/${r.getString(1)}: jac_err ${r.getDouble(9)} out of band")
+    }
+  }
+
+  test("q166: novelty curve is monotone in width; n=8 totals match gramRows") {
+    val rows = SparkEntry.queries("q166_novelty_curve")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Audit.NovWidths.map(_.toLong))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) > b.getLong(1), "total grams shrink with width")
+        assert(a.getDouble(4) <= b.getDouble(4) + 1e-12, "type/token ratio grows with width")
+        assert(a.getDouble(5) >= b.getDouble(5) - 1e-12, "cross-doc share shrinks with width")
+      case _ => ()
+    }
+    val g8 = Dedup.gramRows(Tables.load(spark, dir, "documents")).count()
+    assert(rows.last.getLong(1) === g8, "n=8 occurrences must equal the q148 gram stream")
+  }
+
+  test("q167: provenance cells tile exactly the q148 covered occurrences") {
+    val docs = Tables.load(spark, dir, "documents")
+    val gr = Dedup.gramRows(docs)
+    val firstDoc = gr.groupBy("gh")
+      .agg(min("doc_id").as("first_doc"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("gh", "first_doc")
+    val covered = gr.join(firstDoc, Seq("gh"))
+      .filter(col("doc_id") > col("first_doc")).count()
+    val rows = SparkEntry.queries("q167_strip_provenance")(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture must contain cross-doc spans")
+    assert(rows.map(_.getLong(2)).sum === covered,
+      "matrix cells must partition the covered-occurrence set")
+    rows.foreach(r => assert(r.getLong(3) >= 1L && r.getLong(4) >= 1L))
+  }
+
+  test("q168: exactly the systematic point count, multiplicity bounded by length") {
+    val rows = SparkEntry.queries("q168_weighted_sample")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val t = Tables.load(spark, dir, "documents")
+      .select(size(split(trim(col("text")), " ")).cast("long").as("tk"))
+      .agg(sum("tk")).head().getLong(0)
+    val stride = math.max(t / Audit.SampleK, 1L)
+    val off = stride / 2
+    // points at off + j·stride inside (0, tot]: their count must equal
+    // the total multiplicity the sample carries
+    val expectPts = (t - off) / stride + 1
+    assert(rows.map(_.getLong(3)).sum === expectPts)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1L)
+      assert(r.getLong(3) <= r.getLong(1) / stride + 1L,
+        s"doc ${r.getLong(0)}: multiplicity exceeds its token span")
+    }
+    // replay-identical (no RNG anywhere)
+    val again = SparkEntry.queries("q168_weighted_sample")(spark, dir).collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("q169: union dominates parts; novelty estimate within the sketch band") {
+    val r = SparkEntry.queries("q169_snapshot_novelty")(spark, dir).head()
+    val (ea, eb, eu) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(eu >= math.max(ea, eb) - 1e-9)
+    assert(r.getDouble(3) >= 0.0)
+    assert(r.getDouble(8) <= 0.15,
+      s"novelty sketch error ${r.getDouble(8)} vs union out of band")
+  }
+
+  test("q170: rank mass conserved within floor slack; authority follows in-links") {
+    val rows = SparkEntry.queries("q170_source_authority")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    // every floor loses < 1 unit; per round that is < (nodes + edges + 2)
+    // units of 1e-9 mass — far under 1% over 10 rounds
+    assert(total <= Audit.RankScale)
+    assert(total >= (Audit.RankScale * 0.99).toLong, s"mass leaked: $total")
+    // the graph is non-trivial and authority discriminates
+    val byAuth = rows.sortBy(-_.getLong(1))
+    assert(byAuth.head.getLong(1) > byAuth.last.getLong(1))
+    // the top-authority source is actually shadowed by someone
+    assert(byAuth.head.getLong(2) > 0L, "top authority has no in-links")
+    // an un-shadowed, non-shadowing source sits at the uniform baseline:
+    // its authority can only come from the teleport + dangling terms
+    val iso = rows.filter(r => r.getLong(2) == 0L)
+    iso.foreach(r => assert(r.getLong(1) < byAuth.head.getLong(1)))
+  }
+
   test("q162: a prefix covering the full dimension overlaps MatK everywhere") {
     // Self-consistency of the machinery: ranking by the re-normalized
     // 64-prefix (the whole vector) must reproduce the full ranking.

@@ -75,7 +75,10 @@ class JobCountSpec extends AnyFunSuite {
     // q162 localCheckpoints its ≤ 3·Q·MatK top frame against the
     // full/prefix downstream fan-out re-running the dense scans (the
     // q59 barrier pattern).
-    "q162_matryoshka_fidelity")
+    "q162_matryoshka_fidelity",
+    // q170 runs RankRounds barrier'd iterations over the catalog-sized
+    // edge frame at construction (the connectedComponents discipline).
+    "q170_source_authority")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached
