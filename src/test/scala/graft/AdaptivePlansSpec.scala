@@ -102,4 +102,24 @@ class AdaptivePlansSpec extends AnyFunSuite {
     assert(bhj >= 1, "AQE stopped broadcasting the component map")
     assert(ex <= 3, s"exchange count grew: $ex")
   }
+
+  test("q166 executed under AQE: one scan, (n, gh)-keyed aggregation chain, no join at all") {
+    val nodes = executedNodes("q166_novelty_curve")
+    val (ex, bhj, smj, cp) = counts(nodes)
+    assert(smj === 0 && cp === 0 && bhj === 0, s"a join appeared: bhj=$bhj smj=$smj cp=$cp")
+    // count-distinct expand + (n, gh) agg + per-n agg + the ordered output.
+    assert(ex <= 4, s"exchange count grew: $ex")
+    assert(nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) === 1,
+      "all four widths must ride ONE parquet scan")
+  }
+
+  test("q170 executed tail under AQE: catalog-sized joins past the iteration barriers, no SMJ") {
+    // The ten PageRank rounds run at construction behind per-round
+    // barriers; the observable QueryExecution is the final rank frame
+    // joined with the in/out-weight aggregates of the checkpointed edge
+    // list — everything |sources|-sized, so AQE must broadcast.
+    val (ex, _, smj, cp) = counts(executedNodes("q170_source_authority"))
+    assert(smj === 0 && cp === 0, s"degraded: smj=$smj cp=$cp")
+    assert(ex <= 4, s"exchange count grew: $ex")
+  }
 }
