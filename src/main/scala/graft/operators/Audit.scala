@@ -47,6 +47,14 @@ object Audit {
     * m·2^52 = 2^61 < 2^63. */
   val RhoCap = 52
 
+  /** Small-range threshold: the raw estimator (no linear-counting
+    * correction — it needs ln(), which the libm-free discipline forbids)
+    * is unbiased only past ~2.5·m distinct values per group; below it the
+    * estimate reads HIGH by design (the q160 scaladoc's regime note, now
+    * a per-row `regime` column so a consumer can't silently trust a
+    * small-range estimate). 2.5·512 = 1280 exactly in integers. */
+  val HllSmallRange: Long = HllM.toLong * 5 / 2
+
   // ── q163 PII patterns (the Java/RE2 ∩ DuckDB regex subset, like q61) ──
   val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
@@ -107,16 +115,29 @@ object Audit {
 
   /** The raw-HLL estimator as a SQL expression over the exact integer
     * register fold `s` = Σ_j 2^(RhoCap − ρ_j) (empty registers ρ = 0):
-    * E = α_m · m² · 2^RhoCap / s, with α_m = 0.7213/(1 + 1.079/m). Every
-    * factor is an exact literal (2^52 = 4.503599627370496e15 exactly),
-    * the chain evaluates left-to-right in both engines, and the one
-    * inexact step is the final division — deterministic IEEE. The
-    * operator's DEFINITION is the raw estimator: no small-range linear
-    * counting (it needs ln()), the audit emits `used` registers so a
-    * reader can see saturation directly. */
+    * E = α_m · m² · 2^RhoCap / s, with α_m = 0.7213/(1 + 1.079/m). The
+    * m, m², and 2^RhoCap literals are DERIVED from the constants at
+    * string-build time (ADVICE r13: hardcoded copies would silently
+    * compute with stale values if HllP/RhoCap changed) — rendered as
+    * exact decimal integers with an e0 exponent, which both engines parse
+    * to the same doubles (all are < 2^53, so exactly representable). The
+    * chain evaluates left-to-right in both engines, and the one inexact
+    * step is the final division — deterministic IEEE. The operator's
+    * DEFINITION is the raw estimator: no small-range linear counting (it
+    * needs ln()); the audit emits `used` registers plus the `regime`
+    * column so saturation and the small-range band are visible per row.
+    * α's 0.7213/1.079 factors stay literal — they are Flajolet's m ≥ 128
+    * fit constants, not derived quantities. */
   private def hllEstSql(s: String): String =
-    "7.213e-1 / (1.0e0 + 1.079e0 / 5.12e2) * 2.62144e5 * 4.503599627370496e15" +
-      s" / CAST($s AS DOUBLE)"
+    s"7.213e-1 / (1.0e0 + 1.079e0 / $HllM.0e0) * ${HllM.toLong * HllM}.0e0" +
+      s" * ${1L << RhoCap}.0e0 / CAST($s AS DOUBLE)"
+
+  /** `regime` column over an estimate expression: flags estimates in the
+    * raw estimator's small-range band (< 2.5·m) where the value reads
+    * high by design — identical SQL text in both engines (VERDICT r13
+    * #6). */
+  private def regimeSql(e: String): String =
+    s"CASE WHEN $e < $HllSmallRange.0e0 THEN 'small_range' ELSE 'ok' END"
 
   /** (key, g) HllN-gram stream keyed by any doc column — the q103
     * gram-enumeration idiom. */
@@ -200,17 +221,20 @@ object Audit {
         coalesce(col("inter_exact"), lit(0L)).as("inter_exact"))
   }
 
-  /** (grp, idx, r) registers → (grp, used, est): the exact dyadic fold +
-    * estimator. Input may be any register frame (per-group, merged,
+  /** (grp, idx, r) registers → (grp, used, est, regime): the exact dyadic
+    * fold + estimator. Input may be any register frame (per-group, merged,
     * streaming state) — merge-then-estimate and estimate-per-group
-    * commute with MAX, which is the whole point of the sketch. */
+    * commute with MAX, which is the whole point of the sketch. `regime`
+    * flags estimates in the raw estimator's small-range band (< 2.5·m),
+    * where the value reads high by design. */
   def hllEstimate(registers: DataFrame): DataFrame =
     registers.groupBy("grp")
       .agg(count(lit(1)).as("used"),
         sum(expr(s"shiftleft(cast(1 AS bigint), cast($RhoCap - r AS int))")).as("sp"))
       .withColumn("s",
         col("sp") + (lit(HllM.toLong) - col("used")) * lit(1L << RhoCap))
-      .select(col("grp"), col("used"), expr(hllEstSql("s")).as("est"))
+      .select(col("grp"), col("used"), expr(hllEstSql("s")).as("est"),
+        expr(regimeSql(hllEstSql("s"))).as("regime"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -250,7 +274,8 @@ object Audit {
           .select(col("grp").as("lang"), col("used"), col("est"),
             col("n_exact"),
             expr("(est - CAST(n_exact AS double)) / CAST(n_exact AS double)")
-              .as("rel_err"))
+              .as("rel_err"),
+            col("regime"))
           .orderBy("lang")
       },
       Some(s"""WITH wt AS (SELECT lang, string_split(trim(text), ' ') AS w FROM documents),
@@ -279,7 +304,8 @@ object Audit {
               |         CAST(count(DISTINCT g) AS BIGINT) AS n_exact
               |  FROM gr GROUP BY ROLLUP(lang))
               |SELECT lang, used, ${hllEstSql("s")} AS est, n_exact,
-              |       (${hllEstSql("s")} - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+              |       (${hllEstSql("s")} - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err,
+              |       ${regimeSql(hllEstSql("s"))} AS regime
               |FROM ss JOIN ex USING (lang)
               |ORDER BY lang""".stripMargin)),
 
@@ -462,6 +488,10 @@ object Audit {
             col("inter_exact"), col("union_exact"),
             expr("cast(inter_exact AS double) / union_exact").as("jac_exact"))
           .withColumn("jac_err", abs(col("jac_est") - col("jac_exact")))
+          // The inclusion–exclusion difference is only trustworthy when
+          // EVERY estimate feeding it is out of the small-range band.
+          .withColumn("regime",
+            expr(regimeSql("least(est_a, est_b, est_union)")))
           .orderBy("src_a", "src_b")
       },
       Some(s"""WITH wt AS (SELECT source, string_split(trim(text), ' ') AS w FROM documents),
@@ -510,7 +540,8 @@ object Audit {
               |SELECT src_a, src_b, est_a, est_b, est_union, jac_est,
               |       CAST(inter_exact AS BIGINT) AS inter_exact,
               |       CAST(union_exact AS BIGINT) AS union_exact, jac_exact,
-              |       abs(jac_est - jac_exact) AS jac_err
+              |       abs(jac_est - jac_exact) AS jac_err,
+              |       ${regimeSql("least(est_a, est_b, est_union)")} AS regime
               |FROM out ORDER BY src_a, src_b""".stripMargin)),
 
     // ── Corpus redundancy/novelty curve across gram widths ──
@@ -720,7 +751,8 @@ object Audit {
             col("na"), col("nb"), col("union_exact"),
             expr("union_exact - na").as("new_in_b_exact"),
             expr("abs(greatest(est_union - est_a, 0.0e0) - cast(union_exact - na AS double)) / union_exact")
-              .as("rel_err_vs_union"))
+              .as("rel_err_vs_union"),
+            expr(regimeSql("least(est_a, est_b, est_union)")).as("regime"))
           .orderBy("est_a")
       },
       Some(s"""WITH d2 AS (
@@ -757,7 +789,8 @@ object Audit {
               |       ea.nx AS na, eb.nx AS nb, exu.union_exact,
               |       exu.union_exact - ea.nx AS new_in_b_exact,
               |       abs(greatest(eu.est_union - pa.e, 0.0e0)
-              |           - CAST(exu.union_exact - ea.nx AS DOUBLE)) / exu.union_exact AS rel_err_vs_union
+              |           - CAST(exu.union_exact - ea.nx AS DOUBLE)) / exu.union_exact AS rel_err_vs_union,
+              |       ${regimeSql("least(pa.e, pb.e, eu.est_union)")} AS regime
               |FROM (SELECT e FROM ps WHERE sl = 'a') pa,
               |     (SELECT e FROM ps WHERE sl = 'b') pb,
               |     eu,
@@ -788,6 +821,18 @@ object Audit {
         // engines with zero float drift across iterations. Dangling mass
         // (sources that shadow nobody) redistributes uniformly, the
         // standard correction.
+        //
+        // The share BUILD has its own overflow bound (ADVICE r13): the
+        // w · ShareScale product requires every per-pair shadowed-gram
+        // count w < 2⁶³/10⁶ ≈ 9.2·10¹². A 100 TB corpus holds ~2.5·10¹³
+        // total gram occurrences, so the bound binds only in the
+        // degenerate regime where ONE source pair carries ≥ 37% of all
+        // corpus text as shadowed copies; the mitigations at that scale
+        // are a smaller ShareScale (10³ keeps shares 0.1%-grained and
+        // lifts the bound to 9.2·10¹⁵) or consolidating mirror pairs
+        // (q102/q144) before ranking. Not guarded in-plan: a silent
+        // clamp would corrupt ranks, and the documented bound is ~400×
+        // above the largest possible single-pair mass at target scale.
         //
         // 100 TB shape: the corpus is touched once (q167's matrix); the
         // iteration runs on the |sources|²-bounded edge frame with a

@@ -54,6 +54,37 @@ class AuditSpec extends AnyFunSuite {
     }
   }
 
+  test("regime column flags exactly the raw estimator's small-range band") {
+    // VERDICT r13 #6: every estimate-bearing row carries `regime`; the
+    // flag must be a pure function of the estimates already on the row.
+    SparkEntry.queries("q160_hll_distinct")(spark, dir).collect().foreach { r =>
+      val expect = if (r.getDouble(2) < Audit.HllSmallRange) "small_range" else "ok"
+      assert(r.getString(5) === expect, s"q160 ${r.getString(0)}")
+    }
+    SparkEntry.queries("q165_source_overlap_sketch")(spark, dir).collect().foreach { r =>
+      val least = Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4)).min
+      assert(r.getString(10) ===
+        (if (least < Audit.HllSmallRange) "small_range" else "ok"),
+        s"q165 ${r.getString(0)}/${r.getString(1)}")
+    }
+    val r9 = SparkEntry.queries("q169_snapshot_novelty")(spark, dir).head()
+    val l9 = Seq(r9.getDouble(0), r9.getDouble(1), r9.getDouble(2)).min
+    assert(r9.getString(9) === (if (l9 < Audit.HllSmallRange) "small_range" else "ok"))
+  }
+
+  test("hllEstimate raises the small_range flag on a genuinely tiny group") {
+    // 10 distinct values against m = 512 registers is deep inside the
+    // band — the estimator must SAY so, not just read high quietly.
+    import spark.implicits._
+    val tiny = Seq.tabulate(10)(i => ("g", s"value-$i")).toDF("grp", "v")
+    val est = Audit.hllEstimate(Audit.hllRegisters(tiny, "grp", "v")).head()
+    assert(est.getString(3) === "small_range")
+    // and the corpus gram groups sit safely outside it (the q160
+    // sizing rule: gram cardinality keeps every group ≥ 2.5·m)
+    SparkEntry.queries("q160_hll_distinct")(spark, dir).collect()
+      .foreach(r => assert(r.getString(5) === "ok", s"${r.getString(0)}"))
+  }
+
   test("q163: counts reproduce the injection moduli per source") {
     val got = SparkEntry.queries("q163_pii_audit")(spark, dir)
       .collect().map(r => r.getString(0) -> r).toMap
