@@ -152,6 +152,49 @@ object Audit {
   /** (lang, g) HllN-gram stream (q160/streaming-twin grouping). */
   def gram5(docs: DataFrame): DataFrame = gramsBy(docs, "lang")
 
+  /** q166's per-width gram-occurrence stream (doc_id, n, gh): ONE
+    * flattened per-row transform enumerates every NovWidths width — grams
+    * never materialize as strings, they travel as 60-bit md5 folds (the
+    * q148 discipline). Shared by the exact and the sketch halves of the
+    * novelty curve; each half consumes its own narrow scan (the q160
+    * sketch+verify trade — a barrier here would materialize the
+    * corpus-sized occurrence frame instead). */
+  def noveltyOcc(docs: DataFrame): DataFrame = {
+    val widths = NovWidths.mkString(", ")
+    docs
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""flatten(transform(array($widths), n ->
+           |  CASE WHEN size(w) >= n THEN
+           |    transform(sequence(0, size(w) - n),
+           |      i -> struct(cast(n AS bigint) AS n,
+           |        cast(conv(substr(md5(concat_ws(' ', slice(w, i + 1, n))), 1, 15), 16, 10) AS bigint) AS gh))
+           |  ELSE cast(array() AS array<struct<n:bigint,gh:bigint>>) END))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.n").as("n"), col("p.gh").as("gh"))
+  }
+
+  /** HLL register frame from a PRECOMPUTED 60-bit hash column (no second
+    * md5 — the occ stream's gram hashes are already uniform md5 folds):
+    * (grp, idx, r), state ≤ |groups| × m rows, same algebra as
+    * `hllRegisters`. */
+  def hllRegistersFromHash(items: DataFrame, grp: String, h: String): DataFrame =
+    items
+      .withColumn("z", expr(s"$h div $HllM"))
+      .select(col(grp).as("grp"), expr(s"$h % $HllM").as("idx"), expr(
+        s"CASE WHEN z = 0 THEN $RhoCap ELSE length(bin(z & -z)) END")
+        .cast("long").as("rho"))
+      .groupBy("grp", "idx")
+      .agg(max("rho").as("r"))
+
+  /** q166's production half (VERDICT r13 #2): per-width distinct-gram
+    * cardinality from HLL registers over the occ stream's own hashes —
+    * ONE corpus scan collapsing into |NovWidths| × m register rows, vs
+    * the exact per-width distinct whose wall grows with the gram
+    * population. Returns (grp = width, used, est, regime). */
+  def noveltySketch(docs: DataFrame): DataFrame =
+    hllEstimate(hllRegistersFromHash(noveltyOcc(docs), "n", "gh"))
+
   /** (grp, v) → per-occurrence (grp, idx, rho) rows — ρ via the
     * least-significant-set-bit trick: `z & -z` isolates the lowest set
     * bit, `length(bin(·))` reads its position (both engines print
@@ -558,33 +601,36 @@ object Audit {
         // repeats 8-grams across documents" claim, measured on this
         // corpus instead of assumed.
         //
-        // 100 TB shape: ONE scan enumerates all four widths (a flattened
-        // per-row transform — grams never materialize as strings, they
-        // travel as 60-bit md5 folds, the q148 discipline); everything
-        // after is (n, gh)-keyed aggregation with map-side partials, and
-        // the final frame is |widths| rows.
-        val widths = NovWidths.mkString(", ")
-        val occ = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-          .select(col("doc_id"), explode(expr(
-            s"""flatten(transform(array($widths), n ->
-               |  CASE WHEN size(w) >= n THEN
-               |    transform(sequence(0, size(w) - n),
-               |      i -> struct(cast(n AS bigint) AS n,
-               |        cast(conv(substr(md5(concat_ws(' ', slice(w, i + 1, n))), 1, 15), 16, 10) AS bigint) AS gh))
-               |  ELSE cast(array() AS array<struct<n:bigint,gh:bigint>>) END))"""
-              .stripMargin)).as("p"))
-          .select(col("doc_id"), col("p.n").as("n"), col("p.gh").as("gh"))
+        // 100 TB shape: ONE scan per half. The EXACT half enumerates all
+        // four widths in a flattened per-row transform (grams never
+        // materialize as strings, they travel as 60-bit md5 folds, the
+        // q148 discipline) into (n, gh)-keyed aggregation with map-side
+        // partials; it is the audit's verify pass, and the only corpus-
+        // sized shuffle here. The SKETCH half (VERDICT r13 #2) rides a
+        // second narrow scan of the SAME occ stream into |widths| × m HLL
+        // registers — reusing the occ hashes directly, no second md5 —
+        // and is what production runs alone once the curve's error band
+        // is certified: est/rel_err/regime sit beside the exact columns
+        // (the q160/q165 pattern). Final frame: |widths| rows.
+        val docs = Tables.load(s, dir, "documents")
+        val occ = noveltyOcc(docs)
+        val est = noveltySketch(docs)
+          .select(col("grp").as("n"), col("used"), col("est"), col("regime"))
         occ.groupBy("n", "gh")
           .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("nd"))
           .groupBy("n")
           .agg(sum("cnt").as("total_occ"),
             count(lit(1)).as("n_distinct"),
             sum(when(col("nd") > 1, col("cnt")).otherwise(0L)).as("crossdoc_occ"))
+          .join(est, Seq("n"))
           .select(col("n"), col("total_occ"), col("n_distinct"),
             col("crossdoc_occ"),
             expr("cast(n_distinct AS double) / total_occ").as("type_token_ratio"),
-            expr("cast(crossdoc_occ AS double) / total_occ").as("crossdoc_share"))
+            expr("cast(crossdoc_occ AS double) / total_occ").as("crossdoc_share"),
+            col("used"), col("est"),
+            expr("(est - CAST(n_distinct AS double)) / CAST(n_distinct AS double)")
+              .as("rel_err"),
+            col("regime"))
           .orderBy("n")
       },
       Some {
@@ -604,14 +650,29 @@ object Audit {
            |g1 AS (
            |  SELECT n, gh, CAST(count(*) AS BIGINT) AS cnt,
            |         CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
-           |  FROM occ GROUP BY n, gh)
-           |SELECT n, CAST(sum(cnt) AS BIGINT) AS total_occ,
-           |       CAST(count(*) AS BIGINT) AS n_distinct,
-           |       CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS BIGINT) AS crossdoc_occ,
-           |       CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS type_token_ratio,
-           |       CAST(CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS BIGINT) AS DOUBLE)
-           |         / CAST(sum(cnt) AS BIGINT) AS crossdoc_share
-           |FROM g1 GROUP BY n ORDER BY n""".stripMargin
+           |  FROM occ GROUP BY n, gh),
+           |ex AS (
+           |  SELECT n, CAST(sum(cnt) AS BIGINT) AS total_occ,
+           |         CAST(count(*) AS BIGINT) AS n_distinct,
+           |         CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS BIGINT) AS crossdoc_occ
+           |  FROM g1 GROUP BY n),
+           |hh AS (SELECT n, gh % $HllM AS idx, gh // $HllM AS z FROM occ),
+           |rr AS (
+           |  SELECT n, idx,
+           |         max(CASE WHEN z = 0 THEN $RhoCap ELSE length(bin(z & -z)) END)::BIGINT AS r
+           |  FROM hh GROUP BY n, idx),
+           |ss AS (
+           |  SELECT n, CAST(count(*) AS BIGINT) AS used,
+           |         CAST(CAST(sum(1::BIGINT << ($RhoCap - r)) AS BIGINT)
+           |              + ($HllM - count(*)) * (1::BIGINT << $RhoCap) AS BIGINT) AS s
+           |  FROM rr GROUP BY n)
+           |SELECT n, total_occ, n_distinct, crossdoc_occ,
+           |       CAST(n_distinct AS DOUBLE) / total_occ AS type_token_ratio,
+           |       CAST(crossdoc_occ AS DOUBLE) / total_occ AS crossdoc_share,
+           |       used, ${hllEstSql("s")} AS est,
+           |       (${hllEstSql("s")} - CAST(n_distinct AS DOUBLE)) / CAST(n_distinct AS DOUBLE) AS rel_err,
+           |       ${regimeSql(hllEstSql("s"))} AS regime
+           |FROM ex JOIN ss USING (n) ORDER BY n""".stripMargin
       }),
 
     // ── Cross-source shadowing matrix (strip-provenance forensics) ──

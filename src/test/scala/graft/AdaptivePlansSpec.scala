@@ -103,14 +103,19 @@ class AdaptivePlansSpec extends AnyFunSuite {
     assert(ex <= 3, s"exchange count grew: $ex")
   }
 
-  test("q166 executed under AQE: one scan, (n, gh)-keyed aggregation chain, no join at all") {
+  test("q166 executed under AQE: one scan per half, tiny est join broadcasts, no SMJ") {
+    // r14: the sketch twin adds the register-fold half (second scan,
+    // (grp, idx)-keyed) and a |widths|-row est ⋈ exact join that AQE
+    // must broadcast — never sort-merge, never a product.
     val nodes = executedNodes("q166_novelty_curve")
     val (ex, bhj, smj, cp) = counts(nodes)
-    assert(smj === 0 && cp === 0 && bhj === 0, s"a join appeared: bhj=$bhj smj=$smj cp=$cp")
-    // count-distinct expand + (n, gh) agg + per-n agg + the ordered output.
-    assert(ex <= 4, s"exchange count grew: $ex")
-    assert(nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) === 1,
-      "all four widths must ride ONE parquet scan")
+    assert(smj === 0 && cp === 0, s"degraded: smj=$smj cp=$cp")
+    assert(bhj === 1, s"the |widths|-row join must broadcast, got bhj=$bhj")
+    // exact: count-distinct expand + (n, gh) agg + per-n agg; sketch:
+    // (grp, idx) agg + per-grp agg; + the ordered output.
+    assert(ex <= 7, s"exchange count grew: $ex")
+    assert(nodes.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) === 2,
+      "all four widths must ride ONE parquet scan per half")
   }
 
   test("q170 executed tail under AQE: catalog-sized joins past the iteration barriers, no SMJ") {

@@ -1074,16 +1074,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q166 novelty curve: single scan, zero joins, (n, gh)-keyed aggregation only") {
+  test("q166 novelty curve: one scan per half, register/gram-keyed aggregation only") {
+    // r14: the sketch twin adds a second narrow scan (the q160 trade) and
+    // a |widths|-row est ⋈ exact join; everything stays keyed on
+    // (n, gh)/(doc_id)/(grp, idx) — no window, no product, no corpus
+    // join.
     assert(collectAll("q166_novelty_curve") { case w: WindowExec => w }.isEmpty)
-    assert(collectAll("q166_novelty_curve") { case b: BroadcastHashJoinExec => b }.isEmpty)
-    assert(collectAll("q166_novelty_curve") { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(collectAll("q166_novelty_curve") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
     hashShuffleKeys("q166_novelty_curve").foreach { keys =>
-      assert(keys.subsetOf(Set("n", "gh", "doc_id")),
+      assert(keys.subsetOf(Set("n", "gh", "doc_id", "grp", "idx")),
         s"unexpected shuffle key: $keys")
     }
     val scans = collectAll("q166_novelty_curve") { case f: FileSourceScanExec => f }
-    assert(scans.size === 1, s"all four widths must ride ONE scan, got ${scans.size}")
+    assert(scans.size === 2,
+      s"all four widths must ride ONE scan per half, got ${scans.size}")
   }
 
   test("q167 provenance: equi-joins only; no window; gram/doc-keyed exchanges") {

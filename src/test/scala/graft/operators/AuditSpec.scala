@@ -202,6 +202,19 @@ class AuditSpec extends AnyFunSuite {
     }
     val g8 = Dedup.gramRows(Tables.load(spark, dir, "documents")).count()
     assert(rows.last.getLong(1) === g8, "n=8 occurrences must equal the q148 gram stream")
+    // r14 sketch twin: per-width est within the m=512 band whenever the
+    // width is out of the small-range regime, rel_err self-consistent,
+    // and register state bounded at |widths| × m.
+    rows.foreach { r =>
+      val (nd, est, relErr) = (r.getLong(2), r.getDouble(7), r.getDouble(8))
+      assert(relErr === (est - nd.toDouble) / nd.toDouble, s"n=${r.getLong(0)} rel_err")
+      assert(r.getLong(6) <= Audit.HllM.toLong, s"n=${r.getLong(0)} used > m")
+      if (r.getString(9) == "ok")
+        assert(math.abs(relErr) <= 0.15, s"n=${r.getLong(0)}: rel_err $relErr")
+    }
+    val state = Audit.hllRegistersFromHash(
+      Audit.noveltyOcc(Tables.load(spark, dir, "documents")), "n", "gh").count()
+    assert(state <= Audit.NovWidths.size.toLong * Audit.HllM)
   }
 
   test("q167: provenance cells tile exactly the q148 covered occurrences") {
