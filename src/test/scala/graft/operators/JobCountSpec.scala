@@ -78,7 +78,11 @@ class JobCountSpec extends AnyFunSuite {
     "q162_matryoshka_fidelity",
     // q170 runs RankRounds barrier'd iterations over the catalog-sized
     // edge frame at construction (the connectedComponents discipline).
-    "q170_source_authority")
+    "q170_source_authority",
+    // q171/q172 build the persisted provenance store into a scratch dir
+    // at construction (the from-store discipline); q172 additionally
+    // runs the barrier'd rank iterations.
+    "q171_provenance_from_store", "q172_authority_from_store")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached
