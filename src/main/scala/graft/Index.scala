@@ -38,6 +38,10 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index build-registry <docsDir> <indexPath> [--est N]"
   *   sbt "runMain graft.Index decontam    <corpusDir> <indexPath>
   *        [--k K] [--out <dir>]"
+  *   sbt "runMain graft.Index build-provenance <docsDir> <indexPath>"
+  *   sbt "runMain graft.Index append-provenance <batchDocsDir> <indexPath>"
+  *   sbt "runMain graft.Index provenance  <indexPath> [--out <dir>]"
+  *   sbt "runMain graft.Index authority   <indexPath> [--out <dir>]"
   *
   * `build-*` pays the one-time linear corpus cost; `dedupe` runs a crawl
   * batch against the standing LSH state (per-batch cost measured flat
@@ -349,6 +353,51 @@ object Index {
         out.foreach(o => hits.write.mode("overwrite").parquet(o))
         s"""{"mode":"decontam","k":$k,"contaminated":${stats.getLong(0)},"max_shared":${stats.getLong(1)}${out.map(o => s""","out":"$o"""").getOrElse("")}}"""
 
+      case "build-provenance" :: docsDir :: path :: Nil =>
+        // q171/q172's one-time artifact: gram postings + min-doc index +
+        // source map — ONE corpus gram scan; every later provenance or
+        // authority read is store-only.
+        val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+        val n = docs.count()
+        IndexStore.saveProvenanceIndex(docs, path)
+        val np = IndexStore.loadGramPostings(spark, path).count()
+        s"""{"mode":"build-provenance","docs":$n,"postings":$np,"index":"$path"}"""
+
+      case "append-provenance" :: batchDir :: path :: Nil =>
+        val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+        val n = batch.count()
+        IndexStore.appendProvenanceBatch(batch, path)
+        val np = IndexStore.loadGramPostings(spark, path).count()
+        s"""{"mode":"append-provenance","batch":$n,"postings":$np,"index":"$path"}"""
+
+      case "provenance" :: path :: rest =>
+        // q167's standing report, corpus never touched (q171's read path):
+        // who shadows whom, straight off the persisted postings.
+        val out = rest.sliding(2).collectFirst { case List("--out", v) => v }
+        val mx = IndexStore.shadowMatrixFrom(spark, path)
+          .localCheckpoint(true) // stats + optional write read it twice
+        val stats = mx.agg(count(lit(1)).as("cells"),
+            coalesce(sum("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(max("n_grams"), lit(0L)).as("max_cell"))
+          .head()
+        out.foreach(o => mx.write.mode("overwrite").parquet(o))
+        s"""{"mode":"provenance","cells":${stats.getLong(0)},"n_grams":${stats.getLong(1)},"max_cell":${stats.getLong(2)}${out.map(o => s""","out":"$o"""").getOrElse("")}}"""
+
+      case "authority" :: path :: rest =>
+        // q172's read path: fixed-point source authority over the store's
+        // shadow edges; node set from the persisted source map.
+        val out = rest.sliding(2).collectFirst { case List("--out", v) => v }
+        val rank = operators.Audit.authority(
+            IndexStore.shadowMatrixFrom(spark, path)
+              .select(col("src_later").as("src"), col("src_first").as("dst"),
+                col("n_grams").as("w")),
+            IndexStore.loadDocSources(spark, path).select("source").distinct())
+          .localCheckpoint(true) // stats + optional write read it twice
+        val top = rank.orderBy(col("authority").desc, col("source")).head()
+        val n = rank.count()
+        out.foreach(o => rank.write.mode("overwrite").parquet(o))
+        s"""{"mode":"authority","sources":$n,"top":"${top.getString(0)}","top_rank":${top.getLong(1)}${out.map(o => s""","out":"$o"""").getOrElse("")}}"""
+
       case "components" :: path :: rest =>
         // q47/q58's workflow off the store: the edge set is the same
         // Jaccard pair scan (floor-free), then the pointer-jumping rounds.
@@ -367,7 +416,7 @@ object Index {
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|build-provenance|append-provenance|provenance|authority|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

@@ -356,4 +356,44 @@ class IndexCliSpec extends AnyFunSuite {
     val s2 = Index.run(spark, List("strip-batch", batchDir.toString, idx))
     assert(s2.contains(s""""docs_touched":$nTouched"""), s2)
   }
+
+  test("build-provenance → append → provenance/authority: the crawl-loop reports (VERDICT r13 #1)") {
+    val base = tmp("prov")
+    val standingDir = base.resolve("standing"); val batchDir = base.resolve("batch")
+    val idx = base.resolve("idx").toString
+    val docs = Tables.load(spark, sf, "documents")
+    docs.filter(col("doc_id") % 4 =!= 0)
+      .write.parquet(s"$standingDir/documents.parquet")
+    docs.filter(col("doc_id") % 4 === 0)
+      .write.parquet(s"$batchDir/documents.parquet")
+
+    val b = Index.run(spark, List("build-provenance", standingDir.toString, idx))
+    assert(b.contains(""""mode":"build-provenance""""), b)
+    val a = Index.run(spark, List("append-provenance", batchDir.toString, idx))
+    assert(a.contains(""""mode":"append-provenance""""), a)
+
+    // The standing report over the appended store == the in-query q167
+    // over the full corpus — the crawl loop's whole point: matrix cells
+    // identical, corpus text never re-read at report time.
+    val outM = base.resolve("matrix").toString
+    val p = Index.run(spark, List("provenance", idx, "--out", outM))
+    val got = spark.read.parquet(outM)
+      .collect().map(_.toSeq.toList).toSet
+    val want = SparkEntry.queries("q167_strip_provenance")(spark, sf)
+      .collect().map(_.toSeq.toList).toSet
+    assert(got === want)
+    assert(p.contains(s""""cells":${want.size}"""), p)
+
+    // authority over the same store == q170 over the full corpus.
+    val outR = base.resolve("rank").toString
+    val r = Index.run(spark, List("authority", idx, "--out", outR))
+    val gotR = spark.read.parquet(outR)
+      .collect().map(_.toSeq.toList).toSet
+    val wantR = SparkEntry.queries("q170_source_authority")(spark, sf)
+      .collect().map(_.toSeq.toList).toSet
+    assert(gotR === wantR)
+    val top = wantR.toList.sortBy(row =>
+      (-row(1).asInstanceOf[Long], row(0).asInstanceOf[String])).head
+    assert(r.contains(s""""top":"${top(0)}","top_rank":${top(1)}"""), r)
+  }
 }
