@@ -87,6 +87,24 @@ object Bench {
         (name, if (ok) sec else -1.0, ok)
       })
 
+    // ── per-round cohort subtotals (VERDICT r13 #5) ──
+    // Round-over-round comparison should be one field, not a recomputation
+    // over two artifacts: each cohort is the frozen set of queries first
+    // benched in that round (the catalog only appends, so numeric ranges
+    // identify them); the key carries the member count actually present in
+    // this run (filtered runs shrink it). A cohort with any failed member
+    // reads -1, same as the total. New rounds append one edge here.
+    val cohortEdges = Seq(
+      "r12" -> (1, 152), "r13" -> (153, 170), "r14" -> (171, 999))
+    def qnum(name: String): Int = name.drop(1).takeWhile(_.isDigit).toInt
+    def cohortsOf(rs: Seq[(String, Double, Boolean)]): String =
+      cohortEdges.map { case (tag, (lo, hi)) =>
+        val in = rs.filter { case (n, _, _) =>
+          val q = qnum(n); q >= lo && q <= hi }
+        val sub = if (in.exists(!_._3)) -1.0 else in.map(_._2).sum
+        s""""${tag}_${in.size}":$sub"""
+      }.mkString("{", ",", "}")
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
@@ -118,10 +136,10 @@ object Bench {
         if (nIsoErr > 0) -1.0 else iso.collect { case (_, v, true) => v }.sum
       val isoQs = iso.map { case (k, v, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s""","isolated":{"total":$isoTotal,"agg":"single_pass_fresh_session","failed":${nIsoErr > 0},"queries":$isoQs}"""
+      s""","isolated":{"total":$isoTotal,"agg":"single_pass_fresh_session","failed":${nIsoErr > 0},"cohorts":${cohortsOf(iso)},"queries":$isoQs}"""
     }.getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$passes","failed":${nErr > 0},"queries":$qs,"errors":$errs,"machine":$machine,"sf":"$sfDir"$isoJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$passes","failed":${nErr > 0},"cohorts":${cohortsOf(results)},"queries":$qs,"errors":$errs,"machine":$machine,"sf":"$sfDir"$isoJson}"""
     println(json)
     // ALSO land the line in a file: three rounds of captured stdout
     // artifacts arrived truncated (BENCH_r0{3,4,5}.json lost q01-q13 and
