@@ -110,6 +110,52 @@ object Vectors {
     * (Cormack et al. 2009's k = 60) — rank r contributes 1/(k + r). */
   val RrfK = 60
 
+  /** The RRF combiner shared by q161 and the from-store q173: full-outer
+    * join of a sparse and a dense (qid, rk, doc_id, …) ranking, two-term
+    * reciprocal-rank score, top-RetrK re-ranked per query. Both inputs
+    * are already bounded (≤ Q·RetrK rows), so everything here is
+    * catalog-sized. Returns (qid, frk, doc_id, rs, rd, rrf), unordered. */
+  def rrfFused(sp0: DataFrame, dn0: DataFrame): DataFrame = {
+    val sp = sp0.select(col("qid"), col("doc_id"), col("rk").as("rs"))
+    val dn = dn0.select(col("qid"), col("doc_id"), col("rk").as("rd"))
+    val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+    sp.join(dn, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"coalesce(1.0e0 / ($RrfK + rs), 0.0e0) + coalesce(1.0e0 / ($RrfK + rd), 0.0e0)"))
+      .withColumn("frk", row_number().over(w).cast("long"))
+      .filter(col("frk") <= TextOps.RetrK)
+      .select("qid", "frk", "doc_id", "rs", "rd", "rrf")
+  }
+
+  /** The fusion oracle tail, parameterized on the dense CTE chain (must
+    * end in `den(qid, doc_id, score, rk)`): q161 composes the flat dense
+    * chain, q173 the ADC-from-store chain — the SAME sparse chain and
+    * fusion arithmetic either way. */
+  private def rrfOracleWith(denseCtes: String): String =
+    s"""WITH ${TextOps.sparseRankedCtes},
+       |$denseCtes,
+       |f AS (
+       |  SELECT coalesce(s.qid, d.qid) AS qid,
+       |         coalesce(s.doc_id, d.doc_id) AS doc_id,
+       |         s.rk AS rs, d.rk AS rd
+       |  FROM spr s FULL OUTER JOIN den d
+       |    ON s.qid = d.qid AND s.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT qid, doc_id, rs, rd,
+       |         coalesce(1.0e0 / ($RrfK + rs), 0.0e0)
+       |           + coalesce(1.0e0 / ($RrfK + rd), 0.0e0) AS rrf
+       |  FROM f)
+       |SELECT qid, frk, doc_id, rs, rd, rrf FROM (
+       |  SELECT qid, doc_id, rs, rd, rrf,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS frk
+       |  FROM r)
+       |WHERE frk <= ${TextOps.RetrK}
+       |ORDER BY qid, frk""".stripMargin
+
+  /** q161's oracle: sparse chain + FLAT dense chain + fusion. Declared
+    * above `defs` (object-init order). */
+  private val rrfOracle: String = rrfOracleWith(denseRankedCtes)
+
   /** q162 matryoshka-style truncation audit: prefix dims graded against
     * the full-dim ranking (Kusupati et al. 2022 — prefix slices of an
     * embedding as cheaper search representations), and the top-k depth
@@ -122,6 +168,63 @@ object Vectors {
   val PqK = 16
   /** ADC re-rank depth: candidates scored exactly after the coded scan. */
   val PqRerank = 100
+
+  /** DuckDB twin of the PQ codebook + ADC reconstruction (`pqCodebook` +
+    * `pqAssign` + `pqDecode`): CTEs par/cbl/coded ending in
+    * `coded(vec_id, rx)`. Expects `vn` in scope (prepend `normCte`).
+    * Shared verbatim by the q132 oracle and the q173 ADC dense chain. */
+  private val pqCodedCtes: String =
+    s"""par AS (SELECT greatest(CAST(1 AS BIGINT), count(*) // $PqK) AS step FROM vn),
+       |cbl AS (
+       |  SELECT list_sort(list(struct_pack(s := s, cid := cid, cn := cn))) AS cb FROM (
+       |    SELECT s, vec_id AS cid,
+       |           en[CAST(s * sub + 1 AS INT) : CAST(s * sub + sub AS INT)] AS cn
+       |    FROM (SELECT vec_id, en, len(en) // $PqM AS sub, unnest(range(0, $PqM)) AS s
+       |          FROM vn, par WHERE vec_id % step = 0))),
+       |coded AS (
+       |  SELECT vec_id,
+       |         flatten([(list_sort([struct_pack(
+       |             d := ${dotSql("c.cn", "c.cn")}
+       |                  - 2.0e0 * list_reduce(
+       |                      [en[CAST(s * (len(en) // $PqM) + i AS INT)] * c.cn[i]
+       |                       for i in range(1, len(c.cn) + 1)], (x, y) -> x + y),
+       |             cid := c.cid, cn := c.cn)
+       |           for c in cb if c.s = s])[1]).cn
+       |          for s in range(0, $PqM)]) AS rx
+       |  FROM vn, cbl)""".stripMargin
+
+  /** DuckDB twin of `IndexStore.denseRankedFrom` at probe-all + the
+    * default re-rank depth (autoRerank = PqRerank at every catalog SF —
+    * corpus/2000 < 100 there): ADC approx scan with the SAME fixed-point
+    * floor(1e9·dot) as the Spark side, top-PqRerank per query by
+    * (ascore DESC, doc_id), exact re-rank of those candidates. Ends in
+    * `den(qid, doc_id, score, rk)` — the same interface as
+    * `denseRankedCtes`, so the fusion tail composes either. */
+  private val adcDenseCtes: String =
+    s"""$normCte,
+       |$pqCodedCtes,
+       |qv AS (SELECT vec_id AS qid, en AS qn FROM vn WHERE vec_id < ${TextOps.RetrQ}),
+       |adc AS (
+       |  SELECT qid, vec_id AS doc_id,
+       |         CAST(floor(1.0e9 * ${dotSql("rx", "qn")}) AS BIGINT) AS ascore
+       |  FROM coded, qv WHERE vec_id >= ${TextOps.RetrQ}),
+       |acand AS (
+       |  SELECT qid, doc_id FROM (
+       |    SELECT qid, doc_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY ascore DESC, doc_id) AS ar
+       |    FROM adc) WHERE ar <= $PqRerank),
+       |den AS (
+       |  SELECT qid, doc_id, score, rk FROM (
+       |    SELECT e.qid, e.doc_id, e.score,
+       |           CAST(row_number() OVER (PARTITION BY e.qid ORDER BY e.score DESC, e.doc_id) AS BIGINT) AS rk
+       |    FROM (SELECT a.qid, a.doc_id,
+       |                 CAST(floor(1.0e9 * ${dotSql("x.en", "q.qn")}) AS BIGINT) AS score
+       |          FROM acand a JOIN vn x ON x.vec_id = a.doc_id
+       |                       JOIN qv q ON q.qid = a.qid) e)
+       |  WHERE rk <= ${TextOps.RetrK})""".stripMargin
+
+  /** q173's oracle: sparse chain + ADC-from-store dense chain + fusion. */
+  private val rrfStoreOracle: String = rrfOracleWith(adcDenseCtes)
 
   // ── SRP-LSH (q33) parameters (single source of truth: functions.SrpKeys,
   // whose codegen'd loop must agree with these) ──
@@ -608,24 +711,7 @@ object Vectors {
           .orderBy(col("sim").desc, col("vec_id")).limit(5)
       },
       Some(s"""WITH $normCte,
-              |par AS (SELECT greatest(CAST(1 AS BIGINT), count(*) // $PqK) AS step FROM vn),
-              |cbl AS (
-              |  SELECT list_sort(list(struct_pack(s := s, cid := cid, cn := cn))) AS cb FROM (
-              |    SELECT s, vec_id AS cid,
-              |           en[CAST(s * sub + 1 AS INT) : CAST(s * sub + sub AS INT)] AS cn
-              |    FROM (SELECT vec_id, en, len(en) // $PqM AS sub, unnest(range(0, $PqM)) AS s
-              |          FROM vn, par WHERE vec_id % step = 0))),
-              |coded AS (
-              |  SELECT vec_id,
-              |         flatten([(list_sort([struct_pack(
-              |             d := ${dotSql("c.cn", "c.cn")}
-              |                  - 2.0e0 * list_reduce(
-              |                      [en[CAST(s * (len(en) // $PqM) + i AS INT)] * c.cn[i]
-              |                       for i in range(1, len(c.cn) + 1)], (x, y) -> x + y),
-              |             cid := c.cid, cn := c.cn)
-              |           for c in cb if c.s = s])[1]).cn
-              |          for s in range(0, $PqM)]) AS rx
-              |  FROM vn, cbl),
+              |$pqCodedCtes,
               |qd AS (SELECT en AS qn FROM vn WHERE vec_id = 0),
               |cand AS (
               |  SELECT vec_id, ${dotSql("rx", "qn")} AS asim
@@ -913,24 +999,7 @@ object Vectors {
         IndexStore.searchPq(emb, scratch, queryVecId = 0L, k = 5)
       },
       Some(s"""WITH $normCte,
-              |par AS (SELECT greatest(CAST(1 AS BIGINT), count(*) // $PqK) AS step FROM vn),
-              |cbl AS (
-              |  SELECT list_sort(list(struct_pack(s := s, cid := cid, cn := cn))) AS cb FROM (
-              |    SELECT s, vec_id AS cid,
-              |           en[CAST(s * sub + 1 AS INT) : CAST(s * sub + sub AS INT)] AS cn
-              |    FROM (SELECT vec_id, en, len(en) // $PqM AS sub, unnest(range(0, $PqM)) AS s
-              |          FROM vn, par WHERE vec_id % step = 0))),
-              |coded AS (
-              |  SELECT vec_id,
-              |         flatten([(list_sort([struct_pack(
-              |             d := ${dotSql("c.cn", "c.cn")}
-              |                  - 2.0e0 * list_reduce(
-              |                      [en[CAST(s * (len(en) // $PqM) + i AS INT)] * c.cn[i]
-              |                       for i in range(1, len(c.cn) + 1)], (x, y) -> x + y),
-              |             cid := c.cid, cn := c.cn)
-              |           for c in cb if c.s = s])[1]).cn
-              |          for s in range(0, $PqM)]) AS rx
-              |  FROM vn, cbl),
+              |$pqCodedCtes,
               |qd AS (SELECT en AS qn FROM vn WHERE vec_id = 0),
               |cand AS (
               |  SELECT vec_id, ${dotSql("rx", "qn")} AS asim
@@ -987,24 +1056,7 @@ object Vectors {
           probeCoarse = 1000000)
       },
       Some(s"""WITH $normCte,
-              |par AS (SELECT greatest(CAST(1 AS BIGINT), count(*) // $PqK) AS step FROM vn),
-              |cbl AS (
-              |  SELECT list_sort(list(struct_pack(s := s, cid := cid, cn := cn))) AS cb FROM (
-              |    SELECT s, vec_id AS cid,
-              |           en[CAST(s * sub + 1 AS INT) : CAST(s * sub + sub AS INT)] AS cn
-              |    FROM (SELECT vec_id, en, len(en) // $PqM AS sub, unnest(range(0, $PqM)) AS s
-              |          FROM vn, par WHERE vec_id % step = 0))),
-              |coded AS (
-              |  SELECT vec_id,
-              |         flatten([(list_sort([struct_pack(
-              |             d := ${dotSql("c.cn", "c.cn")}
-              |                  - 2.0e0 * list_reduce(
-              |                      [en[CAST(s * (len(en) // $PqM) + i AS INT)] * c.cn[i]
-              |                       for i in range(1, len(c.cn) + 1)], (x, y) -> x + y),
-              |             cid := c.cid, cn := c.cn)
-              |           for c in cb if c.s = s])[1]).cn
-              |          for s in range(0, $PqM)]) AS rx
-              |  FROM vn, cbl),
+              |$pqCodedCtes,
               |qd AS (SELECT en AS qn FROM vn WHERE vec_id = 0),
               |cand AS (
               |  SELECT vec_id, ${dotSql("rx", "qn")} AS asim
@@ -1121,38 +1173,36 @@ object Vectors {
         // ≤ 2·RetrK candidates per query. The corpus is touched exactly
         // twice: once by the sparse postings pipeline, once by the dense
         // scan; everything downstream is catalog-sized.
-        val sp = TextOps.sparseRanked(s, dir)
-          .select(col("qid"), col("doc_id"), col("rk").as("rs"))
-        val dn = denseRanked(s, dir)
-          .select(col("qid"), col("doc_id"), col("rk").as("rd"))
-        val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
-        sp.join(dn, Seq("qid", "doc_id"), "full_outer")
-          .withColumn("rrf", expr(
-            s"coalesce(1.0e0 / ($RrfK + rs), 0.0e0) + coalesce(1.0e0 / ($RrfK + rd), 0.0e0)"))
-          .withColumn("frk", row_number().over(w).cast("long"))
-          .filter(col("frk") <= TextOps.RetrK)
-          .select("qid", "frk", "doc_id", "rs", "rd", "rrf")
+        rrfFused(TextOps.sparseRanked(s, dir), denseRanked(s, dir))
           .orderBy("qid", "frk")
       },
-      Some(s"""WITH ${TextOps.sparseRankedCtes},
-              |$denseRankedCtes,
-              |f AS (
-              |  SELECT coalesce(s.qid, d.qid) AS qid,
-              |         coalesce(s.doc_id, d.doc_id) AS doc_id,
-              |         s.rk AS rs, d.rk AS rd
-              |  FROM spr s FULL OUTER JOIN den d
-              |    ON s.qid = d.qid AND s.doc_id = d.doc_id),
-              |r AS (
-              |  SELECT qid, doc_id, rs, rd,
-              |         coalesce(1.0e0 / ($RrfK + rs), 0.0e0)
-              |           + coalesce(1.0e0 / ($RrfK + rd), 0.0e0) AS rrf
-              |  FROM f)
-              |SELECT qid, frk, doc_id, rs, rd, rrf FROM (
-              |  SELECT qid, doc_id, rs, rd, rrf,
-              |         CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS frk
-              |  FROM r)
-              |WHERE frk <= ${TextOps.RetrK}
-              |ORDER BY qid, frk""".stripMargin)),
+      Some(rrfOracle)),
+
+    // ── Hybrid fusion served from the persisted ANN store ──
+    QueryDef(
+      "q173_fusion_from_store",
+      (s, dir) => {
+        // q161's production form (VERDICT r13 #4): the dense leg reads
+        // the persisted IVFPQ store — coarse routing + codebook + probed
+        // code partitions — instead of flat-scanning the vector table.
+        // Graded at the PRODUCTION re-rank depth against a DuckDB twin of
+        // the ADC path itself (the q132 discipline: the oracle re-derives
+        // codebook, codes, fixed-point approx scores, the top-PqRerank
+        // cut, and the exact re-rank from raw vectors — so a hash match
+        // on the fused list proves the store round trip AND the bounded
+        // candidate selection, not just a lucky top-k). The exact
+        // equivalence the depth converges to — probe-all + rerank ≥
+        // corpus ⇒ fused list ≡ q161 bit-for-bit — is VectorsPqSpec's
+        // pin, as is the recall-vs-read trade at small probeCoarse.
+        val emb = withNormalized(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("en"))
+        val scratch = graft.Scratch.dir("q173-store")
+        IndexStore.saveIvfPqIndex(emb, scratch)
+        rrfFused(TextOps.sparseRanked(s, dir),
+            IndexStore.denseRankedFrom(emb, scratch, probeCoarse = 1000000))
+          .orderBy("qid", "frk")
+      },
+      Some(rrfStoreOracle)),
 
     // ── Matryoshka truncation audit: prefix-dim top-k fidelity ──
     QueryDef(
@@ -1352,7 +1402,7 @@ object Vectors {
   /** The codebook re-shaped for decode: a 1-row frame `cbn` of per-subspace
     * cn lists (cid-sorted — the positions `pqAssign` emits index into
     * exactly this order). Derived ONCE per plan from the flat `cb`. */
-  private def pqNested(cb: DataFrame): DataFrame =
+  private[operators] def pqNested(cb: DataFrame): DataFrame =
     cb.select(expr(
       s"""transform(sequence(0, ${PqM - 1}), s ->
          |  transform(filter(cb, c -> c.s = s), c -> c.cn))""".stripMargin).as("cbn"))

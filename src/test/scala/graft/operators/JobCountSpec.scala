@@ -82,7 +82,10 @@ class JobCountSpec extends AnyFunSuite {
     // q171/q172 build the persisted provenance store into a scratch dir
     // at construction (the from-store discipline); q172 additionally
     // runs the barrier'd rank iterations.
-    "q171_provenance_from_store", "q172_authority_from_store")
+    "q171_provenance_from_store", "q172_authority_from_store",
+    // q173 builds the persisted IVFPQ store at construction; its search
+    // also sizes autoRerank from the store's code count.
+    "q173_fusion_from_store")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached

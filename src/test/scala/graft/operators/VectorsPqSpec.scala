@@ -59,4 +59,62 @@ class VectorsPqSpec extends AnyFunSuite {
     // On this clustered fixture refinement should actually bite, not tie.
     assert(m1 < m0 * 0.9, s"refinement did not improve: $m0 -> $m1")
   }
+
+  test("fusion from the ANN store at probe-all + deep rerank == q161 bit-for-bit (VERDICT r13 #4)") {
+    import org.apache.spark.sql.functions._
+    // The exact limit of the ADC approximation: with every cell probed
+    // AND the re-rank covering the whole corpus, denseRankedFrom's final
+    // scores are the same floor(1e9·cos) bigints as denseRanked's, so
+    // the fused ranking must equal q161 on every cell. (q173's GRADED
+    // form runs the production depth against the ADC oracle twin — this
+    // pin is the convergence argument that makes that depth a recall
+    // knob rather than a semantic change.)
+    val sf = "/root/testdata/sf0.001"
+    val emb = Vectors.withNormalized(graft.Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("en"))
+    val scratch = graft.Scratch.dir("pqspec-fuse")
+    IndexStore.saveIvfPqIndex(emb, scratch)
+    val got = Vectors.rrfFused(TextOps.sparseRanked(spark, sf),
+        IndexStore.denseRankedFrom(emb, scratch, probeCoarse = 1000000,
+          rerank = 1000000))
+      .orderBy("qid", "frk").collect().map(_.toSeq.toList).toList
+    val want = SparkEntry.queries("q161_rrf_fusion")(spark, sf)
+      .collect().map(_.toSeq.toList).toList
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("denseRankedFrom at small probeCoarse: bounded output, candidates only from probed cells") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val emb = Vectors.withNormalized(graft.Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("en"))
+    val scratch = graft.Scratch.dir("pqspec-probe")
+    IndexStore.saveIvfPqIndex(emb, scratch)
+    val dn = IndexStore.denseRankedFrom(emb, scratch, probeCoarse = 1)
+    val rows = dn.collect()
+    // Still ≤ RetrK per query, ranks contiguous from 1.
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val rks = rs.map(_.getLong(1)).sorted.toList
+      assert(rks === (1L to rks.size).toList, s"qid $q ranks: $rks")
+      assert(rks.size <= TextOps.RetrK)
+    }
+    // Every hit's vector lives in SOME probed cell: with probeCoarse = 1
+    // each query reads exactly one ccid partition, so hits ⊆ that cell.
+    val cells = spark.read.parquet(s"$scratch/ivfpq/codes")
+      .select(col("vec_id"), col("ccid").cast("long").as("ccid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val coarse = spark.read.parquet(s"$scratch/ivfpq/coarse")
+    val qCell = emb.filter(col("vec_id") < TextOps.RetrQ)
+      .crossJoin(broadcast(coarse))
+      .select(col("vec_id"), expr(
+        """array_min(transform(cc, c ->
+          |  struct(-graft_dot(en, c.cn) AS d, c.ccid AS ccid))).ccid""".stripMargin).as("ccid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(cells(r.getLong(2)) === qCell(r.getLong(0)),
+        s"qid ${r.getLong(0)} hit ${r.getLong(2)} outside its probed cell")
+    }
+  }
 }
