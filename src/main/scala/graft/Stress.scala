@@ -162,6 +162,10 @@ object Stress {
         ivfSearch(spark, args(1), args(2).toInt)
       case Some("pq") =>
         pqSearch(spark, args(1), args(2).toInt)
+      case Some("provenance") =>
+        provenanceStress(spark, args(1), args(2).toInt)
+      case Some("fusion") =>
+        fusionStress(spark, args(1), args(2).toInt)
       case other =>
         sys.error(s"usage: cc <edges> <vertices> [reliable] | annknn <sfDir> <mult> (got $other)")
     }
@@ -1174,6 +1178,143 @@ object Stress {
         (System.nanoTime() - t0) / 1e9
       }.min
       println(f"""{"mode":"annknn","corpus":"$tag","n":$n,"pairs":$pairs,"pairs_per_vec":$perVec%.1f,"xpairs_per_vec":$xPerVec%.1f,"max_per_vec":${stats.getLong(2)},"q59_sec_min3":$q59sec%.1f}""")
+    }
+  }
+
+  /** Decade walls for the r13 audit heavies (VERDICT r13 #3) under
+    * natural vocabulary growth (growDocs): q166's exact four-width curve
+    * vs its sketch production half (the wall ratio that justifies running
+    * the sketch alone past certification), q167's in-query matrix vs the
+    * provenance-store build/read split (q171's crawl-loop economics: the
+    * build is the one corpus gram scan, the read is catalog-sized), and
+    * the q170/q172 authority iteration — wall, node count, edge-frame
+    * size (the |sources|² bound) — plus a SKEWED twin where one source
+    * absorbs half the corpus, so the bound is certified off the
+    * near-uniform test distribution, not by it. Exact heavies run
+    * min-of-1 above base (the crossdoc rule). */
+  def provenanceStress(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    import operators.{Audit, IndexStore}
+    val bigDir = scratch("prov", sfDir, mult)
+    growDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      def load() = spark.read.parquet(s"$dir/documents.parquet")
+      val n = load().count()
+      val passes = if (tag == "base") 3 else 1
+      def minN(mk: () => org.apache.spark.sql.DataFrame): Double =
+        (1 to passes).map { _ =>
+          val t = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t) / 1e9
+        }.min
+      val curveExactSec = minN(() => Audit.noveltyOcc(load())
+        .groupBy("n", "gh")
+        .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("nd"))
+        .groupBy("n")
+        .agg(sum("cnt").as("total_occ"), count(lit(1)).as("n_distinct"),
+          sum(when(col("nd") > 1, col("cnt")).otherwise(0L)).as("crossdoc_occ")))
+      val curveSketchSec = minN(() => Audit.noveltySketch(load()))
+      val matrixSec = minN(() => Audit.shadowMatrix(load()))
+      val idx = scratch("prov-idx", sfDir, mult, tag)
+      val tB = System.nanoTime()
+      IndexStore.saveProvenanceIndex(load(), idx)
+      val buildSec = (System.nanoTime() - tB) / 1e9
+      val storeSec = minN(() => IndexStore.shadowMatrixFrom(spark, idx))
+      // Authority runs its barrier'd rounds at plan construction — time
+      // construction + materialize as one wall (what a caller pays).
+      def rankWall(edges: org.apache.spark.sql.DataFrame,
+          nodes: org.apache.spark.sql.DataFrame): Double = {
+        val t = System.nanoTime()
+        Audit.authority(edges, nodes).queryExecution.toRdd.count()
+        (System.nanoTime() - t) / 1e9
+      }
+      val edges = IndexStore.shadowMatrixFrom(spark, idx)
+        .select(col("src_later").as("src"), col("src_first").as("dst"),
+          col("n_grams").as("w"))
+        .localCheckpoint(true)
+      val nEdges = edges.count()
+      val nodes = IndexStore.loadDocSources(spark, idx)
+        .select("source").distinct().localCheckpoint(true)
+      val nSrc = nodes.count()
+      val authSec = rankWall(edges, nodes)
+      // Skew twin: source 'mega' owns every even doc (half the corpus),
+      // 64 slim sources share the rest — same gram structure, maximally
+      // lopsided edge weights. Edge count stays ≤ |sources|² = 65².
+      val skew = load().withColumn("source",
+        when(col("doc_id") % 2 === 0, lit("mega"))
+          .otherwise(concat(lit("s"), (col("doc_id") % 64).cast("string"))))
+        .localCheckpoint(true)
+      val edgesSk = Audit.shadowMatrix(skew)
+        .select(col("src_later").as("src"), col("src_first").as("dst"),
+          col("n_grams").as("w"))
+        .localCheckpoint(true)
+      val nEdgesSk = edgesSk.count()
+      val authSkSec = rankWall(edgesSk, skew.select("source").distinct())
+      println(f"""{"mode":"provenance","corpus":"$tag","docs":$n,"curve_exact_sec_min$passes":$curveExactSec%.2f,"curve_sketch_sec_min$passes":$curveSketchSec%.2f,"matrix_sec_min$passes":$matrixSec%.2f,"index_build_sec":$buildSec%.1f,"matrix_store_sec_min$passes":$storeSec%.2f,"sources":$nSrc,"edges":$nEdges,"rounds":${Audit.RankRounds},"authority_sec":$authSec%.2f,"skew_sources":65,"skew_edges":$nEdgesSk,"skew_authority_sec":$authSkSec%.2f}""")
+    }
+  }
+
+  /** q173's decade certificate (VERDICT r13 #4): documents and embeddings
+    * inflated TOGETHER (growDocs / jittered inflate), the IVFPQ store
+    * built on the big corpus, then the from-store fused pipeline measured
+    * end-to-end and the dense-from-store leg audited for mean
+    * recall@RetrK against the exact flat ranking on the SAME corpus — the
+    * re-rank-depth-at-scale rule (CLAUDE.md): any top-k-then-refine
+    * operator gets its recall re-measured at ≥10× its calibration scale,
+    * where duplicate clusters widen the approx-score ties. */
+  def fusionStress(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    import operators.{IndexStore, TextOps, Vectors}
+    val bigDir = scratch("fusion", sfDir, mult)
+    // Past the 100× decade the question is the DENSE leg (the r13
+    // re-rank-depth audit regime: 1000×-wide duplicate clusters) — the
+    // sparse pipeline's own decades are q110/crossdoc's table; skip the
+    // 5M-doc sparse wall rather than measure it redundantly (the
+    // crossdoc big-corpus rule).
+    val big = mult > 100
+    if (!big) growDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    inflate(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/embeddings.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val emb = Vectors.withNormalized(Tables.embeddings(spark, dir))
+        .select(col("vec_id"), col("en"))
+      val n = emb.count()
+      val idx = scratch("fusion-idx", sfDir, mult, tag)
+      val tB = System.nanoTime()
+      IndexStore.saveIvfPqIndex(emb, idx)
+      val buildSec = (System.nanoTime() - tB) / 1e9
+      def min3(mk: () => org.apache.spark.sql.DataFrame): Double =
+        (1 to 3).map { _ =>
+          val t = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t) / 1e9
+        }.min
+      val denseProbedSec = min3(() =>
+        IndexStore.denseRankedFrom(emb, idx, probeCoarse = 3))
+      val denseAllSec = min3(() =>
+        IndexStore.denseRankedFrom(emb, idx, probeCoarse = 1000000))
+      val fusedSec =
+        if (big && tag != "base") -1.0
+        else min3(() =>
+          Vectors.rrfFused(TextOps.sparseRanked(spark, dir),
+            IndexStore.denseRankedFrom(emb, idx, probeCoarse = 3)))
+      def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.collect().groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val exact = hits(Vectors.denseRanked(spark, dir))
+      def recall(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = hits(df)
+        exact.map { case (q, ex) =>
+          (got.getOrElse(q, Set.empty) intersect ex).size.toDouble / ex.size
+        }.sum / exact.size
+      }
+      val recallAll = recall(
+        IndexStore.denseRankedFrom(emb, idx, probeCoarse = 1000000))
+      val recallProbed = recall(
+        IndexStore.denseRankedFrom(emb, idx, probeCoarse = 3))
+      val cells = spark.read.parquet(s"$idx/ivfpq/codes")
+        .select(col("ccid")).distinct().count()
+      println(f"""{"mode":"fusion","corpus":"$tag","n":$n,"cells":$cells,"build_sec":$buildSec%.1f,"dense_probed_sec_min3":$denseProbedSec%.2f,"dense_all_sec_min3":$denseAllSec%.2f,"fused_probed_sec_min3":$fusedSec%.2f,"recall_all":$recallAll%.2f,"recall_probed3":$recallProbed%.2f}""")
     }
   }
 }
