@@ -38,6 +38,7 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index build-registry <docsDir> <indexPath> [--est N]"
   *   sbt "runMain graft.Index decontam    <corpusDir> <indexPath>
   *        [--k K] [--out <dir>]"
+  *   sbt "runMain graft.Index compact-grams <indexPath>"
   *   sbt "runMain graft.Index build-provenance <docsDir> <indexPath>"
   *   sbt "runMain graft.Index append-provenance <batchDocsDir> <indexPath>"
   *   sbt "runMain graft.Index provenance  <indexPath> [--out <dir>]"
@@ -370,6 +371,17 @@ object Index {
         val np = IndexStore.loadGramPostings(spark, path).count()
         s"""{"mode":"append-provenance","batch":$n,"postings":$np,"index":"$path"}"""
 
+      case "compact-grams" :: path :: Nil =>
+        // The crawl loop's third verb: after N appends the gram index
+        // holds up to N duplicate rows per re-seen gram and N files per
+        // touched partition; compaction min-combines and rewrites once
+        // (swap-in rename — readers racing it see a complete table).
+        // Covers the provenance extension's postings/sources when present.
+        val before = IndexStore.loadGramIndex(spark, path).count()
+        IndexStore.compactGramIndex(spark, path)
+        val after = IndexStore.loadGramIndex(spark, path).count()
+        s"""{"mode":"compact-grams","rows_before":$before,"rows_after":$after,"index":"$path"}"""
+
       case "provenance" :: path :: rest =>
         // q167's standing report, corpus never touched (q171's read path):
         // who shadows whom, straight off the persisted postings.
@@ -416,7 +428,7 @@ object Index {
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|build-provenance|append-provenance|provenance|authority|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|compact-grams|build-provenance|append-provenance|provenance|authority|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

@@ -267,6 +267,55 @@ object IndexStore {
       .write.mode("append").parquet(s"$path/docs/sources")
   }
 
+  /** Compact the gram index — and, when present, the provenance
+    * extension's postings and source map — after a run of appends (the
+    * crawl loop's third verb). Appends keep the store CORRECT without
+    * rewrites (duplicate gh index rows min-combine on read, posting rows
+    * are disjoint per (gh, doc)), but each append adds one file per
+    * touched pfx partition and one duplicate index row per re-seen gram,
+    * so a long crawl's read amplification grows with BATCH COUNT.
+    * Compaction rewrites each table once: index rows min-combined to one
+    * row per gh, partitions re-sorted (restoring the row-group stats that
+    * make point reads cheap), one writer task per pfx. The rewrite goes
+    * to a sibling `<table>.compact` directory and is SWAPPED in by two
+    * renames — the store is never read-and-overwritten in one plan, no
+    * corpus-sized frame is ever held on the driver, and a reader racing
+    * the swap sees a complete table either way. Readers are unchanged:
+    * the rewrite is exactly the read path's merge, materialized. */
+  def compactGramIndex(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swap(sub: String, compacted: => DataFrame, sortCols: Seq[String],
+        byPfx: Boolean = true, parts: Int = 8): Unit = {
+      val cur = new Path(s"$path/$sub")
+      val fs = cur.getFileSystem(conf)
+      if (!fs.exists(cur)) return
+      val tmp = new Path(s"$path/$sub.compact")
+      val old = new Path(s"$path/$sub.old")
+      fs.delete(tmp, true); fs.delete(old, true)
+      val w0 =
+        if (byPfx) compacted.repartition(col("pfx"))
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .write.partitionBy("pfx")
+        else compacted.repartition(parts).write
+      w0.mode("overwrite").parquet(tmp.toString)
+      require(fs.rename(cur, old) && fs.rename(tmp, cur),
+        s"compaction swap failed for $sub")
+      fs.delete(old, true)
+    }
+    swap("grams/index",
+      loadGramIndex(spark, path)
+        .groupBy("gh").agg(min("first_doc").as("first_doc"))
+        .withColumn("pfx", gramPfx),
+      Seq("gh"))
+    swap("grams/postings",
+      loadGramPostings(spark, path).select("gh", "doc_id", "cnt", "pfx"),
+      Seq("gh", "doc_id"))
+    swap("docs/sources",
+      loadDocSources(spark, path).select("doc_id", "source"),
+      Nil, byPfx = false)
+  }
+
   /** (gh, doc_id, cnt, pfx) — pfx comes back as the partition column. */
   def loadGramPostings(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/grams/postings")

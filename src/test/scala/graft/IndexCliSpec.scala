@@ -384,6 +384,16 @@ class IndexCliSpec extends AnyFunSuite {
     assert(got === want)
     assert(p.contains(s""""cells":${want.size}"""), p)
 
+    // compact-grams between the append and the reads: the report must be
+    // unchanged and the duplicate index rows gone.
+    val c = Index.run(spark, List("compact-grams", idx))
+    assert(c.contains(""""mode":"compact-grams""""), c)
+    val cj = """"rows_before":(\d+),"rows_after":(\d+)""".r
+      .findFirstMatchIn(c).get
+    assert(cj.group(2).toLong <= cj.group(1).toLong, c)
+    assert(IndexStore.shadowMatrixFrom(spark, idx)
+      .collect().map(_.toSeq.toList).toSet === want)
+
     // authority over the same store == q170 over the full corpus.
     val outR = base.resolve("rank").toString
     val r = Index.run(spark, List("authority", idx, "--out", outR))

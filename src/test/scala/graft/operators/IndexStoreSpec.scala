@@ -570,6 +570,41 @@ class IndexStoreSpec extends AnyFunSuite {
       === cells(Audit.shadowMatrix(docs)))
   }
 
+  test("compactGramIndex: reports unchanged bit-for-bit, duplicate index rows gone, fewer files") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("prov-compact")
+    // Standing build + three appends: re-seen grams now hold up to four
+    // (gh, first_doc) rows and each touched pfx partition up to four files.
+    IndexStore.saveProvenanceIndex(docs.filter(col("doc_id") % 4 === 1), path)
+    (2 to 4).foreach { r =>
+      IndexStore.appendProvenanceBatch(
+        docs.filter(col("doc_id") % 4 === r % 4), path)
+    }
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("src_later", "src_first").collect()
+        .map(_.toSeq.toList).toList
+    def files(sub: String): Long =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/$sub"))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+    val matrixBefore = cells(IndexStore.shadowMatrixFrom(spark, path))
+    val rowsBefore = IndexStore.loadGramIndex(spark, path).count()
+    val distinctGh = IndexStore.loadGramIndex(spark, path)
+      .select("gh").distinct().count()
+    val filesBefore = files("grams/index")
+    assert(rowsBefore > distinctGh, "fixture must contain duplicate gh rows")
+
+    IndexStore.compactGramIndex(spark, path)
+
+    assert(cells(IndexStore.shadowMatrixFrom(spark, path)) === matrixBefore)
+    assert(IndexStore.loadGramIndex(spark, path).count() === distinctGh)
+    assert(files("grams/index") < filesBefore)
+    // The q151 strip contract is still served off the compacted store.
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    assert(IndexStore.crossdocStripBatch(batch,
+      IndexStore.loadGramIndex(spark, path)).count() === batch.count())
+  }
+
   test("from-store authority == in-query q170 bit-for-bit") {
     val got = graft.SparkEntry.queries("q172_authority_from_store")(spark, sf)
       .collect().map(_.toSeq.toList).toList
