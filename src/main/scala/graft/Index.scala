@@ -39,6 +39,9 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index decontam    <corpusDir> <indexPath>
   *        [--k K] [--out <dir>]"
   *   sbt "runMain graft.Index compact-grams <indexPath>"
+  *   sbt "runMain graft.Index build-ivfpq <embDir> <indexPath>"
+  *   sbt "runMain graft.Index fused-search <docsDir> <embDir> <indexPath>
+  *        [--probe N]"
   *   sbt "runMain graft.Index build-provenance <docsDir> <indexPath>"
   *   sbt "runMain graft.Index append-provenance <batchDocsDir> <indexPath>"
   *   sbt "runMain graft.Index provenance  <indexPath> [--out <dir>]"
@@ -371,6 +374,37 @@ object Index {
         val np = IndexStore.loadGramPostings(spark, path).count()
         s"""{"mode":"append-provenance","batch":$n,"postings":$np,"index":"$path"}"""
 
+      case "build-ivfpq" :: embDir :: path :: Nil =>
+        // The IVFADC layout (coarse routing over position codes) as a
+        // standing artifact: q132/q173's build step, paid once.
+        val emb = loadEmb(spark, embDir)
+        val n = emb.count()
+        IndexStore.saveIvfPqIndex(emb, path)
+        val cells = spark.read.parquet(s"$path/ivfpq/codes")
+          .select(col("ccid")).distinct().count()
+        s"""{"mode":"build-ivfpq","vectors":$n,"cells":$cells,"index":"$path"}"""
+
+      case "fused-search" :: docsDir :: embDir :: path :: rest =>
+        // q173's read path as a CLI: hybrid retrieval for every query id,
+        // sparse postings from <docsDir>, dense leg ADC-served from the
+        // persisted IVFPQ store at <path> (probed cells only), RRF-fused.
+        val probe = rest.sliding(2)
+          .collectFirst { case List("--probe", v) => v.toInt }.getOrElse(3)
+        val fused = operators.Vectors.rrfFused(
+            operators.TextOps.sparseRanked(spark, docsDir),
+            IndexStore.denseRankedFrom(loadEmb(spark, embDir), path,
+              probeCoarse = probe))
+          .orderBy("qid", "frk")
+          .collect() // bounded: ≤ RetrQ · RetrK rows by construction
+        val byQ = fused.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+          case (qid, rows) =>
+            val hits = rows.sortBy(_.getLong(1)).map { r =>
+              s"""{"frk":${r.getLong(1)},"doc_id":${r.getLong(2)},"rrf":${r.getDouble(5)}}"""
+            }.mkString(",")
+            s"""{"qid":$qid,"hits":[$hits]}"""
+        }.mkString(",")
+        s"""{"mode":"fused-search","probe":$probe,"queries":[$byQ]}"""
+
       case "compact-grams" :: path :: Nil =>
         // The crawl loop's third verb: after N appends the gram index
         // holds up to N duplicate rows per re-seen gram and N files per
@@ -428,7 +462,7 @@ object Index {
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|compact-grams|build-provenance|append-provenance|provenance|authority|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|compact-grams|build-ivfpq|fused-search|build-provenance|append-provenance|provenance|authority|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

@@ -357,6 +357,26 @@ class IndexCliSpec extends AnyFunSuite {
     assert(s2.contains(s""""docs_touched":$nTouched"""), s2)
   }
 
+  test("build-ivfpq → fused-search: hybrid retrieval off the standing ANN store == q173") {
+    val base = tmp("fused")
+    val idx = base.resolve("idx").toString
+    val b = Index.run(spark, List("build-ivfpq", sf, idx))
+    assert(b.contains(""""mode":"build-ivfpq""""), b)
+    val out = Index.run(spark,
+      List("fused-search", sf, sf, idx, "--probe", "1000000"))
+    // Deterministic build over the same corpus ⇒ at probe-all + the
+    // default depth the CLI's fused lists equal q173's rows exactly.
+    val want = SparkEntry.queries("q173_fusion_from_store")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    val expect = want.groupBy(_._1).toSeq.sortBy(_._1).map { case (qid, rows) =>
+      val hits = rows.sortBy(_._2).map { case (_, frk, doc, rrf) =>
+        s"""{"frk":$frk,"doc_id":$doc,"rrf":$rrf}"""
+      }.mkString(",")
+      s"""{"qid":$qid,"hits":[$hits]}"""
+    }.mkString(",")
+    assert(out.contains(s""""queries":[$expect]"""), s"got $out\nwant $expect")
+  }
+
   test("build-provenance → append → provenance/authority: the crawl-loop reports (VERDICT r13 #1)") {
     val base = tmp("prov")
     val standingDir = base.resolve("standing"); val batchDir = base.resolve("batch")
