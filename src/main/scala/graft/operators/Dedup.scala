@@ -192,15 +192,19 @@ object Dedup {
   /** (doc_id, i, gh) gram-occurrence rows — 0-based start positions, 60-bit
     * md5-fold hashes; narrow, zero shuffle. Shared by q148, the persisted
     * gram index (IndexStore.saveGramIndex / q151), and Stress crossdoc. */
-  private[graft] def gramRows(docs: DataFrame, n: Int = CrossN): DataFrame =
-    docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+  private[graft] def gramRows(docs: DataFrame, n: Int = CrossN,
+      keep: Seq[String] = Nil): DataFrame = {
+    val ks = keep.map(col)
+    docs.select(Seq(col("doc_id")) ++ ks :+ split(trim(col("text")), " ").as("w"): _*)
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
+      .select(Seq(col("doc_id")) ++ ks :+ explode(expr(
         s"""transform(sequence(0, size(w) - $n),
            |  i -> struct(i AS i,
            |    cast(conv(substr(md5(concat_ws(' ', slice(w, i + 1, $n))), 1, 15), 16, 10) AS bigint) AS gh))"""
-          .stripMargin)).as("p"))
-      .select(col("doc_id"), col("p.i").as("i"), col("p.gh").as("gh"))
+          .stripMargin)).as("p"): _*)
+      .select(Seq(col("doc_id")) ++ ks ++
+        Seq(col("p.i").as("i"), col("p.gh").as("gh")): _*)
+  }
 
   /** Strip/re-assembly tail shared by q148/q151 and the streaming twin's
     * downstream fold: drop every position of `docs` covered by

@@ -402,6 +402,49 @@ object Streams {
       }
   }
 
+  final case class ShadowOut(doc_id: Long, first_doc: Long,
+      src_later: String, src_first: String)
+
+  /** q167/q171's streaming twin — the standing provenance monitor: the
+    * gram→(min doc, source) index lives in flatMapGroupsWithState state
+    * and every covered occurrence (a gram first seen in an EARLIER doc)
+    * emits its provenance edge row (doc, first doc, later source, first
+    * source). The matrix is the sink's stateless fold — groupBy (later,
+    * first) source cell: count = n_grams, distinct docs / first docs —
+    * the crossdocCoverStream contract of ONE keyed state op with all
+    * reductions downstream. Per-key state is (min doc_id, its source):
+    * one Long + one short string, still O(1) per gram, and durability
+    * across restarts is `IndexStore.saveProvenanceIndex`'s parquet
+    * layout (this is the in-stream form of the same index). Replays
+    * update nothing (the stored min is already ≤ every replayed id —
+    * rows_updated = 0, the stateMeter signal), though a replayed COVERED
+    * occurrence re-emits its edge row: identifying re-deliveries is the
+    * dedup twins' job upstream, same as scoreDriftStream. */
+  def provenanceStream(docs: DataFrame): Dataset[ShadowOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val gr = graft.operators.Dedup.gramRows(docs, keep = Seq("source"))
+      .select(col("doc_id"), col("source"), col("i"), col("gh"))
+      .as[(Long, String, Int, Long)]
+    gr.groupByKey(_._4)
+      .flatMapGroupsWithState[(Long, String), ShadowOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[(Long, String)]) =>
+          val init = state.getOption.getOrElse((Long.MaxValue, ""))
+          var first = init
+          val out = scala.collection.mutable.ArrayBuffer.empty[ShadowOut]
+          // (doc_id, i) order within the batch = the earlier-id rule: a
+          // smaller-id doc arriving in the SAME batch covers its later
+          // batch-mates, exactly shadowMatrix's corpus-min attribution.
+          rows.toArray.sortBy(t => (t._1, t._3)).foreach { case (id, src, _, _) =>
+            if (first._1 < id) out += ShadowOut(id, first._1, src, first._2)
+            if (id < first._1) first = (id, src)
+          }
+          if (first != init) state.update(first)
+          out.iterator
+      }
+  }
+
   final case class DriftBin(bin: Long, salt: Int, run_n: Long)
 
   /** q157's production form: a standing score-distribution drift monitor.

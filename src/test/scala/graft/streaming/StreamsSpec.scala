@@ -309,6 +309,45 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("streaming provenance edges across micro-batches fold to q167's matrix exactly") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // Id-ordered batches: the stream's standing min per gram equals the
+    // corpus min at every point it attributes against.
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val edges = Streams.runToMemory(spark,
+      Streams.provenanceStream(
+        Streams.readDocsStream(spark, landBatches(Seq(b1, b2)).getPath,
+          "*.parquet", Some(1))).toDF(),
+      "prov_mb")
+    val got = edges.groupBy("src_later", "src_first")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct("doc_id").as("n_docs"),
+        countDistinct("first_doc").as("n_first_docs"))
+      .collect().map(_.toSeq.toList).toSet
+    val want = graft.SparkEntry.queries("q167_strip_provenance")(spark, dir)
+      .collect().map(_.toSeq.toList).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("provenance stream state: one (min, source) per gram; replay updates nothing") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val (_, meter) = Streams.runToMemoryMetered(spark,
+      Streams.provenanceStream(
+        Streams.readDocsStream(spark, landBatches(Seq(b1, b2, b1)).getPath,
+          "*.parquet", Some(1))).toDF(),
+      "prov_meter")
+    val m = meter.sortBy(_.batch_id)
+    assert(m.size === 3)
+    assert(m(1).state_rows > m(0).state_rows)
+    assert(m(2).state_rows === m(1).state_rows,
+      s"replay grew provenance state: ${m.map(_.state_rows)}")
+    assert(m(2).rows_updated === 0L,
+      s"replay rewrote provenance state: ${m.map(_.rows_updated)}")
+  }
+
   test("crossdoc gram state meter: growth across batches, replay updates nothing") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val b1 = docs.filter(col("doc_id") < 250)
