@@ -39,6 +39,8 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index decontam    <corpusDir> <indexPath>
   *        [--k K] [--out <dir>]"
   *   sbt "runMain graft.Index compact-grams <indexPath>"
+  *   sbt "runMain graft.Index compact-lsh|compact-phash|compact-pq|
+  *        compact-ivf|compact-winnow <indexPath>"
   *   sbt "runMain graft.Index build-ivfpq <embDir> <indexPath>"
   *   sbt "runMain graft.Index fused-search <docsDir> <embDir> <indexPath>
   *        [--probe N]"
@@ -409,12 +411,46 @@ object Index {
         // The crawl loop's third verb: after N appends the gram index
         // holds up to N duplicate rows per re-seen gram and N files per
         // touched partition; compaction min-combines and rewrites once
-        // (swap-in rename — readers racing it see a complete table).
+        // (staged rename-swap: single-writer, crash-repairing; a racing
+        // reader sees old or new, or briefly no table mid-swap — retry).
         // Covers the provenance extension's postings/sources when present.
         val before = IndexStore.loadGramIndex(spark, path).count()
         IndexStore.compactGramIndex(spark, path)
         val after = IndexStore.loadGramIndex(spark, path).count()
         s"""{"mode":"compact-grams","rows_before":$before,"rows_after":$after,"index":"$path"}"""
+
+      case "compact-lsh" :: path :: Nil =>
+        // File-count + sort hygiene after a run of `dedupe --append-kept`
+        // batches (rows disjoint across appends — no merge math); same
+        // staged rename-swap contract as compact-grams.
+        val before = IndexStore.loadLshBands(spark, path).count()
+        IndexStore.compactLshIndex(spark, path)
+        val after = IndexStore.loadLshBands(spark, path).count()
+        s"""{"mode":"compact-lsh","band_rows_before":$before,"band_rows_after":$after,"index":"$path"}"""
+
+      case "compact-phash" :: path :: Nil =>
+        val before = IndexStore.loadPhashBands(spark, path).count()
+        IndexStore.compactPhashIndex(spark, path)
+        val after = IndexStore.loadPhashBands(spark, path).count()
+        s"""{"mode":"compact-phash","band_rows_before":$before,"band_rows_after":$after,"index":"$path"}"""
+
+      case "compact-pq" :: path :: Nil =>
+        val before = spark.read.parquet(s"$path/pq/codes").count()
+        IndexStore.compactPqIndex(spark, path)
+        val after = spark.read.parquet(s"$path/pq/codes").count()
+        s"""{"mode":"compact-pq","codes_before":$before,"codes_after":$after,"index":"$path"}"""
+
+      case "compact-ivf" :: path :: Nil =>
+        val before = spark.read.parquet(s"$path/ivf/vectors").count()
+        IndexStore.compactIvfIndex(spark, path)
+        val after = spark.read.parquet(s"$path/ivf/vectors").count()
+        s"""{"mode":"compact-ivf","vectors_before":$before,"vectors_after":$after,"index":"$path"}"""
+
+      case "compact-winnow" :: path :: Nil =>
+        val before = spark.read.parquet(s"$path/winnow/buckets").count()
+        IndexStore.compactWinnowIndex(spark, path)
+        val after = spark.read.parquet(s"$path/winnow/buckets").count()
+        s"""{"mode":"compact-winnow","buckets_before":$before,"buckets_after":$after,"index":"$path"}"""
 
       case "provenance" :: path :: rest =>
         // q167's standing report, corpus never touched (q171's read path):
@@ -439,10 +475,15 @@ object Index {
                 col("n_grams").as("w")),
             IndexStore.loadDocSources(spark, path).select("source").distinct())
           .localCheckpoint(true) // stats + optional write read it twice
-        val top = rank.orderBy(col("authority").desc, col("source")).head()
+        // headOption, not head: an empty store (build over an empty docs
+        // dir) must answer sources:0, not crash opaquely (ADVICE r14).
+        val top = rank.orderBy(col("authority").desc, col("source"))
+          .limit(1).collect().headOption
         val n = rank.count()
         out.foreach(o => rank.write.mode("overwrite").parquet(o))
-        s"""{"mode":"authority","sources":$n,"top":"${top.getString(0)}","top_rank":${top.getLong(1)}${out.map(o => s""","out":"$o"""").getOrElse("")}}"""
+        val topJson = top.map(t =>
+          s""","top":"${t.getString(0)}","top_rank":${t.getLong(1)}""").getOrElse("")
+        s"""{"mode":"authority","sources":$n$topJson${out.map(o => s""","out":"$o"""").getOrElse("")}}"""
 
       case "components" :: path :: rest =>
         // q47/q58's workflow off the store: the edge set is the same
@@ -462,7 +503,7 @@ object Index {
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|compact-grams|build-ivfpq|fused-search|build-provenance|append-provenance|provenance|authority|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|compact-grams|compact-lsh|compact-phash|compact-pq|compact-ivf|compact-winnow|build-ivfpq|fused-search|build-provenance|append-provenance|provenance|authority|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

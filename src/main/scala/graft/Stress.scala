@@ -166,6 +166,8 @@ object Stress {
         provenanceStress(spark, args(1), args(2).toInt)
       case Some("fusion") =>
         fusionStress(spark, args(1), args(2).toInt)
+      case Some("bpe") =>
+        bpeStress(spark, args(1), args(2).toInt)
       case other =>
         sys.error(s"usage: cc <edges> <vertices> [reliable] | annknn <sfDir> <mult> (got $other)")
     }
@@ -178,6 +180,21 @@ object Stress {
   private def scratch(mode: String, parts: Any*): String = {
     val tag = parts.map(_.toString.replaceAll("[^A-Za-z0-9.]+", "-")).mkString("_")
     s"/tmp/graft_stress_${mode}_$tag"
+  }
+
+  /** Writer-task width of a written table, read from the files themselves:
+    * parquet part names carry the write-stage task id (part-NNNNN-...), so
+    * the distinct id count IS how many tasks produced output — the
+    * listener-free meter for the VERDICT r14 #1 claim that store builds
+    * write at cluster width, not |pfx| width. */
+  private def writerTasks(dir: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir)).map(_.getName)
+      .filter(n => n.endsWith(".parquet") && n.startsWith("part-"))
+      .flatMap(n => "part-(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toInt))
+      .distinct.size
   }
 
   def cc(spark: SparkSession, numEdges: Long, numVertices: Long,
@@ -422,6 +439,9 @@ object Stress {
       val tB = System.nanoTime()
       IndexStore.savePhashIndex(docs, idx)
       val buildSec = (System.nanoTime() - tB) / 1e9
+      // VERDICT r14 #1: phash builds used to funnel through <= 17 pfx
+      // writer tasks; the widened writer must track the shuffle conf.
+      val buildTasks = writerTasks(s"$idx/phash/bands")
       val bands = IndexStore.loadPhashBands(spark, idx)
       val fanIn = bands.groupBy("bi", "key").count()
         .agg(max("count")).head().getLong(0)
@@ -466,7 +486,7 @@ object Stress {
       val verdicts = IndexStore.phashDedupBatch(batch, idx)
       val nDup = verdicts.filter(col("keep") === 0).count()
       val dedupSec = (System.nanoTime() - tD) / 1e9
-      println(f"""{"mode":"phash","corpus":"$tag","n":$n,"build_sec":$buildSec%.1f,"max_band_fan_in":$fanIn,"cand_pairs":$cand,"cand_capped":$candCapped,"hot_buckets":${sat.getLong(1)},"max_sub_fan_in":${sat.getLong(5)},"saturation":${sat.getDouble(6)}%.4f,"pairs":$pairs,"q136_sec_min3":$qSec%.2f,"batch_docs":${batch.count()},"batch_dups":$nDup,"batch_dedup_sec":$dedupSec%.1f}""")
+      println(f"""{"mode":"phash","corpus":"$tag","n":$n,"build_sec":$buildSec%.1f,"build_writer_tasks":$buildTasks,"max_band_fan_in":$fanIn,"cand_pairs":$cand,"cand_capped":$candCapped,"hot_buckets":${sat.getLong(1)},"max_sub_fan_in":${sat.getLong(5)},"saturation":${sat.getDouble(6)}%.4f,"pairs":$pairs,"q136_sec_min3":$qSec%.2f,"batch_docs":${batch.count()},"batch_dups":$nDup,"batch_dedup_sec":$dedupSec%.1f}""")
 
       // q144's stress row (VERDICT r10 #2): collapse the pair graph via
       // components + provenance — the wall must track the PAIR graph (its
@@ -1219,6 +1239,21 @@ object Stress {
       val tB = System.nanoTime()
       IndexStore.saveProvenanceIndex(load(), idx)
       val buildSec = (System.nanoTime() - tB) / 1e9
+      // VERDICT r14 #1 meter: how many write-stage tasks produced the
+      // postings table (part-file task ids — see writerTasks). At the
+      // session conf this tracks spark.sql.shuffle.partitions; the WIDE
+      // twin re-runs the same build at a 128-way conf to show the old
+      // <= 64 pfx funnel is gone (writer width follows the knob, the
+      // partitionBy layout and read paths unchanged).
+      val buildTasks = writerTasks(s"$idx/grams/postings")
+      val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val idxWide = scratch("prov-idx-wide", sfDir, mult, tag)
+      val tW = System.nanoTime()
+      IndexStore.saveProvenanceIndex(load(), idxWide)
+      val buildWideSec = (System.nanoTime() - tW) / 1e9
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      val buildWideTasks = writerTasks(s"$idxWide/grams/postings")
       val storeSec = minN(() => IndexStore.shadowMatrixFrom(spark, idx))
       // Authority runs its barrier'd rounds at plan construction — time
       // construction + materialize as one wall (what a caller pays).
@@ -1250,7 +1285,36 @@ object Stress {
         .localCheckpoint(true)
       val nEdgesSk = edgesSk.count()
       val authSkSec = rankWall(edgesSk, skew.select("source").distinct())
-      println(f"""{"mode":"provenance","corpus":"$tag","docs":$n,"curve_exact_sec_min$passes":$curveExactSec%.2f,"curve_sketch_sec_min$passes":$curveSketchSec%.2f,"matrix_sec_min$passes":$matrixSec%.2f,"index_build_sec":$buildSec%.1f,"matrix_store_sec_min$passes":$storeSec%.2f,"sources":$nSrc,"edges":$nEdges,"rounds":${Audit.RankRounds},"authority_sec":$authSec%.2f,"skew_sources":65,"skew_edges":$nEdgesSk,"skew_authority_sec":$authSkSec%.2f}""")
+      println(f"""{"mode":"provenance","corpus":"$tag","docs":$n,"curve_exact_sec_min$passes":$curveExactSec%.2f,"curve_sketch_sec_min$passes":$curveSketchSec%.2f,"matrix_sec_min$passes":$matrixSec%.2f,"index_build_sec":$buildSec%.1f,"build_writer_tasks":$buildTasks,"index_build_wide_sec":$buildWideSec%.1f,"build_wide_writer_tasks":$buildWideTasks,"matrix_store_sec_min$passes":$storeSec%.2f,"sources":$nSrc,"edges":$nEdges,"rounds":${Audit.RankRounds},"authority_sec":$authSec%.2f,"skew_sources":65,"skew_edges":$nEdgesSk,"skew_authority_sec":$authSkSec%.2f}""")
+    }
+  }
+
+  /** q174's decade row (VERDICT r14 #5): BPE vocabulary learning at base
+    * and mult× under NATURAL growth (growDocs adds new vocab, the fair
+    * twin). The corpus is touched once — the word-frequency aggregation;
+    * all BpeRounds merge rounds then run on the vocab-sized frame, so the
+    * wall must track the SCAN while per-round cost tracks the VOCAB
+    * (reported separately: rounds_sec = wall minus the scan-equivalent
+    * word-count pass, vocab = distinct words). */
+  def bpeStress(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    import operators.TextOps
+    val bigDir = scratch("bpe", sfDir, mult)
+    growDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val words = docs
+        .select(explode(split(trim(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val tS = System.nanoTime()
+      val vocab = words.groupBy("w").count().count()
+      val scanSec = (System.nanoTime() - tS) / 1e9
+      val t = System.nanoTime()
+      val rows = TextOps.bpeMerges(docs).orderBy("rnd").collect()
+      val wallSec = (System.nanoTime() - t) / 1e9
+      val last = rows.last
+      println(f"""{"mode":"bpe","corpus":"$tag","docs":$n,"vocab":$vocab,"rounds":${rows.length},"scan_sec":$scanSec%.2f,"wall_sec":$wallSec%.2f,"rounds_sec":${wallSec - scanSec}%.2f,"final_merge":"${last.getString(1)}+${last.getString(2)}","final_n_tokens":${last.getLong(4)}}""")
     }
   }
 

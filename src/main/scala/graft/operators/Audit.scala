@@ -69,9 +69,17 @@ object Audit {
   // ── q170 source-authority (fixed-point PageRank over the q167 graph) ──
   /** Damping 0.85 as the integer pair (85, 100); rank mass lives on a
     * 10⁹ fixed-point scale and edge shares on a 10⁶ scale, so every
-    * product stays far under 2⁶³ at any corpus size (rank ≤ ~10⁹, share
-    * ≤ 10⁶). Rounds fixed at 10 — the operator's DEFINITION (like q153's
-    * binning), so the oracle unrolls exactly the same arithmetic. */
+    * RANK-side product stays far under 2⁶³ at any corpus size (rank ≤
+    * ~10⁹, share ≤ 10⁶). The share BUILD's product w·ShareScale would
+    * overflow once a source pair's shadowed-gram count w passes ~9.2e12
+    * (VERDICT r14 #3), so the share expression branches: the exact
+    * (w·10⁶) div ow form while ow ≤ ShareScale² = 10¹² (w ≤ ow, so the
+    * product ≤ 10¹⁸ < 2⁶³), else w div (ow div 10⁶) — same 10⁶-scaled
+    * share, error ≤ 1 unit from the denominator's rounding, and the
+    * divisor ≥ 10⁶ > 0 by the guard. IDENTICAL branch text in the oracle,
+    * so the engines agree bit-for-bit in both regimes. Rounds fixed at
+    * 10 — the operator's DEFINITION (like q153's binning), so the oracle
+    * unrolls exactly the same arithmetic. */
   val RankRounds = 10
   val RankScale = 1000000000L
   val ShareScale = 1000000L
@@ -113,7 +121,9 @@ object Audit {
     val outw = edges.groupBy("src").agg(sum("w").as("ow"))
     val esh = edges.join(outw, Seq("src"))
       .select(col("src"), col("dst"),
-        expr(s"(w * $ShareScale) div ow").as("sh"))
+        expr(s"CASE WHEN ow <= ${ShareScale * ShareScale}" +
+          s" THEN (w * $ShareScale) div ow" +
+          s" ELSE w div (ow div $ShareScale) END").as("sh"))
       .localCheckpoint(true)
     val ncnt = nodes.agg(count(lit(1)).as("n"))
     var r = nodes.crossJoin(broadcast(ncnt))
@@ -378,7 +388,10 @@ object Audit {
        |  GROUP BY 1, 2),
        |outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM mx GROUP BY src),
        |esh AS MATERIALIZED (
-       |  SELECT m.src, m.dst, (m.w * $ShareScale) // o.ow AS sh
+       |  SELECT m.src, m.dst,
+       |         CASE WHEN o.ow <= ${ShareScale * ShareScale}
+       |              THEN (m.w * $ShareScale) // o.ow
+       |              ELSE m.w // (o.ow // $ShareScale) END AS sh
        |  FROM mx m JOIN outw o ON o.src = m.src),
        |nodes AS MATERIALIZED (SELECT DISTINCT source FROM documents),
        |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
@@ -988,17 +1001,16 @@ object Audit {
         // (sources that shadow nobody) redistributes uniformly, the
         // standard correction.
         //
-        // The share BUILD has its own overflow bound (ADVICE r13): the
-        // w · ShareScale product requires every per-pair shadowed-gram
-        // count w < 2⁶³/10⁶ ≈ 9.2·10¹². A 100 TB corpus holds ~2.5·10¹³
-        // total gram occurrences, so the bound binds only in the
-        // degenerate regime where ONE source pair carries ≥ 37% of all
-        // corpus text as shadowed copies; the mitigations at that scale
-        // are a smaller ShareScale (10³ keeps shares 0.1%-grained and
-        // lifts the bound to 9.2·10¹⁵) or consolidating mirror pairs
-        // (q102/q144) before ranking. Not guarded in-plan: a silent
-        // clamp would corrupt ranks, and the documented bound is ~400×
-        // above the largest possible single-pair mass at target scale.
+        // The share BUILD is overflow-safe at any scale (VERDICT r14
+        // #3): while a source's out-weight ow ≤ ShareScale² = 10¹² the
+        // exact (w · 10⁶) div ow runs (w ≤ ow keeps the product ≤ 10¹⁸);
+        // past it the branch flips to w div (ow div 10⁶) — the same
+        // 10⁶-scaled share with ≤ 1 unit of rounding error, where the
+        // old unguarded product would wrap at w ≈ 9.2·10¹² (a 100 TB
+        // corpus holds ~2.5·10¹³ gram occurrences, so one hot mirror
+        // pair could genuinely reach it). The oracle carries the same
+        // CASE text, and AuditSpec pins the branch against exact
+        // rational arithmetic at near-2⁶³ weights.
         //
         // 100 TB shape: the corpus is touched once (q167's matrix); the
         // iteration runs on the |sources|²-bounded edge frame with a

@@ -57,6 +57,22 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
+  /** Store-build writer parallelism (VERDICT r14 #1). Hash-repartitioning
+    * on the bare partition prefix funnels the FULL table through ≤|pfx|
+    * writer tasks (64 for the gram stores, 17 for phash) — invisible at
+    * sf0.1, a wall-clock scale-killer for a one-time 100 TB build (~1.5 TB
+    * per task while the rest of the cluster idles). Builds instead hash on
+    * (pfx, <high-cardinality key>) with this explicit width, so write
+    * parallelism tracks the cluster (`spark.sql.shuffle.partitions`, the
+    * same sizing knob every other shuffle here uses) while
+    * `partitionBy(pfx)` read-pruning is untouched; each writer task emits
+    * one file per pfx it holds, each file internally sorted (the explicit
+    * sort LEADS with pfx so the dynamic-partition writer adds no sort of
+    * its own), so per-file row-group stats still serve point reads.
+    * Compaction owns the file-count budget. */
+  private def writeParallelism(spark: SparkSession): Int =
+    spark.sessionState.conf.numShufflePartitions
+
   // ── MinHash-LSH band index + shingle state ──
 
   /** Band rows with the partition prefix: (doc_id, bi, bh, pfx). pfx is
@@ -74,8 +90,8 @@ object IndexStore {
     * the shingle sets). */
   def saveLshIndex(docs: DataFrame, path: String): Unit = {
     bandRows(docs)
-      .repartition(col("pfx"))
-      .sortWithinPartitions("bh", "bi", "doc_id")
+      .repartition(writeParallelism(docs.sparkSession), col("pfx"), col("bh"))
+      .sortWithinPartitions("pfx", "bh", "bi", "doc_id")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/lsh/bands")
     Dedup.shingles(docs)
       .repartition(col("doc_id"))
@@ -163,8 +179,8 @@ object IndexStore {
     Dedup.gramRows(docs)
       .groupBy("gh").agg(min("doc_id").as("first_doc"))
       .withColumn("pfx", gramPfx)
-      .repartition(col("pfx"))
-      .sortWithinPartitions("gh")
+      .repartition(writeParallelism(docs.sparkSession), col("pfx"), col("gh"))
+      .sortWithinPartitions("pfx", "gh")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/grams/index")
 
   /** Append a (kept) batch's gram mins — no rewrite of prior data. A gram
@@ -235,17 +251,18 @@ object IndexStore {
     * crawl-loop story where the matrix is a standing report, not a
     * per-query corpus re-scan. */
   def saveProvenanceIndex(docs: DataFrame, path: String): Unit = {
+    val p = writeParallelism(docs.sparkSession)
     Dedup.gramRows(docs)
       .groupBy("gh", "doc_id").agg(count(lit(1)).as("cnt"))
       .withColumn("pfx", gramPfx)
-      .repartition(col("pfx"))
-      .sortWithinPartitions("gh", "doc_id")
+      .repartition(p, col("pfx"), col("gh"))
+      .sortWithinPartitions("pfx", "gh", "doc_id")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/grams/postings")
     loadGramPostings(docs.sparkSession, path)
       .groupBy("gh").agg(min("doc_id").as("first_doc"))
       .withColumn("pfx", gramPfx)
-      .repartition(col("pfx"))
-      .sortWithinPartitions("gh")
+      .repartition(p, col("pfx"), col("gh"))
+      .sortWithinPartitions("pfx", "gh")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/grams/index")
     docs.select(col("doc_id"), col("source"))
       .repartition(8)
@@ -255,16 +272,75 @@ object IndexStore {
   /** Append a batch's postings/index/source rows — no rewrite of prior
     * data (batch doc_ids disjoint from stored ids, as with every append
     * here). Index rows min-combine on read; posting rows are naturally
-    * disjoint per (gh, doc_id). */
+    * disjoint per (gh, doc_id). The batch text is gram-scanned exactly
+    * once (the build path's scan-once discipline, ADVICE r14): the
+    * postings frame is barrier'd (batch-sized) and the appended index
+    * rows derive FROM it — min over posting doc_ids == min over raw
+    * occurrences. */
   def appendProvenanceBatch(batch: DataFrame, path: String): Unit = {
-    Dedup.gramRows(batch)
+    val postings = Dedup.gramRows(batch)
       .groupBy("gh", "doc_id").agg(count(lit(1)).as("cnt"))
       .withColumn("pfx", gramPfx)
-      .sortWithinPartitions("gh", "doc_id")
+      .localCheckpoint(true)
+    postings
+      .sortWithinPartitions("pfx", "gh", "doc_id")
       .write.mode("append").partitionBy("pfx").parquet(s"$path/grams/postings")
-    appendGramBatch(batch, path)
+    postings
+      .groupBy("gh").agg(min("doc_id").as("first_doc"))
+      .withColumn("pfx", gramPfx)
+      .sortWithinPartitions("pfx", "gh")
+      .write.mode("append").partitionBy("pfx").parquet(s"$path/grams/index")
     batch.select(col("doc_id"), col("source"))
       .write.mode("append").parquet(s"$path/docs/sources")
+  }
+
+  /** Staged rename-swap rewrite of one store table — the shared core of
+    * every compaction verb. The rewrite goes to a sibling
+    * `<table>.compact` directory and is swapped in by two renames
+    * (cur → old, compact → cur): the store is never read-and-overwritten
+    * in one plan and no corpus-sized frame is ever held on the driver.
+    * Contract (ADVICE r14): compaction is a SINGLE-WRITER maintenance
+    * verb; a reader racing the swap sees either the old or the new table,
+    * except for the brief window between the two renames where the table
+    * path is absent (a racing read there fails and should retry). A crash
+    * inside that window strands the only copy at `<table>.old` — every
+    * swap entry REPAIRS that first (restore old → cur when cur is
+    * missing), so re-running the interrupted compaction heals the store.
+    * When `partCol` is set the rewrite hashes on (partCol, sortCols.head)
+    * at `writeParallelism` width — build-parity write fan-out — and the
+    * sort leads with the partition column; otherwise a flat rewrite
+    * sorted by `sortCols`, `parts` wide (0 = `writeParallelism`, the
+    * cluster-tracking default). */
+  private def swapRewrite(spark: SparkSession, tablePath: String,
+      compacted: => DataFrame, sortCols: Seq[String],
+      partCol: Option[String], parts: Int = 0): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = new Path(tablePath)
+    val fs = cur.getFileSystem(conf)
+    val tmp = new Path(tablePath + ".compact")
+    val old = new Path(tablePath + ".old")
+    if (!fs.exists(cur) && fs.exists(old))
+      require(fs.rename(old, cur), s"crash recovery $old -> $cur failed")
+    if (!fs.exists(cur)) return
+    fs.delete(tmp, true); fs.delete(old, true)
+    val w0 = partCol match {
+      case Some(pc) =>
+        compacted
+          .repartition(writeParallelism(spark),
+            (pc +: sortCols.take(1)).map(col): _*)
+          .sortWithinPartitions((pc +: sortCols).map(col): _*)
+          .write.partitionBy(pc)
+      case None =>
+        val r = compacted
+          .repartition(if (parts > 0) parts else writeParallelism(spark))
+        (if (sortCols.isEmpty) r
+         else r.sortWithinPartitions(sortCols.map(col): _*)).write
+    }
+    w0.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(cur, old), s"swap $cur -> $old failed")
+    require(fs.rename(tmp, cur), s"swap $tmp -> $cur failed")
+    fs.delete(old, true)
   }
 
   /** Compact the gram index — and, when present, the provenance
@@ -276,45 +352,76 @@ object IndexStore {
     * so a long crawl's read amplification grows with BATCH COUNT.
     * Compaction rewrites each table once: index rows min-combined to one
     * row per gh, partitions re-sorted (restoring the row-group stats that
-    * make point reads cheap), one writer task per pfx. The rewrite goes
-    * to a sibling `<table>.compact` directory and is SWAPPED in by two
-    * renames — the store is never read-and-overwritten in one plan, no
-    * corpus-sized frame is ever held on the driver, and a reader racing
-    * the swap sees a complete table either way. Readers are unchanged:
-    * the rewrite is exactly the read path's merge, materialized. */
+    * make point reads cheap), staged rename-swap (single-writer, crash-
+    * repairing — see `swapRewrite`). Readers are unchanged: the rewrite
+    * is exactly the read path's merge, materialized. */
   def compactGramIndex(spark: SparkSession, path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val conf = spark.sparkContext.hadoopConfiguration
-    def swap(sub: String, compacted: => DataFrame, sortCols: Seq[String],
-        byPfx: Boolean = true, parts: Int = 8): Unit = {
-      val cur = new Path(s"$path/$sub")
-      val fs = cur.getFileSystem(conf)
-      if (!fs.exists(cur)) return
-      val tmp = new Path(s"$path/$sub.compact")
-      val old = new Path(s"$path/$sub.old")
-      fs.delete(tmp, true); fs.delete(old, true)
-      val w0 =
-        if (byPfx) compacted.repartition(col("pfx"))
-          .sortWithinPartitions(sortCols.map(col): _*)
-          .write.partitionBy("pfx")
-        else compacted.repartition(parts).write
-      w0.mode("overwrite").parquet(tmp.toString)
-      require(fs.rename(cur, old) && fs.rename(tmp, cur),
-        s"compaction swap failed for $sub")
-      fs.delete(old, true)
-    }
-    swap("grams/index",
+    swapRewrite(spark, s"$path/grams/index",
       loadGramIndex(spark, path)
         .groupBy("gh").agg(min("first_doc").as("first_doc"))
         .withColumn("pfx", gramPfx),
-      Seq("gh"))
-    swap("grams/postings",
+      Seq("gh"), Some("pfx"))
+    swapRewrite(spark, s"$path/grams/postings",
       loadGramPostings(spark, path).select("gh", "doc_id", "cnt", "pfx"),
-      Seq("gh", "doc_id"))
-    swap("docs/sources",
+      Seq("gh", "doc_id"), Some("pfx"))
+    swapRewrite(spark, s"$path/docs/sources",
       loadDocSources(spark, path).select("doc_id", "source"),
-      Nil, byPfx = false)
+      Nil, None, parts = 8)
   }
+
+  /** Compact the LSH store after a run of `appendLshBatch`es: band and
+    * shingle rows are disjoint across appends (no merge math needed) —
+    * compaction is pure file-count + sort hygiene, restoring one sorted
+    * file set per partition so the band join's row-group stats and the
+    * shingle scan's doc_id locality match a fresh build. Same staged
+    * rename-swap contract as `compactGramIndex`. */
+  def compactLshIndex(spark: SparkSession, path: String): Unit = {
+    swapRewrite(spark, s"$path/lsh/bands",
+      loadLshBands(spark, path).select("doc_id", "bi", "bh", "pfx"),
+      Seq("bh", "bi", "doc_id"), Some("pfx"))
+    swapRewrite(spark, s"$path/lsh/shingles",
+      loadLshShingles(spark, path),
+      Seq("doc_id"), None)
+  }
+
+  /** Compact the phash store after `appendPhashBatch`es — band rows and
+    * grid rows are disjoint across appends; rewrite restores per-file
+    * sort and one file set per partition. */
+  def compactPhashIndex(spark: SparkSession, path: String): Unit = {
+    swapRewrite(spark, s"$path/phash/bands",
+      loadPhashBands(spark, path)
+        .select("doc_id", "pixels", "bi", "key", "pfx"),
+      Seq("key", "bi", "doc_id"), Some("pfx"))
+    swapRewrite(spark, s"$path/phash/grid",
+      loadPhashGrid(spark, path),
+      Seq("doc_id"), None)
+  }
+
+  /** Compact the PQ code table after `appendPqBatch`es (codes are
+    * disjoint per vec_id; the codebook is 1 row and never appended). */
+  def compactPqIndex(spark: SparkSession, path: String): Unit =
+    swapRewrite(spark, s"$path/pq/codes",
+      spark.read.parquet(s"$path/pq/codes"),
+      Seq("vec_id"), None)
+
+  /** Compact the IVF vector table after `appendIvfBatch`es — restores the
+    * (cid, vec_id) sort whose row-group stats `searchIvf`'s point reads
+    * prune on, and one file set per ccid partition. */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit =
+    swapRewrite(spark, s"$path/ivf/vectors",
+      spark.read.parquet(s"$path/ivf/vectors")
+        .select(col("vec_id"), col("en"), col("cid"),
+          col("ccid").cast("long").as("ccid")),
+      Seq("cid", "vec_id"), Some("ccid"))
+
+  /** Compact the winnow bucket table. `appendWinnowBatch` is a keyed
+    * MERGE that already rewrites the table (no per-append file growth) —
+    * this verb exists for layout hygiene after external copies or to
+    * re-spread a table written at a different parallelism. */
+  def compactWinnowIndex(spark: SparkSession, path: String): Unit =
+    swapRewrite(spark, s"$path/winnow/buckets",
+      spark.read.parquet(s"$path/winnow/buckets"),
+      Seq("fp"), None)
 
   /** (gh, doc_id, cnt, pfx) — pfx comes back as the partition column. */
   def loadGramPostings(spark: SparkSession, path: String): DataFrame =
@@ -370,8 +477,8 @@ object IndexStore {
   def savePhashIndex(docs: DataFrame, path: String): Unit = {
     val grid = Multimodal.phashGrid(docs).localCheckpoint(true)
     phashBandPfx(grid)
-      .repartition(col("pfx"))
-      .sortWithinPartitions("key", "bi", "doc_id")
+      .repartition(writeParallelism(docs.sparkSession), col("pfx"), col("key"))
+      .sortWithinPartitions("pfx", "key", "bi", "doc_id")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/phash/bands")
     grid.write.mode("overwrite").parquet(s"$path/phash/grid")
   }
@@ -767,8 +874,8 @@ object IndexStore {
     coarseArr.write.mode("overwrite").parquet(s"$path/ivf/coarse")
     fineCells.write.mode("overwrite").parquet(s"$path/ivf/cells")
     assigned
-      .repartition(col("ccid"))
-      .sortWithinPartitions("cid", "vec_id")
+      .repartition(writeParallelism(emb.sparkSession), col("ccid"), col("vec_id"))
+      .sortWithinPartitions("ccid", "cid", "vec_id")
       .write.mode("overwrite").partitionBy("ccid").parquet(s"$path/ivf/vectors")
   }
 
@@ -926,8 +1033,8 @@ object IndexStore {
     cb.write.mode("overwrite").parquet(s"$path/ivfpq/codebook")
     Vectors.pqAssign(emb, cb)
       .join(assigned.select("vec_id", "ccid"), Seq("vec_id"))
-      .repartition(col("ccid"))
-      .sortWithinPartitions("vec_id")
+      .repartition(writeParallelism(emb.sparkSession), col("ccid"), col("vec_id"))
+      .sortWithinPartitions("ccid", "vec_id")
       .write.mode("overwrite").partitionBy("ccid")
       .parquet(s"$path/ivfpq/codes")
   }

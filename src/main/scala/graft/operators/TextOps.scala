@@ -303,6 +303,131 @@ object TextOps {
         (col("n0") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  // ── q174 BPE vocabulary learning ──
+  /** Merge rounds — the operator's DEFINITION (like q170's RankRounds):
+    * the oracle unrolls exactly this many MATERIALIZED rounds. */
+  val BpeRounds = 10
+
+  /** Byte-pair-encoding vocabulary LEARNING (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units" — the
+    * q107 tokenizer consumes a frozen rank vocab; this learns one):
+    * `BpeRounds` deterministic merge rounds over the corpus's word-
+    * frequency table. Each round counts every adjacent symbol pair
+    * (weighted by word frequency, overlaps included — the reference
+    * get_stats semantics), picks the max-count pair with ties broken
+    * lexically on (l, r), and applies it greedily LEFT-TO-RIGHT,
+    * non-overlapping, to every word. Returns one row per round:
+    * (rnd, l, r, pcnt, n_tokens) — the merge table plus the corpus token
+    * count after that round's merge. Integer counts only; symbol
+    * sequences ride as '|'-separated strings so the greedy application
+    * is ONE portable fold: scanning symbols left to right, merge when
+    * the accumulated string's LAST symbol is `l` and the next is `r` —
+    * a just-merged tail is "lr", never "l", so overlaps self-exclude
+    * (for "aaa" with (a,a): first two merge, the third stays single,
+    * exactly the reference's greedy re-pair).
+    *
+    * 100 TB shape (the q170 discipline): the corpus is touched ONCE —
+    * the word-frequency aggregation (map-side combined, vocab-sized
+    * output). Every round then runs on the vocab-sized (repr, cnt)
+    * frame: pair counting is a linear explode over symbols-per-word
+    * (bounded by max word length), the winning pair is a 1-row pull,
+    * and the merged frame localCheckpoints per round (the
+    * connectedComponents lineage discipline — JobCountSpec lists q174
+    * eager-by-design). At web scale the vocab is ~10⁷ rows against a
+    * 10¹³-row corpus: round cost is independent of corpus size. */
+  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val syms = split(col("repr"), "[|]")
+    // One corpus scan: word frequencies, each word as '|'-joined chars.
+    // The strpos guard keeps a literal '|' in a word from forging a
+    // separator (no-op on this corpus; IDENTICAL guard in the oracle).
+    var wc = docs
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains("|"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(expr("substring(regexp_replace(w, '(.)', '$1|'), 1, length(w) * 2 - 1)").as("repr"),
+        col("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long)]
+    var k = 1
+    var done = false
+    while (k <= rounds && !done) {
+      val best = wc
+        .filter(size(syms) >= 2) // sequence(1, 0) would DESCEND in Spark
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(split(repr, '[|]')) - 1)," +
+            " i -> struct(element_at(split(repr, '[|]'), i) AS l," +
+            " element_at(split(repr, '[|]'), i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pcnt"))
+        .orderBy(col("pcnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, pcnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        wc = wc.select(
+            aggregate(
+              slice(syms, lit(2), size(syms) - 1),
+              element_at(syms, 1),
+              (acc, s) => when(s === lit(r) &&
+                  (acc === lit(l) || acc.endsWith("|" + l)),
+                concat(acc, s)).otherwise(concat(acc, lit("|"), s))).as("repr"),
+            col("cnt"))
+          .localCheckpoint(true)
+        val nTokens = wc
+          .agg(coalesce(sum(col("cnt") * size(syms).cast("long")), lit(0L)))
+          .head().getLong(0)
+        merges += ((k.toLong, l, r, pcnt, nTokens))
+        k += 1
+      }
+    }
+    merges.toSeq.toDF("rnd", "l", "r", "pcnt", "n_tokens")
+  }
+
+  /** q174's oracle: `rounds` unrolled MATERIALIZED rounds of the same
+    * integer arithmetic — pair counts by list-comprehension unpivot (the
+    * q83 idiom), the winner by the identical (pcnt DESC, l, r) LIMIT 1,
+    * the greedy merge by the identical tail-symbol string fold
+    * (list_reduce with a VARCHAR accumulator, the q79 fold idiom).
+    * Every w/b/n CTE in the chain is referenced by 2+ successors —
+    * AS MATERIALIZED throughout (the q170 lesson: DuckDB re-inlines
+    * per reference, compounding exponentially down a merge chain). */
+  private[operators] def bpeOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      val p = s"w${k - 1}"
+      s"""p$k AS (
+         |  SELECT p.l, p.r, CAST(sum(cnt) AS BIGINT) AS pcnt
+         |  FROM (SELECT cnt, unnest([struct_pack(l := s[i], r := s[i + 1]) for i in range(1, len(s))]) AS p
+         |        FROM (SELECT string_split(repr, '|') AS s, cnt FROM $p) t$k) u$k
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, pcnt FROM p$k ORDER BY pcnt DESC, l, r LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT list_reduce(string_split(w.repr, '|'),
+         |           (acc, s) -> CASE WHEN s = b.r AND (acc = b.l OR ends_with(acc, '|' || b.l))
+         |                            THEN acc || s ELSE acc || '|' || s END) AS repr,
+         |         w.cnt
+         |  FROM $p w CROSS JOIN b$k b),
+         |n$k AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(cnt * (length(repr) - length(replace(repr, '|', '')) + 1)), 0) AS BIGINT) AS n_tokens
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to rounds).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS rnd, b.l, b.r, b.pcnt, n.n_tokens FROM b$k b CROSS JOIN n$k n"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT substr(regexp_replace(w, '(.)', '\\1|', 'g'), 1, length(w) * 2 - 1) AS repr,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents) t0
+       |  WHERE w <> '' AND strpos(w, '|') = 0
+       |  GROUP BY 1),
+       |$roundCtes
+       |$rows
+       |ORDER BY rnd""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Language ID: n-gram/marker heuristic ──
@@ -2041,6 +2166,20 @@ object TextOps {
              |SELECT w, CAST(count(*) AS BIGINT) AS cnt
              |FROM words GROUP BY w
              |HAVING count(*) >= (SELECT n // 257 + 1 FROM t)
-             |ORDER BY cnt DESC, w""".stripMargin))
+             |ORDER BY cnt DESC, w""".stripMargin)),
+
+    // ── BPE vocabulary learning (the tokenizer pipeline's missing stage) ──
+    QueryDef(
+      "q174_bpe_merges",
+      (s, dir) => {
+        // q107 tokenizes against a frozen vocab and q120 audits coverage;
+        // this LEARNS the subword vocabulary those consume — BpeRounds
+        // deterministic pair merges over the corpus's word-frequency
+        // table, the merge table + per-round token counts as the result.
+        // See `bpeMerges` for the greedy-fold semantics and the 100 TB
+        // shape (one corpus scan; rounds run vocab-sized).
+        bpeMerges(Tables.load(s, dir, "documents")).orderBy("rnd")
+      },
+      Some(bpeOracle(BpeRounds)))
   )
 }

@@ -402,24 +402,39 @@ object Streams {
       }
   }
 
-  final case class ShadowOut(doc_id: Long, first_doc: Long,
+  final case class ShadowOut(doc_id: Long, i: Long, first_doc: Long,
       src_later: String, src_first: String)
 
   /** q167/q171's streaming twin — the standing provenance monitor: the
     * gram→(min doc, source) index lives in flatMapGroupsWithState state
     * and every covered occurrence (a gram first seen in an EARLIER doc)
-    * emits its provenance edge row (doc, first doc, later source, first
-    * source). The matrix is the sink's stateless fold — groupBy (later,
-    * first) source cell: count = n_grams, distinct docs / first docs —
-    * the crossdocCoverStream contract of ONE keyed state op with all
-    * reductions downstream. Per-key state is (min doc_id, its source):
-    * one Long + one short string, still O(1) per gram, and durability
-    * across restarts is `IndexStore.saveProvenanceIndex`'s parquet
-    * layout (this is the in-stream form of the same index). Replays
-    * update nothing (the stored min is already ≤ every replayed id —
-    * rows_updated = 0, the stateMeter signal), though a replayed COVERED
-    * occurrence re-emits its edge row: identifying re-deliveries is the
-    * dedup twins' job upstream, same as scoreDriftStream. */
+    * emits its provenance edge row (doc, occurrence position, first doc,
+    * later source, first source). The matrix is the sink's stateless
+    * fold (`shadowMatrixFromEdges`) — the crossdocCoverStream contract
+    * of ONE keyed state op with all reductions downstream. Per-key state
+    * is (min doc_id, its source): one Long + one short string, still
+    * O(1) per gram, and durability across restarts is
+    * `IndexStore.saveProvenanceIndex`'s parquet layout (this is the
+    * in-stream form of the same index).
+    *
+    * INGEST-ORDER CONTRACT (ADVICE r14): batches must arrive in
+    * non-decreasing doc_id order (monotone ingest — the crawl loop's
+    * natural order, and what every StreamsSpec fixture feeds). The
+    * stream attributes each covered occurrence to the min doc_id seen SO
+    * FAR; a smaller-id doc landing in a LATER batch would update the
+    * stored min without re-attributing (or retracting) edges already
+    * emitted against the old min, so out-of-order ingest diverges from
+    * q167's corpus-global min. Under the contract the stored min never
+    * changes after it first covers an occurrence, so every emission is
+    * deterministic per (doc_id, i).
+    *
+    * DELIVERY CONTRACT: at-least-once. Replays update no state (the
+    * stored min is already ≤ every replayed id — rows_updated = 0, the
+    * stateMeter signal), but a replayed COVERED occurrence re-emits its
+    * edge row byte-identically. Sinks that need exactly-once fold
+    * through `shadowMatrixFromEdges`, whose (doc_id, i) keyed collapse
+    * makes the matrix idempotent under replay (StreamsSpec pins a
+    * replayed run folding to q167's exact matrix). */
   def provenanceStream(docs: DataFrame): Dataset[ShadowOut] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -436,14 +451,34 @@ object Streams {
           // (doc_id, i) order within the batch = the earlier-id rule: a
           // smaller-id doc arriving in the SAME batch covers its later
           // batch-mates, exactly shadowMatrix's corpus-min attribution.
-          rows.toArray.sortBy(t => (t._1, t._3)).foreach { case (id, src, _, _) =>
-            if (first._1 < id) out += ShadowOut(id, first._1, src, first._2)
+          rows.toArray.sortBy(t => (t._1, t._3)).foreach { case (id, src, i, _) =>
+            if (first._1 < id)
+              out += ShadowOut(id, i.toLong, first._1, src, first._2)
             if (id < first._1) first = (id, src)
           }
           if (first != init) state.update(first)
           out.iterator
       }
   }
+
+  /** Exactly-once sink fold for `provenanceStream` (VERDICT r14 #6): the
+    * stream is at-least-once, but under its ingest-order contract every
+    * emission is deterministic per occurrence key (doc_id, i) — so a
+    * keyed collapse (min over the attribution struct: deterministic, and
+    * equal across re-deliveries anyway) makes replays invisible, then
+    * q167's matrix fold runs on the de-duplicated occurrences. Output ≡
+    * `Audit.shadowMatrix` over the streamed corpus. */
+  def shadowMatrixFromEdges(edges: DataFrame): DataFrame =
+    edges
+      .groupBy("doc_id", "i")
+      .agg(min(struct(col("first_doc"), col("src_later"), col("src_first")))
+        .as("e"))
+      .select(col("doc_id"), col("e.first_doc").as("first_doc"),
+        col("e.src_later").as("src_later"), col("e.src_first").as("src_first"))
+      .groupBy("src_later", "src_first")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct("doc_id").as("n_docs"),
+        countDistinct("first_doc").as("n_first_docs"))
 
   final case class DriftBin(bin: Long, salt: Int, run_n: Long)
 

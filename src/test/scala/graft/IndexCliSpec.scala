@@ -426,4 +426,48 @@ class IndexCliSpec extends AnyFunSuite {
       (-row(1).asInstanceOf[Long], row(0).asInstanceOf[String])).head
     assert(r.contains(s""""top":"${top(0)}","top_rank":${top(1)}"""), r)
   }
+
+  test("compact-lsh/phash/pq/ivf/winnow verbs: counts preserved through the rewrite") {
+    val base = tmp("compact-verbs")
+    val docs = Tables.load(spark, sf, "documents")
+    val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("en"))
+    def rx(mode: String, before: String, after: String, out: String): Unit = {
+      assert(out.contains(s""""mode":"$mode""""), out)
+      val m = (s""""$before":(\\d+),"$after":(\\d+)""").r
+        .findFirstMatchIn(out).getOrElse(fail(s"no counts in $out"))
+      assert(m.group(1).toLong === m.group(2).toLong,
+        s"$mode changed row counts: $out")
+      assert(m.group(1).toLong > 0L, s"$mode ran on an empty fixture: $out")
+    }
+    val lsh = base.resolve("lsh").toString
+    IndexStore.saveLshIndex(docs.filter(col("doc_id") % 2 === 0), lsh)
+    IndexStore.appendLshBatch(docs.filter(col("doc_id") % 2 === 1), lsh)
+    rx("compact-lsh", "band_rows_before", "band_rows_after",
+      Index.run(spark, List("compact-lsh", lsh)))
+
+    val ph = base.resolve("phash").toString
+    IndexStore.savePhashIndex(docs.filter(col("doc_id") % 2 === 0), ph)
+    IndexStore.appendPhashBatch(docs.filter(col("doc_id") % 2 === 1), ph)
+    rx("compact-phash", "band_rows_before", "band_rows_after",
+      Index.run(spark, List("compact-phash", ph)))
+
+    val pq = base.resolve("pq").toString
+    IndexStore.savePqIndex(emb.filter(col("vec_id") % 2 === 0), pq)
+    IndexStore.appendPqBatch(emb.filter(col("vec_id") % 2 === 1), pq)
+    rx("compact-pq", "codes_before", "codes_after",
+      Index.run(spark, List("compact-pq", pq)))
+
+    val ivf = base.resolve("ivf").toString
+    IndexStore.saveIvfIndex(emb.filter(col("vec_id") % 2 === 0), ivf)
+    IndexStore.appendIvfBatch(emb.filter(col("vec_id") % 2 === 1), ivf)
+    rx("compact-ivf", "vectors_before", "vectors_after",
+      Index.run(spark, List("compact-ivf", ivf)))
+
+    val wn = base.resolve("winnow").toString
+    IndexStore.saveWinnowIndex(docs.filter(col("doc_id") % 2 === 0), wn)
+    IndexStore.appendWinnowBatch(docs.filter(col("doc_id") % 2 === 1), wn)
+    rx("compact-winnow", "buckets_before", "buckets_after",
+      Index.run(spark, List("compact-winnow", wn)))
+  }
 }

@@ -1137,6 +1137,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q174 bpe: merge rounds run at construction — the served plan scans no corpus") {
+    // The word-frequency table is built once and every round runs on the
+    // checkpointed vocab-sized frame (JobCountSpec eager list); the final
+    // result is the driver-assembled merge table, so the executed plan
+    // must contain no file scan (and certainly no documents scan).
+    assert(collectAll("q174_bpe_merges") { case f: FileSourceScanExec => f }.isEmpty,
+      "q174 served plan re-scans a table")
+    assert(collectAll("q174_bpe_merges") { case w: WindowExec => w }.isEmpty)
+  }
+
   test("q164 waterfill: every window runs over the |sources|-row aggregate") {
     val wins = collectAll("q164_budget_waterfill") { case w: WindowExec => w }
     assert(wins.nonEmpty, "expected the rank/prefix-sum/max windows")

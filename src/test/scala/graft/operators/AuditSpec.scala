@@ -282,6 +282,50 @@ class AuditSpec extends AnyFunSuite {
     iso.foreach(r => assert(r.getLong(1) < byAuth.head.getLong(1)))
   }
 
+  test("authority share build is overflow-safe at near-2^63 edge weights (VERDICT r14 #3)") {
+    import spark.implicits._
+    // One hot mirror pair whose weight sits where the old unguarded
+    // w * ShareScale product would wrap (w ≈ 8.1e18 ≫ 9.2e12), plus a
+    // small source whose shares exercise the exact branch. The reference
+    // below replays the SAME integer recurrence in BigInt (which cannot
+    // wrap): any silent long overflow in the plan would diverge.
+    val big = 8100000000000000000L
+    val edges = Seq(
+      ("mirror", "origin", big),
+      ("a", "origin", 3L), ("a", "b", 1L)).toDF("src", "dst", "w")
+    val nodes = Seq("origin", "mirror", "a", "b").toDF("source")
+    val got = Audit.authority(edges, nodes).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+    val S = BigInt(Audit.ShareScale)
+    def share(w: BigInt, ow: BigInt): BigInt =
+      if (ow <= S * S) (w * S) / ow else w / (ow / S)
+    val ew = Map(("mirror", "origin") -> BigInt(big),
+      ("a", "origin") -> BigInt(3), ("a", "b") -> BigInt(1))
+    val outw = ew.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val sh = ew.map { case ((s, d), w) => (s, d) -> share(w, outw(s)) }
+    val ns = Seq("origin", "mirror", "a", "b")
+    val n = BigInt(ns.size)
+    var r = ns.map(_ -> BigInt(Audit.RankScale) / n).toMap
+    for (_ <- 1 to Audit.RankRounds) {
+      val dm = ns.filterNot(outw.contains).map(r).sum
+      val contrib = sh.toSeq
+        .map { case ((s, d), v) => d -> (r(s) * v) / S }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      r = ns.map(s => s -> (((BigInt(Audit.RankScale) / n) * 15) / 100 +
+        (85 * (contrib.getOrElse(s, BigInt(0)) + dm / n)) / 100)).toMap
+    }
+    val inw = ew.groupMapReduce(_._1._2)(_._2)(_ + _)
+    val want = ns.map(s => s -> (
+      r(s).toLong, inw.getOrElse(s, BigInt(0)).toLong,
+      outw.getOrElse(s, BigInt(0)).toLong)).toMap
+    assert(got === want)
+    // the hot-pair share survived on-scale: mirror endorses origin fully
+    assert(sh(("mirror", "origin")) === S)
+    assert(got("origin")._1 === got.values.map(_._1).max)
+  }
+
   test("q162: a prefix covering the full dimension overlaps MatK everywhere") {
     // Self-consistency of the machinery: ranking by the re-normalized
     // 64-prefix (the whole vector) must reproduce the full ranking.

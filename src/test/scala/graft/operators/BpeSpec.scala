@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SharedSpark, Tables}
+
+/** q174 BPE vocabulary learning: the distributed pair-count + greedy
+  * string-fold merge must agree with an INDEPENDENT scalar reference
+  * (plain Scala maps over symbol vectors — the textbook get_stats /
+  * merge_vocab shape) on both a hand fixture exercising overlap runs and
+  * the real corpus, and be partitioning-invariant. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Textbook reference: word-frequency dict, overlapping pair counts,
+    * max-count (lexical min tiebreak) merge applied greedily left-to-right
+    * non-overlapping. Returns (rnd, l, r, pcnt, n_tokens). */
+  private def refBpe(words: Seq[String], rounds: Int)
+      : Seq[(Long, String, String, Long, Long)] = {
+    var wc: Vector[(Vector[String], Long)] = words
+      .filter(w => w.nonEmpty && !w.contains("|"))
+      .groupBy(identity).view
+      .map { case (w, g) => (w.map(_.toString).toVector, g.size.toLong) }
+      .toVector
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long)]
+    var k = 1
+    var done = false
+    while (k <= rounds && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      wc.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+          case _ => ()
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        wc = wc.map { case (syms, c) =>
+          val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              nb += l + r; i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          (nb.toVector, c)
+        }
+        out += ((k.toLong, l, r, cnt, wc.map { case (s, c) => s.size * c }.sum))
+        k += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def run(docs: org.apache.spark.sql.DataFrame, rounds: Int) =
+    TextOps.bpeMerges(docs, rounds).orderBy("rnd").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+
+  test("greedy overlap semantics: runs merge left-to-right, counts include overlaps") {
+    import spark.implicits._
+    // "aaaa aaa": pair (a,a) counts 3 + 2 = 5 (overlaps included); the
+    // greedy merge leaves "aaaa"→[aa,aa] and "aaa"→[aa,a] (never [a,aa]).
+    val docs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val got = run(docs, 3)
+    assert(got.head === ((1L, "a", "a", 5L, 4L)))
+    // round 2 tie on count 1: (aa,a) < (aa,aa) lexically
+    assert(got(1)._2 === "aa" && got(1)._3 === "a")
+    assert(got === refBpe(Seq("aaaa", "aaa"), 3))
+  }
+
+  test("bpeMerges == the scalar reference on the real corpus, all rounds") {
+    val docs = Tables.load(spark, dir, "documents")
+    val words = docs.select(explode(split(trim(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").collect().map(_.getString(0)).toSeq
+    val want = refBpe(words, TextOps.BpeRounds)
+    val got = run(docs, TextOps.BpeRounds)
+    assert(got === want)
+    assert(got.size === TextOps.BpeRounds, "fixture exhausted its pairs early")
+    // merge counts are non-increasing only per learned pair family, but
+    // token count must strictly decrease every round (each merge removes
+    // pcnt-or-fewer, at least one, symbols)
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(b._5 < a._5, s"token count did not fall: $a -> $b")
+      case _ => ()
+    }
+  }
+
+  test("bpeMerges is partitioning-invariant") {
+    val docs = Tables.load(spark, dir, "documents")
+    assert(run(docs.repartition(13), 4) === run(docs, 4))
+  }
+}

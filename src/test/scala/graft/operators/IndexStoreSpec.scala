@@ -612,4 +612,129 @@ class IndexStoreSpec extends AnyFunSuite {
       .collect().map(_.toSeq.toList).toList
     assert(got === want && got.nonEmpty)
   }
+
+  private def parquetFiles(path: String, sub: String): Long =
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/$sub"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+
+  test("store builds write at cluster parallelism, not |pfx| width (VERDICT r14 #1)") {
+    // repartition(col("pfx")) capped every build at <= 64 writer tasks; the
+    // widened build hashes on (pfx, gh) at spark.sql.shuffle.partitions —
+    // a child session pins 96 here and a stage with 96 tasks must appear,
+    // while the written store stays bit-identical to the direct derivation.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "96")
+    val docs = Tables.load(s2, sf, "documents")
+    val path = tmp("wide-build")
+    val stages = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stages.put(e.stageInfo.stageId, e.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      IndexStore.saveGramIndex(docs, path)
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+          !stages.values.exists(_ >= 96)) Thread.sleep(100)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(stages.values.exists(_ >= 96),
+      s"no build stage ran at >= 96 tasks: ${stages.values.toList.sorted}")
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      df.select("gh", "first_doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idx(IndexStore.loadGramIndex(spark, path))
+      === idx(Dedup.gramRows(Tables.load(spark, sf, "documents"))
+        .groupBy("gh").agg(min("doc_id").as("first_doc"))))
+  }
+
+  test("compactLshIndex: dedup verdicts bit-identical, fewer files") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("lsh-compact")
+    IndexStore.saveLshIndex(docs.filter(col("doc_id") % 3 === 0), path)
+    IndexStore.appendLshBatch(docs.filter(col("doc_id") % 3 === 1), path)
+    IndexStore.appendLshBatch(docs.filter(col("doc_id") % 3 === 2), path)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      .localCheckpoint(true)
+    def verdicts() = IndexStore.incrementalDedup(batch,
+        IndexStore.loadLshBands(spark, path),
+        IndexStore.loadLshShingles(spark, path))
+      .orderBy("doc_id").collect().map(_.toSeq.toList).toList
+    def bandSet() = IndexStore.loadLshBands(spark, path)
+      .collect().map(_.toSeq.toList).toSet
+    val (vBefore, bBefore) = (verdicts(), bandSet())
+    val filesBefore = parquetFiles(path, "lsh/bands")
+    IndexStore.compactLshIndex(spark, path)
+    assert(verdicts() === vBefore)
+    assert(bandSet() === bBefore)
+    assert(parquetFiles(path, "lsh/bands") < filesBefore)
+  }
+
+  test("compactPhashIndex: pair set bit-identical, fewer files") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("phash-compact")
+    IndexStore.savePhashIndex(docs.filter(col("doc_id") % 3 === 0), path)
+    IndexStore.appendPhashBatch(docs.filter(col("doc_id") % 3 === 1), path)
+    IndexStore.appendPhashBatch(docs.filter(col("doc_id") % 3 === 2), path)
+    def pairs() = IndexStore.phashPairsFrom(spark, path)
+      .orderBy("a", "b").collect().map(_.toSeq.toList).toList
+    val before = pairs()
+    val filesBefore = parquetFiles(path, "phash/bands")
+    IndexStore.compactPhashIndex(spark, path)
+    assert(pairs() === before && before.nonEmpty)
+    assert(parquetFiles(path, "phash/bands") < filesBefore)
+  }
+
+  test("compactPqIndex / compactIvfIndex: search bit-identical, fewer files") {
+    val emb = Vectors.withNormalized(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("en"))
+    val standing = emb.filter(col("vec_id") % 4 === 0)
+    val pq = tmp("pq-compact")
+    IndexStore.savePqIndex(standing, pq)
+    (1 to 3).foreach(i =>
+      IndexStore.appendPqBatch(emb.filter(col("vec_id") % 4 === i), pq))
+    def pqHits() = IndexStore.searchPq(emb, pq, 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val pqBefore = pqHits()
+    val pqFiles = parquetFiles(pq, "pq/codes")
+    IndexStore.compactPqIndex(spark, pq)
+    assert(pqHits() === pqBefore)
+    assert(parquetFiles(pq, "pq/codes") < pqFiles)
+
+    val ivf = tmp("ivf-compact")
+    IndexStore.saveIvfIndex(emb.filter(col("vec_id") % 4 =!= 1), ivf)
+    IndexStore.appendIvfBatch(emb.filter(col("vec_id") % 4 === 1), ivf)
+    def ivfHits() = IndexStore.searchIvfProbed(spark, ivf, 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val ivfBefore = ivfHits()
+    val ivfFiles = parquetFiles(ivf, "ivf/vectors")
+    IndexStore.compactIvfIndex(spark, ivf)
+    assert(ivfHits() === ivfBefore)
+    assert(parquetFiles(ivf, "ivf/vectors") < ivfFiles)
+  }
+
+  test("compaction swap repairs a crash window (restore from .old) — ADVICE r14") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("crash-repair")
+    IndexStore.saveGramIndex(docs.filter(col("doc_id") % 2 === 0), path)
+    IndexStore.appendGramBatch(docs.filter(col("doc_id") % 2 === 1), path)
+    def idx() = IndexStore.loadGramIndex(spark, path)
+      .groupBy("gh").agg(min("first_doc").as("first_doc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = idx()
+    // Simulate a crash between the two swap renames: the only copy of the
+    // table stranded at <table>.old, the live path absent.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/grams/index"),
+      new org.apache.hadoop.fs.Path(s"$path/grams/index.old")))
+    // Re-running the interrupted compaction must FIRST restore from .old,
+    // then compact normally — the store heals without manual repair.
+    IndexStore.compactGramIndex(spark, path)
+    assert(idx() === want && want.nonEmpty)
+    assert(IndexStore.loadGramIndex(spark, path).count() === want.size.toLong,
+      "compaction after recovery must still min-combine duplicates")
+  }
 }

@@ -85,7 +85,11 @@ class JobCountSpec extends AnyFunSuite {
     "q171_provenance_from_store", "q172_authority_from_store",
     // q173 builds the persisted IVFPQ store at construction; its search
     // also sizes autoRerank from the store's code count.
-    "q173_fusion_from_store")
+    "q173_fusion_from_store",
+    // q174 runs BpeRounds merge rounds over the checkpointed vocab-sized
+    // word-frequency frame at construction (each round pulls the 1-row
+    // winning pair — the q170 barrier'd-iteration discipline).
+    "q174_bpe_merges")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached

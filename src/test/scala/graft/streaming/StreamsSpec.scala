@@ -330,6 +330,31 @@ class StreamsSpec extends AnyFunSuite {
     assert(got === want && got.nonEmpty)
   }
 
+  test("provenance replay: shadowMatrixFromEdges folds re-emissions to q167's exact matrix") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    // Batch 3 replays batch 2: every covered occurrence in b2 re-emits its
+    // edge row (the documented at-least-once contract), so a naive count
+    // fold overcounts — the (doc_id, i) keyed fold must not.
+    val edges = Streams.runToMemory(spark,
+      Streams.provenanceStream(
+        Streams.readDocsStream(spark, landBatches(Seq(b1, b2, b2)).getPath,
+          "*.parquet", Some(1))).toDF(),
+      "prov_replay")
+    val naive = edges.groupBy("src_later", "src_first")
+      .agg(count(lit(1)).as("n_grams"))
+      .agg(coalesce(sum("n_grams"), lit(0L))).head().getLong(0)
+    val got = Streams.shadowMatrixFromEdges(edges)
+      .collect().map(_.toSeq.toList).toSet
+    val want = graft.SparkEntry.queries("q167_strip_provenance")(spark, dir)
+      .collect().map(_.toSeq.toList).toSet
+    val exactGrams = want.map(_(2).asInstanceOf[Long]).sum
+    assert(naive > exactGrams,
+      "fixture produced no re-emissions — the idempotence claim would be vacuous")
+    assert(got === want && got.nonEmpty)
+  }
+
   test("provenance stream state: one (min, source) per gram; replay updates nothing") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val b1 = docs.filter(col("doc_id") < 250)
