@@ -335,7 +335,17 @@ object TextOps {
     * connectedComponents lineage discipline — JobCountSpec lists q174
     * eager-by-design). At web scale the vocab is ~10⁷ rows against a
     * 10¹³-row corpus: round cost is independent of corpus size. */
-  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame =
+    bpeLearn(docs, rounds)._1
+
+  /** The learner's full state: (merge table, final segmented vocab).
+    * The vocab frame is (repr, cnt) — each surviving word's subword
+    * segmentation as the '|'-joined symbol string after all merges — and
+    * is what `bpeEncode` joins back to the corpus (segmentation is a
+    * property of the WORD, so applying the vocab is a vocab-sized
+    * lookup, never a per-occurrence re-merge). */
+  private[operators] def bpeLearn(docs: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val syms = split(col("repr"), "[|]")
@@ -384,7 +394,31 @@ object TextOps {
         k += 1
       }
     }
-    merges.toSeq.toDF("rnd", "l", "r", "pcnt", "n_tokens")
+    (merges.toSeq.toDF("rnd", "l", "r", "pcnt", "n_tokens"), wc)
+  }
+
+  /** q175: tokenize WITH the learned vocabulary — the apply half of the
+    * q174 learner (together they are the q107/q120 pipeline's missing
+    * learn→encode pair). Per document: words covered by the learned
+    * vocab and their subword token total under the final segmentation.
+    * Inner-join semantics like q84 — a word outside the learned vocab
+    * (here only the '|'-guard drops any) contributes to neither count.
+    *
+    * 100 TB shape: learning runs on the vocab frame (see `bpeLearn`);
+    * encoding is ONE corpus word scan joined to the vocab-sized
+    * segmentation table (AQE broadcasts it) into a doc-keyed aggregation
+    * — segmentation is per-WORD, so no per-occurrence merge replay. */
+  def bpeEncode(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val (_, vocab) = bpeLearn(docs, rounds)
+    val seg = vocab.select(
+      regexp_replace(col("repr"), "[|]", "").as("w"),
+      size(split(col("repr"), "[|]")).cast("long").as("n_sub"))
+    docs
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(seg), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("bpe_tokens"))
   }
 
   /** q174's oracle: `rounds` unrolled MATERIALIZED rounds of the same
@@ -395,7 +429,42 @@ object TextOps {
     * Every w/b/n CTE in the chain is referenced by 2+ successors —
     * AS MATERIALIZED throughout (the q170 lesson: DuckDB re-inlines
     * per reference, compounding exponentially down a merge chain). */
-  private[operators] def bpeOracle(rounds: Int): String = {
+  private[operators] def bpeOracle(rounds: Int): String =
+    s"""WITH ${bpeCtes(rounds)}
+       |${bpeRows(rounds)}
+       |ORDER BY rnd""".stripMargin
+
+  /** q175's oracle: the same unrolled merge chain, then the final vocab
+    * (w<rounds>) as a word → subword-count segmentation table joined back
+    * to the corpus words — the q84 inner-join discipline. */
+  private[operators] def bpeEncodeOracle(rounds: Int): String =
+    s"""WITH ${bpeCtes(rounds)},
+       |seg AS (
+       |  SELECT replace(repr, '|', '') AS w,
+       |         CAST(length(repr) - length(replace(repr, '|', '')) + 1 AS BIGINT) AS n_sub
+       |  FROM w$rounds),
+       |words AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents) t
+       |  WHERE w <> '')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_sub) AS BIGINT) AS bpe_tokens
+       |FROM words JOIN seg USING (w)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** The per-round SELECT rows of q174's result (one per unrolled CTE). */
+  private def bpeRows(rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS rnd, b.l, b.r, b.pcnt, n.n_tokens FROM b$k b CROSS JOIN n$k n"
+    }.mkString("\nUNION ALL\n")
+
+  /** The shared CTE chain: word-frequency base + `rounds` unrolled merge
+    * rounds (pair counts, winner, fold application, post-merge token
+    * total) — every w/b/n CTE referenced by 2+ successors is
+    * AS MATERIALIZED (the q170 lesson: DuckDB re-inlines per reference,
+    * compounding exponentially down a merge chain). */
+  private def bpeCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { k =>
       val p = s"w${k - 1}"
       s"""p$k AS (
@@ -414,18 +483,13 @@ object TextOps {
          |  SELECT CAST(coalesce(sum(cnt * (length(repr) - length(replace(repr, '|', '')) + 1)), 0) AS BIGINT) AS n_tokens
          |  FROM w$k)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to rounds).map { k =>
-      s"SELECT CAST($k AS BIGINT) AS rnd, b.l, b.r, b.pcnt, n.n_tokens FROM b$k b CROSS JOIN n$k n"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT substr(regexp_replace(w, '(.)', '\\1|', 'g'), 1, length(w) * 2 - 1) AS repr,
        |         CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents) t0
        |  WHERE w <> '' AND strpos(w, '|') = 0
        |  GROUP BY 1),
-       |$roundCtes
-       |$rows
-       |ORDER BY rnd""".stripMargin
+       |$roundCtes""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -2180,6 +2244,19 @@ object TextOps {
         // shape (one corpus scan; rounds run vocab-sized).
         bpeMerges(Tables.load(s, dir, "documents")).orderBy("rnd")
       },
-      Some(bpeOracle(BpeRounds)))
+      Some(bpeOracle(BpeRounds))),
+
+    // ── BPE encoding with the learned vocabulary (q174's apply half) ──
+    QueryDef(
+      "q175_bpe_encode",
+      (s, dir) => {
+        // Token counting under the LEARNED subword vocab — the number a
+        // packing/budget stage (q51/q164) actually needs once a real
+        // tokenizer replaces the whitespace count (q28). Learning runs
+        // vocab-sized (see q174); encoding is one corpus word scan
+        // joined to the broadcast segmentation table.
+        bpeEncode(Tables.load(s, dir, "documents")).orderBy("doc_id")
+      },
+      Some(bpeEncodeOracle(BpeRounds)))
   )
 }

@@ -1147,6 +1147,16 @@ class PlanSpec extends AnyFunSuite {
     assert(collectAll("q174_bpe_merges") { case w: WindowExec => w }.isEmpty)
   }
 
+  test("q175 bpe encode: one corpus word scan, vocab joined broadcast, no window") {
+    val scans = collectAll("q175_bpe_encode") { case f: FileSourceScanExec => f }
+    assert(scans.size === 1, s"expected exactly the word scan, got ${scans.size}")
+    assert(collectAll("q175_bpe_encode") { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "segmentation table must broadcast into the word scan")
+    assert(collectAll("q175_bpe_encode") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q175_bpe_encode") { case s: SortMergeJoinExec => s }.isEmpty,
+      "vocab-sized lookup must not sort-merge")
+  }
+
   test("q164 waterfill: every window runs over the |sources|-row aggregate") {
     val wins = collectAll("q164_budget_waterfill") { case w: WindowExec => w }
     assert(wins.nonEmpty, "expected the rank/prefix-sum/max windows")

@@ -94,4 +94,44 @@ class BpeSpec extends AnyFunSuite {
     val docs = Tables.load(spark, dir, "documents")
     assert(run(docs.repartition(13), 4) === run(docs, 4))
   }
+
+  /** Reference segmentation: replay refBpe's merges over a word's chars —
+    * the subword count q175 must reproduce through the engine path. */
+  private def refSegment(words: Seq[String], rounds: Int): Map[String, Long] = {
+    var seg: Map[String, Vector[String]] = words.distinct
+      .filter(w => w.nonEmpty && !w.contains("|"))
+      .map(w => w -> w.map(_.toString).toVector).toMap
+    refBpe(words, rounds).foreach { case (_, l, r, _, _) =>
+      seg = seg.view.mapValues { syms =>
+        val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            nb += l + r; i += 2
+          } else { nb += syms(i); i += 1 }
+        }
+        nb.toVector
+      }.toMap
+    }
+    seg.view.mapValues(_.size.toLong).toMap
+  }
+
+  test("q175 encode == per-word reference segmentation applied to every doc") {
+    val docs = Tables.load(spark, dir, "documents")
+    val docWords = docs
+      .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty).toSeq)
+    val seg = refSegment(docWords.flatMap(_._2).toSeq, TextOps.BpeRounds)
+    val want = docWords.map { case (id, ws) =>
+      val covered = ws.filter(seg.contains)
+      (id, covered.size.toLong, covered.map(seg).sum)
+    }.filter(_._2 > 0).sortBy(_._1).toSeq
+    val got = TextOps.bpeEncode(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want && got.nonEmpty)
+    // the learned vocab genuinely compresses: fewer subword tokens than chars
+    val chars = docWords.flatMap(_._2).map(_.length.toLong).sum
+    assert(got.map(_._3).sum < chars)
+  }
 }

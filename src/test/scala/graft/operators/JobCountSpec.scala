@@ -86,10 +86,10 @@ class JobCountSpec extends AnyFunSuite {
     // q173 builds the persisted IVFPQ store at construction; its search
     // also sizes autoRerank from the store's code count.
     "q173_fusion_from_store",
-    // q174 runs BpeRounds merge rounds over the checkpointed vocab-sized
-    // word-frequency frame at construction (each round pulls the 1-row
-    // winning pair — the q170 barrier'd-iteration discipline).
-    "q174_bpe_merges")
+    // q174/q175 run BpeRounds merge rounds over the checkpointed
+    // vocab-sized word-frequency frame at construction (each round pulls
+    // the 1-row winning pair — the q170 barrier'd-iteration discipline).
+    "q174_bpe_merges", "q175_bpe_encode")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached
