@@ -61,17 +61,34 @@ object IndexStore {
     * on the bare partition prefix funnels the FULL table through ≤|pfx|
     * writer tasks (64 for the gram stores, 17 for phash) — invisible at
     * sf0.1, a wall-clock scale-killer for a one-time 100 TB build (~1.5 TB
-    * per task while the rest of the cluster idles). Builds instead hash on
-    * (pfx, <high-cardinality key>) with this explicit width, so write
-    * parallelism tracks the cluster (`spark.sql.shuffle.partitions`, the
-    * same sizing knob every other shuffle here uses) while
-    * `partitionBy(pfx)` read-pruning is untouched; each writer task emits
-    * one file per pfx it holds, each file internally sorted (the explicit
-    * sort LEADS with pfx so the dynamic-partition writer adds no sort of
-    * its own), so per-file row-group stats still serve point reads.
+    * per task while the rest of the cluster idles). Builds instead
+    * RANGE-partition on (pfx, <high-cardinality key>) at this explicit
+    * width (`buildRepartition` — see there for why range, not hash), so
+    * write parallelism tracks the cluster
+    * (`spark.sql.shuffle.partitions`, the same sizing knob every other
+    * shuffle here uses) while `partitionBy(pfx)` read-pruning is
+    * untouched; each writer task holds a contiguous (pfx, key) range, so
+    * file count tracks P + |pfx| and each file is internally sorted (the
+    * explicit sort LEADS with pfx so the dynamic-partition writer adds no
+    * sort of its own) — per-file row-group stats still serve point reads.
     * Compaction owns the file-count budget. */
   private def writeParallelism(spark: SparkSession): Int =
     spark.sessionState.conf.numShufflePartitions
+
+  /** The widened build exchange: RANGE partition on (partition col, key)
+    * at `writeParallelism` width. Range, not hash — a hash spread gives
+    * every writer task rows of ~every pfx, so a P-task build emits up to
+    * P·|pfx| files (8,192 at P=128 locally, ~10⁵ on a real cluster —
+    * measured 3-4× slower than the old funnel at small scale on file
+    * creation alone); contiguous ranges give each task ≤ 2 pfx
+    * boundaries, so file count tracks P + |pfx| while parallelism tracks
+    * the cluster. The follow-up sort within partitions still LEADS with
+    * the partition column, so the dynamic-partition writer adds no sort
+    * of its own and per-file row-group stats serve point reads. */
+  private def buildRepartition(df: DataFrame, partCol: String,
+      key: String): DataFrame =
+    df.repartitionByRange(writeParallelism(df.sparkSession),
+      col(partCol), col(key))
 
   // ── MinHash-LSH band index + shingle state ──
 
@@ -89,8 +106,7 @@ object IndexStore {
     * the same zero-shuffle signature scan q23 uses, plus one distinct for
     * the shingle sets). */
   def saveLshIndex(docs: DataFrame, path: String): Unit = {
-    bandRows(docs)
-      .repartition(writeParallelism(docs.sparkSession), col("pfx"), col("bh"))
+    buildRepartition(bandRows(docs), "pfx", "bh")
       .sortWithinPartitions("pfx", "bh", "bi", "doc_id")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/lsh/bands")
     Dedup.shingles(docs)
@@ -176,10 +192,9 @@ object IndexStore {
     * just df>1 ones: a standing gram with a single occurrence can still
     * cover a future batch's copy of the same run. */
   def saveGramIndex(docs: DataFrame, path: String): Unit =
-    Dedup.gramRows(docs)
+    buildRepartition(Dedup.gramRows(docs)
       .groupBy("gh").agg(min("doc_id").as("first_doc"))
-      .withColumn("pfx", gramPfx)
-      .repartition(writeParallelism(docs.sparkSession), col("pfx"), col("gh"))
+      .withColumn("pfx", gramPfx), "pfx", "gh")
       .sortWithinPartitions("pfx", "gh")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/grams/index")
 
@@ -251,17 +266,14 @@ object IndexStore {
     * crawl-loop story where the matrix is a standing report, not a
     * per-query corpus re-scan. */
   def saveProvenanceIndex(docs: DataFrame, path: String): Unit = {
-    val p = writeParallelism(docs.sparkSession)
-    Dedup.gramRows(docs)
+    buildRepartition(Dedup.gramRows(docs)
       .groupBy("gh", "doc_id").agg(count(lit(1)).as("cnt"))
-      .withColumn("pfx", gramPfx)
-      .repartition(p, col("pfx"), col("gh"))
+      .withColumn("pfx", gramPfx), "pfx", "gh")
       .sortWithinPartitions("pfx", "gh", "doc_id")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/grams/postings")
-    loadGramPostings(docs.sparkSession, path)
+    buildRepartition(loadGramPostings(docs.sparkSession, path)
       .groupBy("gh").agg(min("doc_id").as("first_doc"))
-      .withColumn("pfx", gramPfx)
-      .repartition(p, col("pfx"), col("gh"))
+      .withColumn("pfx", gramPfx), "pfx", "gh")
       .sortWithinPartitions("pfx", "gh")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/grams/index")
     docs.select(col("doc_id"), col("source"))
@@ -306,8 +318,9 @@ object IndexStore {
     * inside that window strands the only copy at `<table>.old` — every
     * swap entry REPAIRS that first (restore old → cur when cur is
     * missing), so re-running the interrupted compaction heals the store.
-    * When `partCol` is set the rewrite hashes on (partCol, sortCols.head)
-    * at `writeParallelism` width — build-parity write fan-out — and the
+    * When `partCol` is set the rewrite range-partitions on
+    * (partCol, sortCols.head) at `writeParallelism` width — build-parity
+    * write fan-out and file-count shape (`buildRepartition`) — and the
     * sort leads with the partition column; otherwise a flat rewrite
     * sorted by `sortCols`, `parts` wide (0 = `writeParallelism`, the
     * cluster-tracking default). */
@@ -326,9 +339,7 @@ object IndexStore {
     fs.delete(tmp, true); fs.delete(old, true)
     val w0 = partCol match {
       case Some(pc) =>
-        compacted
-          .repartition(writeParallelism(spark),
-            (pc +: sortCols.take(1)).map(col): _*)
+        buildRepartition(compacted, pc, sortCols.head)
           .sortWithinPartitions((pc +: sortCols).map(col): _*)
           .write.partitionBy(pc)
       case None =>
@@ -476,8 +487,7 @@ object IndexStore {
     * One-time, linear — the same single doc-keyed agg q136 pays. */
   def savePhashIndex(docs: DataFrame, path: String): Unit = {
     val grid = Multimodal.phashGrid(docs).localCheckpoint(true)
-    phashBandPfx(grid)
-      .repartition(writeParallelism(docs.sparkSession), col("pfx"), col("key"))
+    buildRepartition(phashBandPfx(grid), "pfx", "key")
       .sortWithinPartitions("pfx", "key", "bi", "doc_id")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/phash/bands")
     grid.write.mode("overwrite").parquet(s"$path/phash/grid")
@@ -873,8 +883,7 @@ object IndexStore {
     val (assigned, fineCells, coarseArr) = Vectors.ivfIndex(emb, refine)
     coarseArr.write.mode("overwrite").parquet(s"$path/ivf/coarse")
     fineCells.write.mode("overwrite").parquet(s"$path/ivf/cells")
-    assigned
-      .repartition(writeParallelism(emb.sparkSession), col("ccid"), col("vec_id"))
+    buildRepartition(assigned, "ccid", "vec_id")
       .sortWithinPartitions("ccid", "cid", "vec_id")
       .write.mode("overwrite").partitionBy("ccid").parquet(s"$path/ivf/vectors")
   }
@@ -1031,9 +1040,8 @@ object IndexStore {
     coarseArr.write.mode("overwrite").parquet(s"$path/ivfpq/coarse")
     val cb = Vectors.pqCodebook(emb)
     cb.write.mode("overwrite").parquet(s"$path/ivfpq/codebook")
-    Vectors.pqAssign(emb, cb)
-      .join(assigned.select("vec_id", "ccid"), Seq("vec_id"))
-      .repartition(writeParallelism(emb.sparkSession), col("ccid"), col("vec_id"))
+    buildRepartition(Vectors.pqAssign(emb, cb)
+      .join(assigned.select("vec_id", "ccid"), Seq("vec_id")), "ccid", "vec_id")
       .sortWithinPartitions("ccid", "vec_id")
       .write.mode("overwrite").partitionBy("ccid")
       .parquet(s"$path/ivfpq/codes")
