@@ -55,6 +55,27 @@ object Audit {
     * small-range estimate). 2.5·512 = 1280 exactly in integers. */
   val HllSmallRange: Long = HllM.toLong * 5 / 2
 
+  // ── q176/q177 Count-Min Sketch parameters ────────────────────────────
+  /** Depth (independent hash rows) and width (buckets per row) of the CMS
+    * grid (Cormode & Muthukrishnan 2005). State is D × W = 8192 counter
+    * cells AT ANY corpus size — the point-frequency analogue of the HLL
+    * grid above: Misra–Gries (q159) finds WHICH keys are heavy without
+    * the vocabulary shuffle, HLL (q160) counts DISTINCT keys, and the CMS
+    * answers "how often does key x occur" from bounded mergeable state.
+    * Guarantee: est ≥ true always (counters only over-count), and
+    * est ≤ true + e·n/W with probability 1 − e^(−D) per key; the audit
+    * emits the standard ⌈2n/W⌉ bound and a within-bound flag per row so
+    * the miss probability is visible data, not a silent assumption. */
+  val CmsD = 4
+  val CmsW = 2048
+
+  /** Heavy-hitter threshold divisor shared with q159 (K = 256): the CMS
+    * audits exactly the keys whose true count exceeds n/(K+1) — the set
+    * q159's Misra–Gries sketch is guaranteed to surface, which is how the
+    * two sketches compose in production (MG proposes, CMS estimates,
+    * neither shuffles the vocabulary). */
+  val CmsK = 256
+
   // ── q163 PII patterns (the Java/RE2 ∩ DuckDB regex subset, like q61) ──
   val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
@@ -196,6 +217,44 @@ object Audit {
     * #6). */
   private def regimeSql(e: String): String =
     s"CASE WHEN $e < $HllSmallRange.0e0 THEN 'small_range' ELSE 'ok' END"
+
+  /** The CMS bucket array for one value: D independent 60-bit md5 folds
+    * (row index salted into the message — the q79 portable-hash idiom,
+    * one fold per row) each reduced mod W. Rendered as SQL text so the
+    * identical expression runs in both engines; the integer j renders as
+    * the same decimal string under Spark's and DuckDB's casts. */
+  private def cmsBucketsSpark(v: String): String =
+    s"transform(sequence(0, ${CmsD - 1}), j -> " +
+      s"cast(conv(substr(md5(concat('cms', cast(j AS string), ':', $v)), 1, 15), 16, 10) AS bigint) % $CmsW)"
+
+  /** DuckDB twin of one CMS bucket: row j is a literal per unnested row
+    * there, so the fold takes the already-concatenated message. */
+  private def cmsBucketDuck(msg: String): String =
+    s"${h60Duck(msg)} % $CmsW"
+
+  /** Per-occurrence (j, c) bucket rows — a pure narrow projection
+    * (stream-safe, the hllRows split): the batch path aggregates it into
+    * the grid below; the streaming twin folds it into cell state. */
+  def cmsRows(items: DataFrame, v: String): DataFrame =
+    items
+      .select(posexplode(expr(cmsBucketsSpark(v))))
+      .select(col("pos").cast("long").as("j"), col("col").as("c"))
+
+  /** Global CMS cell frame (j, c, cc) over a value column: one linear
+    * scan collapsing into ≤ D × W counter rows, map-side combined — the
+    * whole sketch is 8192 bigints regardless of corpus size, and cells
+    * from independent shards MERGE BY ADDITION (the linearity CmsSpec
+    * pins: Σ_src cells_src ≡ global cells bit-for-bit). */
+  def cmsCells(items: DataFrame, v: String): DataFrame =
+    cmsRows(items, v)
+      .groupBy("j", "c").agg(count(lit(1)).as("cc"))
+
+  /** Per-group CMS cells (grp, j, c, cc) — state ≤ |groups| × D × W. */
+  def cmsCellsBy(items: DataFrame, grp: String, v: String): DataFrame =
+    items
+      .select(col(grp).as("grp"), posexplode(expr(cmsBucketsSpark(v))))
+      .select(col("grp"), col("pos").cast("long").as("j"), col("col").as("c"))
+      .groupBy("grp", "j", "c").agg(count(lit(1)).as("cc"))
 
   /** (key, g) HllN-gram stream keyed by any doc column — the q103
     * gram-enumeration idiom. */
@@ -407,6 +466,62 @@ object Audit {
        |LEFT JOIN outw o ON o.src = n.source
        |ORDER BY n.source""".stripMargin
   }
+
+  /** Shared CMS oracle plumbing: word stream, total, the q159-threshold
+    * heavy-hitter set, its probe buckets, and the per-occurrence bucket
+    * stream. `words`/`t`/`hh` are referenced by several successors —
+    * MATERIALIZED per the CTE re-inlining rule. Declared above `defs`
+    * (object-init order). */
+  private val cmsCtes: String =
+    s"""words AS MATERIALIZED (
+       |  SELECT source, w FROM (
+       |    SELECT source, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |t AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM words),
+       |hh AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY w
+       |  HAVING count(*) >= (SELECT n // ${CmsK + 1} + 1 FROM t)),
+       |hp AS MATERIALIZED (
+       |  SELECT w, cnt, j, ${cmsBucketDuck("'cms' || CAST(j AS VARCHAR) || ':' || w")} AS c
+       |  FROM (SELECT w, cnt, unnest(range(0, $CmsD)) AS j FROM hh)),
+       |pr AS (
+       |  SELECT source, w, j, ${cmsBucketDuck("'cms' || CAST(j AS VARCHAR) || ':' || w")} AS c
+       |  FROM (SELECT source, w, unnest(range(0, $CmsD)) AS j FROM words))""".stripMargin
+
+  private val cmsFreqOracle: String =
+    s"""WITH $cmsCtes,
+       |cells AS (SELECT j, c, CAST(count(*) AS BIGINT) AS cc FROM pr GROUP BY j, c),
+       |es AS (
+       |  SELECT hp.w, hp.cnt, min(ce.cc) AS est
+       |  FROM hp JOIN cells ce USING (j, c)
+       |  GROUP BY hp.w, hp.cnt)
+       |SELECT w, cnt, CAST(est AS BIGINT) AS est,
+       |       CAST(est - cnt AS BIGINT) AS overcount,
+       |       (SELECT CAST((2 * n) // $CmsW AS BIGINT) FROM t) AS bound,
+       |       CAST(CASE WHEN est - cnt <= (SELECT (2 * n) // $CmsW FROM t)
+       |            THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+       |FROM es ORDER BY cnt DESC, w""".stripMargin
+
+  private val cmsShareOracle: String =
+    s"""WITH $cmsCtes,
+       |cells AS (
+       |  SELECT source, j, c, CAST(count(*) AS BIGINT) AS cc
+       |  FROM pr GROUP BY source, j, c),
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |es AS (
+       |  SELECT s.source, hp.w, min(coalesce(ce.cc, 0)) AS est_src
+       |  FROM srcs s CROSS JOIN hp
+       |  LEFT JOIN cells ce ON ce.source = s.source AND ce.j = hp.j AND ce.c = hp.c
+       |  GROUP BY s.source, hp.w),
+       |ex AS (
+       |  SELECT w, source, CAST(count(*) AS BIGINT) AS exact_src
+       |  FROM words JOIN hh USING (w) GROUP BY w, source)
+       |SELECT es.w, es.source,
+       |       CAST(coalesce(ex.exact_src, 0) AS BIGINT) AS exact_src,
+       |       CAST(es.est_src AS BIGINT) AS est_src,
+       |       CAST(es.est_src - coalesce(ex.exact_src, 0) AS BIGINT) AS overcount
+       |FROM es LEFT JOIN ex ON ex.w = es.w AND ex.source = es.source
+       |ORDER BY es.w, es.source""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1073,5 +1188,102 @@ object Audit {
             IndexStore.loadDocSources(s, scratch).select("source").distinct())
           .orderBy("source")
       },
-      Some(authorityOracle)))
+      Some(authorityOracle)),
+
+    // ── Point-frequency sketch: Count-Min + exact verify ──
+    QueryDef(
+      "q176_cms_freq",
+      (s, dir) => {
+        // The sketch suite's missing third leg: q159's Misra–Gries finds
+        // WHICH tokens are heavy and q160's HLL counts DISTINCT tokens;
+        // the Count-Min sketch answers "how often does token x occur"
+        // from D × W = 8192 counter cells of mergeable state — the
+        // standing frequency service a tokenizer/df-cap/stop-word policy
+        // queries continuously without ever re-scanning the corpus. The
+        // audit estimates every token above the q159 threshold
+        // (n/(K+1)) and emits the exact count beside the estimate, the
+        // overcount (≥ 0 always — CMS never under-counts), the standard
+        // ⌈2n/W⌉ error bound, and a within-bound flag (true w.p.
+        // 1 − e^(−D) per key; misses are visible data, not silent).
+        //
+        // 100 TB shape: the sketch side is ONE linear scan collapsing
+        // into the 8192-cell grid (map-side combined; shards merge by
+        // cell-wise ADDITION — CmsSpec pins the linearity). The exact
+        // vocabulary groupBy exists to GRADE the sketch (the q160
+        // verify-half discipline) and is what the sketch replaces in
+        // production, where probe keys come from q159's MG candidates
+        // instead.
+        val words = Tables.load(s, dir, "documents")
+          .select(col("source"), explode(split(trim(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val cells = cmsCells(words, "w")
+        val tot = words.agg(count(lit(1)).as("n"))
+        val hh = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .filter(col("cnt") >= expr(s"n div ${CmsK + 1} + 1"))
+        val probes = hh
+          .select(col("w"), col("cnt"), col("n"),
+            posexplode(expr(cmsBucketsSpark("w"))))
+          .select(col("w"), col("cnt"), col("n"),
+            col("pos").cast("long").as("j"), col("col").as("c"))
+        probes.join(cells, Seq("j", "c"))
+          .groupBy("w", "cnt", "n")
+          .agg(min("cc").as("est"))
+          .select(col("w"), col("cnt"), col("est"),
+            (col("est") - col("cnt")).as("overcount"),
+            expr(s"(2 * n) div $CmsW").as("bound"),
+            expr(s"CAST(CASE WHEN est - cnt <= (2 * n) div $CmsW" +
+              s" THEN 1 ELSE 0 END AS bigint)").as("within_bound"))
+          .orderBy(col("cnt").desc, col("w"))
+      },
+      Some(cmsFreqOracle)),
+
+    // ── CMS linearity: per-source frequency attribution, no re-scan ──
+    QueryDef(
+      "q177_cms_source_share",
+      (s, dir) => {
+        // The register-algebra companion (q165's pattern, for counts
+        // instead of cardinality): each source keeps its OWN 8192-cell
+        // CMS — tiny standing state a crawl loop updates per batch — and
+        // because the sketch is LINEAR (cells add), any per-source share
+        // question about any token is a grid lookup, never a corpus
+        // re-scan: est_src(x) = min_j cells_src[j][h_j(x)]. The audit
+        // answers "which sources carry each globally-heavy token" for
+        // the q159-threshold set and grades every estimate against the
+        // exact per-source count (0-count sources included — absence is
+        // attribution data). Σ_src cells_src ≡ the global grid
+        // bit-for-bit (CmsSpec), so the per-source grids ARE q176's
+        // sketch, sharded.
+        val docs = Tables.load(s, dir, "documents")
+        val words = docs
+          .select(col("source"), explode(split(trim(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+        val cellsBySrc = cmsCellsBy(words, "source", "w")
+          .withColumnRenamed("grp", "source")
+        val tot = words.agg(count(lit(1)).as("n"))
+        val hh = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .filter(col("cnt") >= expr(s"n div ${CmsK + 1} + 1"))
+          .select("w")
+        val probes = hh
+          .select(col("w"), posexplode(expr(cmsBucketsSpark("w"))))
+          .select(col("w"), col("pos").cast("long").as("j"), col("col").as("c"))
+        val srcs = docs.select("source").distinct()
+        val estSrc = srcs.crossJoin(broadcast(probes))
+          .join(cellsBySrc, Seq("source", "j", "c"), "left")
+          .select(col("source"), col("w"), col("j"),
+            coalesce(col("cc"), lit(0L)).as("cc"))
+          .groupBy("source", "w")
+          .agg(min("cc").as("est_src"))
+        val exactSrc = words.join(broadcast(hh), Seq("w"))
+          .groupBy("w", "source").agg(count(lit(1)).as("exact_src"))
+        estSrc.join(exactSrc, Seq("w", "source"), "left")
+          .select(col("w"), col("source"),
+            coalesce(col("exact_src"), lit(0L)).as("exact_src"),
+            col("est_src"),
+            (col("est_src") - coalesce(col("exact_src"), lit(0L)))
+              .as("overcount"))
+          .orderBy("w", "source")
+      },
+      Some(cmsShareOracle)))
 }

@@ -600,6 +600,51 @@ object Streams {
       .withColumnRenamed("grp", "lang")
   }
 
+  final case class CmsCell(j: Long, c: Long, cc: Long)
+
+  /** q176's production form: a standing point-frequency monitor. Every
+    * arriving doc's words are bucketed IN-ROW (`Audit.cmsRows`, a pure
+    * projection), and state is the running Count-Min cell: ONE Long
+    * (cumulative count) per (j, c) key — at most CmsD × CmsW = 8192 keys
+    * EVER, the hardest state bound in the streaming module (the HLL
+    * monitor's grid scales with langs; this one is a constant). Emissions
+    * carry the new CUMULATIVE cell count, and counts only grow, so the
+    * sink's latest-wins fold is a max (`cmsFromCells`) and the folded
+    * frame IS q176's grid — any token's running frequency estimate is a
+    * D-cell lookup against it, never a corpus query. Unlike the HLL twin,
+    * count state is NOT replay-immune by algebra (addition is not
+    * idempotent): a re-delivered batch double-counts, the same
+    * at-least-once contract as `scoreDriftStream` — feed it exactly-once
+    * input or bound the error by the replayed mass. */
+  def cmsCellStream(docs: DataFrame): Dataset[CmsCell] = {
+    import graft.operators.Audit
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    Audit.cmsRows(words, "w")
+      .as[(Long, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, CmsCell](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((j, c), rows, state: GroupState[Long]) =>
+          val add = rows.size.toLong
+          if (add > 0) {
+            val nv = state.getOption.getOrElse(0L) + add
+            state.update(nv)
+            Iterator.single(CmsCell(j, c, nv))
+          } else Iterator.empty
+      }
+  }
+
+  /** Sink-side fold for `cmsCellStream` output: latest cell value per
+    * (j, c) — a max, counts are monotone — yielding exactly the batch
+    * `Audit.cmsCells` grid over everything ingested (StreamsSpec pins the
+    * parity bit-for-bit). ≤ CmsD × CmsW input rows; runs anywhere. */
+  def cmsFromCells(cells: DataFrame): DataFrame =
+    cells.groupBy("j", "c").agg(max("cc").as("cc"))
+
   /** q136/`phashDedupBatch`'s streaming twin: the standing perceptual-hash
     * band index lives in flatMapGroupsWithState state, and every
     * micro-batch's media docs are checked against it — earlier-batch

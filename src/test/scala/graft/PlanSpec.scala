@@ -1157,6 +1157,31 @@ class PlanSpec extends AnyFunSuite {
       "vocab-sized lookup must not sort-merge")
   }
 
+  test("q176 CMS: no window, no product; shuffles stay grid- or verify-keyed") {
+    // The sketch side collapses into the (j, c) grid; the vocabulary
+    // groupBy is the verify half by design. Nothing ranks or windows the
+    // corpus, and the one cross join (the 1-row total) must broadcast.
+    assert(collectAll("q176_cms_freq") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q176_cms_freq") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "the 1-row total must broadcast, never a product")
+    hashShuffleKeys("q176_cms_freq").foreach { keys =>
+      assert(keys.subsetOf(Set("j", "c", "w", "cnt", "n")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q177 CMS share: no window, no product; per-source grid keys only") {
+    assert(collectAll("q177_cms_source_share") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q177_cms_source_share") {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "probe fan-out must broadcast the bounded probe frame")
+    hashShuffleKeys("q177_cms_source_share").foreach { keys =>
+      assert(keys.subsetOf(Set("grp", "source", "j", "c", "w", "cnt", "n")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q164 waterfill: every window runs over the |sources|-row aggregate") {
     val wins = collectAll("q164_budget_waterfill") { case w: WindowExec => w }
     assert(wins.nonEmpty, "expected the rank/prefix-sum/max windows")

@@ -479,6 +479,45 @@ class StreamsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("CMS cell twin: constant-grid state, fold bit-equal to batch cells, replay double-counts by contract") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val (cellsDf, meter) = Streams.runToMemoryMetered(spark,
+      Streams.cmsCellStream(
+        Streams.readDocsStream(spark, landBatches(Seq(b1, b2, b1)).getPath,
+          "*.parquet", Some(1))).toDF(),
+      "cms_mb")
+
+    // Cell state can NEVER exceed the constant D × W grid.
+    val grid = graft.operators.Audit.CmsD.toLong * graft.operators.Audit.CmsW
+    assert(meter.nonEmpty && meter.forall(_.state_rows <= grid),
+      s"state exceeded the D × W grid: ${meter.map(_.state_rows)}")
+
+    // The latest-wins fold is the batch grid over everything ingested —
+    // which by the documented at-least-once contract is docs + b1 AGAIN
+    // (addition is not idempotent; the replay legitimately double-counts).
+    def wordsOf(d: org.apache.spark.sql.DataFrame) = d
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val want = graft.operators.Audit.cmsCells(
+      wordsOf(docs.unionAll(b1)), "w")
+      .orderBy("j", "c").collect().toSeq
+    val got = Streams.cmsFromCells(cellsDf)
+      .orderBy("j", "c").collect().toSeq
+    assert(got === want, "stream fold diverged from the batch grid")
+
+    // Without the replay the fold after batch 2 equals the clean corpus
+    // grid: re-fold only emissions from batches 0-1 (cc values are
+    // cumulative, so filtering by batch is not possible post-hoc — instead
+    // pin the clean parity on the b1-only prefix via the meter's growth
+    // shape: batch 3's update count equals batch 1's, the replayed mass).
+    val m = meter.sortBy(_.batch_id)
+    assert(m.size === 3)
+    assert(m(2).rows_updated === m(0).rows_updated,
+      s"replayed batch must touch exactly the cells batch 1 touched: ${m.map(_.rows_updated)}")
+  }
+
   test("state meter tracks standing-index growth for both dedup twins; replays add nothing") {
     // VERDICT r10 #3: the LSH and phash twins hold NoTimeout state that
     // grows with the standing index BY DESIGN — the meter must show that
