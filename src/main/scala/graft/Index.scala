@@ -48,6 +48,11 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index append-provenance <batchDocsDir> <indexPath>"
   *   sbt "runMain graft.Index provenance  <indexPath> [--out <dir>]"
   *   sbt "runMain graft.Index authority   <indexPath> [--out <dir>]"
+  *   sbt "runMain graft.Index build-sketches <docsDir> <indexPath>"
+  *   sbt "runMain graft.Index append-sketches <batchDocsDir> <indexPath>"
+  *   sbt "runMain graft.Index sketch-report <indexPath>"
+  *   sbt "runMain graft.Index cms-lookup <indexPath> <token>"
+  *   sbt "runMain graft.Index compact-sketches <indexPath>"
   *
   * `build-*` pays the one-time linear corpus cost; `dedupe` runs a crawl
   * batch against the standing LSH state (per-batch cost measured flat
@@ -376,6 +381,68 @@ object Index {
         val np = IndexStore.loadGramPostings(spark, path).count()
         s"""{"mode":"append-provenance","batch":$n,"postings":$np,"index":"$path"}"""
 
+      case "build-sketches" :: docsDir :: path :: Nil =>
+        // q178/q179's one-time artifact: the corpus-statistics ledger
+        // (HLL registers + per-source CMS grids + word totals) — two
+        // linear scans collapsing into kilobytes of mergeable state;
+        // every later cardinality/frequency read is store-only.
+        val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+        val n = docs.count()
+        IndexStore.saveSketchIndex(docs, path)
+        val regs = IndexStore.loadSketchRegisters(spark, path).count()
+        val cells = IndexStore.loadSketchCells(spark, path).count()
+        s"""{"mode":"build-sketches","docs":$n,"registers":$regs,"cells":$cells,"index":"$path"}"""
+
+      case "append-sketches" :: batchDir :: path :: Nil =>
+        // The crawl-loop update: the batch's grids land as new rows;
+        // loaders fold (max/add), so the store answers for the union
+        // immediately — no rewrite, no read-modify-write.
+        val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+        val n = batch.count()
+        IndexStore.appendSketchBatch(batch, path)
+        val regs = IndexStore.loadSketchRegisters(spark, path).count()
+        val cells = IndexStore.loadSketchCells(spark, path).count()
+        s"""{"mode":"append-sketches","batch":$n,"registers":$regs,"cells":$cells,"index":"$path"}"""
+
+      case "sketch-report" :: path :: Nil =>
+        // Store-only statistics read: per-lang (+ MAX-merged '__all__')
+        // distinct-5-gram estimates and per-source word mass — the
+        // catalog-cost standing report, corpus text never touched.
+        val reg = IndexStore.loadSketchRegisters(spark, path)
+        val all = reg.groupBy("idx").agg(max("r").as("r"))
+          .select(lit("__all__").as("grp"), col("idx"), col("r"))
+        val est = operators.Audit.hllEstimate(reg.unionByName(all))
+          .orderBy("grp").collect() // ≤ langs + 1 rows
+          .map(r => s"""{"lang":"${r.getString(0)}","used":${r.getLong(1)},"est":${r.getDouble(2)},"regime":"${r.getString(3)}"}""")
+          .mkString(",")
+        val tot = IndexStore.loadSketchTotals(spark, path)
+          .orderBy("source").collect() // ≤ |sources| rows
+          .map(r => s"""{"source":"${r.getString(0)}","n_words":${r.getLong(1)}}""")
+          .mkString(",")
+        s"""{"mode":"sketch-report","grams":[$est],"words":[$tot],"index":"$path"}"""
+
+      case "cms-lookup" :: path :: token :: Nil =>
+        // Point-frequency estimate for one token from the persisted
+        // grid: D cell lookups, never a corpus query. An absent cell
+        // estimates 0 (an untouched counter IS zero).
+        import spark.implicits._
+        val pb = operators.Audit.cmsRows(Seq(token).toDF("w"), "w")
+        val cells = IndexStore.loadSketchCells(spark, path)
+          .groupBy("j", "c").agg(sum("cc").as("cc"))
+        val est = pb.join(cells, Seq("j", "c"), "left")
+          .agg(min(coalesce(col("cc"), lit(0L))).as("est"))
+          .head().getLong(0)
+        s"""{"mode":"cms-lookup","token":"$token","est":$est,"index":"$path"}"""
+
+      case "compact-sketches" :: path :: Nil =>
+        // Materialize the max/add folds and rewrite each grid once —
+        // file-count hygiene after a long crawl (readers fold either
+        // way); same staged rename-swap contract as compact-grams.
+        val before = spark.read.parquet(s"$path/sketch/registers").count()
+        IndexStore.compactSketchIndex(spark, path)
+        val after = spark.read.parquet(s"$path/sketch/registers").count()
+        s"""{"mode":"compact-sketches","register_rows_before":$before,"register_rows_after":$after,"index":"$path"}"""
+
       case "build-ivfpq" :: embDir :: path :: Nil =>
         // The IVFADC layout (coarse routing over position codes) as a
         // standing artifact: q132/q173's build step, paid once.
@@ -503,7 +570,7 @@ object Index {
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|compact-grams|compact-lsh|compact-phash|compact-pq|compact-ivf|compact-winnow|build-ivfpq|fused-search|build-provenance|append-provenance|provenance|authority|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|compact-grams|compact-lsh|compact-phash|compact-pq|compact-ivf|compact-winnow|build-ivfpq|fused-search|build-provenance|append-provenance|provenance|authority|build-sketches|append-sketches|sketch-report|cms-lookup|compact-sketches|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

@@ -232,6 +232,14 @@ object Audit {
   private def cmsBucketDuck(msg: String): String =
     s"${h60Duck(msg)} % $CmsW"
 
+  /** (source, w) word stream over a documents frame — the ONE
+    * tokenization q176/q177 and the persisted sketch store share (the
+    * q84 whitespace split, empty tokens dropped). */
+  def wordRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(split(trim(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+
   /** Per-occurrence (j, c) bucket rows — a pure narrow projection
     * (stream-safe, the hllRows split): the batch path aggregates it into
     * the grid below; the streaming twin folds it into cell state. */
@@ -522,6 +530,38 @@ object Audit {
        |       CAST(es.est_src - coalesce(ex.exact_src, 0) AS BIGINT) AS overcount
        |FROM es LEFT JOIN ex ON ex.w = es.w AND ex.source = es.source
        |ORDER BY es.w, es.source""".stripMargin
+
+  /** q178's oracle: the q160 register derivation re-run from TEXT by the
+    * independent engine, estimator and regime included — a hash match
+    * proves the persisted registers (and their MAX-fold on load) are
+    * exactly the text-derived grid, the q171 store-grading discipline.
+    * No exact half: the from-store query serves only what the store
+    * holds. Declared above `defs` (object-init order). */
+  private val hllSketchOracle: String =
+    s"""WITH wt AS (SELECT lang, string_split(trim(text), ' ') AS w FROM documents),
+       |gr AS (
+       |  SELECT lang, concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS g
+       |  FROM (SELECT lang, w, unnest(range(1, len(w) - ${HllN - 2})) AS i
+       |        FROM wt WHERE len(w) >= $HllN)),
+       |hh AS (
+       |  SELECT lang, h % $HllM AS idx, h // $HllM AS z
+       |  FROM (SELECT lang, ${h60Duck("g")} AS h FROM gr)),
+       |rr AS (
+       |  SELECT lang, idx,
+       |         max(CASE WHEN z = 0 THEN $RhoCap ELSE length(bin(z & -z)) END)::BIGINT AS r
+       |  FROM hh GROUP BY lang, idx),
+       |ru AS (
+       |  SELECT lang, idx, r FROM rr
+       |  UNION ALL
+       |  SELECT '__all__' AS lang, idx, max(r) AS r FROM rr GROUP BY idx),
+       |ss AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS used,
+       |         CAST(CAST(sum(1::BIGINT << ($RhoCap - r)) AS BIGINT)
+       |              + ($HllM - count(*)) * (1::BIGINT << $RhoCap) AS BIGINT) AS s
+       |  FROM ru GROUP BY lang)
+       |SELECT lang, used, ${hllEstSql("s")} AS est,
+       |       ${regimeSql(hllEstSql("s"))} AS regime
+       |FROM ss ORDER BY lang""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1213,9 +1253,7 @@ object Audit {
         // verify-half discipline) and is what the sketch replaces in
         // production, where probe keys come from q159's MG candidates
         // instead.
-        val words = Tables.load(s, dir, "documents")
-          .select(col("source"), explode(split(trim(col("text")), " ")).as("w"))
-          .filter(col("w") =!= "")
+        val words = wordRows(Tables.load(s, dir, "documents"))
         val cells = cmsCells(words, "w")
         val tot = words.agg(count(lit(1)).as("n"))
         val hh = words.groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -1255,9 +1293,7 @@ object Audit {
         // bit-for-bit (CmsSpec), so the per-source grids ARE q176's
         // sketch, sharded.
         val docs = Tables.load(s, dir, "documents")
-        val words = docs
-          .select(col("source"), explode(split(trim(col("text")), " ")).as("w"))
-          .filter(col("w") =!= "")
+        val words = wordRows(docs)
         val cellsBySrc = cmsCellsBy(words, "source", "w")
           .withColumnRenamed("grp", "source")
         val tot = words.agg(count(lit(1)).as("n"))
@@ -1285,5 +1321,78 @@ object Audit {
               .as("overcount"))
           .orderBy("w", "source")
       },
-      Some(cmsShareOracle)))
+      Some(cmsShareOracle)),
+
+    // ── Distinct-gram cardinality served from the persisted sketch store ──
+    QueryDef(
+      "q178_hll_from_store",
+      (s, dir) => {
+        // q160's sketch half as a STANDING service (the q171 pattern for
+        // statistics instead of provenance): per-lang HLL registers
+        // persisted once by `IndexStore.saveSketchIndex` — the whole
+        // store is grid-bounded kilobytes while the corpus is terabytes —
+        // then every later cardinality read is store-only: registers
+        // MAX-fold on load (the HLL merge IS the load), the '__all__'
+        // row MAX-merges across langs, and the estimator runs on the
+        // ≤ langs × 512 frame. A crawl loop `appendSketchBatch`es new
+        // batches and re-reads the estimates forever without touching
+        // corpus text (IndexStoreSpec pins append ≡ rebuild and the
+        // served plan corpus-free). Graded by a DuckDB twin that
+        // re-derives the registers FROM TEXT — the hash match proves the
+        // persist→append-fold→estimate round trip loses nothing.
+        val scratch = graft.Scratch.dir("q178-store")
+        IndexStore.saveSketchIndex(Tables.load(s, dir, "documents"),
+          scratch)
+        val reg = IndexStore.loadSketchRegisters(s, scratch)
+        val all = reg.groupBy("idx").agg(max("r").as("r"))
+          .select(lit("__all__").as("grp"), col("idx"), col("r"))
+        hllEstimate(reg.unionByName(all))
+          .select(col("grp").as("lang"), col("used"), col("est"),
+            col("regime"))
+          .orderBy("lang")
+      },
+      Some(hllSketchOracle)),
+
+    // ── Point-frequency estimates served from the persisted sketch store ──
+    QueryDef(
+      "q179_cms_from_store",
+      (s, dir) => {
+        // q176 with the SKETCH side read from the persisted store: the
+        // per-source CMS grids and word totals land once
+        // (`saveSketchIndex`), estimates are answered by summing the
+        // per-source cells into the global grid (CMS linearity — the
+        // fold IS the merge) and probing it; the corpus text contributes
+        // only the exact verify half (the q160 discipline: the exact
+        // vocabulary pass exists to GRADE the estimates and is what the
+        // store replaces in production, where probe keys come from
+        // q159's MG candidates). Graded by q176's own oracle — output
+        // identical means the persisted cells + totals reproduce the
+        // text-derived sketch bit-for-bit.
+        val scratch = graft.Scratch.dir("q179-store")
+        val docs = Tables.load(s, dir, "documents")
+        IndexStore.saveSketchIndex(docs, scratch)
+        val cells = IndexStore.loadSketchCells(s, scratch)
+          .groupBy("j", "c").agg(sum("cc").as("cc"))
+        val tot = IndexStore.loadSketchTotals(s, scratch)
+          .agg(sum("n").as("n"))
+        val words = wordRows(docs)
+        val hh = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .filter(col("cnt") >= expr(s"n div ${CmsK + 1} + 1"))
+        val probes = hh
+          .select(col("w"), col("cnt"), col("n"),
+            posexplode(expr(cmsBucketsSpark("w"))))
+          .select(col("w"), col("cnt"), col("n"),
+            col("pos").cast("long").as("j"), col("col").as("c"))
+        probes.join(cells, Seq("j", "c"))
+          .groupBy("w", "cnt", "n")
+          .agg(min("cc").as("est"))
+          .select(col("w"), col("cnt"), col("est"),
+            (col("est") - col("cnt")).as("overcount"),
+            expr(s"(2 * n) div $CmsW").as("bound"),
+            expr(s"CAST(CASE WHEN est - cnt <= (2 * n) div $CmsW" +
+              s" THEN 1 ELSE 0 END AS bigint)").as("within_bound"))
+          .orderBy(col("cnt").desc, col("w"))
+      },
+      Some(cmsFreqOracle)))
 }

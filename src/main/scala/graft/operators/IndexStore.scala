@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   *   <path>/ivfpq/coarse/     routing copy of the coarse-centroid array
   *   <path>/ivfpq/codebook/   whole-corpus PQ codebook (1 row)
   *   <path>/ivfpq/codes/      (vec_id, codes) partitioned by ccid
+  *   <path>/sketch/registers/ (grp, idx, r) per-lang HLL registers —
+  *                            MAX-fold on load
+  *   <path>/sketch/cells/     (source, j, c, cc) per-source CMS grids —
+  *                            ADD-fold on load
+  *   <path>/sketch/totals/    (source, n) per-source word totals —
+  *                            ADD-fold on load
   *
   * Scale posture:
   *   - Incremental dedup against the store joins the persisted band index
@@ -870,6 +876,80 @@ object IndexStore {
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("sumc"),
         expr("sumc / nw / tot").as("familiarity"))
+  }
+
+  // ── Corpus-statistics sketch store (q178/q179's at-rest form) ──
+
+  /** Persist the standing corpus's SKETCH STATE at `path` — the bounded
+    * grids the sketch-audit suite reads: per-lang HLL registers over
+    * 5-grams (q160/q178's grid: grp, idx, r), per-source Count-Min cells
+    * over words (q176/q177/q179's grids: source, j, c, cc), and
+    * per-source word totals (source, n). Every table is GRID-BOUNDED
+    * (≤ langs × 512 + sources × 8192 + sources rows at ANY corpus size —
+    * the whole store is kilobytes while the corpus is terabytes) and
+    * MERGEABLE: registers fold by MAX, cells and totals by ADDITION, so
+    * `appendSketchBatch` just writes a batch's grids as new rows and the
+    * loaders fold on read — no read-modify-write, crash-safe by plain
+    * parquet-append semantics, and the store never needs compaction to
+    * stay CORRECT (`compactSketchIndex` materializes the fold for
+    * file-count hygiene after a long crawl). This is the crawl loop's
+    * statistics ledger: distinct-gram cardinality, token frequencies,
+    * and per-source attribution answerable at catalog cost forever, the
+    * corpus text never re-read. */
+  def saveSketchIndex(docs: DataFrame, path: String): Unit =
+    writeSketch(docs, path, "overwrite")
+
+  /** Append a batch's sketch grids (each derived by the same one-scan
+    * aggregations as the build — grids, not rows, cross the write). */
+  def appendSketchBatch(batch: DataFrame, path: String): Unit =
+    writeSketch(batch, path, "append")
+
+  private def writeSketch(docs: DataFrame, path: String,
+      mode: String): Unit = {
+    // Three grid-bounded tables; writer width is irrelevant here (the
+    // frames are ≤ thousands of rows by construction — the one store
+    // family where the VERDICT r14 #1 widening does not apply).
+    Audit.hllRegisters(Audit.gram5(docs), "lang", "g")
+      .repartition(4).sortWithinPartitions("grp", "idx")
+      .write.mode(mode).parquet(s"$path/sketch/registers")
+    val w = Audit.wordRows(docs).localCheckpoint(true) // two consumers
+    Audit.cmsCellsBy(w, "source", "w")
+      .withColumnRenamed("grp", "source")
+      .repartition(4).sortWithinPartitions("source", "j", "c")
+      .write.mode(mode).parquet(s"$path/sketch/cells")
+    w.groupBy("source").agg(count(lit(1)).as("n"))
+      .repartition(1)
+      .write.mode(mode).parquet(s"$path/sketch/totals")
+  }
+
+  /** MAX-folded (grp, idx, r) registers — the fold IS the HLL merge, so
+    * a store holding any number of appended batch grids loads as the
+    * union corpus's registers (IndexStoreSpec pins append ≡ rebuild). */
+  def loadSketchRegisters(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sketch/registers")
+      .groupBy("grp", "idx").agg(max("r").as("r"))
+
+  /** ADD-folded per-source CMS cells (source, j, c, cc) — CMS linearity:
+    * summing appended grids is exactly the union corpus's grid. */
+  def loadSketchCells(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sketch/cells")
+      .groupBy("source", "j", "c").agg(sum("cc").as("cc"))
+
+  /** ADD-folded per-source word totals (source, n). */
+  def loadSketchTotals(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sketch/totals")
+      .groupBy("source").agg(sum("n").as("n"))
+
+  /** Compact the sketch store: materialize the max/add folds and rewrite
+    * each grid once (staged rename-swap, crash-repairing — `swapRewrite`).
+    * Pure file-count hygiene — readers fold either way. */
+  def compactSketchIndex(spark: SparkSession, path: String): Unit = {
+    swapRewrite(spark, s"$path/sketch/registers",
+      loadSketchRegisters(spark, path), Seq("grp", "idx"), None, parts = 4)
+    swapRewrite(spark, s"$path/sketch/cells",
+      loadSketchCells(spark, path), Seq("source", "j", "c"), None, parts = 4)
+    swapRewrite(spark, s"$path/sketch/totals",
+      loadSketchTotals(spark, path), Seq("source"), None, parts = 1)
   }
 
   // ── IVF index state ──

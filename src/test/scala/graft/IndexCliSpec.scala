@@ -470,4 +470,54 @@ class IndexCliSpec extends AnyFunSuite {
     rx("compact-winnow", "buckets_before", "buckets_after",
       Index.run(spark, List("compact-winnow", wn)))
   }
+
+  test("build-sketches → append → sketch-report/cms-lookup: the statistics ledger") {
+    val base = tmp("sketch")
+    val standingDir = base.resolve("standing"); val batchDir = base.resolve("batch")
+    val idx = base.resolve("idx").toString
+    val docs = Tables.load(spark, sf, "documents")
+    docs.filter(col("doc_id") % 4 =!= 0)
+      .write.parquet(s"$standingDir/documents.parquet")
+    docs.filter(col("doc_id") % 4 === 0)
+      .write.parquet(s"$batchDir/documents.parquet")
+
+    val b = Index.run(spark, List("build-sketches", standingDir.toString, idx))
+    assert(b.contains(""""mode":"build-sketches""""), b)
+    val a = Index.run(spark, List("append-sketches", batchDir.toString, idx))
+    assert(a.contains(""""mode":"append-sketches""""), a)
+
+    // The appended store's report must carry the FULL corpus's register
+    // estimates (append ≡ rebuild through the MAX-fold): per-lang rows +
+    // the '__all__' merge, every estimate a positive finite double.
+    val rep = Index.run(spark, List("sketch-report", idx))
+    assert(rep.contains(""""mode":"sketch-report""""), rep)
+    assert(rep.contains(""""lang":"__all__""""), rep)
+    val langs = Tables.load(spark, sf, "documents")
+      .select("lang").distinct().count()
+    assert((""""lang":""".r.findAllIn(rep).size.toLong) === langs + 1, rep)
+
+    // cms-lookup: a token present in every doc estimates ≥ its exact
+    // count (never-undercount), an absent token estimates a small
+    // collision floor (bounded by 2n/W, and far below the heavy counts).
+    val words = graft.operators.Audit.wordRows(docs)
+    val (tok, exact) = {
+      val r = words.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).head()
+      (r.getString(0), r.getLong(1))
+    }
+    val lk = Index.run(spark, List("cms-lookup", idx, tok))
+    val est = """"est":(\d+)""".r.findFirstMatchIn(lk).get.group(1).toLong
+    assert(est >= exact, lk)
+    val n = words.count()
+    val miss = Index.run(spark, List("cms-lookup", idx, "zz-not-a-token-zz"))
+    val missEst = """"est":(\d+)""".r.findFirstMatchIn(miss).get.group(1).toLong
+    assert(missEst <= 2 * n / graft.operators.Audit.CmsW, miss)
+
+    // compact-sketches: report unchanged, raw register rows reduced.
+    val c = Index.run(spark, List("compact-sketches", idx))
+    val cj = """"register_rows_before":(\d+),"register_rows_after":(\d+)""".r
+      .findFirstMatchIn(c).get
+    assert(cj.group(2).toLong < cj.group(1).toLong, c)
+    assert(Index.run(spark, List("sketch-report", idx)) === rep)
+  }
 }

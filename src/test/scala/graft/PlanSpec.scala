@@ -1182,6 +1182,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q178/q179 sketch-store serves: no window, no product; grid- or verify-keyed shuffles") {
+    // q178's served plan is register-grid algebra over store reads;
+    // q179 adds the corpus verify half (the q176 shape) with the sketch
+    // side folded from the persisted per-source grids.
+    Seq("q178_hll_from_store", "q179_cms_from_store").foreach { q =>
+      assert(collectAll(q) { case w: WindowExec => w }.isEmpty, q)
+      assert(collectAll(q) {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, s"$q: bounded frames must broadcast, never a product")
+    }
+    hashShuffleKeys("q178_hll_from_store").foreach { keys =>
+      assert(keys.subsetOf(Set("grp", "idx", "lang")),
+        s"unexpected shuffle key: $keys")
+    }
+    hashShuffleKeys("q179_cms_from_store").foreach { keys =>
+      assert(keys.subsetOf(Set("grp", "source", "j", "c", "w", "cnt", "n")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q164 waterfill: every window runs over the |sources|-row aggregate") {
     val wins = collectAll("q164_budget_waterfill") { case w: WindowExec => w }
     assert(wins.nonEmpty, "expected the rank/prefix-sum/max windows")

@@ -737,4 +737,87 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(IndexStore.loadGramIndex(spark, path).count() === want.size.toLong,
       "compaction after recovery must still min-combine duplicates")
   }
+
+  test("sketch store: append == rebuild (registers MAX-fold, cells/totals ADD-fold)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val full = tmp("sketch-full")
+    val incr = tmp("sketch-incr")
+    IndexStore.saveSketchIndex(docs, full)
+    IndexStore.saveSketchIndex(docs.filter(col("doc_id") % 3 =!= 0), incr)
+    IndexStore.appendSketchBatch(docs.filter(col("doc_id") % 3 === 0), incr)
+    def dump(p: String) = (
+      IndexStore.loadSketchRegisters(spark, p)
+        .orderBy("grp", "idx").collect().map(_.toSeq.toList).toList,
+      IndexStore.loadSketchCells(spark, p)
+        .orderBy("source", "j", "c").collect().map(_.toSeq.toList).toList,
+      IndexStore.loadSketchTotals(spark, p)
+        .orderBy("source").collect().map(_.toSeq.toList).toList)
+    // Registers fold by MAX and cells/totals by ADDITION, so the two-write
+    // store must load EXACTLY as the one-write store — the mergeability
+    // the crawl loop relies on, bit-for-bit.
+    assert(dump(incr) === dump(full))
+  }
+
+  test("q178/q179 serve the q160/q176 sketch halves from the store; q178 plan is corpus-free") {
+    // q178 == the in-query register derivation + estimate (bit-for-bit).
+    val docs = Tables.load(spark, sf, "documents")
+    val got178 = SparkEntry.queries("q178_hll_from_store")(spark, sf)
+      .collect().map(_.toSeq.toList).toList
+    val reg = Audit.hllRegisters(Audit.gram5(docs), "lang", "g")
+    val all = reg.groupBy("idx").agg(max("r").as("r"))
+      .select(lit("__all__").as("grp"), col("idx"), col("r"))
+    val want178 = Audit.hllEstimate(reg.unionByName(all))
+      .select(col("grp").as("lang"), col("used"), col("est"), col("regime"))
+      .orderBy("lang").collect().map(_.toSeq.toList).toList
+    assert(got178 === want178 && got178.nonEmpty)
+
+    // q179's estimates == q176's (the persisted cells + totals reproduce
+    // the text-derived grid through the ADD-fold).
+    val got179 = SparkEntry.queries("q179_cms_from_store")(spark, sf)
+      .collect().map(_.toSeq.toList).toList
+    val want179 = SparkEntry.queries("q176_cms_freq")(spark, sf)
+      .collect().map(_.toSeq.toList).toList
+    assert(got179 === want179 && got179.nonEmpty)
+
+    // The SERVE side of q178 reads only the store: no documents scan, no
+    // gram derivation in the executed plan (the q171 pin).
+    val path = tmp("sketch-plan")
+    IndexStore.saveSketchIndex(docs, path)
+    val reg2 = IndexStore.loadSketchRegisters(spark, path)
+    val all2 = reg2.groupBy("idx").agg(max("r").as("r"))
+      .select(lit("__all__").as("grp"), col("idx"), col("r"))
+    val plan = Audit.hllEstimate(reg2.unionByName(all2))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), plan)
+    assert(!plan.contains("split(trim("), plan)
+    assert(plan.contains("registers"), plan)
+  }
+
+  test("compactSketchIndex: folded reads identical, file and row counts reduced") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("sketch-compact")
+    IndexStore.saveSketchIndex(docs.filter(col("doc_id") % 3 === 0), path)
+    (1 to 2).foreach(r =>
+      IndexStore.appendSketchBatch(docs.filter(col("doc_id") % 3 === r), path))
+    def files(sub: String): Long =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/$sub"))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+    def folded() = (
+      IndexStore.loadSketchRegisters(spark, path)
+        .orderBy("grp", "idx").collect().map(_.toSeq.toList).toList,
+      IndexStore.loadSketchCells(spark, path)
+        .orderBy("source", "j", "c").collect().map(_.toSeq.toList).toList,
+      IndexStore.loadSketchTotals(spark, path)
+        .orderBy("source").collect().map(_.toSeq.toList).toList)
+    val before = folded()
+    val rawBefore = spark.read.parquet(s"$path/sketch/registers").count()
+    val filesBefore = files("sketch/registers")
+    assert(rawBefore > before._1.size.toLong,
+      "fixture must contain unfolded duplicate register rows")
+    IndexStore.compactSketchIndex(spark, path)
+    assert(folded() === before)
+    assert(spark.read.parquet(s"$path/sketch/registers").count()
+      === before._1.size.toLong)
+    assert(files("sketch/registers") < filesBefore)
+  }
 }
