@@ -168,6 +168,8 @@ object Stress {
         fusionStress(spark, args(1), args(2).toInt)
       case Some("bpe") =>
         bpeStress(spark, args(1), args(2).toInt)
+      case Some("sketch") =>
+        sketchStress(spark, args(1), args(2).toInt)
       case other =>
         sys.error(s"usage: cc <edges> <vertices> [reliable] | annknn <sfDir> <mult> (got $other)")
     }
@@ -906,6 +908,54 @@ object Stress {
       val (_, estAll, exAll) = rows.find(_._1 == "__all__").get
       val maxAbs = rows.map { case (_, e, x) => math.abs(e - x) / x }.max
       println(f"""{"mode":"hll","corpus":"$tag","docs":$n,"grams":$grams,"state_rows":$stateRows,"est_all":$estAll%.1f,"exact_all":$exAll,"rel_err_all":${(estAll - exAll) / exAll}%.4f,"max_abs_rel_err":$maxAbs%.4f,"sketch_sec_min3":$sketchSec%.2f,"exact_sec_min3":$exactSec%.2f}""")
+    }
+  }
+
+  /** q178/q179's scale posture, measured: the persisted sketch store's
+    * grids are CONSTANT-size across corpus decades (langs × 512
+    * registers, ≤ sources × D·W cells), the one-time build tracks the
+    * corpus scan, the standing cardinality report reads kilobytes
+    * regardless of corpus size, and a crawl-batch append costs
+    * batch-scan time (grids, not rows, cross the write). Uses the
+    * hll-mode `inflateDocs` corpus: the resampled vocabulary grows the
+    * distinct-gram population ~linearly, so register CONTENT moves while
+    * the grid size cannot. */
+  def sketchStress(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val bigDir = scratch("sketch", sfDir, mult)
+    inflateDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val store = scratch("sketchstore", sfDir, mult, tag)
+      val t0 = System.nanoTime()
+      operators.IndexStore.saveSketchIndex(docs, store)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val regRows = spark.read.parquet(s"$store/sketch/registers").count()
+      val cellRows = spark.read.parquet(s"$store/sketch/cells").count()
+      def report() = {
+        val reg = operators.IndexStore.loadSketchRegisters(spark, store)
+        val all = reg.groupBy("idx").agg(max("r").as("r"))
+          .select(lit("__all__").as("grp"), col("idx"), col("r"))
+        operators.Audit.hllEstimate(reg.unionByName(all))
+      }
+      def min3(mk: () => org.apache.spark.sql.DataFrame): Double =
+        (1 to 3).map { _ =>
+          val t = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t) / 1e9
+        }.min
+      val reportSec = min3(() => report())
+      val estAll = report().filter(col("grp") === "__all__")
+        .head().getDouble(2)
+      // The crawl-loop update: one 500-doc batch re-landed as an append —
+      // its cost is the batch scan plus three grid-sized writes.
+      val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 500)
+      val t1 = System.nanoTime()
+      operators.IndexStore.appendSketchBatch(batch, store)
+      val appendSec = (System.nanoTime() - t1) / 1e9
+      println(f"""{"mode":"sketch","corpus":"$tag","docs":$n,"build_sec":$buildSec%.1f,"register_rows":$regRows,"cell_rows":$cellRows,"report_sec_min3":$reportSec%.2f,"est_all":$estAll%.1f,"append_sec":$appendSec%.1f}""")
     }
   }
 
