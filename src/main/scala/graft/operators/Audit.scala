@@ -76,6 +76,13 @@ object Audit {
     * neither shuffles the vocabulary). */
   val CmsK = 256
 
+  /** q180 doc-length histogram bin width (tokens per bin). FIXED-width
+    * bins over [0, ∞), unlike q76's per-group [min, max] equi-width grid:
+    * a data-dependent range breaks MERGEABILITY (two batches disagree on
+    * the edges), fixed edges make the persisted histogram add like the
+    * CMS cells — which is the whole point of keeping it in the store. */
+  val LenBinW = 16L
+
   // ── q163 PII patterns (the Java/RE2 ∩ DuckDB regex subset, like q61) ──
   val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
@@ -239,6 +246,16 @@ object Audit {
     docs
       .select(col("source"), explode(split(trim(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
+
+  /** (source, bin, cnt) per-doc token-length histogram — fixed LenBinW
+    * bins, counts, so shards/batches merge by ADDITION (the store's
+    * third grid). Token count is the q28 whitespace definition. */
+  def lenBins(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        expr(s"CAST(size(split(trim(text), ' ')) AS bigint) div $LenBinW")
+          .as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
 
   /** Per-occurrence (j, c) bucket rows — a pure narrow projection
     * (stream-safe, the hllRows split): the batch path aggregates it into
@@ -562,6 +579,43 @@ object Audit {
        |SELECT lang, used, ${hllEstSql("s")} AS est,
        |       ${regimeSql(hllEstSql("s"))} AS regime
        |FROM ss ORDER BY lang""".stripMargin
+
+  /** q180's oracle: the fixed-bin length histogram re-derived from TEXT,
+    * the same ceil-rank lower-edge selection as the q76 discipline —
+    * pure bigint arithmetic, so the persisted-histogram round trip
+    * grades hash-exact. Declared above `defs` (object-init order). */
+  private val lenQuantOracle: String =
+    s"""WITH lt AS (
+       |  SELECT source,
+       |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) // $LenBinW AS bin
+       |  FROM documents),
+       |h0 AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM lt GROUP BY source, bin),
+       |h AS (SELECT source, bin, cnt FROM h0
+       |      UNION ALL
+       |      SELECT '__all__' AS source, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+       |      FROM h0 GROUP BY bin),
+       |c AS (
+       |  SELECT source, bin,
+       |         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bin
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM h),
+       |sel AS (
+       |  SELECT source, n,
+       |         min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN bin END) AS b25,
+       |         min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS b50,
+       |         min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN bin END) AS b75,
+       |         min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END) AS b90,
+       |         min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS b99
+       |  FROM c GROUP BY source, n)
+       |SELECT source, n AS n_docs,
+       |       CAST(b25 * $LenBinW AS BIGINT) AS q25,
+       |       CAST(b50 * $LenBinW AS BIGINT) AS q50,
+       |       CAST(b75 * $LenBinW AS BIGINT) AS q75,
+       |       CAST(b90 * $LenBinW AS BIGINT) AS q90,
+       |       CAST(b99 * $LenBinW AS BIGINT) AS q99
+       |FROM sel ORDER BY source""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1394,5 +1448,50 @@ object Audit {
               s" THEN 1 ELSE 0 END AS bigint)").as("within_bound"))
           .orderBy(col("cnt").desc, col("w"))
       },
-      Some(cmsFreqOracle)))
+      Some(cmsFreqOracle)),
+
+    // ── Length-distribution quantiles served from the persisted store ──
+    QueryDef(
+      "q180_len_quantiles_from_store",
+      (s, dir) => {
+        // The statistics ledger's DISTRIBUTION leg (q178 answers
+        // cardinality, q179 frequency): per-source doc-length quantiles
+        // from the persisted fixed-bin histogram — the numbers a
+        // packing/chunking/budget stage (q51/q98/q150) reads before
+        // touching the corpus. Fixed LenBinW bins make the histogram
+        // MERGEABLE (counts add; q76's per-group [min, max] grid would
+        // not merge across batches), so appends fold like the CMS cells
+        // and the standing read is a ≤ sources × bins frame. Selection
+        // is the q76 discipline — ceil-rank lower bucket edge, pure
+        // bigint arithmetic — so the store round trip grades hash-exact
+        // against the oracle's text-derived twin.
+        val scratch = graft.Scratch.dir("q180-store")
+        IndexStore.saveSketchIndex(Tables.load(s, dir, "documents"),
+          scratch)
+        val lens = IndexStore.loadSketchLens(s, scratch)
+        val all = lens.groupBy("bin").agg(sum("cnt").as("cnt"))
+          .select(lit("__all__").as("source"), col("bin"), col("cnt"))
+        val h = lens.unionByName(all)
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("bin")
+          .rowsBetween(Long.MinValue, 0)
+        val wTot = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+        val cum = h.select(col("source"), col("bin"),
+          sum("cnt").over(wCum).as("cum"),
+          sum("cnt").over(wTot).as("n"))
+        def bSel(p: Int) =
+          min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("bin")))
+        cum.groupBy("source", "n")
+          .agg(bSel(25).as("b25"), bSel(50).as("b50"), bSel(75).as("b75"),
+            bSel(90).as("b90"), bSel(99).as("b99"))
+          .select(col("source"), col("n").as("n_docs"),
+            (col("b25") * LenBinW).as("q25"),
+            (col("b50") * LenBinW).as("q50"),
+            (col("b75") * LenBinW).as("q75"),
+            (col("b90") * LenBinW).as("q90"),
+            (col("b99") * LenBinW).as("q99"))
+          .orderBy("source")
+      },
+      Some(lenQuantOracle)))
 }

@@ -38,6 +38,8 @@ import org.apache.spark.sql.functions._
   *                            ADD-fold on load
   *   <path>/sketch/totals/    (source, n) per-source word totals —
   *                            ADD-fold on load
+  *   <path>/sketch/lens/      (source, bin, cnt) fixed-bin doc-length
+  *                            histogram — ADD-fold on load
   *
   * Scale posture:
   *   - Incremental dedup against the store joins the persisted band index
@@ -920,6 +922,9 @@ object IndexStore {
     w.groupBy("source").agg(count(lit(1)).as("n"))
       .repartition(1)
       .write.mode(mode).parquet(s"$path/sketch/totals")
+    Audit.lenBins(docs)
+      .repartition(1).sortWithinPartitions("source", "bin")
+      .write.mode(mode).parquet(s"$path/sketch/lens")
   }
 
   /** MAX-folded (grp, idx, r) registers — the fold IS the HLL merge, so
@@ -940,6 +945,13 @@ object IndexStore {
     spark.read.parquet(s"$path/sketch/totals")
       .groupBy("source").agg(sum("n").as("n"))
 
+  /** ADD-folded per-source doc-length histogram (source, bin, cnt) —
+    * fixed LenBinW bins, so appended batch histograms sum to the union
+    * corpus's histogram (q180's grid). */
+  def loadSketchLens(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sketch/lens")
+      .groupBy("source", "bin").agg(sum("cnt").as("cnt"))
+
   /** Compact the sketch store: materialize the max/add folds and rewrite
     * each grid once (staged rename-swap, crash-repairing — `swapRewrite`).
     * Pure file-count hygiene — readers fold either way. */
@@ -950,6 +962,8 @@ object IndexStore {
       loadSketchCells(spark, path), Seq("source", "j", "c"), None, parts = 4)
     swapRewrite(spark, s"$path/sketch/totals",
       loadSketchTotals(spark, path), Seq("source"), None, parts = 1)
+    swapRewrite(spark, s"$path/sketch/lens",
+      loadSketchLens(spark, path), Seq("source", "bin"), None, parts = 1)
   }
 
   // ── IVF index state ──

@@ -1202,6 +1202,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q180 length quantiles: windows and shuffles live on the folded histogram grid") {
+    // The served plan reads the persisted ≤ sources × bins histogram; the
+    // cumulative/total windows and every exchange are keyed on that grid
+    // (source/bin) — no corpus column ever reaches a shuffle.
+    val wins = collectAll("q180_len_quantiles_from_store") { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the cum/total rank windows")
+    hashShuffleKeys("q180_len_quantiles_from_store").foreach { keys =>
+      assert(keys.subsetOf(Set("source", "bin", "n")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q164 waterfill: every window runs over the |sources|-row aggregate") {
     val wins = collectAll("q164_budget_waterfill") { case w: WindowExec => w }
     assert(wins.nonEmpty, "expected the rank/prefix-sum/max windows")

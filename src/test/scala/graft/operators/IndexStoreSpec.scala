@@ -751,7 +751,9 @@ class IndexStoreSpec extends AnyFunSuite {
       IndexStore.loadSketchCells(spark, p)
         .orderBy("source", "j", "c").collect().map(_.toSeq.toList).toList,
       IndexStore.loadSketchTotals(spark, p)
-        .orderBy("source").collect().map(_.toSeq.toList).toList)
+        .orderBy("source").collect().map(_.toSeq.toList).toList,
+      IndexStore.loadSketchLens(spark, p)
+        .orderBy("source", "bin").collect().map(_.toSeq.toList).toList)
     // Registers fold by MAX and cells/totals by ADDITION, so the two-write
     // store must load EXACTLY as the one-write store — the mergeability
     // the crawl loop relies on, bit-for-bit.
@@ -808,7 +810,9 @@ class IndexStoreSpec extends AnyFunSuite {
       IndexStore.loadSketchCells(spark, path)
         .orderBy("source", "j", "c").collect().map(_.toSeq.toList).toList,
       IndexStore.loadSketchTotals(spark, path)
-        .orderBy("source").collect().map(_.toSeq.toList).toList)
+        .orderBy("source").collect().map(_.toSeq.toList).toList,
+      IndexStore.loadSketchLens(spark, path)
+        .orderBy("source", "bin").collect().map(_.toSeq.toList).toList)
     val before = folded()
     val rawBefore = spark.read.parquet(s"$path/sketch/registers").count()
     val filesBefore = files("sketch/registers")

@@ -90,9 +90,10 @@ class JobCountSpec extends AnyFunSuite {
     // vocab-sized word-frequency frame at construction (each round pulls
     // the 1-row winning pair — the q170 barrier'd-iteration discipline).
     "q174_bpe_merges", "q175_bpe_encode",
-    // q178/q179 build the persisted sketch store into a scratch dir at
-    // construction (the from-store discipline).
-    "q178_hll_from_store", "q179_cms_from_store")
+    // q178/q179/q180 build the persisted sketch store into a scratch dir
+    // at construction (the from-store discipline).
+    "q178_hll_from_store", "q179_cms_from_store",
+    "q180_len_quantiles_from_store")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached
