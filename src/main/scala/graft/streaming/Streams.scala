@@ -645,6 +645,47 @@ object Streams {
   def cmsFromCells(cells: DataFrame): DataFrame =
     cells.groupBy("j", "c").agg(max("cc").as("cc"))
 
+  final case class LenBin(source: String, bin: Long, cnt: Long)
+
+  /** q180's production form — the third store grid's streaming twin
+    * (registers → `hllRegisterStream`, CMS cells → `cmsCellStream`, the
+    * length histogram → this): each arriving doc contributes one
+    * (source, bin) increment (the bin is a same-row expression — no
+    * shuffle before the keyed fold), state is one cumulative Long per
+    * (source, bin) key — ≤ sources × occupied-bins keys, grid-bounded.
+    * Emissions carry the new cumulative count; the latest-wins fold is a
+    * max (`lensFromBins`) and the folded frame IS the store's lens grid,
+    * so a standing packing/budget monitor reads running length quantiles
+    * without a corpus query. Same at-least-once contract as
+    * `cmsCellStream`: addition is not idempotent, a replayed batch
+    * double-counts — feed exactly-once input or bound by replayed mass. */
+  def lenBinStream(docs: DataFrame): Dataset[LenBin] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source"), expr(
+        s"CAST(size(split(trim(text), ' ')) AS bigint) div ${graft.operators.Audit.LenBinW}")
+        .as("bin"))
+      .as[(String, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, LenBin](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((source, bin), rows, state: GroupState[Long]) =>
+          val add = rows.size.toLong
+          if (add > 0) {
+            val nv = state.getOption.getOrElse(0L) + add
+            state.update(nv)
+            Iterator.single(LenBin(source, bin, nv))
+          } else Iterator.empty
+      }
+  }
+
+  /** Sink-side fold for `lenBinStream` output: latest count per
+    * (source, bin) — counts are monotone, so the fold is a max — yielding
+    * exactly `Audit.lenBins` over everything ingested (StreamsSpec). */
+  def lensFromBins(bins: DataFrame): DataFrame =
+    bins.groupBy("source", "bin").agg(max("cnt").as("cnt"))
+
   /** q136/`phashDedupBatch`'s streaming twin: the standing perceptual-hash
     * band index lives in flatMapGroupsWithState state, and every
     * micro-batch's media docs are checked against it — earlier-batch

@@ -518,6 +518,30 @@ class StreamsSpec extends AnyFunSuite {
       s"replayed batch must touch exactly the cells batch 1 touched: ${m.map(_.rows_updated)}")
   }
 
+  test("length-histogram twin: grid-bounded state, fold bit-equal to batch lens") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val (binsDf, meter) = Streams.runToMemoryMetered(spark,
+      Streams.lenBinStream(
+        Streams.readDocsStream(spark, landBatches(Seq(b1, b2)).getPath,
+          "*.parquet", Some(1))).toDF(),
+      "lens_mb")
+
+    // State can never exceed the (source, occupied-bin) grid.
+    val grid = graft.operators.Audit.lenBins(docs).count()
+    assert(meter.nonEmpty && meter.forall(_.state_rows <= grid),
+      s"state exceeded the lens grid: ${meter.map(_.state_rows)}")
+
+    // The latest-wins fold is exactly the batch histogram over everything
+    // ingested — which is the store's lens table for the same docs.
+    val want = graft.operators.Audit.lenBins(docs)
+      .orderBy("source", "bin").collect().toSeq
+    val got = Streams.lensFromBins(binsDf)
+      .orderBy("source", "bin").collect().toSeq
+    assert(got === want, "stream fold diverged from the batch histogram")
+  }
+
   test("state meter tracks standing-index growth for both dedup twins; replays add nothing") {
     // VERDICT r10 #3: the LSH and phash twins hold NoTimeout state that
     // grows with the standing index BY DESIGN — the meter must show that
