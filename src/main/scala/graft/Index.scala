@@ -419,7 +419,12 @@ object Index {
           .orderBy("source").collect() // ≤ |sources| rows
           .map(r => s"""{"source":"${r.getString(0)}","n_words":${r.getLong(1)}}""")
           .mkString(",")
-        s"""{"mode":"sketch-report","grams":[$est],"words":[$tot],"index":"$path"}"""
+        val lq = operators.Audit.lenQuantiles(
+            IndexStore.loadSketchLens(spark, path))
+          .orderBy("source").collect() // ≤ |sources| + 1 rows
+          .map(r => s"""{"source":"${r.getString(0)}","n_docs":${r.getLong(1)},"q50":${r.getLong(3)},"q90":${r.getLong(5)}}""")
+          .mkString(",")
+        s"""{"mode":"sketch-report","grams":[$est],"words":[$tot],"lens":[$lq],"index":"$path"}"""
 
       case "cms-lookup" :: path :: token :: Nil =>
         // Point-frequency estimate for one token from the persisted

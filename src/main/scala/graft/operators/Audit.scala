@@ -257,6 +257,36 @@ object Audit {
           .as("bin"))
       .groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
 
+  /** Per-source + '__all__' doc-length quantiles from a FOLDED
+    * (source, bin, cnt) histogram — q180's selection (the q76 ceil-rank
+    * lower-edge discipline, pure bigint), factored so the `Index
+    * sketch-report` CLI serves the same numbers from the same store
+    * read. Emits (source, n_docs, q25, q50, q75, q90, q99). */
+  def lenQuantiles(lens: DataFrame): DataFrame = {
+    val all = lens.groupBy("bin").agg(sum("cnt").as("cnt"))
+      .select(lit("__all__").as("source"), col("bin"), col("cnt"))
+    val h = lens.unionByName(all)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bin")
+      .rowsBetween(Long.MinValue, 0)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+    val cum = h.select(col("source"), col("bin"),
+      sum("cnt").over(wCum).as("cum"),
+      sum("cnt").over(wTot).as("n"))
+    def bSel(p: Int) =
+      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("bin")))
+    cum.groupBy("source", "n")
+      .agg(bSel(25).as("b25"), bSel(50).as("b50"), bSel(75).as("b75"),
+        bSel(90).as("b90"), bSel(99).as("b99"))
+      .select(col("source"), col("n").as("n_docs"),
+        (col("b25") * LenBinW).as("q25"),
+        (col("b50") * LenBinW).as("q50"),
+        (col("b75") * LenBinW).as("q75"),
+        (col("b90") * LenBinW).as("q90"),
+        (col("b99") * LenBinW).as("q99"))
+  }
+
   /** Per-occurrence (j, c) bucket rows — a pure narrow projection
     * (stream-safe, the hllRows split): the batch path aggregates it into
     * the grid below; the streaming twin folds it into cell state. */
@@ -1468,29 +1498,7 @@ object Audit {
         val scratch = graft.Scratch.dir("q180-store")
         IndexStore.saveSketchIndex(Tables.load(s, dir, "documents"),
           scratch)
-        val lens = IndexStore.loadSketchLens(s, scratch)
-        val all = lens.groupBy("bin").agg(sum("cnt").as("cnt"))
-          .select(lit("__all__").as("source"), col("bin"), col("cnt"))
-        val h = lens.unionByName(all)
-        val wCum = org.apache.spark.sql.expressions.Window
-          .partitionBy("source").orderBy("bin")
-          .rowsBetween(Long.MinValue, 0)
-        val wTot = org.apache.spark.sql.expressions.Window
-          .partitionBy("source")
-        val cum = h.select(col("source"), col("bin"),
-          sum("cnt").over(wCum).as("cum"),
-          sum("cnt").over(wTot).as("n"))
-        def bSel(p: Int) =
-          min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("bin")))
-        cum.groupBy("source", "n")
-          .agg(bSel(25).as("b25"), bSel(50).as("b50"), bSel(75).as("b75"),
-            bSel(90).as("b90"), bSel(99).as("b99"))
-          .select(col("source"), col("n").as("n_docs"),
-            (col("b25") * LenBinW).as("q25"),
-            (col("b50") * LenBinW).as("q50"),
-            (col("b75") * LenBinW).as("q75"),
-            (col("b90") * LenBinW).as("q90"),
-            (col("b99") * LenBinW).as("q99"))
+        lenQuantiles(IndexStore.loadSketchLens(s, scratch))
           .orderBy("source")
       },
       Some(lenQuantOracle)))

@@ -495,6 +495,11 @@ class IndexCliSpec extends AnyFunSuite {
     val langs = Tables.load(spark, sf, "documents")
       .select("lang").distinct().count()
     assert((""""lang":""".r.findAllIn(rep).size.toLong) === langs + 1, rep)
+    // The length-quantile block serves q180's numbers per source + the
+    // '__all__' row, all from the same store read.
+    val srcs = Tables.load(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert((""""n_docs":""".r.findAllIn(rep).size.toLong) === srcs + 1, rep)
 
     // cms-lookup: a token present in every doc estimates ≥ its exact
     // count (never-undercount), an absent token estimates a small
