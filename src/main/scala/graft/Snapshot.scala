@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, IndexStore, Merkle}
 
 /** Corpus-snapshot workflow CLI — the production surface for the
   * q101/q104 family (the lake-scale analogue of the reference's
@@ -10,6 +10,12 @@ import graft.operators.Dedup
   *   sbt "runMain graft.Snapshot write <docsDir> <snapDir>"
   *   sbt "runMain graft.Snapshot diff  <snapDirA> <snapDirB>"
   *   sbt "runMain graft.Snapshot apply <snapDir> <changesDir> <outSnapDir>"
+  *   sbt "runMain graft.Snapshot merkle-build   <docsDir> <treeDir>"
+  *   sbt "runMain graft.Snapshot merkle-append  <docsDir> <treeDir>"
+  *   sbt "runMain graft.Snapshot merkle-root    <treeDir>"
+  *   sbt "runMain graft.Snapshot merkle-diff    <treeDirA> <treeDirB>"
+  *   sbt "runMain graft.Snapshot merkle-verify  <docsDir> <treeDir>"
+  *   sbt "runMain graft.Snapshot merkle-compact <treeDir>"
   *
   * `write` digests a documents directory into a bucketed-by-doc_id
   * manifest (`Dedup.writeSnapshot` — one shuffle paid at write time so
@@ -20,7 +26,19 @@ import graft.operators.Dedup
   * upsert|delete — into a manifest and writes the result as a NEW
   * bucketed manifest (never in place: a crash mid-apply leaves the
   * source snapshot intact, and the output re-buckets for the next cycle).
-  * Each mode prints one JSON summary line.
+  *
+  * The `merkle-*` verbs are the integrity ledger (operators/Merkle.scala,
+  * q181–q184): `merkle-build` persists the tree (one corpus scan, ever);
+  * `merkle-append` adds a disjoint-id batch and rebuilds the ~n/15-row
+  * upper tree from leaf hashes; `merkle-root` serves the per-source
+  * roots store-only; `merkle-diff` localizes changes between two
+  * PERSISTED trees — per-level divergence counts plus the exact changed
+  * doc_ids from level 0 — reading hashes, never text; `merkle-verify`
+  * replays inclusion proofs for the ProbeMod probe docs against the
+  * stored tree; `merkle-compact` is leaf-file hygiene after appends.
+  * Each mode prints one JSON summary line; roots/diff on a missing tree
+  * answer `"sources":0` instead of a stack trace (the r15 empty-store
+  * contract).
   */
 object Snapshot {
 
@@ -62,8 +80,77 @@ object Snapshot {
         val nc = changes.count()
         s"""{"mode":"apply","changes":$nc,"docs_out":$n,"snapshot":"$outDir"}"""
 
-      case other => sys.error(s"usage: write|diff|apply ... (got $other)")
+      case "merkle-build" :: docsDir :: treeDir :: Nil =>
+        val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+        IndexStore.saveMerkleTree(docs, treeDir)
+        val n = IndexStore.loadMerkleLeaves(spark, treeDir).count()
+        val k = IndexStore
+          .loadMerkleNodes(spark, treeDir, Merkle.Levels).count()
+        s"""{"mode":"merkle-build","docs":$n,"sources":$k,"tree":"$treeDir"}"""
+
+      case "merkle-append" :: docsDir :: treeDir :: Nil =>
+        val batch = spark.read.parquet(s"$docsDir/documents.parquet")
+        val nb = batch.count()
+        IndexStore.appendMerkleBatch(batch, treeDir)
+        val n = IndexStore.loadMerkleLeaves(spark, treeDir).count()
+        s"""{"mode":"merkle-append","batch_docs":$nb,"docs":$n,"tree":"$treeDir"}"""
+
+      case "merkle-root" :: treeDir :: Nil =>
+        if (!treeExists(spark, treeDir))
+          s"""{"mode":"merkle-root","sources":0,"roots":[]}"""
+        else {
+          val rows = IndexStore
+            .loadMerkleNodes(spark, treeDir, Merkle.Levels)
+            .orderBy("source").collect()
+          val roots = rows.map(r =>
+            s"""{"source":"${r.getString(0)}","root":"${r.getString(2)}"}""")
+          s"""{"mode":"merkle-root","sources":${rows.length},"roots":[${roots.mkString(",")}]}"""
+        }
+
+      case "merkle-diff" :: dirA :: dirB :: Nil =>
+        if (!treeExists(spark, dirA) || !treeExists(spark, dirB))
+          s"""{"mode":"merkle-diff","sources":0,"levels":[]}"""
+        else {
+          val rows = Merkle.driftLevels(
+            IndexStore.loadMerkleLevels(spark, dirA),
+            IndexStore.loadMerkleLevels(spark, dirB)).collect()
+          val byLevel = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+            .map { case (l, rs) =>
+              s"""{"level":$l,"n_div":${rs.map(_.getLong(4)).sum}}""" }
+          val changedDocs = rows.filter(_.getInt(0) == 0)
+            .map(_.getLong(4)).sum
+          s"""{"mode":"merkle-diff","changed_docs":$changedDocs,"levels":[${byLevel.mkString(",")}]}"""
+        }
+
+      case "merkle-verify" :: docsDir :: treeDir :: Nil =>
+        val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+        val rows = Merkle.proofs(docs,
+          IndexStore.loadMerkleLevels(spark, treeDir)).collect()
+        val ok = rows.count(_.getLong(4) == 1L)
+        s"""{"mode":"merkle-verify","probes":${rows.length},"ok":$ok,"failed":${rows.length - ok}}"""
+
+      case "merkle-compact" :: treeDir :: Nil =>
+        val before = leafFileCount(spark, treeDir)
+        IndexStore.compactMerkleIndex(spark, treeDir)
+        val after = leafFileCount(spark, treeDir)
+        s"""{"mode":"merkle-compact","leaf_files_before":$before,"leaf_files_after":$after,"tree":"$treeDir"}"""
+
+      case other => sys.error(s"usage: write|diff|apply|merkle-* ... (got $other)")
     }
+
+  private def treeExists(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/merkle/nodes")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def leafFileCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/merkle/leaves")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
 
   /** Stable catalog name per directory (same derivation as snapshotDiff's
     * internal registrations, so repeated runs re-register cleanly). */

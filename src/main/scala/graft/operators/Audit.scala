@@ -191,6 +191,16 @@ object Audit {
   val WfNum = 19L
   val WfDen = 20L
 
+  /** q185 k-anonymity release audit: a published metadata row is "exposed"
+    * when fewer than KAnonK docs share its quasi-identifier combination
+    * (Sweeney 2002's k threshold — the release-gating convention).
+    * Quasi-identifiers here are the metadata a released manifest carries
+    * without the text: lang and the KAnonBinW-char doc-length bucket
+    * (the [48, 553]-char corpus spans ~9 buckets, so the grid holds a mix
+    * of exposed and anonymous cells at every SF). */
+  val KAnonK = 5L
+  val KAnonBinW = 64L
+
   /** Portable md5-hex→bigint (15 hex digits = 60 bits) — SQL text valid in
     * Spark; the DuckDB twin is the nibble fold below (bit-identical, the
     * q79 idiom). */
@@ -1501,5 +1511,37 @@ object Audit {
         lenQuantiles(IndexStore.loadSketchLens(s, scratch))
           .orderBy("source")
       },
-      Some(lenQuantOracle)))
+      Some(lenQuantOracle)),
+
+    // ── k-anonymity audit over release-manifest quasi-identifiers ──
+    QueryDef(
+      "q185_kanon_audit",
+      (s, dir) => {
+        // q163 audits PII IN the text; this audits what the release
+        // METADATA itself re-identifies: group docs by the
+        // quasi-identifier combination a manifest publishes (lang +
+        // doc-length bucket) and flag every cell with fewer than KAnonK
+        // members — rows whose metadata alone narrows them to < k
+        // candidates (Sweeney's k-anonymity, the release gate datasheets
+        // cite). 100 TB shape: one narrow scan into a partial+final agg
+        // on a grid bounded by langs × length-buckets — catalog-sized
+        // output regardless of corpus size, no window, no second scan
+        // (the per-cell source spread rides the same aggregate).
+        Tables.load(s, dir, "documents")
+          .groupBy(col("lang"),
+            expr(s"n_chars div $KAnonBinW").as("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"))
+          .select(col("lang"), col("len_bucket"), col("n_docs"),
+            col("n_sources"),
+            when(col("n_docs") < KAnonK, lit(1L)).otherwise(lit(0L))
+              .as("exposed"))
+          .orderBy("lang", "len_bucket")
+      },
+      Some(s"""SELECT lang, n_chars // $KAnonBinW AS len_bucket,
+              |       CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              |       CAST(CASE WHEN count(*) < $KAnonK THEN 1 ELSE 0 END AS BIGINT) AS exposed
+              |FROM documents
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }

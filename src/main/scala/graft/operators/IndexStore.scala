@@ -40,6 +40,11 @@ import org.apache.spark.sql.functions._
   *                            ADD-fold on load
   *   <path>/sketch/lens/      (source, bin, cnt) fixed-bin doc-length
   *                            histogram — ADD-fold on load
+  *   <path>/merkle/leaves/    (source, pos, h) per-doc digests, pos =
+  *                            doc_id — append-only
+  *   <path>/merkle/nodes/     (source, pos, h) upper tree, partitioned
+  *                            by lvl (L1..L9) — rebuilt from leaf hashes
+  *                            on append (~n/15 rows)
   *
   * Scale posture:
   *   - Incremental dedup against the store joins the persisted band index
@@ -965,6 +970,93 @@ object IndexStore {
     swapRewrite(spark, s"$path/sketch/lens",
       loadSketchLens(spark, path), Seq("source", "bin"), None, parts = 1)
   }
+
+  // ── Merkle integrity-tree state ──
+
+  /** Persist the corpus's Merkle tree (Merkle.scala — q181/q184's
+    * production surface and `Snapshot merkle-*`'s store): per-doc leaf
+    * digests append-only at `merkle/leaves`, the upper levels at
+    * `merkle/nodes` partitioned by lvl so a root read prunes to the
+    * Levels partition and a proof's sibling fetch reads one level
+    * partition per step. The one-time build pays the single corpus text
+    * scan (leaf digests); everything above is hash-of-hash folds over
+    * ~n/15 rows. Widened-writer discipline for the leaf write (the
+    * corpus-sized table); the upper tree is |pfx|-free and tiny. */
+  def saveMerkleTree(docs: DataFrame, path: String): Unit = {
+    val lv = Merkle.levels(docs)
+    lv.head
+      .repartitionByRange(writeParallelism(docs.sparkSession),
+        col("source"), col("pos"))
+      .sortWithinPartitions("source", "pos")
+      .write.mode("overwrite").parquet(s"$path/merkle/leaves")
+    writeNodes(lv, s"$path/merkle/nodes", swap = false)
+  }
+
+  private def writeNodes(lv: Seq[DataFrame], nodesPath: String,
+      swap: Boolean): Unit = {
+    val nodes = (1 to Merkle.Levels).map(l =>
+      lv(l).withColumn("lvl", lit(s"L$l"))).reduce(_ unionByName _)
+    if (swap)
+      swapRewrite(lv.head.sparkSession, nodesPath, nodes,
+        Seq("source", "pos"), Some("lvl"))
+    else
+      buildRepartition(nodes, "lvl", "pos")
+        .sortWithinPartitions("lvl", "source", "pos")
+        .write.mode("overwrite").partitionBy("lvl").parquet(nodesPath)
+  }
+
+  /** Append a batch's leaf digests (contract: batch doc_ids disjoint from
+    * the stored corpus — the snapshot workflows allocate fresh ids, like
+    * simulateRefresh's re-ingest) and rebuild the upper tree from the
+    * full leaf set. The batch pays its own text scan; the rebuild reads
+    * only the ~n/15-row hash tables' INPUT — the n-row leaf digests —
+    * never corpus text, and swaps in atomically (`swapRewrite`, crash-
+    * repairing). A descent-limited variant (rewrite only subtrees whose
+    * leaf range the batch touched) is the obvious refinement if append
+    * frequency ever outgrows the n-row hash scan; at batch-per-crawl
+    * cadence the full upper rebuild is the simpler invariant
+    * (IndexStoreSpec pins append ≡ rebuild bit-identically). */
+  def appendMerkleBatch(batch: DataFrame, path: String): Unit = {
+    Merkle.leafDigests(batch)
+      .repartitionByRange(writeParallelism(batch.sparkSession),
+        col("source"), col("pos"))
+      .sortWithinPartitions("source", "pos")
+      .write.mode("append").parquet(s"$path/merkle/leaves")
+    val spark = batch.sparkSession
+    val leaves = loadMerkleLeaves(spark, path).localCheckpoint(true)
+    val lv = (1 to Merkle.Levels).scanLeft(leaves)((prev, _) =>
+      Merkle.foldLevel(prev).localCheckpoint(true))
+    writeNodes(lv, s"$path/merkle/nodes", swap = true)
+  }
+
+  /** The per-doc digest level: (source, pos = doc_id, h). */
+  def loadMerkleLeaves(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/merkle/leaves")
+
+  /** One upper level (1..Merkle.Levels): the lvl partition filter prunes
+    * the read to that level's files. */
+  def loadMerkleNodes(spark: SparkSession, path: String,
+      level: Int): DataFrame =
+    spark.read.parquet(s"$path/merkle/nodes")
+      .filter(col("lvl") === s"L$level")
+      .select(col("source"), col("pos").cast("long").as("pos"), col("h"))
+
+  /** All stored levels 0..Merkle.Levels as frames — the shape
+    * `Merkle.driftLevels`/`Merkle.proofs` consume, so tree-vs-tree diff
+    * and proof verification run store-only. */
+  def loadMerkleLevels(spark: SparkSession, path: String): Seq[DataFrame] =
+    loadMerkleLeaves(spark, path)
+      .select(col("source"), col("pos").cast("long").as("pos"), col("h")) +:
+      (1 to Merkle.Levels).map(l => loadMerkleNodes(spark, path, l))
+
+  /** Compact the leaf table after a run of appends — pure file-count +
+    * sort hygiene (leaf rows are disjoint across appends; no merge
+    * math), staged rename-swap as everywhere. The nodes table rewrites
+    * on every append and needs none. */
+  def compactMerkleIndex(spark: SparkSession, path: String): Unit =
+    swapRewrite(spark, s"$path/merkle/leaves",
+      loadMerkleLeaves(spark, path).select("source", "pos", "h"),
+      Seq("source", "pos"), None)
 
   // ── IVF index state ──
 

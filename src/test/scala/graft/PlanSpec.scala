@@ -1225,4 +1225,47 @@ class PlanSpec extends AnyFunSuite {
       assert(keys.subsetOf(Set("source")), s"unexpected shuffle key: $keys")
     }
   }
+
+  test("q181 merkle roots: one corpus text scan, folds keyed (source, pos), no window") {
+    // The tree build reads text exactly once (leaf digests); every
+    // level above shuffles only (source, pos) on 16×-shrinking hash
+    // frames. A second documents scan is the n_docs count — cheap
+    // column-pruned metadata, never text re-hashing.
+    assert(collectAll("q181_merkle_roots") { case w: WindowExec => w }.isEmpty)
+    // Catalyst names the pos-div-Arity grouping column
+    // `_groupingexpression` in the exchange.
+    hashShuffleKeys("q181_merkle_roots").foreach { keys =>
+      assert(keys.subsetOf(Set("source", "pos", "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q182 merkle drift: served plan runs on the checkpointed trees — no file scan") {
+    // Both trees build at construction behind per-level barriers
+    // (JobCountSpec eager list); the executed diff joins checkpointed
+    // hash frames only — the 100 TB claim is precisely that drift never
+    // re-reads a corpus.
+    assert(collectAll("q182_merkle_drift") { case f: FileSourceScanExec => f }.isEmpty,
+      "drift re-scanned a table; trees must serve from the barriers")
+    assert(collectAll("q182_merkle_drift") { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q183 merkle proofs: probe side broadcasts; the tree levels never sort-merge") {
+    assert(collectAll("q183_merkle_proof") { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "probe frame must broadcast into the level scans")
+    assert(collectAll("q183_merkle_proof") { case s: SortMergeJoinExec => s }.isEmpty,
+      "a probe-sized lookup must not sort-merge a tree level")
+    assert(collectAll("q183_merkle_proof") { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q185 k-anonymity: partial+final agg on the QI grid, no window, grid-keyed shuffles") {
+    assert(collectAll("q185_kanon_audit") { case w: WindowExec => w }.isEmpty)
+    val aggs = collectAll("q185_kanon_audit") { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected map-side partials before the exchange")
+    hashShuffleKeys("q185_kanon_audit").foreach { keys =>
+      assert(keys.subsetOf(Set("lang", "len_bucket", "source",
+        "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
 }

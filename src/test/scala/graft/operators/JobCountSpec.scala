@@ -86,6 +86,11 @@ class JobCountSpec extends AnyFunSuite {
     // q173 builds the persisted IVFPQ store at construction; its search
     // also sizes autoRerank from the store's code count.
     "q173_fusion_from_store",
+    // q182/q183 build checkpointed Merkle level frames at construction
+    // (each level is consumed twice — next fold + diff/sibling side; the
+    // q150 fan-out barrier); q184 builds its persisted tree into a
+    // scratch store (the from-store discipline).
+    "q182_merkle_drift", "q183_merkle_proof", "q184_merkle_from_store",
     // q174/q175 run BpeRounds merge rounds over the checkpointed
     // vocab-sized word-frequency frame at construction (each round pulls
     // the 1-row winning pair — the q170 barrier'd-iteration discipline).

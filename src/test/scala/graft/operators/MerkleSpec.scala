@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SharedSpark, Snapshot, Tables}
+
+/** The Merkle integrity ledger's contracts (q181–q184, `Snapshot
+  * merkle-*`): digests are partitioning-invariant, edits localize to one
+  * root-to-leaf path, proofs accept exactly the committed corpus, and
+  * the persisted tree serves/appends/compacts without drifting from the
+  * in-query build. */
+class MerkleSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.load(spark, sf, "documents")
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-merkle-$tag").toString
+
+  test("roots are invariant to input partitioning") {
+    val a = Merkle.roots(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val b = Merkle.roots(docs.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.map(_._3).distinct.size == a.size,
+      "per-source roots must differ (distinct content)")
+  }
+
+  test("one edited doc diverges exactly one node per level — the localization contract") {
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 42, concat(col("text"), lit(" tampered")))
+        .otherwise(col("text")))
+    val d = Merkle.drift(docs, edited).collect()
+    val src42 = docs.filter(col("doc_id") === 42).head().getAs[String]("source")
+    for (l <- 0 to Merkle.Levels) {
+      val rows = d.filter(_.getInt(0) == l)
+      assert(rows.map(_.getLong(4)).sum == 1L, s"level $l: expected 1 divergent node")
+      assert(rows.filter(_.getLong(4) > 0).map(_.getString(1)).toSeq == Seq(src42))
+      // no adds/removes: node counts agree on every (level, source)
+      rows.foreach(r => assert(r.getLong(2) == r.getLong(3)))
+    }
+  }
+
+  test("refresh drift: level 0 is the exact edit arithmetic; divergence shrinks toward the root") {
+    val d = Merkle.drift(docs, Dedup.simulateRefresh(docs)).collect()
+    val Array(removed, changed, added) = docs.agg(
+      sum(when(col("doc_id") % 13 === 0, 1L).otherwise(0L)),
+      sum(when(col("doc_id") % 13 =!= 0 && col("doc_id") % 7 === 0, 1L)
+        .otherwise(0L)),
+      sum(when(col("doc_id") % 11 === 0, 1L).otherwise(0L)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val perLevel = (0 to Merkle.Levels).map(l =>
+      d.filter(_.getInt(0) == l).map(_.getLong(4)).sum)
+    assert(perLevel.head == removed + changed + added)
+    // Every divergent parent has >= 1 divergent child, so counts are
+    // non-increasing up the tree — that monotone funnel is what makes
+    // root-down descent O(changed · Levels).
+    perLevel.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(hi <= lo, s"divergence grew up the tree: $perLevel") }
+    assert(perLevel.last >= 1)
+  }
+
+  test("proofs accept the committed corpus and reject exactly a tampered doc") {
+    val clean = Merkle.proofs(docs, Merkle.levels(docs)).collect()
+    val expProbes = docs.filter(col("doc_id") % Merkle.ProbeMod === 0).count()
+    assert(clean.length == expProbes && expProbes > 0)
+    assert(clean.forall(_.getLong(4) == 1L))
+    // Tree committed to a corpus where probe doc 34 differs: every other
+    // probe's fold reproduces the tampered root (their own leaves agree
+    // with the stored siblings), so ONLY doc 34's proof fails.
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === 34, concat(col("text"), lit(" x")))
+        .otherwise(col("text")))
+    val pf = Merkle.proofs(docs, Merkle.levels(tampered)).collect()
+    assert(pf.filter(_.getLong(4) == 0L).map(_.getLong(0)).toSeq == Seq(34L))
+  }
+
+  test("store round trip serves the in-query tree; append ≡ rebuild bit-identically") {
+    val full = tmp("full")
+    IndexStore.saveMerkleTree(docs, full)
+    val sr = IndexStore.loadMerkleNodes(spark, full, Merkle.Levels)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq.sorted
+    val qr = Merkle.roots(docs).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSeq.sorted
+    assert(sr == qr)
+    val inc = tmp("inc")
+    IndexStore.saveMerkleTree(docs.filter(col("doc_id") % 5 =!= 0), inc)
+    IndexStore.appendMerkleBatch(docs.filter(col("doc_id") % 5 === 0), inc)
+    val lf = IndexStore.loadMerkleLevels(spark, full)
+    val li = IndexStore.loadMerkleLevels(spark, inc)
+    for (l <- 0 to Merkle.Levels) {
+      val a = lf(l).collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq.sorted
+      val b = li(l).collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq.sorted
+      assert(a == b, s"level $l diverged between full build and append path")
+    }
+  }
+
+  test("CLI: build → root → diff localizes the refresh → verify → compact keeps verdicts") {
+    val base = java.nio.file.Files.createTempDirectory("graft-merkle-cli")
+    val docsA = s"$base/docsA"; val docsB = s"$base/docsB"
+    val treeA = s"$base/treeA"; val treeB = s"$base/treeB"
+    docs.write.parquet(s"$docsA/documents.parquet")
+    Dedup.simulateRefresh(docs).write.parquet(s"$docsB/documents.parquet")
+
+    val nSources = docs.select("source").distinct().count()
+    val b1 = Snapshot.run(spark, List("merkle-build", docsA, treeA))
+    assert(b1.contains(s""""sources":$nSources"""), b1)
+    Snapshot.run(spark, List("merkle-build", docsB, treeB))
+
+    val roots = Snapshot.run(spark, List("merkle-root", treeA))
+    assert(roots.contains(s""""sources":$nSources"""), roots)
+    assert(Snapshot.run(spark, List("merkle-root", s"$base/missing"))
+      .contains(""""sources":0"""))
+
+    // Tree-vs-tree diff reproduces the edit arithmetic without a corpus.
+    val want = docs.agg(sum(when(col("doc_id") % 13 === 0, 1L)
+      .otherwise(when(col("doc_id") % 7 === 0, 1L).otherwise(0L))) +
+      sum(when(col("doc_id") % 11 === 0, 1L).otherwise(0L)))
+      .head().getLong(0)
+    val d = Snapshot.run(spark, List("merkle-diff", treeA, treeB))
+    assert(d.contains(s""""changed_docs":$want"""), d)
+
+    val v = Snapshot.run(spark, List("merkle-verify", docsA, treeA))
+    assert(v.contains(""""failed":0"""), v)
+
+    val c = Snapshot.run(spark, List("merkle-compact", treeA))
+    assert(c.contains(""""mode":"merkle-compact""""), c)
+    val v2 = Snapshot.run(spark, List("merkle-verify", docsA, treeA))
+    assert(v2.contains(""""failed":0"""), v2)
+  }
+}
