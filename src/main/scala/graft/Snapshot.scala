@@ -29,8 +29,10 @@ import graft.operators.{Dedup, IndexStore, Merkle}
   *
   * The `merkle-*` verbs are the integrity ledger (operators/Merkle.scala,
   * q181–q184): `merkle-build` persists the tree (one corpus scan, ever);
-  * `merkle-append` adds a disjoint-id batch and rebuilds the ~n/15-row
-  * upper tree from leaf hashes; `merkle-root` serves the per-source
+  * `merkle-append` adds a disjoint-id batch and brings the sub-linear
+  * upper tree up to date — monotone ids (the crawl norm) take the
+  * tail fast path, scattered ids fall back to a full upper refold, and
+  * the JSON reports which (`"path"`); `merkle-root` serves the per-source
   * roots store-only; `merkle-diff` localizes changes between two
   * PERSISTED trees — per-level divergence counts plus the exact changed
   * doc_ids from level 0 — reading hashes, never text; `merkle-verify`
@@ -91,9 +93,10 @@ object Snapshot {
       case "merkle-append" :: docsDir :: treeDir :: Nil =>
         val batch = spark.read.parquet(s"$docsDir/documents.parquet")
         val nb = batch.count()
-        IndexStore.appendMerkleBatch(batch, treeDir)
+        val tail = IndexStore.appendMerkleBatch(batch, treeDir)
         val n = IndexStore.loadMerkleLeaves(spark, treeDir).count()
-        s"""{"mode":"merkle-append","batch_docs":$nb,"docs":$n,"tree":"$treeDir"}"""
+        val p = if (tail) "tail" else "rebuild"
+        s"""{"mode":"merkle-append","batch_docs":$nb,"docs":$n,"path":"$p","tree":"$treeDir"}"""
 
       case "merkle-root" :: treeDir :: Nil =>
         if (!treeExists(spark, treeDir))

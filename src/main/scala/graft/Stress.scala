@@ -170,6 +170,8 @@ object Stress {
         bpeStress(spark, args(1), args(2).toInt)
       case Some("sketch") =>
         sketchStress(spark, args(1), args(2).toInt)
+      case Some("merkle") =>
+        merkleStress(spark, args(1), args(2).toInt)
       case other =>
         sys.error(s"usage: cc <edges> <vertices> [reliable] | annknn <sfDir> <mult> (got $other)")
     }
@@ -956,6 +958,74 @@ object Stress {
       operators.IndexStore.appendSketchBatch(batch, store)
       val appendSec = (System.nanoTime() - t1) / 1e9
       println(f"""{"mode":"sketch","corpus":"$tag","docs":$n,"build_sec":$buildSec%.1f,"register_rows":$regRows,"cell_rows":$cellRows,"report_sec_min3":$reportSec%.2f,"est_all":$estAll%.1f,"append_sec":$appendSec%.1f}""")
+    }
+  }
+
+  /** The Merkle ledger's scale posture (q181–q184, `Snapshot merkle-*`),
+    * measured across corpus decades: the one-time tree build tracks the
+    * corpus scan and writes leaves at cluster width (`writerTasks` — the
+    * widened-writer meter); the upper tree stays sub-linear (n/15–n/4,
+    * see Merkle.scala); and the
+    * three standing reads the family exists for — root fetch,
+    * tree-vs-tree diff, probe verification — run store-only, so their
+    * walls must track the TREE (hash rows), never corpus text. The
+    * append row prices the crawl-loop update: batch-scan leaf digests
+    * plus the sub-linear upper rebuild. */
+  def merkleStress(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val bigDir = scratch("merkle", sfDir, mult)
+    inflateDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val store = scratch("merkletree", sfDir, mult, tag)
+      val t0 = System.nanoTime()
+      operators.IndexStore.saveMerkleTree(docs, store)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val leafTasks = writerTasks(s"$store/merkle/leaves")
+      val nodeRows = spark.read.parquet(s"$store/merkle/nodes").count()
+      val store2 = scratch("merkletree2", sfDir, mult, tag)
+      operators.IndexStore.saveMerkleTree(
+        operators.Dedup.simulateRefresh(docs), store2)
+      def min3(mk: () => org.apache.spark.sql.DataFrame): Double =
+        (1 to 3).map { _ =>
+          val t = System.nanoTime()
+          mk().queryExecution.toRdd.count()
+          (System.nanoTime() - t) / 1e9
+        }.min
+      val rootSec = min3(() =>
+        operators.IndexStore.loadMerkleNodes(spark, store,
+          operators.Merkle.Levels))
+      def diff() = operators.Merkle.driftLevels(
+        operators.IndexStore.loadMerkleLevels(spark, store),
+        operators.IndexStore.loadMerkleLevels(spark, store2))
+      val diffSec = min3(() => diff())
+      val changed = diff().filter(col("level") === 0)
+        .agg(sum("n_div")).head().getLong(0)
+      def verify() = operators.Merkle.proofs(docs,
+        operators.IndexStore.loadMerkleLevels(spark, store))
+      val verifySec = min3(() => verify())
+      val probes = verify().count()
+      // Two monotone 500-doc appends price BOTH recompute paths on the
+      // same store (the second batch's ids continue past the first's):
+      // the default gate picks rebuild below TailMinLeafBytes and the
+      // forced-tail column shows the flat-overhead path it switches to
+      // past the crossover.
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      def idBatch(off: Long) = spark.read
+        .parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 500)
+        .withColumn("doc_id", col("doc_id") + lit(off))
+      val t1 = System.nanoTime()
+      val tailUsed =
+        operators.IndexStore.appendMerkleBatch(idBatch(maxId + 1L), store)
+      val appendSec = (System.nanoTime() - t1) / 1e9
+      val ap = if (tailUsed) "tail" else "rebuild"
+      val t2 = System.nanoTime()
+      operators.IndexStore.appendMerkleBatch(idBatch(maxId + 1001L), store,
+        tailMinLeafBytes = 0L)
+      val appendTailSec = (System.nanoTime() - t2) / 1e9
+      println(f"""{"mode":"merkle","corpus":"$tag","docs":$n,"build_sec":$buildSec%.1f,"leaf_writer_tasks":$leafTasks,"node_rows":$nodeRows,"root_sec_min3":$rootSec%.2f,"diff_sec_min3":$diffSec%.2f,"changed_docs":$changed,"verify_sec_min3":$verifySec%.2f,"probes":$probes,"append_default_sec":$appendSec%.1f,"append_default_path":"$ap","append_tail_sec":$appendTailSec%.1f}""")
     }
   }
 

@@ -44,7 +44,8 @@ import org.apache.spark.sql.functions._
   *                            doc_id — append-only
   *   <path>/merkle/nodes/     (source, pos, h) upper tree, partitioned
   *                            by lvl (L1..L9) — rebuilt from leaf hashes
-  *                            on append (~n/15 rows)
+  *                            on append (n/15–n/4 rows; see Merkle.scala
+  *                            on source interleaving)
   *
   * Scale posture:
   *   - Incremental dedup against the store joins the persisted band index
@@ -339,7 +340,8 @@ object IndexStore {
     * cluster-tracking default). */
   private def swapRewrite(spark: SparkSession, tablePath: String,
       compacted: => DataFrame, sortCols: Seq[String],
-      partCol: Option[String], parts: Int = 0): Unit = {
+      partCol: Option[String], parts: Int = 0,
+      rangeKeyed: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val cur = new Path(tablePath)
@@ -356,8 +358,14 @@ object IndexStore {
           .sortWithinPartitions((pc +: sortCols).map(col): _*)
           .write.partitionBy(pc)
       case None =>
-        val r = compacted
-          .repartition(if (parts > 0) parts else writeParallelism(spark))
+        // rangeKeyed: contiguous sortCols ranges per file, so per-file
+        // min/max stats keep serving range predicates after the rewrite
+        // (the merkle leaf table's tail-append path reads `pos >= floor`).
+        val width = if (parts > 0) parts else writeParallelism(spark)
+        val r =
+          if (rangeKeyed) compacted.repartitionByRange(width,
+            sortCols.map(col): _*)
+          else compacted.repartition(width)
         (if (sortCols.isEmpty) r
          else r.sortWithinPartitions(sortCols.map(col): _*)).write
     }
@@ -973,6 +981,13 @@ object IndexStore {
 
   // ── Merkle integrity-tree state ──
 
+  /** Leaf-table size gating `appendMerkleBatch`'s tail fast path — see
+    * there. The measured local crossover is ~19 MB of leaves (500k docs:
+    * forced-tail 3.2 s vs rebuild 4.2 s, and the gap only widens with n —
+    * Stress `merkle`); 16 MB switches right at it. Any production tree
+    * is far above. */
+  val TailMinLeafBytes: Long = 16L << 20
+
   /** Persist the corpus's Merkle tree (Merkle.scala — q181/q184's
     * production surface and `Snapshot merkle-*`'s store): per-doc leaf
     * digests append-only at `merkle/leaves`, the upper levels at
@@ -980,7 +995,8 @@ object IndexStore {
     * Levels partition and a proof's sibling fetch reads one level
     * partition per step. The one-time build pays the single corpus text
     * scan (leaf digests); everything above is hash-of-hash folds over
-    * ~n/15 rows. Widened-writer discipline for the leaf write (the
+    * n/15–n/4 rows (Merkle.scala on source interleaving).
+    * Widened-writer discipline for the leaf write (the
     * corpus-sized table); the upper tree is |pfx|-free and tiny. */
   def saveMerkleTree(docs: DataFrame, path: String): Unit = {
     val lv = Merkle.levels(docs)
@@ -1007,26 +1023,84 @@ object IndexStore {
 
   /** Append a batch's leaf digests (contract: batch doc_ids disjoint from
     * the stored corpus — the snapshot workflows allocate fresh ids, like
-    * simulateRefresh's re-ingest) and rebuild the upper tree from the
-    * full leaf set. The batch pays its own text scan; the rebuild reads
-    * only the ~n/15-row hash tables' INPUT — the n-row leaf digests —
-    * never corpus text, and swaps in atomically (`swapRewrite`, crash-
-    * repairing). A descent-limited variant (rewrite only subtrees whose
-    * leaf range the batch touched) is the obvious refinement if append
-    * frequency ever outgrows the n-row hash scan; at batch-per-crawl
-    * cadence the full upper rebuild is the simpler invariant
-    * (IndexStoreSpec pins append ≡ rebuild bit-identically). */
-  def appendMerkleBatch(batch: DataFrame, path: String): Unit = {
-    Merkle.leafDigests(batch)
-      .repartitionByRange(writeParallelism(batch.sparkSession),
+    * simulateRefresh's re-ingest) and bring the upper tree up to date.
+    * The batch pays its own text scan; upper recompute reads hash rows,
+    * never text, and swaps in atomically (`swapRewrite`, crash-repairing).
+    *
+    * Two recompute paths, chosen by the data (returned for the caller's
+    * ledger row):
+    *   - TAIL (true): when every batch id exceeds the stored max — the
+    *     crawl norm, ids allocated monotonically — the affected node
+    *     positions at level L form the contiguous range
+    *     pos >= minNewId div 16^L, so the recompute reads the LEAF TAIL
+    *     (one range predicate, row-group-pruned on the pos-sorted files)
+    *     plus one boundary sibling group per level; untouched node rows
+    *     are carried over by position. Append cost: O(batch) text +
+    *     O(batch/15) recompute + the sub-linear nodes-table rewrite.
+    *   - REBUILD (false): scattered new ids (still disjoint) re-fold the
+    *     whole upper tree from the full leaf set — the simple invariant,
+    *     one n-row hash scan. Also chosen for monotone batches while the
+    *     leaf table is under `tailMinLeafBytes`: the tail path spends a
+    *     ~flat ~3 s on its per-level boundary jobs, so below the measured
+    *     local crossover (~19 MB of leaves ≈ 500k docs, Stress `merkle`)
+    *     one cheap full scan wins; above it the tail's flat read beats
+    *     the growing n-row scan forever.
+    * MerkleSpec pins both paths ≡ a from-scratch build, bit-identically. */
+  def appendMerkleBatch(batch: DataFrame, path: String,
+      tailMinLeafBytes: Long = TailMinLeafBytes): Boolean = {
+    val spark = batch.sparkSession
+    val arity = Merkle.Arity
+    val newLeaves = Merkle.leafDigests(batch).localCheckpoint(true)
+    if (newLeaves.isEmpty) return true
+    // Stored max BEFORE the leaf append decides the path (a pos-column
+    // read over the leaf files, no text); the dir size is one FS stat.
+    val oldMax = loadMerkleLeaves(spark, path)
+      .agg(max("pos")).head().getLong(0)
+    val minNew = newLeaves.agg(min("pos")).head().getLong(0)
+    val leafPath = new org.apache.hadoop.fs.Path(s"$path/merkle/leaves")
+    val leafBytes = leafPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(leafPath).getLength
+    newLeaves
+      .repartitionByRange(writeParallelism(spark),
         col("source"), col("pos"))
       .sortWithinPartitions("source", "pos")
       .write.mode("append").parquet(s"$path/merkle/leaves")
-    val spark = batch.sparkSession
-    val leaves = loadMerkleLeaves(spark, path).localCheckpoint(true)
-    val lv = (1 to Merkle.Levels).scanLeft(leaves)((prev, _) =>
-      Merkle.foldLevel(prev).localCheckpoint(true))
-    writeNodes(lv, s"$path/merkle/nodes", swap = true)
+    val tail = minNew > oldMax && leafBytes >= tailMinLeafBytes
+    if (!tail) {
+      val leaves = loadMerkleLeaves(spark, path).localCheckpoint(true)
+      val lv = (1 to Merkle.Levels).scanLeft(leaves)((prev, _) =>
+        Merkle.foldLevel(prev).localCheckpoint(true))
+      writeNodes(lv, s"$path/merkle/nodes", swap = true)
+      return false
+    }
+    // Tail path: members at level 0 = the post-append leaf tail from the
+    // boundary group's floor (covers the batch AND the stored leaves
+    // sharing its first group).
+    var members = loadMerkleLeaves(spark, path)
+      .select(col("source"), col("pos").cast("long").as("pos"), col("h"))
+      .filter(col("pos") >= (minNew / arity) * arity)
+      .localCheckpoint(true)
+    var minPos = minNew
+    val perLevel = (1 to Merkle.Levels).map { l =>
+      minPos = minPos / arity
+      // All member groups are complete: children < the recompute floor
+      // come from the stored level below (boundary slice), the rest are
+      // just-refolded — so every folded parent (pos >= minPos) is exact.
+      val folded = Merkle.foldLevel(members).localCheckpoint(true)
+      val boundary = loadMerkleNodes(spark, path, l)
+        .filter(col("pos") >= (minPos / arity) * arity &&
+          col("pos") < minPos)
+      members = boundary.unionByName(folded)
+      (l, folded, minPos)
+    }
+    val nodes = perLevel.map { case (l, folded, mp) =>
+      loadMerkleNodes(spark, path, l).filter(col("pos") < mp)
+        .unionByName(folded).withColumn("lvl", lit(s"L$l"))
+    }.reduce(_ unionByName _)
+    swapRewrite(spark, s"$path/merkle/nodes", nodes,
+      Seq("source", "pos"), Some("lvl"))
+    true
   }
 
   /** The per-doc digest level: (source, pos = doc_id, h). */
@@ -1056,7 +1130,7 @@ object IndexStore {
   def compactMerkleIndex(spark: SparkSession, path: String): Unit =
     swapRewrite(spark, s"$path/merkle/leaves",
       loadMerkleLeaves(spark, path).select("source", "pos", "h"),
-      Seq("source", "pos"), None)
+      Seq("source", "pos"), None, rangeKeyed = true)
 
   // ── IVF index state ──
 

@@ -31,9 +31,14 @@ import graft.{QueryDef, Tables}
   *
   * Scale shape: the build is one narrow corpus scan into per-doc digests
   * (the 100 TB text is read ONCE, ever) followed by `Levels` aggregations
-  * over frames that shrink 16× per level — the upper tree totals ~n/15
-  * rows of 32-char hashes. Diff/verify then run entirely on trees:
-  * comparing two 100 TB snapshots reads 2·(n + n/15) hash rows and no
+  * over shrinking frames. Upper-tree size depends on how sources share
+  * the id space: n/15 rows when each source owns contiguous id blocks
+  * (the production sharding norm), up to ~n/4 when sources interleave
+  * ids finely (every 16-id leaf block then pays one node per source
+  * present — the Stress `merkle` rows measure 0.24n on the 20-way
+  * interleaved testdata). Either way it is hash rows, not text.
+  * Diff/verify then run entirely on trees:
+  * comparing two 100 TB snapshots reads ~2n hash rows and no
   * text; an inclusion proof reads Arity·Levels = 144 sibling rows. The
   * persisted form (`IndexStore.saveMerkleTree`, q184) is the production
   * surface; the in-query builds here are the oracle-graded verify half.
@@ -320,7 +325,7 @@ object Merkle {
       (s, dir) => {
         // q181's production form: the tree persists once
         // (`IndexStore.saveMerkleTree` — leaves append-only, upper
-        // levels rebuilt from leaf hashes on append at ~n/15 rows), and
+        // levels rebuilt from leaf hashes on append, sub-linear rows), and
         // every integrity read is store-only: roots from the level-9
         // partition, doc counts from the leaf partition, corpus text
         // untouched. Graded by q181's oracle — re-derived from text, so

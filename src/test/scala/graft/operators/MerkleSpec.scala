@@ -84,15 +84,30 @@ class MerkleSpec extends AnyFunSuite {
     val qr = Merkle.roots(docs).collect()
       .map(r => (r.getString(0), r.getString(2))).toSeq.sorted
     assert(sr == qr)
+    // Scattered disjoint ids (%5 interleaves with the stored corpus) must
+    // take the full-rebuild path; a monotone batch (all ids above the
+    // stored max — the crawl norm) must take the tail fast path. Both
+    // must land bit-identical to the from-scratch build.
     val inc = tmp("inc")
     IndexStore.saveMerkleTree(docs.filter(col("doc_id") % 5 =!= 0), inc)
-    IndexStore.appendMerkleBatch(docs.filter(col("doc_id") % 5 === 0), inc)
+    val scatterTail =
+      IndexStore.appendMerkleBatch(docs.filter(col("doc_id") % 5 === 0), inc)
+    assert(!scatterTail, "scattered ids must fall back to the full rebuild")
+    val mono = tmp("mono")
+    IndexStore.saveMerkleTree(docs.filter(col("doc_id") < 250), mono)
+    // Gate forced open (tailMinLeafBytes = 0): a test-sized leaf table is
+    // below the production crossover, and THIS path is the one under pin.
+    val monoTail = IndexStore.appendMerkleBatch(
+      docs.filter(col("doc_id") >= 250), mono, tailMinLeafBytes = 0L)
+    assert(monoTail, "an all-above-max batch must take the tail path")
     val lf = IndexStore.loadMerkleLevels(spark, full)
-    val li = IndexStore.loadMerkleLevels(spark, inc)
-    for (l <- 0 to Merkle.Levels) {
-      val a = lf(l).collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq.sorted
-      val b = li(l).collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq.sorted
-      assert(a == b, s"level $l diverged between full build and append path")
+    for (other <- Seq(inc, mono)) {
+      val lo = IndexStore.loadMerkleLevels(spark, other)
+      for (l <- 0 to Merkle.Levels) {
+        val a = lf(l).collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq.sorted
+        val b = lo(l).collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq.sorted
+        assert(a == b, s"level $l diverged between full build and append path ($other)")
+      }
     }
   }
 
