@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1050,22 +1050,43 @@ object IndexStore {
       tailMinLeafBytes: Long = TailMinLeafBytes): Boolean = {
     val spark = batch.sparkSession
     val arity = Merkle.Arity
-    val newLeaves = Merkle.leafDigests(batch).localCheckpoint(true)
-    if (newLeaves.isEmpty) return true
+    val raw = Merkle.leafDigests(batch).localCheckpoint(true)
+    if (raw.isEmpty) return true
     // Stored max BEFORE the leaf append decides the path (a pos-column
     // read over the leaf files, no text); the dir size is one FS stat.
-    val oldMax = loadMerkleLeaves(spark, path)
-      .agg(max("pos")).head().getLong(0)
-    val minNew = newLeaves.agg(min("pos")).head().getLong(0)
+    val stats = loadMerkleLeaves(spark, path)
+      .agg(max("pos")).head()
+    val oldMax = if (stats.isNullAt(0)) Long.MinValue else stats.getLong(0)
+    val Row(minRaw: Long, maxRaw: Long) =
+      raw.agg(min("pos"), max("pos")).head()
+    // Replay idempotence (the streaming ledger sink's exactly-once leg):
+    // ids already stored — a re-delivered epoch, or the overlap of a
+    // crash between a leaf write and the node swap — are dropped by an
+    // anti-join against the stored [min, max] leaf slice (row-group
+    // pruned on the pos-sorted files). A fully-replayed batch is a leaf
+    // no-op that still REFOLDS the upper tree below, repairing any
+    // stale-nodes crash window instead of returning early.
+    val newLeaves = (if (minRaw > oldMax) raw
+      else {
+        val stored = loadMerkleLeaves(spark, path)
+          .filter(col("pos") >= minRaw && col("pos") <= maxRaw)
+          .select(col("pos").cast("long").as("pos"))
+        raw.join(stored, Seq("pos"), "left_anti").localCheckpoint(true)
+      })
     val leafPath = new org.apache.hadoop.fs.Path(s"$path/merkle/leaves")
     val leafBytes = leafPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getContentSummary(leafPath).getLength
-    newLeaves
-      .repartitionByRange(writeParallelism(spark),
-        col("source"), col("pos"))
-      .sortWithinPartitions("source", "pos")
-      .write.mode("append").parquet(s"$path/merkle/leaves")
+    val anyFresh = !newLeaves.isEmpty
+    if (anyFresh) {
+      newLeaves
+        .repartitionByRange(writeParallelism(spark),
+          col("source"), col("pos"))
+        .sortWithinPartitions("source", "pos")
+        .write.mode("append").parquet(s"$path/merkle/leaves")
+    }
+    val minNew =
+      if (anyFresh) newLeaves.agg(min("pos")).head().getLong(0) else minRaw
     val tail = minNew > oldMax && leafBytes >= tailMinLeafBytes
     if (!tail) {
       val leaves = loadMerkleLeaves(spark, path).localCheckpoint(true)

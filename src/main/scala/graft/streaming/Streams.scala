@@ -851,6 +851,33 @@ object Streams {
       }
   }
 
+  /** The integrity ledger's streaming form (q184's crawl-loop surface):
+    * every micro-batch of the document stream lands in the persisted
+    * Merkle tree via `IndexStore.appendMerkleBatch` inside foreachBatch —
+    * the ledger's at-rest parquet layout IS the sink state (the
+    * applyChangesetStream at-rest discipline), so roots/diff/proofs stay
+    * answerable store-only while the stream runs. Monotone-id
+    * micro-batches ride the tail fast path once the store passes the
+    * size gate. Exactly-once without sink-side epoch markers: the append
+    * anti-joins each batch against the stored leaf id slice, so a
+    * re-delivered epoch (foreachBatch's documented at-least-once
+    * restart window) is a leaf no-op that still refolds the upper
+    * tree — self-healing across a crash between a leaf write and the
+    * node swap (MerkleSpec pins replay idempotence). */
+  def merkleLedgerSink(docs: DataFrame, treePath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.IndexStore.appendMerkleBatch(batch, treePath)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   final case class AnomState(open: Map[Long, Long], ring: Seq[(Long, Long)],
       lastFinal: Long)
   final case class AnomalyOut(event_type: String, hr: Long, c: Long, n: Long,

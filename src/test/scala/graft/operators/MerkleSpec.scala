@@ -111,6 +111,56 @@ class MerkleSpec extends AnyFunSuite {
     }
   }
 
+  test("replayed append is a leaf no-op that still repairs the upper tree") {
+    val p = tmp("replay")
+    IndexStore.saveMerkleTree(docs.filter(col("doc_id") < 300), p)
+    val batch = docs.filter(col("doc_id") >= 300)
+    IndexStore.appendMerkleBatch(batch, p)
+    val nLeaves = IndexStore.loadMerkleLeaves(spark, p).count()
+    val before = IndexStore.loadMerkleNodes(spark, p, Merkle.Levels)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq.sorted
+    // Re-delivered epoch (the foreachBatch restart window): every id is
+    // already stored — the anti-join drops them all, the upper refold
+    // still runs, nothing changes.
+    IndexStore.appendMerkleBatch(batch, p)
+    assert(IndexStore.loadMerkleLeaves(spark, p).count() == nLeaves,
+      "replay duplicated leaf rows")
+    val after = IndexStore.loadMerkleNodes(spark, p, Merkle.Levels)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq.sorted
+    assert(after == before)
+  }
+
+  test("streaming ledger sink: micro-batches land in the tree == one-shot build") {
+    val base = java.nio.file.Files.createTempDirectory("graft-merkle-stream")
+    val treeDir = s"$base/tree"; val refDir = s"$base/ref"
+    IndexStore.saveMerkleTree(docs.filter(col("doc_id") < 200), treeDir)
+    // Two monotone-id micro-batches land through the sink.
+    val streamDir = new java.io.File(s"$base/in"); streamDir.mkdirs()
+    Seq(docs.filter(col("doc_id") >= 200 && col("doc_id") < 350),
+      docs.filter(col("doc_id") >= 350)).zipWithIndex.foreach {
+      case (df, i) =>
+        val stage = new java.io.File(streamDir, s"stage_$i")
+        df.coalesce(1).write.parquet(stage.getPath)
+        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+        val dest = new java.io.File(streamDir, s"$i.parquet")
+        assert(part.renameTo(dest))
+        dest.setLastModified((i + 1) * 1000000L)
+    }
+    val q = graft.streaming.Streams.merkleLedgerSink(
+      graft.streaming.Streams.readDocsStream(spark, streamDir.getPath,
+        "*.parquet", Some(1)),
+      treeDir, s"$base/ckpt")
+    q.awaitTermination()
+    IndexStore.saveMerkleTree(docs, refDir)
+    val a = IndexStore.loadMerkleLevels(spark, treeDir)
+    val b = IndexStore.loadMerkleLevels(spark, refDir)
+    for (l <- 0 to Merkle.Levels) {
+      val x = a(l).collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq.sorted
+      val y = b(l).collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq.sorted
+      assert(x == y, s"level $l diverged between streamed ledger and one-shot build")
+    }
+  }
+
   test("CLI: build → root → diff localizes the refresh → verify → compact keeps verdicts") {
     val base = java.nio.file.Files.createTempDirectory("graft-merkle-cli")
     val docsA = s"$base/docsA"; val docsB = s"$base/docsB"
