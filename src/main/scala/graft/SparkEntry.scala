@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Audit, CveOps, Dedup, Eval, Merkle, Multimodal, Relational, Temporal, TextOps, Vectors}
+import graft.operators.{Audit, CveOps, Dedup, Eval, Maintenance, Merkle, Multimodal, Relational, Temporal, TextOps, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
   val all: Seq[QueryDef] =
     Relational.defs ++ Temporal.defs ++ Dedup.defs ++ TextOps.defs ++
       Vectors.defs ++ Multimodal.defs ++ Eval.defs ++ Audit.defs ++
-      Merkle.defs ++ CveOps.defs
+      Merkle.defs ++ Maintenance.defs ++ CveOps.defs
 
   // toMap would silently drop a duplicated qNN name (and its correctness
   // row); fail fast instead.

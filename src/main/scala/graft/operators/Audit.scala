@@ -201,6 +201,12 @@ object Audit {
   val KAnonK = 5L
   val KAnonBinW = 64L
 
+  /** q187: the generalization ladder — candidate length-bucket widths,
+    * DOUBLING from q185's base so each rung's cells are exact unions of
+    * pairs of the previous rung's (the nesting that makes exposure
+    * provably non-increasing up the ladder; AuditSpec pins it). */
+  val KAnonWidths = Seq(KAnonBinW, KAnonBinW * 2, KAnonBinW * 4, KAnonBinW * 8)
+
   /** Portable md5-hex→bigint (15 hex digits = 60 bits) — SQL text valid in
     * Spark; the DuckDB twin is the nibble fold below (bit-identical, the
     * q79 idiom). */
@@ -1543,5 +1549,52 @@ object Audit {
               |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
               |       CAST(CASE WHEN count(*) < $KAnonK THEN 1 ELSE 0 END AS BIGINT) AS exposed
               |FROM documents
-              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── k-anonymity generalization ladder: pick the coarsening to publish ──
+    QueryDef(
+      "q187_kanon_generalize",
+      (s, dir) => {
+        // q185 flags the exposed cells at ONE bucket width; the release
+        // decision is "how much must the manifest coarsen before every
+        // cell clears k" (Sweeney's generalization step). This sweeps the
+        // doubling ladder KAnonWidths in one pass: per width, the cell
+        // count, the cells still below KAnonK, the docs those cells
+        // expose, and an `anonymous` flag for rungs where nothing is
+        // exposed. Doubling widths nest the cells (each 2w-cell is the
+        // union of two w-cells), so n_exposed_docs is provably
+        // non-increasing up the ladder — a merged cell is exposed only
+        // if BOTH halves were (AuditSpec pins the monotonicity).
+        //
+        // 100 TB shape: the width fan-out is a 4× explode of a two-column
+        // projection (never the text); everything then collapses on the
+        // (width, lang, bucket) grid — catalog-sized at any corpus size,
+        // no window, no second scan (the q113 sweep discipline).
+        Tables.load(s, dir, "documents")
+          .select(col("lang"), col("n_chars"),
+            explode(array(KAnonWidths.map(lit): _*)).as("bin_w"))
+          .groupBy(col("bin_w"), col("lang"),
+            expr("n_chars div bin_w").as("b"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("bin_w")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(when(col("n") < KAnonK, lit(1L)).otherwise(lit(0L)))
+              .as("n_exposed_cells"),
+            sum(when(col("n") < KAnonK, col("n")).otherwise(lit(0L)))
+              .as("n_exposed_docs"))
+          .select(col("bin_w"), col("n_cells"), col("n_exposed_cells"),
+            col("n_exposed_docs"),
+            when(col("n_exposed_cells") === 0L, lit(1L)).otherwise(lit(0L))
+              .as("anonymous"))
+          .orderBy("bin_w")
+      },
+      Some(s"""WITH cells AS (
+              |  SELECT bin_w, lang, n_chars // bin_w AS b, CAST(count(*) AS BIGINT) AS n
+              |  FROM (SELECT lang, n_chars, unnest([${KAnonWidths.mkString(", ")}]) AS bin_w FROM documents)
+              |  GROUP BY 1, 2, 3)
+              |SELECT CAST(bin_w AS BIGINT) AS bin_w, CAST(count(*) AS BIGINT) AS n_cells,
+              |       CAST(sum(CASE WHEN n < $KAnonK THEN 1 ELSE 0 END) AS BIGINT) AS n_exposed_cells,
+              |       CAST(sum(CASE WHEN n < $KAnonK THEN n ELSE 0 END) AS BIGINT) AS n_exposed_docs,
+              |       CAST(CASE WHEN sum(CASE WHEN n < $KAnonK THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS anonymous
+              |FROM cells GROUP BY bin_w ORDER BY bin_w""".stripMargin)))
 }

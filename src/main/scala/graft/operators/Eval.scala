@@ -45,6 +45,41 @@ object Eval {
     * named sources — the manifest stays catalog-sized either way. */
   val Shards = 16
 
+  /** q186: shard counts before/after the elastic step. 8 → 9 is the
+    * smallest interesting growth step; the minimal-movement fraction
+    * 1/RvNew and the mod-hash disaster fraction (RvOld·(RvNew−1))/(RvOld·
+    * RvNew) read clearly at any corpus size. */
+  val RvOld = 8
+  val RvNew = 9
+
+  /** q188: training epochs audited. Each epoch is an independent
+    * hash-keyed permutation; 4 keeps the fan-out narrow while showing the
+    * per-epoch spread around the random-order expectation. */
+  val SqEpochs = 4
+
+  /** Portable 60-bit md5 fold of a SQL string expression — Spark text
+    * (the q79 idiom; DuckDB twin inlined in the oracles below). */
+  private[operators] def h60(msg: String): String =
+    s"cast(conv(substr(md5($msg), 1, 15), 16, 10) AS bigint)"
+
+  /** DuckDB nibble-fold twin of `h60` — single-line (the stripMargin
+    * leading-pipe hazard). */
+  private[operators] def h60Duck(msg: String): String =
+    s"list_reduce([(strpos('0123456789abcdef', substr(md5($msg), i, 1)) - 1)::BIGINT for i in range(1, 16)], (a, b) -> a * 16 + b)"
+
+  /** Highest-random-weight (rendezvous) shard of `doc_id` among `n`
+    * shards, as a Spark SQL expression: argmax over per-shard salted
+    * hashes, ties (impossible in practice, pinned deterministic anyway)
+    * to the larger shard id via the (h, s) struct order — the same
+    * field-lexicographic comparison DuckDB's list_reverse_sort applies. */
+  private[operators] def hrwSpark(n: Int): String =
+    s"array_max(transform(sequence(0, ${n - 1}), s -> " +
+      s"named_struct('h', ${h60("concat('hrw', cast(s AS string), ':', cast(doc_id AS string))")}, " +
+      s"'s', cast(s AS bigint)))).s"
+
+  private[operators] def hrwDuck(n: Int): String =
+    s"list_reverse_sort([struct_pack(h := ${h60Duck("'hrw' || CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")}, s := s::BIGINT) for s in range(0, $n)])[1].s"
+
   /** The q27 quality-score scan as a DuckDB CTE body: `(SELECT lang,
     * score FROM documents)` — shared verbatim by q153/q154/q155 so the
     * three oracles can never drift from each other. Single-line fragments
@@ -362,5 +397,145 @@ object Eval {
               |       abs(n_a / ta - n_b / tb) AS abs_diff,
               |       CAST(CAST(sum(abs(n_a * tb - n_b * ta)) OVER () AS BIGINT) AS DOUBLE)
               |         / (2.0e0 * ta * tb) AS tv
-              |FROM b, t ORDER BY bin""".stripMargin)))
+              |FROM b, t ORDER BY bin""".stripMargin)),
+
+    // ── Elastic re-sharding stability: rendezvous vs mod placement ──
+    QueryDef(
+      "q186_rendezvous_reshard",
+      (s, dir) => {
+        // What fraction of the corpus MOVES when the shard fleet grows
+        // RvOld → RvNew? Placement stability is what keeps shard-local
+        // state (the persisted index families, dataloader caches) valid
+        // through elasticity: rendezvous hashing (highest-random-weight,
+        // Thaler & Ravishankar 1996) relocates exactly the docs whose
+        // RvNew-way argmax IS the new shard — expectation 1/RvNew — and
+        // never shuffles a doc between surviving shards (moved ≡ to_new,
+        // structurally; PlacementSpec pins the equality). The mod-hash
+        // baseline (h % n) relocates (RvNew−1)/RvNew of everything — the
+        // audit prices both from the SAME scan.
+        //
+        // 100 TB shape: one narrow doc_id scan; per row RvOld + RvNew +
+        // 1 codegen'd md5 folds (no state, no join); output is one row
+        // per source. The argmax is in-row (array_max over a
+        // named_struct array — the q88 argmin idiom, orientation
+        // flipped), so nothing wider than (source) ever shuffles.
+        Tables.load(s, dir, "documents")
+          .withColumn("s8", expr(hrwSpark(RvOld)))
+          .withColumn("s9", expr(hrwSpark(RvNew)))
+          .withColumn("hm", expr(h60("concat('mod:', cast(doc_id AS string))")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("s9") =!= col("s8"), lit(1L)).otherwise(lit(0L)))
+              .as("moved_hrw"),
+            sum(when(col("s9") === lit(RvOld.toLong), lit(1L))
+              .otherwise(lit(0L))).as("to_new_hrw"),
+            sum(when(col("hm") % RvNew =!= col("hm") % RvOld, lit(1L))
+              .otherwise(lit(0L))).as("moved_mod"))
+          .select(col("source"), col("n_docs"), col("moved_hrw"),
+            col("to_new_hrw"), col("moved_mod"),
+            expr("moved_hrw * 1000 div n_docs").as("hrw_permille"),
+            expr("moved_mod * 1000 div n_docs").as("mod_permille"))
+          .orderBy("source")
+      },
+      Some(s"""WITH pl AS (
+              |  SELECT source, ${hrwDuck(RvOld)} AS s8, ${hrwDuck(RvNew)} AS s9,
+              |         ${h60Duck("'mod:' || CAST(doc_id AS VARCHAR)")} AS hm
+              |  FROM documents)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(CASE WHEN s9 <> s8 THEN 1 ELSE 0 END) AS BIGINT) AS moved_hrw,
+              |       CAST(sum(CASE WHEN s9 = $RvOld THEN 1 ELSE 0 END) AS BIGINT) AS to_new_hrw,
+              |       CAST(sum(CASE WHEN hm % $RvNew <> hm % $RvOld THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
+              |       CAST(sum(CASE WHEN s9 <> s8 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS hrw_permille,
+              |       CAST(sum(CASE WHEN hm % $RvNew <> hm % $RvOld THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS mod_permille
+              |FROM pl GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Training-order audit: source-run structure per epoch permutation ──
+    QueryDef(
+      "q188_shuffle_quality",
+      (s, dir) => {
+        // A dataloader consumes each shard in SOME total order; how
+        // source-clustered that order is decides gradient diversity per
+        // batch (long same-source runs = correlated steps). This audit
+        // measures the adjacent-pair same-source rate inside every
+        // (epoch, shard) stream under (a) the hash-keyed epoch
+        // permutation md5(epoch:doc_id) and (b) raw doc_id order, beside
+        // the random-permutation expectation Σ n_s(n_s−1) / (n(n−1))
+        // (exact integers, scaled to permille). A crawl-ordered corpus
+        // reads sequential ≫ expected (source runs survive); THIS
+        // testdata's round-robin ids read sequential < expected
+        // (anti-clustered) — either way the permutation lands ≈ expected,
+        // which is the property a shuffle ships on.
+        //
+        // Scale shape: the per-(epoch, shard) sort is the operator's
+        // OUTPUT CONTRACT (a dataloader stream IS a total order), so it
+        // is irreducible; shard count grows with the fleet (q156's
+        // posture), keeping each sorted partition executor-sized, and
+        // both lag windows ride ONE (epoch, shard) exchange. The
+        // expectation term is a broadcast 1-row aggregate (per-pair
+        // products ≤ n² — overflow-safe below ~3e9 docs/source, the
+        // q170-style documented bound).
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.select(col("doc_id"), col("source"),
+          (expr(h60("concat('sh:', cast(doc_id AS string))")) % Shards)
+            .as("shard"))
+        val fan = base.select(col("doc_id"), col("source"), col("shard"),
+            explode(array((0 until SqEpochs).map(e => lit(e.toLong)): _*))
+              .as("epoch"))
+          .withColumn("hk",
+            expr(h60("concat('ep', cast(epoch AS string), ':', cast(doc_id AS string))")))
+        val wSh = Window.partitionBy("epoch", "shard")
+          .orderBy(col("hk"), col("doc_id"))
+        val wSeq = Window.partitionBy("epoch", "shard").orderBy(col("doc_id"))
+        val perEpoch = fan
+          .withColumn("prev_sh", lag("source", 1).over(wSh))
+          .withColumn("prev_seq", lag("source", 1).over(wSeq))
+          .groupBy("epoch")
+          .agg(
+            sum(when(col("prev_sh").isNotNull, lit(1L)).otherwise(lit(0L)))
+              .as("n_pairs"),
+            sum(when(col("prev_sh") === col("source"), lit(1L))
+              .otherwise(lit(0L))).as("rep_shuffled"),
+            sum(when(col("prev_seq") === col("source"), lit(1L))
+              .otherwise(lit(0L))).as("rep_sequential"))
+        val expected = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+          .agg((sum(col("ns") * (col("ns") - 1)) * 1000).as("num"),
+            (sum("ns") * (sum("ns") - 1)).as("den"))
+          .select(expr("num div den").as("expected_permille"))
+        perEpoch.crossJoin(broadcast(expected))
+          .select(col("epoch"), col("n_pairs"), col("rep_shuffled"),
+            col("rep_sequential"),
+            expr("rep_shuffled * 1000 div n_pairs").as("shuffled_permille"),
+            expr("rep_sequential * 1000 div n_pairs").as("sequential_permille"),
+            col("expected_permille"))
+          .orderBy("epoch")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, source,
+              |         ${h60Duck("'sh:' || CAST(doc_id AS VARCHAR)")} % $Shards AS shard
+              |  FROM documents),
+              |fan AS (
+              |  SELECT doc_id, source, shard, unnest([${(0 until SqEpochs).mkString(", ")}]) AS epoch
+              |  FROM base),
+              |keyed AS (
+              |  SELECT doc_id, source, shard, CAST(epoch AS BIGINT) AS epoch,
+              |         ${h60Duck("'ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS hk
+              |  FROM fan),
+              |lagged AS (
+              |  SELECT epoch, source,
+              |         lag(source) OVER (PARTITION BY epoch, shard ORDER BY hk, doc_id) AS prev_sh,
+              |         lag(source) OVER (PARTITION BY epoch, shard ORDER BY doc_id) AS prev_seq
+              |  FROM keyed),
+              |e AS (
+              |  SELECT epoch, CAST(sum(CASE WHEN prev_sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+              |         CAST(sum(CASE WHEN prev_sh = source THEN 1 ELSE 0 END) AS BIGINT) AS rep_shuffled,
+              |         CAST(sum(CASE WHEN prev_seq = source THEN 1 ELSE 0 END) AS BIGINT) AS rep_sequential
+              |  FROM lagged GROUP BY epoch),
+              |x AS (
+              |  SELECT CAST(sum(ns * (ns - 1)) * 1000 // (sum(ns) * (sum(ns) - 1)) AS BIGINT) AS expected_permille
+              |  FROM (SELECT count(*)::BIGINT AS ns FROM documents GROUP BY source))
+              |SELECT epoch, n_pairs, rep_shuffled, rep_sequential,
+              |       CAST(rep_shuffled * 1000 // n_pairs AS BIGINT) AS shuffled_permille,
+              |       CAST(rep_sequential * 1000 // n_pairs AS BIGINT) AS sequential_permille,
+              |       expected_permille
+              |FROM e, x ORDER BY epoch""".stripMargin)))
 }

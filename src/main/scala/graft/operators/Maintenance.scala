@@ -4,6 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.{QueryDef, Tables}
+
 /** Dataset-maintenance operators. The reference's only maintenance verbs
   * are truncate/reload (cve_manager.py's -tr path); a lake-scale engine
   * also needs COMPACTION: streaming sinks and fine-grained ingest leave
@@ -129,4 +131,90 @@ object Maintenance {
       .map(l => compactParquet(spark, l.toString, targetBytes))
     (results.map(_._1).sum, results.map(_._2).sum)
   }
+
+  // ── q189: z-order pruning census (the oracle-graded twin of
+  //    zorderWrite's layout claim) ──
+
+  /** Bits per dimension for the q189 census (16 coordinate buckets —
+    * coarser than zorderWrite's ZBits so the range census stays a
+    * readable 16-range table). */
+  val ZqBits = 4
+
+  /** q189's length-bucket width (chars per bucket, q185's manifest
+    * bucket) and the range granularity (z-values per range = one "file"
+    * of the modeled layout). */
+  val ZqLenW = 64L
+  val ZqRangeW = 16L
+
+  /** Bit-interleave of two ZqBits-bit coordinates as pure div/mod/mul SQL
+    * text (`d` = the engine's integer-division token): z's bit 2i+1 is
+    * a's bit i, bit 2i is b's — rendered identically in Spark (`div`)
+    * and DuckDB (`//`), both exact on the non-negative coordinates. */
+  private[operators] def zInterleave(a: String, b: String, d: String): String =
+    (0 until ZqBits).map(i =>
+      s"(($a $d ${1 << i}) % 2) * ${1L << (2 * i + 1)}" +
+        s" + (($b $d ${1 << i}) % 2) * ${1L << (2 * i)}").mkString(" + ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Which layout lets a point predicate skip files? ──
+    QueryDef(
+      "q189_zorder_prune",
+      (s, dir) => {
+        // `zorderWrite` claims its layout prunes selective predicates on
+        // EITHER dimension while a single-sorted layout prunes only its
+        // own sort column; ZorderSpec measures that on real parquet
+        // footers. This query is the claim's oracle-graded form: model
+        // the two layouts arithmetically — coordinates a = 60-bit
+        // md5(lang) bucket, b = length bucket; "files" = z div ZqRangeW
+        // for the z-ordered layout, b for the length-sorted one — and
+        // census, per probe value on each dimension, how many distinct
+        // ranges (files a stats-pruning scan must open) contain it.
+        // The √ tradeoff reads off the table: z-order bounds BOTH
+        // dimensions at the top-half bits' fan-out (≤ 4 ranges here),
+        // where the sorted layout reads 1 on its own column and EVERY
+        // occupied range on the other.
+        //
+        // 100 TB shape: one narrow two-column scan; the probe fan-out is
+        // an in-row 2-element explode; everything collapses on the
+        // (dim, v) grid (≤ 32 rows) with distinct-range counts riding
+        // the same aggregate. The layouts themselves never materialize —
+        // this is the decision table you read BEFORE paying a corpus
+        // rewrite (`zorderWrite`, composed per-partition at scale).
+        val keyed = Tables.load(s, dir, "documents")
+          .withColumn("a",
+            expr("cast(conv(substr(md5(concat('zl:', lang)), 1, 15), 16, 10) AS bigint)")
+              % (1L << ZqBits))
+          .withColumn("b", expr(s"least(n_chars div $ZqLenW, ${(1L << ZqBits) - 1})"))
+          .withColumn("z_range",
+            expr(s"(${zInterleave("a", "b", "div")}) div $ZqRangeW"))
+          .withColumn("lensort_range", col("b"))
+        keyed
+          .select(col("z_range"), col("lensort_range"),
+            explode(array(
+              struct(lit("lang_bucket").as("dim"), col("a").as("v")),
+              struct(lit("len_bucket").as("dim"), col("b").as("v"))))
+              .as("p"))
+          .groupBy(col("p.dim").as("dim"), col("p.v").as("v"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("z_range")).as("z_ranges"),
+            countDistinct(col("lensort_range")).as("lensort_ranges"))
+          .orderBy("dim", "v")
+      },
+      Some(s"""WITH keyed AS (
+              |  SELECT list_reduce([(strpos('0123456789abcdef', substr(md5('zl:' || lang), i, 1)) - 1)::BIGINT for i in range(1, 16)], (a, b) -> a * 16 + b) % ${1L << ZqBits} AS a,
+              |         least(n_chars // $ZqLenW, ${(1L << ZqBits) - 1}) AS b
+              |  FROM documents),
+              |r AS (
+              |  SELECT a, b, (${zInterleave("a", "b", "//")}) // $ZqRangeW AS z_range,
+              |         b AS lensort_range
+              |  FROM keyed),
+              |p AS (
+              |  SELECT z_range, lensort_range,
+              |         unnest([struct_pack(dim := 'lang_bucket', v := a), struct_pack(dim := 'len_bucket', v := b)]) AS pr
+              |  FROM r)
+              |SELECT pr.dim AS dim, pr.v AS v, CAST(count(*) AS BIGINT) AS n_rows,
+              |       CAST(count(DISTINCT z_range) AS BIGINT) AS z_ranges,
+              |       CAST(count(DISTINCT lensort_range) AS BIGINT) AS lensort_ranges
+              |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }

@@ -140,6 +140,12 @@ object TextOps {
   val StopWords = Seq("a", "the", "and", "of", "to")
   val StopMin = 2
 
+  /** q190: candidate pack budgets (tokens per training sequence), the
+    * doubling ladder around q51's production 2048. Declared above `defs`
+    * (object-init order — a later val would interpolate 0 into the
+    * oracle). */
+  val PackSweep = Seq(512L, 1024L, 2048L, 4096L)
+
   /** q98 training-prep chunker: fixed word windows of ChunkW with stride
     * ChunkStride (overlap ChunkW - ChunkStride) — the shape every context-
     * length-bounded training/RAG pipeline cuts documents into. */
@@ -2257,6 +2263,59 @@ object TextOps {
         // joined to the broadcast segmentation table.
         bpeEncode(Tables.load(s, dir, "documents")).orderBy("doc_id")
       },
-      Some(bpeEncodeOracle(BpeRounds)))
-  )
+      Some(bpeEncodeOracle(BpeRounds))),
+
+    // ── Pack-budget sweep: the sequence-length decision table ──
+    QueryDef(
+      "q190_pack_sweep",
+      (s, dir) => {
+        // q51 packs at ONE budget and q122 audits that packing; choosing
+        // the budget is its own decision — sequence length trades pad
+        // waste against boundary straddling. This sweeps the doubling
+        // ladder PackSweep from a SINGLE √N-blocked prefix sum (`cum` is
+        // budget-independent, so the corpus pays the q51 machinery
+        // exactly once) and reports, per budget: packs, docs larger than
+        // the budget, and the fill rate total_tokens·1000 div
+        // (n_packs·budget). Fill > 1000 is a real signal, not an error:
+        // q51's packer assigns a doc to the pack where it STARTS, so
+        // straddling docs overfill early packs and skip pack ids — the
+        // straddle-pressure the ladder makes visible as budgets shrink.
+        //
+        // 100 TB shape: one corpus scan into the two-stage prefix sum
+        // (q51's PlanSpec-pinned shape — both windows √N-bounded), then
+        // a 4× explode of three integer columns collapsing onto the
+        // 4-row budget grid. total_tokens·1000 bounds the arithmetic at
+        // ~9e15 tokens (documented, the q170-style overflow note).
+        val t = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), " ")).cast("long").as("tokens"))
+        prefixSum(t)
+          .select(col("tokens"), col("cum"),
+            explode(array(PackSweep.map(lit): _*)).as("budget"))
+          .withColumn("pack_id", expr("(cum - tokens) div budget"))
+          .groupBy("budget")
+          .agg(countDistinct(col("pack_id")).as("n_packs"),
+            sum(when(col("tokens") > col("budget"), lit(1L))
+              .otherwise(lit(0L))).as("n_oversize"),
+            sum("tokens").as("total_tokens"))
+          .select(col("budget"), col("n_packs"), col("n_oversize"),
+            col("total_tokens"),
+            expr("total_tokens * 1000 div (n_packs * budget)")
+              .as("fill_permille"))
+          .orderBy("budget")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS tokens
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, tokens,
+              |         CAST(sum(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              |  FROM t),
+              |f AS (SELECT tokens, cum, unnest([${PackSweep.mkString(", ")}]) AS budget FROM c),
+              |g AS (SELECT CAST(budget AS BIGINT) AS budget, (cum - tokens) // budget AS pack_id, tokens FROM f)
+              |SELECT budget, CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+              |       CAST(sum(CASE WHEN tokens > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+              |       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+              |       CAST(CAST(sum(tokens) AS BIGINT) * 1000 // (count(DISTINCT pack_id) * budget) AS BIGINT) AS fill_permille
+              |FROM g GROUP BY budget ORDER BY budget""".stripMargin)))
 }

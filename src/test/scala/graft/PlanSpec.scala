@@ -1268,4 +1268,52 @@ class PlanSpec extends AnyFunSuite {
         s"unexpected shuffle key: $keys")
     }
   }
+
+  test("q186 rendezvous: in-row argmax — no window, no sort-merge, source-keyed shuffles only") {
+    assert(collectAll("q186_rendezvous_reshard") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q186_rendezvous_reshard") { case j: SortMergeJoinExec => j }.isEmpty)
+    hashShuffleKeys("q186_rendezvous_reshard").foreach { keys =>
+      assert(keys.subsetOf(Set("source")), s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q187 generalization ladder: no window; shuffles stay on the (width, QI) grid") {
+    assert(collectAll("q187_kanon_generalize") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q187_kanon_generalize") { case j: SortMergeJoinExec => j }.isEmpty)
+    hashShuffleKeys("q187_kanon_generalize").foreach { keys =>
+      assert(keys.subsetOf(Set("bin_w", "lang", "b", "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q188 shuffle-order audit: both lag windows keyed (epoch, shard), one exchange serves them") {
+    val windows = collectAll("q188_shuffle_quality") { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "unkeyed window = all rows to one partition"))
+    assert(collectAll("q188_shuffle_quality") { case j: SortMergeJoinExec => j }.isEmpty)
+    // the two differently-ordered lags share the (epoch, shard) exchange
+    val keyed = hashShuffleKeys("q188_shuffle_quality")
+      .count(_ == Set("epoch", "shard"))
+    assert(keyed == 1, s"expected ONE (epoch, shard) exchange, saw $keyed")
+  }
+
+  test("q189 z-order census: in-row keys — no window, no sort-merge") {
+    assert(collectAll("q189_zorder_prune") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q189_zorder_prune") { case j: SortMergeJoinExec => j }.isEmpty)
+  }
+
+  test("q190 pack sweep: q51's √N-blocked windows; exchanges stay block- or grid-keyed") {
+    // block-keyed cumsum window + the global window over the √N block
+    // aggregate (q51's pinned shape), then the 4-row budget grid — no
+    // exchange ever carries more than (block) or (budget[, pack_id]) keys
+    assert(collectAll("q190_pack_sweep") { case j: SortMergeJoinExec => j }.isEmpty)
+    val blockWins = collectAll("q190_pack_sweep") { case w: WindowExec => w }
+    assert(blockWins.nonEmpty)
+    hashShuffleKeys("q190_pack_sweep").foreach { keys =>
+      assert(keys.subsetOf(Set("block", "budget", "pack_id",
+        "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
 }

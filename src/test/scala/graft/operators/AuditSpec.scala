@@ -344,4 +344,21 @@ class AuditSpec extends AnyFunSuite {
       .collect()
     both.foreach(r => assert(r.getLong(2) === r.getLong(3)))
   }
+
+  test("q187: doubling widths nest — exposure is non-increasing; base rung ties out to q185") {
+    val ladder = SparkEntry.queries("q187_kanon_generalize")(spark, dir).collect()
+    assert(ladder.map(_.getAs[Long]("bin_w")).toSeq == Audit.KAnonWidths)
+    // each 2w-cell is the union of two w-cells, so a merged cell is
+    // exposed only if both halves were — docs and cells can only shrink
+    val docs = ladder.map(_.getAs[Long]("n_exposed_docs")).toSeq
+    assert(docs == docs.sorted.reverse, s"exposure grew up the ladder: $docs")
+    val cells = ladder.map(_.getAs[Long]("n_cells")).toSeq
+    assert(cells == cells.sorted.reverse)
+    // rung KAnonBinW is exactly q185's audit, re-aggregated
+    val base = SparkEntry.queries("q185_kanon_audit")(spark, dir).collect()
+    val r64 = ladder.find(_.getAs[Long]("bin_w") == Audit.KAnonBinW).get
+    assert(r64.getAs[Long]("n_cells") == base.length)
+    assert(r64.getAs[Long]("n_exposed_docs") ==
+      base.filter(_.getAs[Long]("exposed") == 1L).map(_.getAs[Long]("n_docs")).sum)
+  }
 }
