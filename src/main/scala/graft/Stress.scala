@@ -172,6 +172,8 @@ object Stress {
         sketchStress(spark, args(1), args(2).toInt)
       case Some("merkle") =>
         merkleStress(spark, args(1), args(2).toInt)
+      case Some("placement") =>
+        placementStress(spark, args(1), args(2).toInt)
       case other =>
         sys.error(s"usage: cc <edges> <vertices> [reliable] | annknn <sfDir> <mult> (got $other)")
     }
@@ -648,6 +650,39 @@ object Stress {
         (System.nanoTime() - t0) / 1e9
       }.min
       println(f"""{"mode":"eval","corpus":"$tag","n":$n,"binned_rows":$binnedRows,"manifest_rows":$manifestRows,"q153_sec":${min3("q153_score_auc")}%.2f,"q154_sec":${min3("q154_score_calibration")}%.2f,"q155_sec":${min3("q155_filter_agreement")}%.2f,"q156_sec":${min3("q156_shard_manifest")}%.2f,"q157_sec":${min3("q157_score_drift")}%.2f}""")
+    }
+  }
+
+  /** Certify the q186-q190 placement/layout tables at mult× docs: all
+    * five are one-scan operators whose walls must track the scan
+    * linearly, and whose decision invariants must HOLD at scale —
+    * rendezvous movement stays ≈ 1/RvNew of the corpus (per-row argmax,
+    * no state), the z census keeps every probe ≤ 4 ranges (a bit-
+    * structure fact, corpus-size-free), and q188's per-(epoch, shard)
+    * sort — the one corpus-sized sort in the family, the operator's
+    * output contract — must not super-linearize (shard partitions grow
+    * with docs here because Shards is fixed; production grows the shard
+    * count with the fleet instead). */
+  def placementStress(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val bigDir = scratch("placement", sfDir, mult)
+    inflateDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val n = spark.read.parquet(s"$dir/documents.parquet").count()
+      def min3(name: String): Double = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val rv = SparkEntry.queries("q186_rendezvous_reshard")(spark, dir)
+        .agg(sum("moved_hrw"), sum("n_docs")).head()
+      val hrwPm = rv.getLong(0) * 1000 / rv.getLong(1)
+      val sq = SparkEntry.queries("q188_shuffle_quality")(spark, dir)
+        .agg(max("n_pairs"), max(expr("abs(shuffled_permille - expected_permille)")))
+        .head()
+      val zMax = SparkEntry.queries("q189_zorder_prune")(spark, dir)
+        .agg(max("z_ranges")).head().getLong(0)
+      println(f"""{"mode":"placement","corpus":"$tag","n":$n,"hrw_permille":$hrwPm,"n_pairs":${sq.getLong(0)},"max_perm_dev":${sq.getLong(1)},"max_z_ranges":$zMax,"q186_sec":${min3("q186_rendezvous_reshard")}%.2f,"q188_sec":${min3("q188_shuffle_quality")}%.2f,"q189_sec":${min3("q189_zorder_prune")}%.2f,"q190_sec":${min3("q190_pack_sweep")}%.2f}""")
     }
   }
 

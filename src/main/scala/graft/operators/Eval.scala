@@ -415,13 +415,15 @@ object Eval {
         // audit prices both from the SAME scan.
         //
         // 100 TB shape: one narrow doc_id scan; per row RvOld + RvNew +
-        // 1 codegen'd md5 folds (no state, no join); output is one row
-        // per source. The argmax is in-row (array_max over a
-        // named_struct array — the q88 argmin idiom, orientation
-        // flipped), so nothing wider than (source) ever shuffles.
+        // 1 md5 folds in the codegen'd `graft_hrw` loop (the declarative
+        // array_max-over-transform twin `hrwSpark` runs interpreted with
+        // a per-row struct-array allocation — the SimHash60/winnow
+        // lesson; PlacementSpec pins the two bit-identical); no state,
+        // no join, nothing wider than (source) ever shuffles.
+        graft.functions.GraftFunctions.register(s)
         Tables.load(s, dir, "documents")
-          .withColumn("s8", expr(hrwSpark(RvOld)))
-          .withColumn("s9", expr(hrwSpark(RvNew)))
+          .withColumn("s8", call_function("graft_hrw", col("doc_id"), lit(RvOld)))
+          .withColumn("s9", call_function("graft_hrw", col("doc_id"), lit(RvNew)))
           .withColumn("hm", expr(h60("concat('mod:', cast(doc_id AS string))")))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),

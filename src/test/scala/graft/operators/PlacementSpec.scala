@@ -35,19 +35,24 @@ class PlacementSpec extends AnyFunSuite {
     (0 until Maintenance.ZqBits).map(i =>
       (((a >> i) & 1L) << (2 * i + 1)) + (((b >> i) & 1L) << (2 * i))).sum
 
-  test("q186 HRW expression matches the scalar MD5 argmax per doc (both fleet sizes)") {
+  test("q186 HRW: codegen'd graft_hrw ≡ declarative twin ≡ scalar MD5 argmax (both fleet sizes)") {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val got = (0L until 200L).toDF("doc_id")
-      .withColumn("s8", expr(Eval.hrwSpark(Eval.RvOld)))
-      .withColumn("s9", expr(Eval.hrwSpark(Eval.RvNew)))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    got.foreach { case (id, s8, s9) =>
+      .withColumn("s8", call_function("graft_hrw", col("doc_id"), lit(Eval.RvOld)))
+      .withColumn("s9", call_function("graft_hrw", col("doc_id"), lit(Eval.RvNew)))
+      .withColumn("d8", expr(Eval.hrwSpark(Eval.RvOld)))
+      .withColumn("d9", expr(Eval.hrwSpark(Eval.RvNew)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.foreach { case (id, s8, s9, d8, d9) =>
       assert(s8 == hrwRef(id, Eval.RvOld), s"doc $id old-fleet shard")
       assert(s9 == hrwRef(id, Eval.RvNew), s"doc $id new-fleet shard")
+      assert(s8 == d8 && s9 == d9, s"doc $id: codegen'd and declarative HRW diverge")
     }
     // the elastic step's defining property, per doc: a moved doc moves
     // ONLY to the new shard (survivor argmaxes are unchanged)
-    got.foreach { case (id, s8, s9) =>
+    got.foreach { case (id, s8, s9, _, _) =>
       assert(s9 == s8 || s9 == Eval.RvOld.toLong, s"doc $id moved between survivors")
     }
   }
