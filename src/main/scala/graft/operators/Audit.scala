@@ -207,6 +207,28 @@ object Audit {
     * provably non-increasing up the ladder; AuditSpec pins it). */
   val KAnonWidths = Seq(KAnonBinW, KAnonBinW * 2, KAnonBinW * 4, KAnonBinW * 8)
 
+  /** q191: cap on the trailing-zero fold (geometric tail past 40 is
+    * < 2⁻⁴⁰ per draw — included so the fold is EXACT over the 60-bit
+    * hash, not truncated at a probable bound). */
+  val DpTzCap = 40
+
+  /** q191: the release salt. Hash-derived noise makes the mechanism
+    * REPRODUCIBLE (and oracle-gradeable); a production release keys the
+    * draw with a secret salt — this constant is that parameter. */
+  val DpSalt = "dp"
+
+  /** Trailing zeros of a non-negative bigint SQL expression, as a sum of
+    * divisibility indicators: term k is 1 iff 2^k divides `h`, so the sum
+    * IS tz(h) exactly (capped at DpTzCap). Pure %/CASE arithmetic —
+    * identical text in both engines. tz of a uniform 60-bit hash is a
+    * geometric(½) draw: P(tz = k) = 2^-(k+1), so the difference of two
+    * independent draws is the two-sided geometric (discrete Laplace) of
+    * the geometric mechanism (Ghosh, Roughgarden & Sundararajan 2009)
+    * at α = ½, i.e. ε = ln 2 per unit of count sensitivity. */
+  private def tzSql(h: String): String =
+    (1 to DpTzCap).map(k => s"(CASE WHEN $h % ${1L << k} = 0 THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
   /** Portable md5-hex→bigint (15 hex digits = 60 bits) — SQL text valid in
     * Spark; the DuckDB twin is the nibble fold below (bit-identical, the
     * q79 idiom). */
@@ -1596,5 +1618,56 @@ object Audit {
               |       CAST(sum(CASE WHEN n < $KAnonK THEN 1 ELSE 0 END) AS BIGINT) AS n_exposed_cells,
               |       CAST(sum(CASE WHEN n < $KAnonK THEN n ELSE 0 END) AS BIGINT) AS n_exposed_docs,
               |       CAST(CASE WHEN sum(CASE WHEN n < $KAnonK THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS anonymous
-              |FROM cells GROUP BY bin_w ORDER BY bin_w""".stripMargin)))
+              |FROM cells GROUP BY bin_w ORDER BY bin_w""".stripMargin)),
+
+    // ── Differentially-private release of the QI histogram ──
+    QueryDef(
+      "q191_dp_release",
+      (s, dir) => {
+        // The privacy family's PUBLISH leg: q185 flags what the exact
+        // histogram exposes, q187 picks the coarsening — this releases
+        // the counts themselves under the geometric mechanism (Ghosh,
+        // Roughgarden & Sundararajan 2009): released = n + (g1 − g2)
+        // with g1, g2 independent geometric(½) draws, the discrete
+        // Laplace at ε = ln 2 for the ±1-sensitive cell counts, floored
+        // at 0; cells already below KAnonK are suppressed to −1 (noise
+        // on a 2-doc cell still identifies — suppression composes with
+        // the mechanism, the standard release recipe). Draws are
+        // trailing-zero folds of per-(salt, cell) 60-bit md5 hashes —
+        // tz of a uniform word IS geometric(½) — so the release is
+        // exact-reproducible and oracle-graded; production rotates
+        // DpSalt as the secret.
+        //
+        // 100 TB shape: q185's one-scan grid aggregate; the noise is
+        // per-CELL arithmetic on the catalog-sized frame (two md5s and
+        // 2·DpTzCap divisibility tests per cell, zero corpus work).
+        val cells = Tables.load(s, dir, "documents")
+          .groupBy(col("lang"),
+            expr(s"n_chars div $KAnonBinW").as("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("h1", expr(h60Spark(
+            s"concat('${DpSalt}1:', lang, ':', cast(len_bucket AS string))")))
+          .withColumn("h2", expr(h60Spark(
+            s"concat('${DpSalt}2:', lang, ':', cast(len_bucket AS string))")))
+          .withColumn("noise", expr(s"${tzSql("h1")} - ${tzSql("h2")}"))
+        cells.select(col("lang"), col("len_bucket"), col("n_docs"),
+            col("noise").cast("long").as("noise"),
+            when(col("n_docs") < KAnonK, lit(-1L))
+              .otherwise(greatest(col("n_docs") + col("noise"), lit(0L)))
+              .as("released"))
+          .orderBy("lang", "len_bucket")
+      },
+      Some(s"""WITH cells AS (
+              |  SELECT lang, n_chars // $KAnonBinW AS len_bucket, CAST(count(*) AS BIGINT) AS n_docs
+              |  FROM documents GROUP BY 1, 2),
+              |keyed AS (
+              |  SELECT lang, len_bucket, n_docs,
+              |         ${h60Duck(s"'${DpSalt}1:' || lang || ':' || CAST(len_bucket AS VARCHAR)")} AS h1,
+              |         ${h60Duck(s"'${DpSalt}2:' || lang || ':' || CAST(len_bucket AS VARCHAR)")} AS h2
+              |  FROM cells)
+              |SELECT lang, len_bucket, n_docs,
+              |       CAST(${tzSql("h1")} - ${tzSql("h2")} AS BIGINT) AS noise,
+              |       CAST(CASE WHEN n_docs < $KAnonK THEN -1
+              |                 ELSE greatest(n_docs + ${tzSql("h1")} - ${tzSql("h2")}, 0) END AS BIGINT) AS released
+              |FROM keyed ORDER BY lang, len_bucket""".stripMargin)))
 }

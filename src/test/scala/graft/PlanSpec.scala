@@ -1298,6 +1298,15 @@ class PlanSpec extends AnyFunSuite {
     assert(keyed == 1, s"expected ONE (epoch, shard) exchange, saw $keyed")
   }
 
+  test("q191 DP release: q185's grid plan plus per-cell arithmetic — no window, grid keys") {
+    assert(collectAll("q191_dp_release") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q191_dp_release") { case j: SortMergeJoinExec => j }.isEmpty)
+    hashShuffleKeys("q191_dp_release").foreach { keys =>
+      assert(keys.subsetOf(Set("lang", "len_bucket", "_groupingexpression")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q189 z-order census: in-row keys — no window, no sort-merge") {
     assert(collectAll("q189_zorder_prune") { case w: WindowExec => w }.isEmpty)
     assert(collectAll("q189_zorder_prune") { case j: SortMergeJoinExec => j }.isEmpty)

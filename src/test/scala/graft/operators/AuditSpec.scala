@@ -361,4 +361,29 @@ class AuditSpec extends AnyFunSuite {
     assert(r64.getAs[Long]("n_exposed_docs") ==
       base.filter(_.getAs[Long]("exposed") == 1L).map(_.getAs[Long]("n_docs")).sum)
   }
+
+  test("q191: noise matches a scalar tz reference per cell; suppression ≡ q185's exposed set") {
+    def tzRef(msg: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(msg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(d.take(15), 16)
+      if (h == 0L) Audit.DpTzCap.toLong
+      else math.min(java.lang.Long.numberOfTrailingZeros(h), Audit.DpTzCap).toLong
+    }
+    val rel = SparkEntry.queries("q191_dp_release")(spark, dir).collect()
+    val exposed = SparkEntry.queries("q185_kanon_audit")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("len_bucket")) ->
+        (r.getAs[Long]("exposed") == 1L)).toMap
+    assert(rel.length == exposed.size)
+    rel.foreach { r =>
+      val (lang, b, n) = (r.getAs[String]("lang"), r.getAs[Long]("len_bucket"),
+        r.getAs[Long]("n_docs"))
+      val want = tzRef(s"${Audit.DpSalt}1:$lang:$b") - tzRef(s"${Audit.DpSalt}2:$lang:$b")
+      assert(r.getAs[Long]("noise") == want, s"cell ($lang, $b) noise")
+      assert(math.abs(r.getAs[Long]("noise")) <= Audit.DpTzCap)
+      val released = r.getAs[Long]("released")
+      if (exposed((lang, b))) assert(released == -1L, s"cell ($lang, $b) must suppress")
+      else assert(released == math.max(n + want, 0L), s"cell ($lang, $b) release")
+    }
+  }
 }
