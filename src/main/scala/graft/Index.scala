@@ -424,7 +424,14 @@ object Index {
           .orderBy("source").collect() // ≤ |sources| + 1 rows
           .map(r => s"""{"source":"${r.getString(0)}","n_docs":${r.getLong(1)},"q50":${r.getLong(3)},"q90":${r.getLong(5)}}""")
           .mkString(",")
-        s"""{"mode":"sketch-report","grams":[$est],"words":[$tot],"lens":[$lq],"index":"$path"}"""
+        // Heavy-hitter leg: top candidates from the SUM-folded MG
+        // summary (lower-bound counters; the exact-recount form is
+        // q192's query — this is the standing glance).
+        val hh = IndexStore.loadSketchMg(spark, path)
+          .orderBy(col("c").desc, col("w")).limit(10).collect()
+          .map(r => s"""{"w":"${r.getString(0)}","c_lb":${r.getLong(1)}}""")
+          .mkString(",")
+        s"""{"mode":"sketch-report","grams":[$est],"words":[$tot],"lens":[$lq],"heavy_hitters":[$hh],"index":"$path"}"""
 
       case "cms-lookup" :: path :: token :: Nil =>
         // Point-frequency estimate for one token from the persisted

@@ -46,7 +46,58 @@ final class MisraGriesAggregator(k: Int)
   override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
   override def reduce(b: mutable.HashMap[String, Long],
-      w: String): mutable.HashMap[String, Long] = {
+      w: String): mutable.HashMap[String, Long] = MisraGries.reduce(b, w, k)
+
+  override def merge(a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    MisraGries.merge(a, b, k)
+
+  override def finish(b: mutable.HashMap[String, Long]): Seq[String] =
+    b.keys.toSeq.sorted
+
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    Encoders.kryo[mutable.HashMap[String, Long]]
+  override def outputEncoder: Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+}
+
+/** [[MisraGriesAggregator]] with the COUNTERS kept in the output — the
+  * persisted-ledger form (`IndexStore` `sketch/mg` table): counters are
+  * lower bounds (true − n/(k+1) ≤ counter ≤ true), and summaries stored
+  * as (w, c) rows merge by pointwise SUM with the error bounds adding —
+  * the truncation step is only ever needed to re-bound state size
+  * (compaction applies it; a read-side fold keeps every row, which can
+  * only widen the candidate superset). */
+final class MisraGriesCountsAggregator(k: Int)
+    extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]] {
+
+  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+
+  override def reduce(b: mutable.HashMap[String, Long],
+      w: String): mutable.HashMap[String, Long] = MisraGries.reduce(b, w, k)
+
+  override def merge(a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    MisraGries.merge(a, b, k)
+
+  override def finish(b: mutable.HashMap[String, Long]): Map[String, Long] =
+    b.toMap
+
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    Encoders.kryo[mutable.HashMap[String, Long]]
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}
+
+/** The sketch's two rules, shared by both aggregator facades and the
+  * store compaction's re-truncation. */
+object MisraGries {
+
+  /** hit → +1; miss with room → insert at 1; miss at capacity → one
+    * shared decrement (each such step destroys k+1 occurrences' worth of
+    * evidence, which is what buys the n/(k+1) bound). */
+  def reduce(b: mutable.HashMap[String, Long], w: String,
+      k: Int): mutable.HashMap[String, Long] = {
     b.get(w) match {
       case Some(c) => b.update(w, c + 1)
       case None if b.size < k => b.update(w, 1L)
@@ -61,9 +112,18 @@ final class MisraGriesAggregator(k: Int)
     b
   }
 
-  override def merge(a: mutable.HashMap[String, Long],
-      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+  /** Pointwise counter sums, then — only if more than k survive — the
+    * mergeable-summaries truncation: subtract the (k+1)-th largest
+    * counter from all and drop the non-positive (Agarwal et al. 2012). */
+  def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long],
+      k: Int): mutable.HashMap[String, Long] = {
     b.foreach { case (w, c) => a.update(w, a.getOrElse(w, 0L) + c) }
+    truncate(a, k)
+  }
+
+  /** The truncation step alone, over any (w, counter) summary. */
+  def truncate(a: mutable.HashMap[String, Long],
+      k: Int): mutable.HashMap[String, Long] = {
     if (a.size > k) {
       val vs = a.values.toArray.sorted(Ordering[Long].reverse)
       val v = vs(k) // (k+1)-th largest counter
@@ -76,12 +136,4 @@ final class MisraGriesAggregator(k: Int)
     }
     a
   }
-
-  override def finish(b: mutable.HashMap[String, Long]): Seq[String] =
-    b.keys.toSeq.sorted
-
-  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
-    Encoders.kryo[mutable.HashMap[String, Long]]
-  override def outputEncoder: Encoder[Seq[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
 }

@@ -69,6 +69,12 @@ object Audit {
   val CmsD = 4
   val CmsW = 2048
 
+  /** Misra–Gries summary size, shared by q159 (in-query sketch), the
+    * persisted `sketch/mg` ledger table, and q192 (heavy hitters FROM
+    * the store): the no-false-negatives line is n/(MgK+1), so the two
+    * query paths grade against the same exact-recount oracle. */
+  val MgK = 256
+
   /** Heavy-hitter threshold divisor shared with q159 (K = 256): the CMS
     * audits exactly the keys whose true count exceeds n/(K+1) — the set
     * q159's Misra–Gries sketch is guaranteed to surface, which is how the

@@ -921,13 +921,13 @@ object IndexStore {
 
   private def writeSketch(docs: DataFrame, path: String,
       mode: String): Unit = {
-    // Three grid-bounded tables; writer width is irrelevant here (the
-    // frames are ≤ thousands of rows by construction — the one store
-    // family where the VERDICT r14 #1 widening does not apply).
+    // Grid-bounded tables; writer width is irrelevant here (the frames
+    // are ≤ thousands of rows by construction — the one store family
+    // where the VERDICT r14 #1 widening does not apply).
     Audit.hllRegisters(Audit.gram5(docs), "lang", "g")
       .repartition(4).sortWithinPartitions("grp", "idx")
       .write.mode(mode).parquet(s"$path/sketch/registers")
-    val w = Audit.wordRows(docs).localCheckpoint(true) // two consumers
+    val w = Audit.wordRows(docs).localCheckpoint(true) // three consumers
     Audit.cmsCellsBy(w, "source", "w")
       .withColumnRenamed("grp", "source")
       .repartition(4).sortWithinPartitions("source", "j", "c")
@@ -938,6 +938,14 @@ object IndexStore {
     Audit.lenBins(docs)
       .repartition(1).sortWithinPartitions("source", "bin")
       .write.mode(mode).parquet(s"$path/sketch/lens")
+    // The heavy-hitter leg: one ≤ MgK-entry Misra–Gries summary of the
+    // word stream (bounded partial state per partition — the vocabulary
+    // never shuffles), exploded to (w, c) rows in-plan (no driver pull).
+    val mg = udaf(new graft.functions.MisraGriesCountsAggregator(Audit.MgK))
+    w.agg(mg(col("w")).as("s"))
+      .select(explode(col("s")).as(Seq("w", "c")))
+      .repartition(1).sortWithinPartitions("w")
+      .write.mode(mode).parquet(s"$path/sketch/mg")
   }
 
   /** MAX-folded (grp, idx, r) registers — the fold IS the HLL merge, so
@@ -965,6 +973,18 @@ object IndexStore {
     spark.read.parquet(s"$path/sketch/lens")
       .groupBy("source", "bin").agg(sum("cnt").as("cnt"))
 
+  /** SUM-folded Misra–Gries summary (w, c). Pointwise counter sums ARE
+    * the mergeable-summaries combine before its truncation step (Agarwal
+    * et al. 2012), so the fold of any number of appended batch summaries
+    * keeps the union guarantee — every word above n_union/(MgK+1) is
+    * present, counters are lower bounds with the per-batch errors
+    * adding. Skipping truncation on read can only WIDEN the candidate
+    * superset (rows ≤ appends × MgK; `compactSketchIndex` re-truncates
+    * the standing table back to ≤ MgK rows). */
+  def loadSketchMg(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sketch/mg")
+      .groupBy("w").agg(sum("c").as("c"))
+
   /** Compact the sketch store: materialize the max/add folds and rewrite
     * each grid once (staged rename-swap, crash-repairing — `swapRewrite`).
     * Pure file-count hygiene — readers fold either way. */
@@ -977,6 +997,21 @@ object IndexStore {
       loadSketchTotals(spark, path), Seq("source"), None, parts = 1)
     swapRewrite(spark, s"$path/sketch/lens",
       loadSketchLens(spark, path), Seq("source", "bin"), None, parts = 1)
+    // mg: materialize the sum-fold AND re-apply the mergeable-summaries
+    // truncation, so the standing table returns to ≤ MgK rows no matter
+    // how many batches appended (candidates stay a superset of every
+    // word above the union threshold — truncation only subtracts the
+    // (MgK+1)-th largest counter, the PODS 2012 rule). The summary is
+    // ≤ appends × MgK rows by construction, so the driver-side truncate
+    // is catalog-sized.
+    swapRewrite(spark, s"$path/sketch/mg", {
+      val folded = scala.collection.mutable.HashMap.empty[String, Long]
+      loadSketchMg(spark, path).collect()
+        .foreach(r => folded.update(r.getString(0), r.getLong(1)))
+      val kept = graft.functions.MisraGries.truncate(folded, Audit.MgK)
+      import spark.implicits._
+      kept.toSeq.toDF("w", "c")
+    }, Seq("w"), None, parts = 1)
   }
 
   // ── Merkle integrity-tree state ──

@@ -146,6 +146,23 @@ object TextOps {
     * oracle). */
   val PackSweep = Seq(512L, 1024L, 2048L, 4096L)
 
+  /** q159/q192's shared oracle: the full-vocabulary exact count at the
+    * derived threshold n // (MgK+1) + 1. Both sketch paths — the
+    * in-query Misra–Gries pass and the persisted `sketch/mg` ledger —
+    * must agree with it exactly, because the exact recount strips every
+    * merge-order-dependent false positive and the sketch guarantees no
+    * false negatives above the line. */
+  private def hhOracle: String =
+    s"""WITH words AS (
+       |  SELECT w FROM (
+       |    SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words)
+       |SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |FROM words GROUP BY w
+       |HAVING count(*) >= (SELECT n // ${Audit.MgK + 1} + 1 FROM t)
+       |ORDER BY cnt DESC, w""".stripMargin
+
   /** q98 training-prep chunker: fixed word windows of ChunkW with stride
     * ChunkStride (overlap ChunkW - ChunkStride) — the shape every context-
     * length-bounded training/RAG pipeline cuts documents into. */
@@ -2215,7 +2232,7 @@ object TextOps {
         val words = Tables.load(s, dir, "documents")
           .select(explode(split(trim(col("text")), " ")).as("w"))
           .filter(col("w") =!= "")
-        val K = 256
+        val K = Audit.MgK
         val mg = udaf(new graft.functions.MisraGriesAggregator(K))
         val sk = words.agg(mg(col("w")).as("cand"), count(lit(1)).as("n")).head()
         val cand = sk.getSeq[String](0)
@@ -2226,17 +2243,9 @@ object TextOps {
           .orderBy(col("cnt").desc, col("w"))
       },
       // The oracle is the full-vocabulary groupBy with the same derived
-      // threshold (n // 257 + 1 — K+1 = 257): the sketch path must agree
-      // exactly despite never shuffling the vocabulary.
-      Some("""WITH words AS (
-             |  SELECT w FROM (
-             |    SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
-             |  WHERE w <> ''),
-             |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words)
-             |SELECT w, CAST(count(*) AS BIGINT) AS cnt
-             |FROM words GROUP BY w
-             |HAVING count(*) >= (SELECT n // 257 + 1 FROM t)
-             |ORDER BY cnt DESC, w""".stripMargin)),
+      // threshold (n // (MgK+1) + 1): the sketch path must agree exactly
+      // despite never shuffling the vocabulary.
+      Some(hhOracle)),
 
     // ── BPE vocabulary learning (the tokenizer pipeline's missing stage) ──
     QueryDef(
@@ -2317,5 +2326,39 @@ object TextOps {
               |       CAST(sum(CASE WHEN tokens > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
               |       CAST(sum(tokens) AS BIGINT) AS total_tokens,
               |       CAST(CAST(sum(tokens) AS BIGINT) * 1000 // (count(DISTINCT pack_id) * budget) AS BIGINT) AS fill_permille
-              |FROM g GROUP BY budget ORDER BY budget""".stripMargin)))
+              |FROM g GROUP BY budget ORDER BY budget""".stripMargin)),
+
+    // ── Heavy hitters served from the persisted sketch ledger ──
+    QueryDef(
+      "q192_hh_from_store",
+      (s, dir) => {
+        // q159's production form: the statistics ledger (q178 cardinality,
+        // q179 frequency, q180 shape) gains its heavy-hitter leg — a
+        // ≤ MgK-row Misra–Gries summary persisted at `sketch/mg`, batches
+        // appended as (w, c) rows whose SUM-fold is the mergeable-
+        // summaries combine (truncation deferred to compaction, which can
+        // only have widened the candidate set). Serving = candidates from
+        // the store (≤ MgK strings on the driver, the q159/q105
+        // discipline), threshold from the store's ADD-folded word totals,
+        // then ONE candidate-restricted exact recount over the corpus to
+        // strip the sketch's false positives — output bit-equal to q159
+        // and graded by the same full-vocabulary oracle, which is what
+        // proves the persist → fold → serve round trip keeps the
+        // no-false-negatives guarantee.
+        val scratch = graft.Scratch.dir("q192-store")
+        IndexStore.saveSketchIndex(Tables.load(s, dir, "documents"), scratch)
+        val cand = IndexStore.loadSketchMg(s, scratch)
+          .collect().map(_.getString(0)).toSeq
+        val n = IndexStore.loadSketchTotals(s, scratch)
+          .agg(sum("n")).head().getLong(0)
+        val thr = n / (Audit.MgK + 1) + 1
+        Tables.load(s, dir, "documents")
+          .select(explode(split(trim(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .filter(col("w").isin(cand: _*))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= thr)
+          .orderBy(col("cnt").desc, col("w"))
+      },
+      Some(hhOracle)))
 }

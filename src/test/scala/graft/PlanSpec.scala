@@ -1312,6 +1312,14 @@ class PlanSpec extends AnyFunSuite {
     assert(collectAll("q189_zorder_prune") { case j: SortMergeJoinExec => j }.isEmpty)
   }
 
+  test("q192 heavy hitters from store: candidate-restricted recount — no window, w-keyed agg only") {
+    assert(collectAll("q192_hh_from_store") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q192_hh_from_store") { case j: SortMergeJoinExec => j }.isEmpty)
+    hashShuffleKeys("q192_hh_from_store").foreach { keys =>
+      assert(keys.subsetOf(Set("w")), s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q190 pack sweep: q51's √N-blocked windows; exchanges stay block- or grid-keyed") {
     // block-keyed cumsum window + the global window over the √N block
     // aggregate (q51's pinned shape), then the 4-row budget grid — no

@@ -824,4 +824,39 @@ class IndexStoreSpec extends AnyFunSuite {
       === before._1.size.toLong)
     assert(files("sketch/registers") < filesBefore)
   }
+
+  test("sketch mg leg: folded candidates ⊇ exact heavies through appends AND compaction; q192 ≡ q159") {
+    // Exact heavies (the q159 output) — the set no fold step may lose.
+    val exact = SparkEntry.queries("q159_heavy_hitters")(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(exact.nonEmpty)
+
+    // Split-build store: the SUM-fold of two appended batch summaries is
+    // the mergeable-summaries combine (truncation deferred), so the
+    // candidate set must still cover every exact heavy hitter.
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("sketch-mg")
+    IndexStore.saveSketchIndex(docs.filter(col("doc_id") % 3 === 0), path)
+    (1 to 2).foreach(r =>
+      IndexStore.appendSketchBatch(docs.filter(col("doc_id") % 3 === r), path))
+    def cands() = IndexStore.loadSketchMg(spark, path)
+      .collect().map(_.getString(0)).toSet
+    assert(exact.subsetOf(cands()),
+      s"appended-store candidates lost heavies: ${exact -- cands()}")
+
+    // Compaction re-truncates to ≤ MgK rows; the PODS rule keeps the
+    // guarantee (it only subtracts the (MgK+1)-th largest counter).
+    IndexStore.compactSketchIndex(spark, path)
+    assert(IndexStore.loadSketchMg(spark, path).count() <= Audit.MgK.toLong)
+    assert(exact.subsetOf(cands()),
+      s"compaction lost heavies: ${exact -- cands()}")
+
+    // The served query (scratch one-shot store) is bit-equal to q159 —
+    // the exact recount strips every sketch-side false positive.
+    val got = SparkEntry.queries("q192_hh_from_store")(spark, sf)
+      .collect().map(_.toSeq.toList).toList
+    val want = SparkEntry.queries("q159_heavy_hitters")(spark, sf)
+      .collect().map(_.toSeq.toList).toList
+    assert(got === want && got.nonEmpty)
+  }
 }

@@ -95,10 +95,12 @@ class JobCountSpec extends AnyFunSuite {
     // vocab-sized word-frequency frame at construction (each round pulls
     // the 1-row winning pair — the q170 barrier'd-iteration discipline).
     "q174_bpe_merges", "q175_bpe_encode",
-    // q178/q179/q180 build the persisted sketch store into a scratch dir
-    // at construction (the from-store discipline).
+    // q178/q179/q180/q192 build the persisted sketch store into a
+    // scratch dir at construction (the from-store discipline); q192
+    // additionally pulls its ≤ MgK candidate set + word total to the
+    // driver (the q159 discipline).
     "q178_hll_from_store", "q179_cms_from_store",
-    "q180_len_quantiles_from_store")
+    "q180_len_quantiles_from_store", "q192_hh_from_store")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
     // First touch of a parquet/csv path infers its schema (one cached
