@@ -1470,7 +1470,7 @@ object Audit {
         // persist→append-fold→estimate round trip loses nothing.
         val scratch = graft.Scratch.dir("q178-store")
         IndexStore.saveSketchIndex(Tables.load(s, dir, "documents"),
-          scratch)
+          scratch, mg = false)
         val reg = IndexStore.loadSketchRegisters(s, scratch)
         val all = reg.groupBy("idx").agg(max("r").as("r"))
           .select(lit("__all__").as("grp"), col("idx"), col("r"))
@@ -1498,7 +1498,7 @@ object Audit {
         // text-derived sketch bit-for-bit.
         val scratch = graft.Scratch.dir("q179-store")
         val docs = Tables.load(s, dir, "documents")
-        IndexStore.saveSketchIndex(docs, scratch)
+        IndexStore.saveSketchIndex(docs, scratch, mg = false)
         val cells = IndexStore.loadSketchCells(s, scratch)
           .groupBy("j", "c").agg(sum("cc").as("cc"))
         val tot = IndexStore.loadSketchTotals(s, scratch)
@@ -1541,7 +1541,7 @@ object Audit {
         // against the oracle's text-derived twin.
         val scratch = graft.Scratch.dir("q180-store")
         IndexStore.saveSketchIndex(Tables.load(s, dir, "documents"),
-          scratch)
+          scratch, mg = false)
         lenQuantiles(IndexStore.loadSketchLens(s, scratch))
           .orderBy("source")
       },

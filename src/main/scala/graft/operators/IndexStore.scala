@@ -911,16 +911,21 @@ object IndexStore {
     * statistics ledger: distinct-gram cardinality, token frequencies,
     * and per-source attribution answerable at catalog cost forever, the
     * corpus text never re-read. */
-  def saveSketchIndex(docs: DataFrame, path: String): Unit =
-    writeSketch(docs, path, "overwrite")
+  /** `mg = false` skips the Misra–Gries leg: the standing LEDGER (the
+    * `Index build-sketches` CLI, appends, q192) always writes it, but a
+    * query's one-shot scratch build should only pay for the legs it
+    * serves (q178 registers, q179 cells+totals, q180 lens) — the mg leg
+    * is the one typed-aggregator pass in the family. */
+  def saveSketchIndex(docs: DataFrame, path: String, mg: Boolean = true): Unit =
+    writeSketch(docs, path, "overwrite", mg)
 
   /** Append a batch's sketch grids (each derived by the same one-scan
     * aggregations as the build — grids, not rows, cross the write). */
   def appendSketchBatch(batch: DataFrame, path: String): Unit =
-    writeSketch(batch, path, "append")
+    writeSketch(batch, path, "append", mg = true)
 
   private def writeSketch(docs: DataFrame, path: String,
-      mode: String): Unit = {
+      mode: String, mg: Boolean): Unit = {
     // Grid-bounded tables; writer width is irrelevant here (the frames
     // are ≤ thousands of rows by construction — the one store family
     // where the VERDICT r14 #1 widening does not apply).
@@ -941,11 +946,13 @@ object IndexStore {
     // The heavy-hitter leg: one ≤ MgK-entry Misra–Gries summary of the
     // word stream (bounded partial state per partition — the vocabulary
     // never shuffles), exploded to (w, c) rows in-plan (no driver pull).
-    val mg = udaf(new graft.functions.MisraGriesCountsAggregator(Audit.MgK))
-    w.agg(mg(col("w")).as("s"))
-      .select(explode(col("s")).as(Seq("w", "c")))
-      .repartition(1).sortWithinPartitions("w")
-      .write.mode(mode).parquet(s"$path/sketch/mg")
+    if (mg) {
+      val agg = udaf(new graft.functions.MisraGriesCountsAggregator(Audit.MgK))
+      w.agg(agg(col("w")).as("s"))
+        .select(explode(col("s")).as(Seq("w", "c")))
+        .repartition(1).sortWithinPartitions("w")
+        .write.mode(mode).parquet(s"$path/sketch/mg")
+    }
   }
 
   /** MAX-folded (grp, idx, r) registers — the fold IS the HLL merge, so
