@@ -686,6 +686,50 @@ object Streams {
   def lensFromBins(bins: DataFrame): DataFrame =
     bins.groupBy("source", "bin").agg(max("cnt").as("cnt"))
 
+  final case class KanonCell(lang: String, len_bucket: Long, cc: Long)
+
+  /** q185's streaming twin: the standing RE-IDENTIFICATION monitor a
+    * crawl/release loop watches — one Long of state per (lang,
+    * KAnonBinW-char length bucket) quasi-identifier cell (≤ langs ×
+    * occupied-buckets keys, grid-bounded at any corpus size), emissions
+    * carrying the new cumulative member count. The sink fold
+    * (`kanonFromCells` — counts are monotone, so latest-wins is a max,
+    * plus the KAnonK threshold) reproduces q185's (lang, len_bucket,
+    * n_docs, exposed) audit over everything ingested, so "which cells
+    * does the NEXT release expose" is a standing read, never a corpus
+    * query. Same at-least-once contract as `lenBinStream`/
+    * `cmsCellStream`: addition is not idempotent — feed exactly-once
+    * input or bound the error by the replayed mass. */
+  def kanonCellStream(docs: DataFrame): Dataset[KanonCell] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("lang"),
+        expr(s"n_chars div ${graft.operators.Audit.KAnonBinW}")
+          .as("len_bucket"))
+      .as[(String, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, KanonCell](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((lang, b), rows, state: GroupState[Long]) =>
+          val add = rows.size.toLong
+          if (add > 0) {
+            val nv = state.getOption.getOrElse(0L) + add
+            state.update(nv)
+            Iterator.single(KanonCell(lang, b, nv))
+          } else Iterator.empty
+      }
+  }
+
+  /** Sink-side fold for `kanonCellStream`: latest count per cell, then
+    * the KAnonK exposure flag — exactly q185's audit minus its
+    * n_sources column (the release gate's gauge is the flag). */
+  def kanonFromCells(cells: DataFrame): DataFrame =
+    cells.groupBy("lang", "len_bucket").agg(max("cc").as("n_docs"))
+      .select(col("lang"), col("len_bucket"), col("n_docs"),
+        when(col("n_docs") < graft.operators.Audit.KAnonK, lit(1L))
+          .otherwise(lit(0L)).as("exposed"))
+
   /** q136/`phashDedupBatch`'s streaming twin: the standing perceptual-hash
     * band index lives in flatMapGroupsWithState state, and every
     * micro-batch's media docs are checked against it — earlier-batch

@@ -542,6 +542,31 @@ class StreamsSpec extends AnyFunSuite {
     assert(got === want, "stream fold diverged from the batch histogram")
   }
 
+  test("k-anonymity twin: grid-bounded state, fold ≡ q185's audit (minus n_sources)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val (cellsDf, meter) = Streams.runToMemoryMetered(spark,
+      Streams.kanonCellStream(
+        Streams.readDocsStream(spark, landBatches(Seq(b1, b2)).getPath,
+          "*.parquet", Some(1))).toDF(),
+      "kanon_mb")
+
+    // State can never exceed the QI grid.
+    val grid = graft.SparkEntry.queries("q185_kanon_audit")(spark, dir).count()
+    assert(meter.nonEmpty && meter.forall(_.state_rows <= grid),
+      s"state exceeded the QI grid: ${meter.map(_.state_rows)}")
+
+    // The fold is exactly q185's audit over everything ingested, minus
+    // its n_sources column (the gate's gauge is the exposure flag).
+    val want = graft.SparkEntry.queries("q185_kanon_audit")(spark, dir)
+      .select("lang", "len_bucket", "n_docs", "exposed")
+      .orderBy("lang", "len_bucket").collect().toSeq
+    val got = Streams.kanonFromCells(cellsDf)
+      .orderBy("lang", "len_bucket").collect().toSeq
+    assert(got === want, "stream fold diverged from the q185 audit")
+  }
+
   test("state meter tracks standing-index growth for both dedup twins; replays add nothing") {
     // VERDICT r10 #3: the LSH and phash twins hold NoTimeout state that
     // grows with the standing index BY DESIGN — the meter must show that
