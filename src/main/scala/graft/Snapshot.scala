@@ -14,7 +14,7 @@ import graft.operators.{Dedup, IndexStore, Merkle}
   *   sbt "runMain graft.Snapshot merkle-append  <docsDir> <treeDir>"
   *   sbt "runMain graft.Snapshot merkle-root    <treeDir>"
   *   sbt "runMain graft.Snapshot merkle-diff    <treeDirA> <treeDirB>"
-  *   sbt "runMain graft.Snapshot merkle-verify  <docsDir> <treeDir>"
+  *   sbt "runMain graft.Snapshot merkle-verify  <docsDir> <treeDir> [--probes <n|idsParquet>]"
   *   sbt "runMain graft.Snapshot merkle-compact <treeDir>"
   *
   * `write` digests a documents directory into a bucketed-by-doc_id
@@ -36,8 +36,12 @@ import graft.operators.{Dedup, IndexStore, Merkle}
   * roots store-only; `merkle-diff` localizes changes between two
   * PERSISTED trees — per-level divergence counts plus the exact changed
   * doc_ids from level 0 — reading hashes, never text; `merkle-verify`
-  * replays inclusion proofs for the ProbeMod probe docs against the
-  * stored tree; `merkle-compact` is leaf-file hygiene after appends.
+  * replays inclusion proofs against the stored tree — `--probes n` for a
+  * bounded deterministic sample, `--probes <parquet>` for an explicit
+  * doc_id list (the production forms: the panel is broadcast per fold
+  * level, so its size must be panel-, not corpus-, shaped), bare for the
+  * catalog-scale %ProbeMod smoke panel; `merkle-compact` is leaf-file
+  * hygiene after appends.
   * Each mode prints one JSON summary line; roots/diff on a missing tree
   * answer `"sources":0` instead of a stack trace (the r15 empty-store
   * contract).
@@ -125,9 +129,23 @@ object Snapshot {
           s"""{"mode":"merkle-diff","changed_docs":$changedDocs,"levels":[${byLevel.mkString(",")}]}"""
         }
 
-      case "merkle-verify" :: docsDir :: treeDir :: Nil =>
+      case "merkle-verify" :: docsDir :: treeDir :: rest =>
         val docs = spark.read.parquet(s"$docsDir/documents.parquet")
-        val rows = Merkle.proofs(docs,
+        // The panel bound is the CALLER'S job (Merkle.proofs broadcasts
+        // it per level): --probes n samples a bounded deterministic
+        // panel, --probes <parquet> audits an explicit id list; bare
+        // invocation keeps the %ProbeMod panel — a corpus FRACTION,
+        // right for catalog-scale smoke runs only (q183's graded form).
+        val panel = rest match {
+          case Nil => Merkle.probePanel(docs)
+          case "--probes" :: spec :: Nil =>
+            if (spec.nonEmpty && spec.forall(_.isDigit))
+              Merkle.probeSample(docs, spec.toInt)
+            else Merkle.probeIds(docs, spark.read.parquet(spec))
+          case other => sys.error(
+            s"usage: merkle-verify <docsDir> <treeDir> [--probes <n|idsParquet>] (got $other)")
+        }
+        val rows = Merkle.proofs(panel,
           IndexStore.loadMerkleLevels(spark, treeDir)).collect()
         val ok = rows.count(_.getLong(4) == 1L)
         s"""{"mode":"merkle-verify","probes":${rows.length},"ok":$ok,"failed":${rows.length - ok}}"""

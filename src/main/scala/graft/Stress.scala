@@ -1037,10 +1037,18 @@ object Stress {
       val diffSec = min3(() => diff())
       val changed = diff().filter(col("level") === 0)
         .agg(sum("n_div")).head().getLong(0)
-      def verify() = operators.Merkle.proofs(docs,
+      def verify() = operators.Merkle.proofs(
+        operators.Merkle.probePanel(docs),
         operators.IndexStore.loadMerkleLevels(spark, store))
       val verifySec = min3(() => verify())
       val probes = verify().count()
+      // The production panel shape (VERDICT r15 #1): a fixed-size sample
+      // instead of the corpus-fraction %ProbeMod set — this column is
+      // the one that must stay FLAT across the decade while `probes`
+      // (and verify_sec with it) grows with the corpus.
+      val verify100Sec = min3(() => operators.Merkle.proofs(
+        operators.Merkle.probeSample(docs, 100),
+        operators.IndexStore.loadMerkleLevels(spark, store)))
       // Two monotone 500-doc appends price BOTH recompute paths on the
       // same store (the second batch's ids continue past the first's):
       // the default gate picks rebuild below TailMinLeafBytes and the
@@ -1060,7 +1068,7 @@ object Stress {
       operators.IndexStore.appendMerkleBatch(idBatch(maxId + 1001L), store,
         tailMinLeafBytes = 0L)
       val appendTailSec = (System.nanoTime() - t2) / 1e9
-      println(f"""{"mode":"merkle","corpus":"$tag","docs":$n,"build_sec":$buildSec%.1f,"leaf_writer_tasks":$leafTasks,"node_rows":$nodeRows,"root_sec_min3":$rootSec%.2f,"diff_sec_min3":$diffSec%.2f,"changed_docs":$changed,"verify_sec_min3":$verifySec%.2f,"probes":$probes,"append_default_sec":$appendSec%.1f,"append_default_path":"$ap","append_tail_sec":$appendTailSec%.1f}""")
+      println(f"""{"mode":"merkle","corpus":"$tag","docs":$n,"build_sec":$buildSec%.1f,"leaf_writer_tasks":$leafTasks,"node_rows":$nodeRows,"root_sec_min3":$rootSec%.2f,"diff_sec_min3":$diffSec%.2f,"changed_docs":$changed,"verify_sec_min3":$verifySec%.2f,"probes":$probes,"verify100_sec_min3":$verify100Sec%.2f,"append_default_sec":$appendSec%.1f,"append_default_path":"$ap","append_tail_sec":$appendTailSec%.1f}""")
     }
   }
 

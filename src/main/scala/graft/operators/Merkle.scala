@@ -64,6 +64,37 @@ object Merkle {
     * membership never aliases snapshot-B's edit classes in specs. */
   val ProbeMod = 17L
 
+  // ── probe panels ──
+  //
+  // `proofs` BROADCASTS its probe frame at every fold level, so the
+  // caller owns the bound (VERDICT r15 #1): a panel must be
+  // panel-sized, never corpus-fraction-sized, at production scale.
+
+  /** The `%ProbeMod` panel — q183's GRADED instance. A corpus FRACTION
+    * (1/mod of all docs): exactly right for oracle grading at catalog
+    * scale, wrong as a production audit panel (at 10^10 docs it is a
+    * ~600M-row broadcast) — production verification passes a bounded
+    * panel (`probeSample` / an explicit id list) instead. */
+  def probePanel(docs: DataFrame, mod: Long = ProbeMod): DataFrame =
+    docs.filter(col("doc_id") % mod === 0)
+
+  /** A bounded, deterministic n-doc panel: the n smallest docs by
+    * md5(doc_id) — a hash order no adversary curating the corpus by id
+    * ranges anticipates, yet reproducible run-to-run. Plans as a
+    * TakeOrderedAndProject (per-partition top-n, no global sort), so the
+    * panel is n rows BY CONSTRUCTION before it ever reaches `proofs`'
+    * broadcast — the production spot-audit shape (MerkleSpec pins the
+    * plan). */
+  def probeSample(docs: DataFrame, n: Int): DataFrame =
+    docs.orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(n)
+
+  /** The panel for an explicit id list (ids: any frame with a `doc_id`
+    * column — an auditor's challenge set, a regulator's sample). The id
+    * frame is the broadcast side of the membership join, so the corpus
+    * is one pruned scan; the panel size is the id-list size. */
+  def probeIds(docs: DataFrame, ids: DataFrame): DataFrame =
+    docs.join(broadcast(ids.select(col("doc_id")).distinct()), Seq("doc_id"))
+
   // ── tree construction ──
 
   /** Level-0 nodes: one per document, keyed by doc_id. */
@@ -141,16 +172,21 @@ object Merkle {
       .orderBy("level", "source")
   }
 
-  /** Inclusion proofs for the probe docs, verified end-to-end: recompute
+  /** Inclusion proofs for the PROBE docs, verified end-to-end: recompute
     * the leaf digest from the document row, then fold up the tree using
     * ONLY the stored sibling group at each level (own-path node replaced
     * by the running recomputation), and compare against the stored root.
     * `ok` = 1 certifies both membership and sibling integrity with
     * Arity·Levels stored rows read per probe — the O(log n) audit.
+    *
+    * `probeDocs` is the panel — document rows, BOUNDED BY THE CALLER
+    * (`probeSample`/`probeIds` for production, `probePanel` for the
+    * graded instance): it is broadcast at each of the `Levels` sibling
+    * joins, so its size is the query's driver/executor memory bound.
     * `lvls` must be the checkpointed `levels(...)` output (each level is
     * read as a sibling side here AND fed the next fold when built). */
-  def proofs(docs: DataFrame, lvls: Seq[DataFrame]): DataFrame = {
-    var p = docs.filter(col("doc_id") % ProbeMod === 0)
+  def proofs(probeDocs: DataFrame, lvls: Seq[DataFrame]): DataFrame = {
+    var p = probeDocs
       .select(col("doc_id"), col("source"),
         col("doc_id").cast("long").as("pos"),
         md5(concat(col("doc_id").cast("string"), lit(":"), col("text")))
@@ -313,9 +349,11 @@ object Merkle {
         // proves the doc is IN the corpus the root commits to, reading
         // Arity·Levels = 144 tree rows per probe — the spot-audit a
         // data consumer runs against a published root without the
-        // corpus.
+        // corpus. The %ProbeMod panel is the GRADED instance (oracle-
+        // enumerable); production audits pass a bounded panel
+        // (probeSample / probeIds — see `proofs`' broadcast contract).
         val docs = Tables.load(s, dir, "documents")
-        Merkle.proofs(docs, Merkle.levels(docs))
+        Merkle.proofs(Merkle.probePanel(docs), Merkle.levels(docs))
       },
       Some(proofOracle)),
 

@@ -62,7 +62,8 @@ class MerkleSpec extends AnyFunSuite {
   }
 
   test("proofs accept the committed corpus and reject exactly a tampered doc") {
-    val clean = Merkle.proofs(docs, Merkle.levels(docs)).collect()
+    val clean = Merkle.proofs(Merkle.probePanel(docs), Merkle.levels(docs))
+      .collect()
     val expProbes = docs.filter(col("doc_id") % Merkle.ProbeMod === 0).count()
     assert(clean.length == expProbes && expProbes > 0)
     assert(clean.forall(_.getLong(4) == 1L))
@@ -72,8 +73,46 @@ class MerkleSpec extends AnyFunSuite {
     val tampered = docs.withColumn("text",
       when(col("doc_id") === 34, concat(col("text"), lit(" x")))
         .otherwise(col("text")))
-    val pf = Merkle.proofs(docs, Merkle.levels(tampered)).collect()
+    val pf = Merkle.proofs(Merkle.probePanel(docs), Merkle.levels(tampered))
+      .collect()
     assert(pf.filter(_.getLong(4) == 0L).map(_.getLong(0)).toSeq == Seq(34L))
+  }
+
+  test("bounded probe panels: sample/id-list panels verify; the broadcast side is panel-sized") {
+    val lvls = Merkle.levels(docs)
+    // A 100-doc sampled panel: exactly n probes, all proofs green.
+    val sampled = Merkle.proofs(Merkle.probeSample(docs, 100), lvls).collect()
+    assert(sampled.length == 100 && sampled.forall(_.getLong(4) == 1L))
+    // Deterministic: same panel (same doc ids) on a re-evaluation.
+    val again = Merkle.proofs(Merkle.probeSample(docs, 100), lvls).collect()
+    assert(sampled.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // Explicit id-list panel: exactly the requested docs.
+    import spark.implicits._
+    val ids = Seq(3L, 59L, 241L).toDF("doc_id")
+    val listed = Merkle.proofs(Merkle.probeIds(docs, ids), lvls).collect()
+    assert(listed.map(_.getLong(0)).toSeq.sorted == Seq(3L, 59L, 241L))
+    assert(listed.forall(_.getLong(4) == 1L))
+    // The scale contract (VERDICT r15 #1): what `proofs` broadcasts is
+    // the PANEL, and a sampled panel is bounded BY CONSTRUCTION — the
+    // broadcast subtree carries the top-n limit (TakeOrderedAndProject /
+    // global limit), never a corpus-shaped scan-only branch.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Merkle.proofs(Merkle.probeSample(docs, 100),
+        Merkle.levels(docs)).queryExecution.executedPlan
+      val bcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bcasts.nonEmpty, "probe side must broadcast")
+      // The FIRST fold level's broadcast is the raw panel — its subtree
+      // must contain the limit that bounds it.
+      assert(bcasts.exists(_.exists {
+        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+        case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+        case _ => false
+      }), s"no broadcast subtree carries the panel's top-n bound:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("store round trip serves the in-query tree; append ≡ rebuild bit-identically") {
@@ -188,6 +227,18 @@ class MerkleSpec extends AnyFunSuite {
 
     val v = Snapshot.run(spark, List("merkle-verify", docsA, treeA))
     assert(v.contains(""""failed":0"""), v)
+
+    // Bounded production panels through the CLI: a sampled n-panel and
+    // an explicit id-list parquet.
+    val vn = Snapshot.run(spark,
+      List("merkle-verify", docsA, treeA, "--probes", "25"))
+    assert(vn.contains(""""probes":25""") && vn.contains(""""failed":0"""), vn)
+    val idsPath = s"$base/probe-ids"
+    docs.select("doc_id").orderBy("doc_id").limit(7)
+      .write.parquet(idsPath)
+    val vf = Snapshot.run(spark,
+      List("merkle-verify", docsA, treeA, "--probes", idsPath))
+    assert(vf.contains(""""probes":7""") && vf.contains(""""failed":0"""), vf)
 
     val c = Snapshot.run(spark, List("merkle-compact", treeA))
     assert(c.contains(""""mode":"merkle-compact""""), c)
