@@ -53,6 +53,7 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index sketch-report <indexPath>"
   *   sbt "runMain graft.Index cms-lookup <indexPath> <token>"
   *   sbt "runMain graft.Index compact-sketches <indexPath>"
+  *   sbt "runMain graft.Index gc <indexPath>"
   *
   * `build-*` pays the one-time linear corpus cost; `dedupe` runs a crawl
   * batch against the standing LSH state (per-batch cost measured flat
@@ -446,6 +447,16 @@ object Index {
           .head().getLong(0)
         s"""{"mode":"cms-lookup","token":"$token","est":$est,"index":"$path"}"""
 
+      case "gc" :: path :: Nil =>
+        // Staged-swap retention sweep (VERDICT r15 #3): every compaction
+        // and node rewrite stages through `<table>.compact`/`<table>.old`
+        // siblings; a crash leaves them behind. `gc` applies the same
+        // repair rule the swap entries apply (restore a stranded-only
+        // copy, never delete it), then removes what is provably
+        // superseded. Idempotent — re-running a crashed gc converges.
+        val (restored, promoted, swept) = IndexStore.gcStaging(spark, path)
+        s"""{"mode":"gc","restored":$restored,"promoted":$promoted,"swept":$swept,"index":"$path"}"""
+
       case "compact-sketches" :: path :: Nil =>
         // Materialize the max/add folds and rewrite each grid once —
         // file-count hygiene after a long crawl (readers fold either
@@ -582,7 +593,7 @@ object Index {
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|compact-grams|compact-lsh|compact-phash|compact-pq|compact-ivf|compact-winnow|build-ivfpq|fused-search|build-provenance|append-provenance|provenance|authority|build-sketches|append-sketches|sketch-report|cms-lookup|compact-sketches|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|compact-grams|compact-lsh|compact-phash|compact-pq|compact-ivf|compact-winnow|build-ivfpq|fused-search|build-provenance|append-provenance|provenance|authority|build-sketches|append-sketches|sketch-report|cms-lookup|compact-sketches|gc|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
     }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load

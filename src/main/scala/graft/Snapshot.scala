@@ -16,6 +16,7 @@ import graft.operators.{Dedup, IndexStore, Merkle}
   *   sbt "runMain graft.Snapshot merkle-diff    <treeDirA> <treeDirB>"
   *   sbt "runMain graft.Snapshot merkle-verify  <docsDir> <treeDir> [--probes <n|idsParquet>]"
   *   sbt "runMain graft.Snapshot merkle-compact <treeDir>"
+  *   sbt "runMain graft.Snapshot gc <parentDir> --keep <N>"
   *
   * `write` digests a documents directory into a bucketed-by-doc_id
   * manifest (`Dedup.writeSnapshot` — one shuffle paid at write time so
@@ -42,6 +43,9 @@ import graft.operators.{Dedup, IndexStore, Merkle}
   * level, so its size must be panel-, not corpus-, shaped), bare for the
   * catalog-scale %ProbeMod smoke panel; `merkle-compact` is leaf-file
   * hygiene after appends.
+  * `gc` is generation retention: keep the newest N manifest dirs under a
+  * lineage parent, stage-rename the rest to `.trash` and delete —
+  * crash-re-runnable, the kept generations never renamed (see the case).
   * Each mode prints one JSON summary line; roots/diff on a missing tree
   * answer `"sources":0` instead of a stack trace (the r15 empty-store
   * contract).
@@ -156,7 +160,42 @@ object Snapshot {
         val after = leafFileCount(spark, treeDir)
         s"""{"mode":"merkle-compact","leaf_files_before":$before,"leaf_files_after":$after,"tree":"$treeDir"}"""
 
-      case other => sys.error(s"usage: write|diff|apply|merkle-* ... (got $other)")
+      case "gc" :: parentDir :: "--keep" :: keepS :: Nil =>
+        // Generation retention (VERDICT r15 #3): `apply` writes each
+        // refresh cycle to a NEW manifest dir, so a long-lived snapshot
+        // lineage accumulates superseded generations forever. `gc` keeps
+        // the newest `keep` generation subdirectories of `parentDir`
+        // (newest by (modification time, name) — `apply` creates them in
+        // lineage order) and removes the rest through a staged rename:
+        // victim → `<name>.trash`, then delete. A crash between the two
+        // leaves only `.trash` remnants, which every re-run sweeps first
+        // — re-runnable, and the kept generations are never renamed, so
+        // "nothing current is ever deleted" holds through any crash.
+        val keep = keepS.toInt
+        require(keep >= 1, s"--keep must be >= 1 (got $keep)")
+        import org.apache.hadoop.fs.Path
+        val root = new Path(parentDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dirs =
+          if (fs.exists(root)) fs.listStatus(root).filter(_.isDirectory)
+          else Array.empty[org.apache.hadoop.fs.FileStatus]
+        // crash repair first: finish any interrupted removal
+        val sweptTrash = dirs.filter(_.getPath.getName.endsWith(".trash"))
+          .map { st => fs.delete(st.getPath, true); 1 }.sum
+        val gens = dirs.filterNot(_.getPath.getName.endsWith(".trash"))
+          .sortBy(st => (st.getModificationTime, st.getPath.getName))
+        val victims = gens.dropRight(keep)
+        victims.foreach { st =>
+          val trash = new Path(st.getPath.toString + ".trash")
+          require(fs.rename(st.getPath, trash),
+            s"gc stage ${st.getPath} -> $trash failed")
+          fs.delete(trash, true)
+        }
+        val kept = gens.takeRight(keep).map(_.getPath.getName).sorted
+        s"""{"mode":"gc","kept":${kept.length},"removed":${victims.length},"swept_trash":$sweptTrash,"generations":[${kept.map(n => s""""$n"""").mkString(",")}]}"""
+
+      case other => sys.error(
+        s"usage: write|diff|apply|gc|merkle-* ... (got $other)")
     }
 
   private def treeExists(spark: org.apache.spark.sql.SparkSession,

@@ -1477,7 +1477,21 @@ object Stress {
       val rows = TextOps.bpeMerges(docs).orderBy("rnd").collect()
       val wallSec = (System.nanoTime() - t) / 1e9
       val last = rows.last
-      println(f"""{"mode":"bpe","corpus":"$tag","docs":$n,"vocab":$vocab,"rounds":${rows.length},"scan_sec":$scanSec%.2f,"wall_sec":$wallSec%.2f,"rounds_sec":${wallSec - scanSec}%.2f,"final_merge":"${last.getString(1)}+${last.getString(2)}","final_n_tokens":${last.getLong(4)}}""")
+      // The tokenizer-scale fast path (VERDICT r15 #2): one collected
+      // vocab table, in-JVM merge loop. Graded-depth prefix must match
+      // the distributed learner row-for-row; the deep run then learns to
+      // a production merge budget (or pair exhaustion) in ONE Spark job —
+      // its wall is the scan plus vocab-sized driver arithmetic,
+      // corpus-independent past the scan.
+      val tL = System.nanoTime()
+      val local10 = TextOps.bpeMergesLocal(docs).orderBy("rnd").collect()
+      val local10Sec = (System.nanoTime() - tL) / 1e9
+      val prefixOk = local10.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq
+      val deepBudget = 2000
+      val tD = System.nanoTime()
+      val deep = TextOps.bpeMergesLocal(docs, deepBudget).orderBy("rnd").collect()
+      val deepSec = (System.nanoTime() - tD) / 1e9
+      println(f"""{"mode":"bpe","corpus":"$tag","docs":$n,"vocab":$vocab,"rounds":${rows.length},"scan_sec":$scanSec%.2f,"wall_sec":$wallSec%.2f,"rounds_sec":${wallSec - scanSec}%.2f,"final_merge":"${last.getString(1)}+${last.getString(2)}","final_n_tokens":${last.getLong(4)},"local10_sec":$local10Sec%.2f,"local_prefix_match":$prefixOk,"deep_budget":$deepBudget,"deep_merges":${deep.length},"deep_sec":$deepSec%.2f}""")
     }
   }
 

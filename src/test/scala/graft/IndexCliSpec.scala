@@ -525,4 +525,36 @@ class IndexCliSpec extends AnyFunSuite {
     assert(cj.group(2).toLong < cj.group(1).toLong, c)
     assert(Index.run(spark, List("sketch-report", idx)) === rep)
   }
+
+  test("gc sweeps staged swap leftovers, restores a stranded-only copy, preserves reads") {
+    val base = tmp("gc")
+    val docsDir = base.resolve("docs"); val idx = base.resolve("idx").toString
+    Tables.load(spark, sf, "documents")
+      .write.parquet(s"$docsDir/documents.parquet")
+    Index.run(spark, List("build-sketches", docsDir.toString, idx))
+    val rep = Index.run(spark, List("sketch-report", idx))
+
+    // clean store: gc is a no-op
+    val g0 = Index.run(spark, List("gc", idx))
+    assert(g0.contains(""""restored":0,"promoted":0,"swept":0"""), g0)
+
+    // crash BEFORE the first rename: a finished-but-unswapped .compact
+    // beside an intact table → swept, table untouched
+    val totals = new java.io.File(s"$idx/sketch/totals")
+    val staged = new java.io.File(s"$idx/sketch/totals.compact")
+    assert(staged.mkdirs())
+    // crash BETWEEN the two renames: the only copy stranded at .old
+    val cells = new java.io.File(s"$idx/sketch/cells")
+    val old = new java.io.File(s"$idx/sketch/cells.old")
+    assert(cells.renameTo(old))
+    val g1 = Index.run(spark, List("gc", idx))
+    assert(g1.contains(""""restored":1""") && g1.contains(""""swept":1"""), g1)
+    assert(!staged.exists() && !old.exists() && cells.exists() && totals.exists())
+    // the repaired store serves the identical report — nothing current
+    // was deleted by the sweep
+    assert(Index.run(spark, List("sketch-report", idx)) === rep)
+    // idempotent: a re-run finds a clean tree
+    val g2 = Index.run(spark, List("gc", idx))
+    assert(g2.contains(""""restored":0,"promoted":0,"swept":0"""), g2)
+  }
 }

@@ -42,4 +42,55 @@ class SnapshotCliSpec extends AnyFunSuite {
     val clean = Snapshot.run(spark, List("diff", snapOut, snapB))
     assert(clean.contains(""""changed_docs":0"""), clean)
   }
+
+  test("gc retains the newest generations, survives a crash mid-removal, never touches current") {
+    val base = java.nio.file.Files.createTempDirectory("graft-snapgc")
+    val lineage = s"$base/lineage"
+    val docsA = base.resolve("docsA"); val docsB = base.resolve("docsB")
+    val changes = s"$base/changes"
+    val docs = Tables.load(spark, sf, "documents")
+    docs.write.parquet(s"$docsA/documents.parquet")
+    Dedup.simulateRefresh(docs).write.parquet(s"$docsB/documents.parquet")
+    Dedup.simulateChangeset(docs).write.parquet(changes)
+
+    // Three generations in one lineage dir: base write, two applies
+    // (gen-names sort in creation order; retention also orders by mtime).
+    Snapshot.run(spark, List("write", docsA.toString, s"$lineage/gen-001"))
+    Snapshot.run(spark,
+      List("apply", s"$lineage/gen-001", changes, s"$lineage/gen-002"))
+    Snapshot.run(spark,
+      List("apply", s"$lineage/gen-001", changes, s"$lineage/gen-003"))
+
+    // keep > generations: nothing removed
+    val g0 = Snapshot.run(spark, List("gc", lineage, "--keep", "9"))
+    assert(g0.contains(""""kept":3""") && g0.contains(""""removed":0"""), g0)
+
+    // keep 1: gen-003 survives, older generations removed
+    val g1 = Snapshot.run(spark, List("gc", lineage, "--keep", "1"))
+    assert(g1.contains(""""kept":1""") && g1.contains(""""removed":2"""), g1)
+    assert(g1.contains(""""generations":["gen-003"]"""), g1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$lineage/gen-001")))
+
+    // the kept generation is diff-clean: gc never renamed or touched it
+    val refSnap = s"$base/ref"
+    Snapshot.run(spark, List("write", docsB.toString, refSnap))
+    val clean = Snapshot.run(spark, List("diff", s"$lineage/gen-003", refSnap))
+    assert(clean.contains(""""changed_docs":0"""), clean)
+
+    // crash mid-removal: a stranded .trash is swept by the re-run, and
+    // the survivor is still never touched
+    val stranded = new java.io.File(s"$lineage/gen-000.trash")
+    assert(stranded.mkdirs())
+    val g2 = Snapshot.run(spark, List("gc", lineage, "--keep", "1"))
+    assert(g2.contains(""""swept_trash":1""") && g2.contains(""""removed":0"""), g2)
+    assert(!stranded.exists())
+    val clean2 = Snapshot.run(spark, List("diff", s"$lineage/gen-003", refSnap))
+    assert(clean2.contains(""""changed_docs":0"""), clean2)
+
+    // keep must be >= 1 — a gc can never delete every generation
+    assertThrows[IllegalArgumentException] {
+      Snapshot.run(spark, List("gc", lineage, "--keep", "0"))
+    }
+  }
 }

@@ -95,6 +95,35 @@ class BpeSpec extends AnyFunSuite {
     assert(run(docs.repartition(13), 4) === run(docs, 4))
   }
 
+  private def runLocal(docs: org.apache.spark.sql.DataFrame, rounds: Int) =
+    TextOps.bpeMergesLocal(docs, rounds).orderBy("rnd").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+
+  test("bpeMergesLocal == bpeMerges on fixture and corpus; prefixes nest; deep rounds exhaust cleanly") {
+    import spark.implicits._
+    val fx = Seq((1L, "aaaa aaa"), (2L, "banana bandana")).toDF("doc_id", "text")
+    assert(runLocal(fx, 5) === run(fx, 5))
+    val docs = Tables.load(spark, dir, "documents")
+    val full = runLocal(docs, TextOps.BpeRounds)
+    assert(full === run(docs, TextOps.BpeRounds))
+    // The learner is incremental: an r-round run IS the 10-round prefix,
+    // so the graded q174 rounds certify every fast-path prefix too.
+    assert(runLocal(docs, 3) === full.take(3))
+    // Tokenizer-depth rounds: learning continues past the graded 10 and
+    // terminates when the pair supply is exhausted — at which point every
+    // vocab word is a single symbol, so the final token count is exactly
+    // the corpus word count.
+    val deep = runLocal(docs, 100000)
+    assert(deep.length > TextOps.BpeRounds)
+    assert(deep.map(_._1) === (1L to deep.length).toSeq)
+    val nWords = docs
+      .select(explode(split(trim(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains("|")).count()
+    assert(deep.last._5 === nWords,
+      "exhausted learner must leave one token per corpus word")
+  }
+
   /** Reference segmentation: replay refBpe's merges over a word's chars —
     * the subword count q175 must reproduce through the engine path. */
   private def refSegment(words: Seq[String], rounds: Int): Map[String, Long] = {
