@@ -430,7 +430,7 @@ object Index {
         // q192's query — this is the standing glance).
         val hh = IndexStore.loadSketchMg(spark, path)
           .orderBy(col("c").desc, col("w")).limit(10).collect()
-          .map(r => s"""{"w":"${r.getString(0)}","c_lb":${r.getLong(1)}}""")
+          .map(r => s"""{"w":${jstr(r.getString(0))},"c_lb":${r.getLong(1)}}""")
           .mkString(",")
         s"""{"mode":"sketch-report","grams":[$est],"words":[$tot],"lens":[$lq],"heavy_hitters":[$hh],"index":"$path"}"""
 
@@ -445,7 +445,7 @@ object Index {
         val est = pb.join(cells, Seq("j", "c"), "left")
           .agg(min(coalesce(col("cc"), lit(0L))).as("est"))
           .head().getLong(0)
-        s"""{"mode":"cms-lookup","token":"$token","est":$est,"index":"$path"}"""
+        s"""{"mode":"cms-lookup","token":${jstr(token)},"est":$est,"index":"$path"}"""
 
       case "gc" :: path :: Nil =>
         // Staged-swap retention sweep (VERDICT r15 #3): every compaction
@@ -595,6 +595,21 @@ object Index {
       case other => sys.error(
         s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|compact-grams|compact-lsh|compact-phash|compact-pq|compact-ivf|compact-winnow|build-ivfpq|fused-search|build-provenance|append-provenance|provenance|authority|build-sketches|append-sketches|sketch-report|cms-lookup|compact-sketches|gc|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
     }
+
+  /** JSON string literal for ARBITRARY corpus text (ADVICE r15): unlike
+    * the fixed-alphabet lang/source values interpolated elsewhere, a
+    * heavy-hitter word or CLI token can contain quotes, backslashes, or
+    * control characters — escape per RFC 8259 before interpolation. */
+  private def jstr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load
     * every vector-index mode shares. */

@@ -132,12 +132,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_hrw"),
       new ExpressionInfo(classOf[Hrw].getName, "graft_hrw"),
-      (children: Seq[Expression]) => children match {
-        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
-            org.apache.spark.sql.types.IntegerType)) => Hrw(c, n)
-        case other => throw new IllegalArgumentException(
-          s"graft_hrw expects (doc_id, shard-count int literal), got ${other.size} args")
-      })
+      (children: Seq[Expression]) => Hrw.build(children))
     // Spark's runtime-filter bloom primitives as callable functions (q105);
     // both sides hash via XxHash64 (same default seed), matching the
     // InjectRuntimeFilter rule's own construction.

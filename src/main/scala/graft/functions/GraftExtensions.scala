@@ -69,12 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_hrw"),
       new ExpressionInfo(classOf[Hrw].getName, "graft_hrw"),
-      (children: Seq[Expression]) => children match {
-        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
-            org.apache.spark.sql.types.IntegerType)) => Hrw(c, n)
-        case other => throw new IllegalArgumentException(
-          s"graft_hrw expects (doc_id, shard-count int literal), got ${other.size} args")
-      }))
+      (children: Seq[Expression]) => Hrw.build(children)))
     // Spark's own runtime-filter primitives, surfaced as callable functions
     // (q105 bloom decontamination): the agg builds the sketch over
     // xxhash64(value) exactly as the InjectRuntimeFilter rule does, and

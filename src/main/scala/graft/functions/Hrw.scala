@@ -45,6 +45,27 @@ case class Hrw(child: Expression, n: Int) extends UnaryExpression {
 
 object Hrw {
 
+  /** Shared SQL-registration builder (both the session-extensions and
+    * the registry injection sites use this one). The shard count must
+    * fold to a driver-side Int at registration — it sizes the per-row
+    * candidate loop — and SQL integer literals parse as INT or BIGINT
+    * depending on magnitude/dialect, so both are accepted (ADVICE r15:
+    * a BIGINT literal used to be misreported as an arity error). */
+  def build(children: Seq[Expression]): Expression = children match {
+    case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+        org.apache.spark.sql.types.IntegerType)) => Hrw(c, n)
+    case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n: Long,
+        org.apache.spark.sql.types.LongType))
+        if n >= 1 && n <= Int.MaxValue => Hrw(c, n.toInt)
+    case Seq(_, n) => throw new IllegalArgumentException(
+      "graft_hrw shard count must be an INT or BIGINT literal in " +
+        s"[1, ${Int.MaxValue}] (constant expressions are not folded at " +
+        s"registration); got: ${n.sql}")
+    case other => throw new IllegalArgumentException(
+      s"graft_hrw expects 2 arguments (doc_id, shard-count literal), " +
+        s"got ${other.size}")
+  }
+
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 

@@ -978,9 +978,33 @@ object IndexStore {
     writeSketch(docs, path, "overwrite", mg)
 
   /** Append a batch's sketch grids (each derived by the same one-scan
-    * aggregations as the build — grids, not rows, cross the write). */
-  def appendSketchBatch(batch: DataFrame, path: String): Unit =
+    * aggregations as the build — grids, not rows, cross the write).
+    * Fails loudly on a store missing the mg leg (one built `mg = false`,
+    * or persisted before the leg existed): appending would create an mg
+    * table covering ONLY the appended batches while totals covers the
+    * whole corpus, silently voiding q192's no-false-negatives guarantee —
+    * the threshold derives from full n over partial candidate mass
+    * (ADVICE r15). The base corpus isn't retained, so backfill is
+    * impossible here; the fix is a rebuild. */
+  def appendSketchBatch(batch: DataFrame, path: String): Unit = {
+    requireSketchMg(batch.sparkSession, path)
     writeSketch(batch, path, "append", mg = true)
+  }
+
+  /** The mg-leg presence gate shared by every consumer that would
+    * otherwise misread a partial summary as a corpus one. */
+  private def requireSketchMg(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val sketch = new Path(s"$path/sketch")
+    val fs = sketch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sketch) && !fs.exists(new Path(s"$path/sketch/mg")))
+      throw new IllegalStateException(
+        s"sketch store at $path has no mg leg (built with mg = false or " +
+          "persisted before the heavy-hitter leg existed); rebuild it " +
+          "with `Index build-sketches` before appending or reading " +
+          "heavy hitters — appending now would void the Misra-Gries " +
+          "coverage guarantee (partial-mass candidates vs full-corpus n)")
+  }
 
   private def writeSketch(docs: DataFrame, path: String,
       mode: String, mg: Boolean): Unit = {
@@ -1046,14 +1070,17 @@ object IndexStore {
     * adding. Skipping truncation on read can only WIDEN the candidate
     * superset (rows ≤ appends × MgK; `compactSketchIndex` re-truncates
     * the standing table back to ≤ MgK rows). */
-  def loadSketchMg(spark: SparkSession, path: String): DataFrame =
+  def loadSketchMg(spark: SparkSession, path: String): DataFrame = {
+    requireSketchMg(spark, path) // loud rebuild hint, not a path error
     spark.read.parquet(s"$path/sketch/mg")
       .groupBy("w").agg(sum("c").as("c"))
+  }
 
   /** Compact the sketch store: materialize the max/add folds and rewrite
     * each grid once (staged rename-swap, crash-repairing — `swapRewrite`).
     * Pure file-count hygiene — readers fold either way. */
   def compactSketchIndex(spark: SparkSession, path: String): Unit = {
+    requireSketchMg(spark, path) // mg-less stores need a rebuild, not hygiene
     swapRewrite(spark, s"$path/sketch/registers",
       loadSketchRegisters(spark, path), Seq("grp", "idx"), None, parts = 4)
     swapRewrite(spark, s"$path/sketch/cells",

@@ -526,6 +526,25 @@ class IndexCliSpec extends AnyFunSuite {
     assert(Index.run(spark, List("sketch-report", idx)) === rep)
   }
 
+  test("sketch-report escapes heavy-hitter words in JSON (quotes/backslashes in corpus text)") {
+    import spark.implicits._
+    val base = tmp("jesc")
+    val docsDir = base.resolve("docs"); val idx = base.resolve("idx").toString
+    // a corpus whose dominant words carry JSON-hostile characters
+    val hostile = Seq.tabulate(40)(i =>
+      (i.toLong, """he"llo back\slash he"llo""", "en", "s1")).toDF(
+      "doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    hostile.write.parquet(s"$docsDir/documents.parquet")
+    Index.run(spark, List("build-sketches", docsDir.toString, idx))
+    val rep = Index.run(spark, List("sketch-report", idx))
+    assert(rep.contains("""{"w":"he\"llo""""), rep)
+    assert(rep.contains("""back\\slash"""), rep)
+    // cms-lookup echoes an arbitrary CLI token — escaped the same way
+    val lk = Index.run(spark, List("cms-lookup", idx, """he"llo"""))
+    assert(lk.contains(""""token":"he\"llo""""), lk)
+  }
+
   test("gc sweeps staged swap leftovers, restores a stranded-only copy, preserves reads") {
     val base = tmp("gc")
     val docsDir = base.resolve("docs"); val idx = base.resolve("idx").toString

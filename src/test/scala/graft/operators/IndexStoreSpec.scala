@@ -738,6 +738,27 @@ class IndexStoreSpec extends AnyFunSuite {
       "compaction after recovery must still min-combine duplicates")
   }
 
+  test("mg-less sketch store (mg = false / pre-leg): append, mg read, and compact fail with the rebuild hint") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("sketch-nomg")
+    IndexStore.saveSketchIndex(docs, path, mg = false)
+    // Appending would write an mg leg covering ONLY the batch while
+    // totals covers the corpus — q192's threshold would read full n over
+    // partial candidate mass (ADVICE r15); all three consumers must fail
+    // loudly and name the rebuild, never proceed.
+    Seq(
+      () => IndexStore.appendSketchBatch(
+        docs.filter(col("doc_id") % 3 === 0), path),
+      () => IndexStore.loadSketchMg(spark, path).collect(),
+      () => IndexStore.compactSketchIndex(spark, path)
+    ).foreach { op =>
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("build-sketches"), e.getMessage)
+    }
+    // the non-mg legs are untouched by the refusals
+    assert(IndexStore.loadSketchTotals(spark, path).count() > 0)
+  }
+
   test("sketch store: append == rebuild (registers MAX-fold, cells/totals ADD-fold)") {
     val docs = Tables.load(spark, sf, "documents")
     val full = tmp("sketch-full")

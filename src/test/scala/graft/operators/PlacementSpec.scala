@@ -57,6 +57,28 @@ class PlacementSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_hrw builder: BIGINT literal accepted; arity vs type errors distinguished (ADVICE r15)") {
+    graft.functions.GraftFunctions.register(spark)
+    // SQL long literal (the 8L form) folds to the same loop as the INT one
+    val viaLong = spark.sql(
+      "SELECT graft_hrw(CAST(7 AS BIGINT), 8L) AS s").head().getLong(0)
+    assert(viaLong == hrwRef(7L, 8))
+    // builder errors may arrive wrapped in an AnalysisException
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    // wrong arity reports arity, not a type diagnosis
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_hrw(CAST(7 AS BIGINT))").collect()
+    }
+    assert(msgs(e1).contains("2 arguments"), msgs(e1))
+    // a non-literal / non-integral count reports the literal contract
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_hrw(CAST(7 AS BIGINT), CAST(8 AS STRING))").collect()
+    }
+    assert(msgs(e2).contains("INT or BIGINT literal"), msgs(e2))
+  }
+
   test("q186 corpus: moved ≡ to-new per source; rendezvous ≪ mod movement") {
     val rows = q("q186_rendezvous_reshard")
     assert(rows.nonEmpty)
