@@ -16,12 +16,18 @@ import graft.operators.{Dedup, TextOps}
   * `<outDir>/stats.json`):
   *
   *   sbt "runMain graft.Curate <docsDir> <outDir> [tokenBudget]
-  *        [--strip-boilerplate] [--bp-df N] [--strip-selfrep]
+  *        [--extract-main] [--strip-boilerplate] [--bp-df N] [--strip-selfrep]
   *        [--bench <parquet>] [--contam-k N] [--tau X]"
   *
   * The optional transform stages are pipeline stages, all OFF by default
   * (the 5-stage default chain is unchanged — stress history stays
   * comparable):
+  *   --extract-main        q193: treat each doc's text as a fetched page —
+  *                         strip script/style, split on tags, keep only
+  *                         blocks passing the length-density gate — as
+  *                         stage 0, BEFORE everything (dedup hashes and
+  *                         shingle sets must see prose, not tag chrome).
+  *                         Pages whose main content extracts empty drop.
   *   --strip-boilerplate   q85: remove cross-document-frequent 8-gram
   *                         spans (df ≥ --bp-df, default 3) after exact
   *                         dedup, BEFORE near-dup/quality — so template
@@ -75,6 +81,7 @@ object Curate {
       docsDir: String,
       outDir: String,
       budget: Long = 2048L,
+      extractMain: Boolean = false,
       stripBoilerplate: Boolean = false,
       boilerDf: Int = Dedup.BoilerDf,
       stripSelfrep: Boolean = false,
@@ -98,10 +105,12 @@ object Curate {
 
   private def parse(args: List[String]): Config = {
     val usage = "usage: Curate <docsDir> <outDir> [tokenBudget] " +
+      "[--extract-main] " +
       "[--strip-boilerplate] [--bp-df N] [--strip-selfrep] [--strip-crossdoc] " +
       "[--bench <parquet>] [--fuzzy-tau X] [--registry <index>] [--contam-k N] [--tau X]"
     def loop(rest: List[String], cfg: Config): Config = rest match {
       case Nil => cfg
+      case "--extract-main" :: t => loop(t, cfg.copy(extractMain = true))
       case "--strip-boilerplate" :: t => loop(t, cfg.copy(stripBoilerplate = true))
       case "--bp-df" :: v :: t => loop(t, cfg.copy(boilerDf = v.toInt))
       case "--strip-selfrep" :: t => loop(t, cfg.copy(stripSelfrep = true))
@@ -128,8 +137,25 @@ object Curate {
 
   /** Runs the pipeline; returns the JSON stats line. */
   def run(spark: SparkSession, cfg: Config): String = {
-    val docs = spark.read.parquet(s"${cfg.docsDir}/documents.parquet")
-    val nIn = docs.count()
+    val raw = spark.read.parquet(s"${cfg.docsDir}/documents.parquet")
+    val nIn = raw.count()
+
+    // 0. (optional) Markup main-content extraction (q193): the crawl
+    //    pipeline's FIRST cleaning stage — every later stage must see
+    //    prose, not tag chrome (dedup hashes, shingle sets, and token
+    //    counts over raw markup measure the template, not the content).
+    //    The doc's text IS the fetched page here; pages whose main
+    //    content extracts to nothing drop out. Same fan-out barrier as
+    //    the strip stages.
+    val docs =
+      if (!cfg.extractMain) raw
+      else raw.drop("text")
+        .join(TextOps.extractMain(raw, htmlCol = "text")
+            .filter(trim(col("main")) =!= "")
+            .select(col("doc_id"), col("main").as("text")),
+          Seq("doc_id"))
+        .localCheckpoint(true)
+    val nMain = if (cfg.extractMain) docs.count() else nIn
 
     // 1. Exact dedup: canonical word-multiset hash, min-id keeper (q21).
     val exact = docs
@@ -264,7 +290,7 @@ object Curate {
     val nPacks = written.agg(countDistinct("pack_id")).head().getLong(0)
 
     val json =
-      s"""{"docs_in":$nIn,"after_exact_dedup":$nExact,"after_boilerplate":$nStripped,"after_selfrep":$nSelf,"after_neardup":$nKept,"after_crossdoc":$nCross,"after_decontam":$nDecon,"after_quality_cut":$nOut,"packs":$nPacks,"token_budget":${cfg.budget},"out":"${cfg.outDir}/curated.parquet"}"""
+      s"""{"docs_in":$nIn,"after_extract_main":$nMain,"after_exact_dedup":$nExact,"after_boilerplate":$nStripped,"after_selfrep":$nSelf,"after_neardup":$nKept,"after_crossdoc":$nCross,"after_decontam":$nDecon,"after_quality_cut":$nOut,"packs":$nPacks,"token_budget":${cfg.budget},"out":"${cfg.outDir}/curated.parquet"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(s"${cfg.outDir}/stats.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     json

@@ -592,6 +592,78 @@ object TextOps {
        |$roundCtes""".stripMargin
   }
 
+  // ── q193 markup / main-content extraction ──
+
+  /** Main-content block gate: a tag-delimited text block survives if its
+    * trimmed text is at least this long. The length-density rule is the
+    * graded core of the public main-content heuristics (jusText's
+    * length+stopword gate, trafilatura's text-density scoring): page
+    * chrome — nav rows, ad slots, footers, titles — is short; body
+    * paragraphs are long. A page whose body is shorter than the gate
+    * extracts to empty and drops out of the pipeline, deterministically
+    * in both engines. */
+  val MainMinChars = 40
+
+  /** Strip whole script/style elements BEFORE tag-splitting: their text
+    * content is code, not prose, and long enough to pass any length gate
+    * ((?s) because embedded code spans lines; lazy body so adjacent
+    * elements never merge — identical RE2/Java semantics). */
+  val ScriptRe = "(?s)<script[^>]*>.*?</script>"
+  val StyleRe = "(?s)<style[^>]*>.*?</style>"
+
+  /** Tag boundary for block splitting. */
+  val TagRe = "<[^>]*>"
+
+  // The deterministic page chrome `markupPages` wraps around each doc —
+  // the markup-shaped fixture-in-query (the q61 injection discipline: the
+  // corpus has no markup, so the harness query synthesizes it; the
+  // OPERATOR is `extractMain`). Every decoy block is sub-gate prose;
+  // the script/style bodies are ABOVE the gate, so they grade the strip
+  // (unstripped they would pollute the extraction). No single quotes —
+  // the same literals interpolate into the DuckDB oracle.
+  private[operators] val PageA = "<html><head><title>"
+  private[operators] val PageB = "</title><script type=\"text/javascript\">" +
+    "var t=1;track(t);analytics_send(page_x,ref_y,42);</script>" +
+    "<style>.m{color:#222;font-size:14px;margin:0;padding:0}</style>" +
+    "</head><body><div class=\"nav\">home about contact login</div><h1>"
+  private[operators] val PageC = " feed</h1><div class=\"main\"><p>"
+  private[operators] val PageD = "</p></div><div class=\"aside\">ad unit " +
+    "300x250 click now</div><div class=\"footer\">copyright 2024 terms " +
+    "privacy</div></body></html>"
+
+  /** Wrap each document in the synthetic page chrome: (doc_id, html). */
+  def markupPages(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit(PageA), col("source"), lit(PageB), col("source"),
+        lit(PageC), col("text"), lit(PageD)).as("html"))
+
+  /** Main-content extraction over a page frame: strip script/style
+    * elements, split the remainder into tag-delimited text blocks, keep
+    * the blocks whose trimmed text passes the `minChars` density gate,
+    * and join the survivors as the page's main content. Per doc:
+    * (doc_id, n_blocks non-empty, n_kept, main_chars, main).
+    *
+    * 100 TB shape: a pure narrow per-row projection (the q61/q90
+    * discipline) — three regex passes and one bounded block array per
+    * page, no shuffle, no state; the lambdas reference only their block
+    * variable, so the split array is evaluated once per row (the HOF
+    * producer-inlining trap does not bite). */
+  def extractMain(pages: DataFrame, htmlCol: String = "html",
+      minChars: Int = MainMinChars): DataFrame =
+    pages.select(col("doc_id"),
+        split(regexp_replace(regexp_replace(col(htmlCol), ScriptRe, " "),
+          StyleRe, " "), TagRe).as("bl"))
+      .select(col("doc_id"),
+        expr("size(filter(bl, b -> length(trim(b)) > 0))").cast("long")
+          .as("n_blocks"),
+        expr(s"transform(filter(bl, b -> length(trim(b)) >= $minChars), " +
+          "b -> trim(b))").as("ks"))
+      .select(col("doc_id"), col("n_blocks"),
+        size(col("ks")).cast("long").as("n_kept"),
+        array_join(col("ks"), " ").as("main"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        length(col("main")).cast("long").as("main_chars"), col("main"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Language ID: n-gram/marker heuristic ──
@@ -2437,5 +2509,44 @@ object TextOps {
           .filter(col("cnt") >= thr)
           .orderBy(col("cnt").desc, col("w"))
       },
-      Some(hhOracle)))
+      Some(hhOracle)),
+
+    // ── Markup / main-content extraction (the crawl pipeline's stage 0) ──
+    QueryDef(
+      "q193_markup_extract",
+      (s, dir) => {
+        // The one pre-tokenizer cleaning stage every web-crawl pipeline
+        // runs first (VERDICT r15 #5): strip script/style, split on tags,
+        // keep only blocks whose trimmed text passes the length-density
+        // gate (jusText/trafilatura's core heuristic), join survivors as
+        // the page's main content. The corpus has no markup, so the
+        // harness query wraps each doc in the deterministic page chrome
+        // (`markupPages` — the q61 injection discipline: title/nav/ad/
+        // footer decoys below the gate, script/style bodies above it so
+        // the strip is graded); the OPERATOR is `extractMain`, a pure
+        // codegen'd narrow scan. `Curate --extract-main` runs the same
+        // operator on raw fetched text as stage 0.
+        extractMain(markupPages(Tables.load(s, dir, "documents")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pages AS (
+              |  SELECT doc_id,
+              |         '$PageA' || source || '$PageB' || source || '$PageC' || text || '$PageD' AS html
+              |  FROM documents),
+              |blocks AS (
+              |  SELECT doc_id,
+              |         regexp_split_to_array(
+              |           regexp_replace(regexp_replace(html, '$ScriptRe', ' ', 'g'),
+              |                          '$StyleRe', ' ', 'g'),
+              |           '$TagRe') AS bl
+              |  FROM pages),
+              |kept AS (
+              |  SELECT doc_id,
+              |         CAST(len(list_filter(bl, b -> length(trim(b)) > 0)) AS BIGINT) AS n_blocks,
+              |         list_transform(list_filter(bl, b -> length(trim(b)) >= $MainMinChars), b -> trim(b)) AS ks
+              |  FROM blocks)
+              |SELECT doc_id, n_blocks, CAST(len(ks) AS BIGINT) AS n_kept,
+              |       CAST(length(array_to_string(ks, ' ')) AS BIGINT) AS main_chars,
+              |       array_to_string(ks, ' ') AS main
+              |FROM kept ORDER BY doc_id""".stripMargin)))
 }

@@ -211,6 +211,51 @@ class CurateSpec extends AnyFunSuite {
     assert(out(2L) === prose(2), "doc 2's later copy of the quote must strip")
   }
 
+  test("extractMain semantics: script/style stripped, gate keeps only dense blocks") {
+    import spark.implicits._
+    val long1 = Seq.fill(9)("dense").mkString(" ") // 53 chars ≥ MainMinChars
+    val pages = Seq((1L,
+      "<html><head><style>.x{padding:0;margin:0;border:0;outline:0;color:#111}" +
+        "</style><script>alert_code_block_that_must_never_survive(1,2,3,4,5);" +
+        "</script></head><body><div>nav bar</div><p>" + long1 +
+        "</p><p>short</p></body></html>")).toDF("doc_id", "html")
+    val r = TextOps.extractMain(pages).head()
+    // blocks after tag split: "nav bar", the dense paragraph, "short" —
+    // the style/script bodies are gone BEFORE splitting (both are long
+    // enough that a missing strip would leak them through the gate)
+    assert(r.getLong(1) === 3L, "n_blocks")
+    assert(r.getLong(2) === 1L, "n_kept")
+    assert(r.getString(4) === long1, "main")
+    assert(r.getLong(3) === long1.length.toLong, "main_chars")
+  }
+
+  test("--extract-main engages as stage 0: chrome stripped, short-body pages drop") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-curatemain")
+    val docsDir = base.resolve("corpus"); val outDir = base.resolve("out")
+    def body(i: Long) = (0 until 12).map(j => s"word${i}x$j").mkString(" ")
+    def page(b: String) =
+      "<html><head><script>tracking_code_that_must_never_survive(1,2,3,4,5);" +
+        "</script></head><body><div class=\"nav\">home about contact</div><p>" +
+        b + "</p><div class=\"footer\">footer terms</div></body></html>"
+    val rows = (0L until 9L).map(i => (i, page(body(i)), "en", "web")) :+
+      ((9L, page("tiny body"), "en", "web"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    val json = Curate.run(spark, Curate.Config(
+      docsDir.toString, outDir.toString, budget = 64L, extractMain = true))
+    val m = """"(\w+)":(\d+)""".r.findAllMatchIn(json)
+      .map(x => x.group(1) -> x.group(2).toLong).toMap
+    // doc 9's body is below the gate → its page extracts to nothing
+    assert(m("docs_in") === 10L && m("after_extract_main") === 9L, json)
+    val out = spark.read.parquet(s"$outDir/curated.parquet")
+    // every kept text is pure prose: no tags, no chrome, no script code
+    assert(out.filter(col("text").contains("<")).count() === 0)
+    assert(out.filter(col("text").contains("home about contact")).count() === 0)
+    assert(out.filter(col("text").contains("tracking_code")).count() === 0)
+    assert(out.filter(col("text").contains("word0x0")).count() === 1)
+  }
+
   test("CLI flag parsing routes to the same Config") {
     // Private parse is exercised through main-style args via reflection-free
     // path: just re-run the default chain with positional budget to pin the

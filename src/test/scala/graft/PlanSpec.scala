@@ -1320,6 +1320,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q193 markup extraction: one narrow corpus scan — no join, no agg, no window") {
+    assert(collectAll("q193_markup_extract") { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(collectAll("q193_markup_extract") { case j: BroadcastHashJoinExec => j }.isEmpty)
+    assert(collectAll("q193_markup_extract") { case a: HashAggregateExec => a }.isEmpty)
+    assert(collectAll("q193_markup_extract") { case w: WindowExec => w }.isEmpty)
+    val scans = collectAll("q193_markup_extract") { case f: FileSourceScanExec => f }
+    assert(scans.size === 1, "exactly one corpus scan")
+    // per-row projection only: the scan reads just what the page build
+    // needs — the stats columns never load
+    val read = scans.head.metadata("ReadSchema")
+    assert(!read.contains("n_chars") && !read.contains("lang"), read)
+  }
+
   test("q190 pack sweep: q51's √N-blocked windows; exchanges stay block- or grid-keyed") {
     // block-keyed cumsum window + the global window over the √N block
     // aggregate (q51's pinned shape), then the 4-row budget grid — no
