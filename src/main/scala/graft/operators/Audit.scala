@@ -220,8 +220,39 @@ object Audit {
 
   /** q191: the release salt. Hash-derived noise makes the mechanism
     * REPRODUCIBLE (and oracle-gradeable); a production release keys the
-    * draw with a secret salt — this constant is that parameter. */
+    * draw with a secret salt — this constant is that parameter (the
+    * `graft.Release` CLI draws a run secret instead; `dpRelease` is the
+    * shared mechanism). */
   val DpSalt = "dp"
+
+  /** The q191 geometric-mechanism release with a CALLER-SUPPLIED salt —
+    * `graft.Release`'s production seam (VERDICT r15 #4): whoever holds
+    * the salt can denoise exactly, so the published bundle draws a run
+    * secret while q191 stays graded on the fixed `DpSalt` (the fixed
+    * instance is what the DuckDB oracle can reproduce). Identical shape
+    * to the graded query: per-(lang, len-bucket) counts, noise =
+    * tz-fold difference of two per-(salt, cell) 60-bit md5 draws
+    * (geometric(½) each → discrete Laplace at ε = ln 2), sub-KAnonK
+    * cells suppressed to −1, released floored at 0. */
+  def dpRelease(docs: DataFrame, salt: String): DataFrame = {
+    require(!salt.contains("'"),
+      "salt must not contain a single quote (it interpolates into SQL)")
+    val cells = docs
+      .groupBy(col("lang"),
+        expr(s"n_chars div $KAnonBinW").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("h1", expr(h60Spark(
+        s"concat('${salt}1:', lang, ':', cast(len_bucket AS string))")))
+      .withColumn("h2", expr(h60Spark(
+        s"concat('${salt}2:', lang, ':', cast(len_bucket AS string))")))
+      .withColumn("noise", expr(s"${tzSql("h1")} - ${tzSql("h2")}"))
+    cells.select(col("lang"), col("len_bucket"), col("n_docs"),
+        col("noise").cast("long").as("noise"),
+        when(col("n_docs") < KAnonK, lit(-1L))
+          .otherwise(greatest(col("n_docs") + col("noise"), lit(0L)))
+          .as("released"))
+      .orderBy("lang", "len_bucket")
+  }
 
   /** Trailing zeros of a non-negative bigint SQL expression, as a sum of
     * divisibility indicators: term k is 1 iff 2^k divides `h`, so the sum
@@ -1647,21 +1678,9 @@ object Audit {
         // 100 TB shape: q185's one-scan grid aggregate; the noise is
         // per-CELL arithmetic on the catalog-sized frame (two md5s and
         // 2·DpTzCap divisibility tests per cell, zero corpus work).
-        val cells = Tables.load(s, dir, "documents")
-          .groupBy(col("lang"),
-            expr(s"n_chars div $KAnonBinW").as("len_bucket"))
-          .agg(count(lit(1)).as("n_docs"))
-          .withColumn("h1", expr(h60Spark(
-            s"concat('${DpSalt}1:', lang, ':', cast(len_bucket AS string))")))
-          .withColumn("h2", expr(h60Spark(
-            s"concat('${DpSalt}2:', lang, ':', cast(len_bucket AS string))")))
-          .withColumn("noise", expr(s"${tzSql("h1")} - ${tzSql("h2")}"))
-        cells.select(col("lang"), col("len_bucket"), col("n_docs"),
-            col("noise").cast("long").as("noise"),
-            when(col("n_docs") < KAnonK, lit(-1L))
-              .otherwise(greatest(col("n_docs") + col("noise"), lit(0L)))
-              .as("released"))
-          .orderBy("lang", "len_bucket")
+        // `dpRelease` is the mechanism; this is its fixed-salt graded
+        // instance (`graft.Release` draws a run secret instead).
+        dpRelease(Tables.load(s, dir, "documents"), DpSalt)
       },
       Some(s"""WITH cells AS (
               |  SELECT lang, n_chars // $KAnonBinW AS len_bucket, CAST(count(*) AS BIGINT) AS n_docs
