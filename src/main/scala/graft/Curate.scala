@@ -147,13 +147,14 @@ object Curate {
     //    The doc's text IS the fetched page here; pages whose main
     //    content extracts to nothing drop out. Same fan-out barrier as
     //    the strip stages.
+    //    Unlike the strip stages (whose cleaned text comes back from an
+    //    AGGREGATION and must join), extraction is a pure per-row
+    //    projection — text swaps in place: ONE corpus scan, no self-join.
     val docs =
       if (!cfg.extractMain) raw
-      else raw.drop("text")
-        .join(TextOps.extractMain(raw, htmlCol = "text")
-            .filter(trim(col("main")) =!= "")
-            .select(col("doc_id"), col("main").as("text")),
-          Seq("doc_id"))
+      else raw
+        .withColumn("text", TextOps.mainContentCol(col("text")))
+        .filter(trim(col("text")) =!= "")
         .localCheckpoint(true)
     val nMain = if (cfg.extractMain) docs.count() else nIn
 

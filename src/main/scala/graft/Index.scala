@@ -600,16 +600,7 @@ object Index {
     * the fixed-alphabet lang/source values interpolated elsewhere, a
     * heavy-hitter word or CLI token can contain quotes, backslashes, or
     * control characters — escape per RFC 8259 before interpolation. */
-  private def jstr(s: String): String = {
-    val sb = new StringBuilder("\"")
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.append('"').toString
-  }
+  private def jstr(s: String): String = Json.str(s)
 
   /** (vec_id, en) normalized from an embeddings.parquet dir — the load
     * every vector-index mode shares. */

@@ -143,9 +143,26 @@ object Snapshot {
         val panel = rest match {
           case Nil => Merkle.probePanel(docs)
           case "--probes" :: spec :: Nil =>
-            if (spec.nonEmpty && spec.forall(_.isDigit))
-              Merkle.probeSample(docs, spec.toInt)
-            else Merkle.probeIds(docs, spark.read.parquet(spec))
+            val asCount = scala.util.Try(spec.toInt).toOption.filter(_ >= 1)
+            val pathExists = {
+              val p = new org.apache.hadoop.fs.Path(spec)
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .exists(p)
+            }
+            (asCount, pathExists) match {
+              // a digit-named path is ambiguous — refuse rather than
+              // silently sampling a corpus-sized panel (prefix the path,
+              // e.g. ./20260816, to force the file reading)
+              case (Some(_), true) => sys.error(
+                s"--probes $spec is both a count and an existing path; " +
+                  "rename the file or reference it with a ./ prefix")
+              case (Some(n), false) => Merkle.probeSample(docs, n)
+              case (None, true) =>
+                Merkle.probeIds(docs, spark.read.parquet(spec))
+              case (None, false) => sys.error(
+                s"--probes $spec is neither a positive int (<= ${Int.MaxValue}) " +
+                  "nor an existing ids parquet path")
+            }
           case other => sys.error(
             s"usage: merkle-verify <docsDir> <treeDir> [--probes <n|idsParquet>] (got $other)")
         }
@@ -182,8 +199,15 @@ object Snapshot {
         // crash repair first: finish any interrupted removal
         val sweptTrash = dirs.filter(_.getPath.getName.endsWith(".trash"))
           .map { st => fs.delete(st.getPath, true); 1 }.sum
+        // Lineage order lives in the NAME (numeric runs compared
+        // numerically, so gen-10 > gen-9 without zero padding); mtime is
+        // only a tiebreak — a backup restore resets every dir's mtime to
+        // the copy instant, and an mtime-primary order would then let gc
+        // delete the current generation.
         val gens = dirs.filterNot(_.getPath.getName.endsWith(".trash"))
-          .sortBy(st => (st.getModificationTime, st.getPath.getName))
+          .sortBy(st => (naturalKey(st.getPath.getName),
+            st.getModificationTime))(
+            Ordering.Tuple2(naturalOrdering, Ordering.Long))
         val victims = gens.dropRight(keep)
         victims.foreach { st =>
           val trash = new Path(st.getPath.toString + ".trash")
@@ -192,10 +216,29 @@ object Snapshot {
           fs.delete(trash, true)
         }
         val kept = gens.takeRight(keep).map(_.getPath.getName).sorted
-        s"""{"mode":"gc","kept":${kept.length},"removed":${victims.length},"swept_trash":$sweptTrash,"generations":[${kept.map(n => s""""$n"""").mkString(",")}]}"""
+        s"""{"mode":"gc","kept":${kept.length},"removed":${victims.length},"swept_trash":$sweptTrash,"generations":[${kept.map(Json.str).mkString(",")}]}"""
 
       case other => sys.error(
         s"usage: write|diff|apply|gc|merkle-* ... (got $other)")
+    }
+
+  /** Natural-order key for a generation name: alternating non-digit and
+    * digit runs, digit runs compared NUMERICALLY (as BigInt — no length
+    * cap) — so gen-9 < gen-10 and 2024-02 < 2024-10 without padding. */
+  private def naturalKey(name: String): Seq[Either[String, BigInt]] =
+    "\\d+|\\D+".r.findAllIn(name).map { run =>
+      if (run.head.isDigit) Right(BigInt(run)) else Left(run)
+    }.toSeq
+
+  private val naturalOrdering: Ordering[Seq[Either[String, BigInt]]] =
+    (a, b) => {
+      val cmp = a.zip(b).iterator.map {
+        case (Left(x), Left(y)) => x.compareTo(y)
+        case (Right(x), Right(y)) => x.compare(y)
+        case (Left(_), Right(_)) => 1 // digits sort before text
+        case (Right(_), Left(_)) => -1
+      }.find(_ != 0).getOrElse(0)
+      if (cmp != 0) cmp else a.length.compareTo(b.length)
     }
 
   private def treeExists(spark: org.apache.spark.sql.SparkSession,

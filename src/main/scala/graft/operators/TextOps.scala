@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -420,6 +420,25 @@ object TextOps {
     (merges.toSeq.toDF("rnd", "l", "r", "pcnt", "n_tokens"), wc)
   }
 
+  /** Code-point string comparison — identical to Spark's UTF8String
+    * binary order (valid UTF-8's unsigned byte order IS code-point
+    * order). Java's natural String order compares UTF-16 units instead
+    * and disagrees exactly on supplementary characters vs U+E000–U+FFFF. */
+  private def compareCodePoints(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+  private val cpOrdering: Ordering[String] =
+    (x: String, y: String) => compareCodePoints(x, y)
+
   /** BPE learning at TOKENIZER scale — `bpeMerges`' production fast path
     * (VERDICT r15 #2). The distributed learner pays one driver round-trip
     * (a Spark job for the pair count + one for the merge fold) PER MERGE:
@@ -472,8 +491,14 @@ object TextOps {
       }
       if (pc.isEmpty) done = true
       else {
-        // max count, ties broken lexically on (l, r) — a total order, so
-        // the HashMap's iteration order can't leak into the result
+        // max count, ties broken lexically on (l, r) in CODE-POINT order
+        // — Spark's orderBy compares strings as UTF8String bytes, which
+        // is code-point order, NOT Java's UTF-16 unit order (a
+        // supplementary symbol sorts after U+E000..U+FFFF in Spark but
+        // before it in UTF-16 — the one corpus class where the two
+        // diverge). A total order either way, so the HashMap's
+        // iteration order can't leak into the result.
+        implicit val cpOrd: Ordering[String] = cpOrdering
         val ((l, r), pcnt) = pc.minBy { case ((a, b), c) => (-c, a, b) }
         vocab = vocab.map { case (syms, cnt) =>
           if (syms.length < 2) (syms, cnt)
@@ -630,6 +655,20 @@ object TextOps {
   private[operators] val PageD = "</p></div><div class=\"aside\">ad unit " +
     "300x250 click now</div><div class=\"footer\">copyright 2024 terms " +
     "privacy</div></body></html>"
+
+  /** The main-content STRING of one page column — the composable
+    * single-scan form a pipeline stage uses (`Curate --extract-main`
+    * swaps text in place via withColumn: one corpus scan, no self-join;
+    * `extractMain` is the audit-shaped frame around the same chain). */
+  def mainContentCol(html: Column, minChars: Int = MainMinChars): Column =
+    array_join(
+      transform(
+        filter(
+          split(regexp_replace(regexp_replace(html, ScriptRe, " "),
+            StyleRe, " "), TagRe),
+          b => length(trim(b)) >= lit(minChars)),
+        b => trim(b)),
+      " ")
 
   /** Wrap each document in the synthetic page chrome: (doc_id, html). */
   def markupPages(docs: DataFrame): DataFrame =

@@ -93,4 +93,28 @@ class SnapshotCliSpec extends AnyFunSuite {
       Snapshot.run(spark, List("gc", lineage, "--keep", "0"))
     }
   }
+
+  test("gc lineage order is natural name order: gen-10 outlives gen-9 even after a backup restore") {
+    // A restore (cp -r / rsync) resets every generation dir's mtime to
+    // the copy instant — mtime carries no lineage information, and plain
+    // lexical order would read gen-10 < gen-9. Natural order (digit runs
+    // compared numerically) must keep the CURRENT generation.
+    val base = java.nio.file.Files.createTempDirectory("graft-snapgc-nat")
+    val lineage = s"$base/lineage"
+    val docsA = base.resolve("docsA")
+    Tables.load(spark, sf, "documents")
+      .write.parquet(s"$docsA/documents.parquet")
+    Snapshot.run(spark, List("write", docsA.toString, s"$lineage/gen-9"))
+    Snapshot.run(spark, List("write", docsA.toString, s"$lineage/gen-10"))
+    // simulate the restore: identical mtimes on both generations
+    Seq("gen-9", "gen-10").foreach { g =>
+      assert(new java.io.File(s"$lineage/$g").setLastModified(1000000000000L))
+    }
+    val g = Snapshot.run(spark, List("gc", lineage, "--keep", "1"))
+    assert(g.contains(""""generations":["gen-10"]"""), g)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$lineage/gen-9")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$lineage/gen-10")))
+  }
 }

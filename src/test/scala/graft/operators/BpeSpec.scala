@@ -124,6 +124,21 @@ class BpeSpec extends AnyFunSuite {
       "exhausted learner must leave one token per corpus word")
   }
 
+  test("bpeMergesLocal tie-break uses code-point order (Spark's UTF8String binary order)") {
+    import spark.implicits._
+    // Two pairs tie on pcnt = 1; the left symbols straddle the one zone
+    // where Java UTF-16 order and code-point order DISAGREE: U+1F600
+    // (😀, UTF-16 lead surrogate D83D) sorts before U+E000 in UTF-16 but
+    // after it by code point — and Spark's orderBy compares UTF8String
+    // bytes, which is code-point order. Both learners must crown
+    // (U+E000, a).
+    val docs = Seq((1L, "😀a a")).toDF("doc_id", "text")
+    val dist = run(docs, 1)
+    val local = runLocal(docs, 1)
+    assert(dist === local)
+    assert(dist.head._2 === "", s"wrong tie-break winner: $dist")
+  }
+
   /** Reference segmentation: replay refBpe's merges over a word's chars —
     * the subword count q175 must reproduce through the engine path. */
   private def refSegment(words: Seq[String], rounds: Int): Map[String, Long] = {

@@ -239,6 +239,24 @@ class MerkleSpec extends AnyFunSuite {
     val vf = Snapshot.run(spark,
       List("merkle-verify", docsA, treeA, "--probes", idsPath))
     assert(vf.contains(""""probes":7""") && vf.contains(""""failed":0"""), vf)
+    // malformed specs fail with the contract, not a NumberFormatException
+    // or a silently-misrouted corpus-sized sample
+    val e1 = intercept[RuntimeException] { Snapshot.run(spark,
+      List("merkle-verify", docsA, treeA, "--probes", "0")) }
+    assert(e1.getMessage.contains("neither a positive int"), e1.getMessage)
+    val e2 = intercept[RuntimeException] { Snapshot.run(spark,
+      List("merkle-verify", docsA, treeA, "--probes", "99999999999")) }
+    assert(e2.getMessage.contains("neither a positive int"), e2.getMessage)
+    // a digit-named EXISTING path (relative — an absolute path is never
+    // an int) is ambiguous: refused, never silently sampled
+    val digitDir = new java.io.File("31415926").getAbsoluteFile
+    assert(digitDir.mkdir(), s"could not stage $digitDir")
+    try {
+      val e3 = intercept[RuntimeException] { Snapshot.run(spark,
+        List("merkle-verify", docsA, treeA, "--probes", "31415926")) }
+      assert(e3.getMessage.contains("both a count and an existing path"),
+        e3.getMessage)
+    } finally digitDir.delete()
 
     val c = Snapshot.run(spark, List("merkle-compact", treeA))
     assert(c.contains(""""mode":"merkle-compact""""), c)
