@@ -10,7 +10,7 @@ object Bench {
   // reads -1, same as the total. New rounds append one edge here.
   private val cohortEdges = Seq(
     "r12" -> (1, 152), "r13" -> (153, 170), "r14" -> (171, 173),
-    "r15" -> (174, 999))
+    "r15" -> (174, 192), "r16" -> (193, 999))
   private def qnum(name: String): Int =
     name.drop(1).takeWhile(_.isDigit).toInt
   private def cohortsOf(rs: Seq[(String, Double, Boolean)]): String =
