@@ -2587,5 +2587,128 @@ object TextOps {
               |SELECT doc_id, n_blocks, CAST(len(ks) AS BIGINT) AS n_kept,
               |       CAST(length(array_to_string(ks, ' ')) AS BIGINT) AS main_chars,
               |       array_to_string(ks, ' ') AS main
-              |FROM kept ORDER BY doc_id""".stripMargin)))
+              |FROM kept ORDER BY doc_id""".stripMargin)),
+
+    // ── Tokenizer fertility by language (the BPE equity audit) ──
+    QueryDef(
+      "q194_bpe_fertility",
+      (s, dir) => {
+        // The number a multilingual pipeline reads right after learning a
+        // vocabulary: subword tokens per word, BY LANGUAGE. A shared BPE
+        // vocab learned on a mixed corpus over-segments the languages it
+        // under-represents (their merges never win a round), so their
+        // documents cost more tokens per word — the training-budget and
+        // context-window tax usually called tokenizer fertility. Per
+        // lang: words, subword tokens under the q174 vocab, and fertility
+        // in permille (integer div — order-free, engine-exact).
+        //
+        // 100 TB shape: learning runs on the vocab frame (q174's
+        // discipline); this adds ONE corpus word scan joined to the
+        // broadcast vocab-sized segmentation table, collapsing to a
+        // |langs|-row grid. Same join shape as q175, keyed by lang
+        // instead of doc.
+        val (_, vocab) = bpeLearn(Tables.load(s, dir, "documents"), BpeRounds)
+        val seg = vocab.select(
+          regexp_replace(col("repr"), "[|]", "").as("w"),
+          size(split(col("repr"), "[|]")).cast("long").as("n_sub"))
+        Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            explode(split(trim(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .join(broadcast(seg), Seq("w"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subtokens"))
+          .select(col("lang"), col("n_words"), col("n_subtokens"),
+            expr("(n_subtokens * 1000) div n_words").as("fertility_permille"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${bpeCtes(BpeRounds)},
+              |seg AS (
+              |  SELECT replace(repr, '|', '') AS w,
+              |         CAST(length(repr) - length(replace(repr, '|', '')) + 1 AS BIGINT) AS n_sub
+              |  FROM w$BpeRounds),
+              |words AS (
+              |  SELECT lang, w FROM (
+              |    SELECT lang, unnest(string_split(trim(text), ' ')) AS w FROM documents) t
+              |  WHERE w <> '')
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+              |       CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+              |       CAST((sum(n_sub) * 1000) // count(*) AS BIGINT) AS fertility_permille
+              |FROM words JOIN seg USING (w)
+              |GROUP BY lang
+              |ORDER BY lang""".stripMargin)),
+
+    // ── Kneser–Ney discounted bigram LM table ──
+    QueryDef(
+      "q195_kn_bigram",
+      (s, dir) => {
+        // The n-gram LM artifact behind classic perplexity-based quality
+        // filtering (and the DSIR-adjacent importance weights): the
+        // bigram table with absolute-discount Kneser–Ney smoothing
+        // (Kneser & Ney 1995; Chen & Goodman 1999), D = 0.75, all in
+        // integer permille so the probabilities are order-free and
+        // engine-exact (the q124/q170 fixed-point discipline, quarters
+        // scaled by 250: (c − 0.75)/c1 · 1000 = (4c − 3) · 250 / c1):
+        //
+        //   p_kn(w2|w1) ≈ (c − D)/c(w1·)
+        //               + D · N1+(w1,·)/c(w1·) · N1+(·,w2)/T
+        //
+        // with N1+ the continuation-type counts and T the bigram type
+        // total — the KN insight that a word's unigram backoff weight is
+        // how many CONTEXTS it completes, not how often it occurs.
+        //
+        // 100 TB shape: ONE corpus scan explodes in-row adjacent word
+        // pairs (per-doc sequences — no cross-doc state); everything
+        // after runs on the bigram TYPE table (map-side combined, bounded
+        // by observed vocabulary pairs — the LM artifact itself): the
+        // c(w1·)/N1+(w1,·) and N1+(·,w2) legs are two grid-keyed
+        // aggregations of that table joined back on their own keys, and
+        // the 1-row type total broadcasts. No window, no corpus-keyed
+        // join.
+        val pairs = Tables.load(s, dir, "documents")
+          .select(split(trim(col("text")), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(ws) - 1)," +
+              " i -> struct(element_at(ws, i) AS w1," +
+              " element_at(ws, i + 1) AS w2))")).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // three grid consumers below
+        val left = big.groupBy("w1")
+          .agg(sum("c").as("c1"), count(lit(1)).as("n1r"))
+        val cont = big.groupBy("w2").agg(count(lit(1)).as("n1l"))
+        val types = big.agg(count(lit(1)).as("t"))
+        big.join(left, Seq("w1")).join(cont, Seq("w2"))
+          .crossJoin(broadcast(types))
+          .select(col("w1"), col("w2"), col("c"),
+            expr("((4 * c - 3) * 250) div c1").as("disc_permille"),
+            expr("(((750 * n1r) div c1) * ((1000 * n1l) div t)) div 1000")
+              .as("backoff_permille"))
+          .select(col("w1"), col("w2"), col("c"),
+            col("disc_permille"), col("backoff_permille"),
+            (col("disc_permille") + col("backoff_permille"))
+              .as("p_kn_permille"))
+          .orderBy("w1", "w2")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT p.w1, p.w2 FROM (
+             |    SELECT unnest([struct_pack(w1 := ws[i], w2 := ws[i + 1]) for i in range(1, len(ws))]) AS p
+             |    FROM (SELECT string_split(trim(text), ' ') AS ws FROM documents) t
+             |    WHERE len(ws) >= 2) u),
+             |big AS MATERIALIZED (
+             |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+             |lft AS (
+             |  SELECT w1, CAST(sum(c) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1r
+             |  FROM big GROUP BY w1),
+             |cont AS (
+             |  SELECT w2, CAST(count(*) AS BIGINT) AS n1l FROM big GROUP BY w2),
+             |ty AS (SELECT CAST(count(*) AS BIGINT) AS t FROM big)
+             |SELECT w1, w2, c,
+             |       CAST(((4 * c - 3) * 250) // c1 AS BIGINT) AS disc_permille,
+             |       CAST((((750 * n1r) // c1) * ((1000 * n1l) // t)) // 1000 AS BIGINT) AS backoff_permille,
+             |       CAST(((4 * c - 3) * 250) // c1
+             |            + (((750 * n1r) // c1) * ((1000 * n1l) // t)) // 1000 AS BIGINT) AS p_kn_permille
+             |FROM big JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN ty
+             |ORDER BY w1, w2""".stripMargin)))
 }

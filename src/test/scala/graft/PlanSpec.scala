@@ -1333,6 +1333,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("n_chars") && !read.contains("lang"), read)
   }
 
+  test("q194 fertility: vocab segmentation broadcasts; lang-keyed agg only, no window") {
+    assert(collectAll("q194_bpe_fertility") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q194_bpe_fertility") { case j: SortMergeJoinExec => j }.isEmpty)
+    assert(collectAll("q194_bpe_fertility") { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the vocab-sized segmentation table must broadcast")
+  }
+
+  test("q195 KN bigrams: no window; every exchange keyed on the bigram grid") {
+    assert(collectAll("q195_kn_bigram") { case w: WindowExec => w }.isEmpty)
+    hashShuffleKeys("q195_kn_bigram").foreach { keys =>
+      assert(keys.subsetOf(Set("w1", "w2")), s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q190 pack sweep: q51's √N-blocked windows; exchanges stay block- or grid-keyed") {
     // block-keyed cumsum window + the global window over the √N block
     // aggregate (q51's pinned shape), then the 4-row budget grid — no

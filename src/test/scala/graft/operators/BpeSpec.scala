@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.{SharedSpark, Tables}
+import graft.{SharedSpark, SparkEntry, Tables}
 
 /** q174 BPE vocabulary learning: the distributed pair-count + greedy
   * string-fold merge must agree with an INDEPENDENT scalar reference
@@ -158,6 +158,27 @@ class BpeSpec extends AnyFunSuite {
       }.toMap
     }
     seg.view.mapValues(_.size.toLong).toMap
+  }
+
+  test("q194 fertility == reference segmentation grouped by language") {
+    val docs = Tables.load(spark, dir, "documents")
+    val langWords = docs
+      .select(col("lang"), split(trim(col("text")), " ").as("ws"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).filter(_.nonEmpty).toSeq)
+    val seg = refSegment(langWords.flatMap(_._2).toSeq, TextOps.BpeRounds)
+    val want = langWords.groupBy(_._1).view.mapValues { rows =>
+      val ws = rows.flatMap(_._2).filter(seg.contains)
+      val sub = ws.map(seg).sum
+      (ws.size.toLong, sub, sub * 1000 / ws.size)
+    }.toMap
+    val got = SparkEntry.queries("q194_bpe_fertility")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want && got.nonEmpty)
+    // the audit's point: fertility is a small-integer permille ≥ 1000
+    // (a word is at least one subword)
+    assert(got.values.forall(_._3 >= 1000L))
   }
 
   test("q175 encode == per-word reference segmentation applied to every doc") {

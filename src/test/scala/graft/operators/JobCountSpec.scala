@@ -93,8 +93,11 @@ class JobCountSpec extends AnyFunSuite {
     "q182_merkle_drift", "q183_merkle_proof", "q184_merkle_from_store",
     // q174/q175 run BpeRounds merge rounds over the checkpointed
     // vocab-sized word-frequency frame at construction (each round pulls
-    // the 1-row winning pair — the q170 barrier'd-iteration discipline).
-    "q174_bpe_merges", "q175_bpe_encode",
+    // the 1-row winning pair — the q170 barrier'd-iteration discipline);
+    // q194 reuses the same learner for its vocabulary; q195 barriers the
+    // bigram TYPE table (three grid consumers fan out of it).
+    "q174_bpe_merges", "q175_bpe_encode", "q194_bpe_fertility",
+    "q195_kn_bigram",
     // q178/q179/q180/q192 build the persisted sketch store into a
     // scratch dir at construction (the from-store discipline); q192
     // additionally pulls its ≤ MgK candidate set + word total to the
