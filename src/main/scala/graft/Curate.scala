@@ -66,6 +66,16 @@ import graft.operators.{Dedup, TextOps}
   *                         identical to --bench on the registry's own
   *                         corpus (CurateSpec pins it). Mutually exclusive
   *                         with --bench.
+  *   --lm-store <index>    q196's production form: score survivors against
+  *                         the PERSISTED KN bigram LM (`Index build-lm` on
+  *                         a frozen high-quality reference corpus — the
+  *                         CCNet perplexity-filter arrangement) and drop
+  *                         docs whose mean conditional predictability
+  *                         reads below --lm-min permille (default 1 —
+  *                         drop only fully-out-of-model text). Runs on
+  *                         the pre-redaction surface, the same one the
+  *                         reference LM saw; docs too short to form a
+  *                         bigram never score and are kept (no evidence).
   *
   * Every stage is the library operator, not a reimplementation, so the
   * scale posture is exactly what the per-operator specs pin: one hash
@@ -90,7 +100,9 @@ object Curate {
       fuzzyTau: Option[Double] = None,
       registryPath: Option[String] = None,
       contamK: Int = Dedup.ContamK,
-      tau: Double = Dedup.JaccardTau)
+      tau: Double = Dedup.JaccardTau,
+      lmStorePath: Option[String] = None,
+      lmMin: Long = 1L)
 
   def main(args: Array[String]): Unit = {
     val cfg = parse(args.toList)
@@ -107,7 +119,8 @@ object Curate {
     val usage = "usage: Curate <docsDir> <outDir> [tokenBudget] " +
       "[--extract-main] " +
       "[--strip-boilerplate] [--bp-df N] [--strip-selfrep] [--strip-crossdoc] " +
-      "[--bench <parquet>] [--fuzzy-tau X] [--registry <index>] [--contam-k N] [--tau X]"
+      "[--bench <parquet>] [--fuzzy-tau X] [--registry <index>] [--contam-k N] [--tau X] " +
+      "[--lm-store <index>] [--lm-min P]"
     def loop(rest: List[String], cfg: Config): Config = rest match {
       case Nil => cfg
       case "--extract-main" :: t => loop(t, cfg.copy(extractMain = true))
@@ -120,6 +133,8 @@ object Curate {
       case "--registry" :: v :: t => loop(t, cfg.copy(registryPath = Some(v)))
       case "--contam-k" :: v :: t => loop(t, cfg.copy(contamK = v.toInt))
       case "--tau" :: v :: t => loop(t, cfg.copy(tau = v.toDouble))
+      case "--lm-store" :: v :: t => loop(t, cfg.copy(lmStorePath = Some(v)))
+      case "--lm-min" :: v :: t => loop(t, cfg.copy(lmMin = v.toLong))
       case v :: t if !v.startsWith("--") && cfg.budget == 2048L =>
         loop(t, cfg.copy(budget = v.toLong))
       case other => sys.error(s"$usage (unparsed: $other)")
@@ -259,9 +274,26 @@ object Curate {
       if (cfg.benchPath.isDefined || cfg.registryPath.isDefined) decon.count()
       else nCross
 
+    // 4b. (optional) Reference-LM perplexity filter (q196's production
+    //     form, `IndexStore.lmScore`): mean KN conditional predictability
+    //     against the persisted reference LM, drop below --lm-min
+    //     permille. BEFORE redaction so the scored surface is the one the
+    //     reference LM was built on (<EMAIL>/<NUM> sentinels would read
+    //     as spurious OOV). Anti-join on the LOW scores: unscoreable
+    //     docs (< 2 words) are kept — absence of evidence.
+    val lmFiltered = cfg.lmStorePath match {
+      case None => decon
+      case Some(sp) =>
+        decon.join(
+          operators.IndexStore.lmScore(decon, sp)
+            .filter(col("score_permille") < cfg.lmMin).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+    }
+    val nLm = if (cfg.lmStorePath.isDefined) lmFiltered.count() else nDecon
+
     // 5. PII redaction: emails first (they contain digit runs), then digit
     //    runs — the q61 two-pass order, a pure codegen'd projection.
-    val redacted = decon.withColumn("text",
+    val redacted = lmFiltered.withColumn("text",
       regexp_replace(
         regexp_replace(col("text"), TextOps.EmailRe, "<EMAIL>"),
         TextOps.NumRe, "<NUM>"))
@@ -291,7 +323,7 @@ object Curate {
     val nPacks = written.agg(countDistinct("pack_id")).head().getLong(0)
 
     val json =
-      s"""{"docs_in":$nIn,"after_extract_main":$nMain,"after_exact_dedup":$nExact,"after_boilerplate":$nStripped,"after_selfrep":$nSelf,"after_neardup":$nKept,"after_crossdoc":$nCross,"after_decontam":$nDecon,"after_quality_cut":$nOut,"packs":$nPacks,"token_budget":${cfg.budget},"out":"${cfg.outDir}/curated.parquet"}"""
+      s"""{"docs_in":$nIn,"after_extract_main":$nMain,"after_exact_dedup":$nExact,"after_boilerplate":$nStripped,"after_selfrep":$nSelf,"after_neardup":$nKept,"after_crossdoc":$nCross,"after_decontam":$nDecon,"after_lm_filter":$nLm,"after_quality_cut":$nOut,"packs":$nPacks,"token_budget":${cfg.budget},"out":"${cfg.outDir}/curated.parquet"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(s"${cfg.outDir}/stats.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     json

@@ -53,6 +53,10 @@ import graft.operators.IndexStore
   *   sbt "runMain graft.Index sketch-report <indexPath>"
   *   sbt "runMain graft.Index cms-lookup <indexPath> <token>"
   *   sbt "runMain graft.Index compact-sketches <indexPath>"
+  *   sbt "runMain graft.Index build-lm <docsDir> <indexPath>"
+  *   sbt "runMain graft.Index append-lm <batchDocsDir> <indexPath>"
+  *   sbt "runMain graft.Index lm-report <indexPath>"
+  *   sbt "runMain graft.Index compact-lm <indexPath>"
   *   sbt "runMain graft.Index gc <indexPath>"
   *
   * `build-*` pays the one-time linear corpus cost; `dedupe` runs a crawl
@@ -434,6 +438,49 @@ object Index {
           .mkString(",")
         s"""{"mode":"sketch-report","grams":[$est],"words":[$tot],"lens":[$lq],"heavy_hitters":[$hh],"index":"$path"}"""
 
+      case "build-lm" :: docsDir :: path :: Nil =>
+        // q195/q199's standing artifact: the bigram TYPE table (the KN
+        // LM's whole state — margins/continuations/total all derive from
+        // it on read, so nothing can drift). One pair scan, vocab²-
+        // bounded store.
+        val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+        val n = docs.count()
+        IndexStore.saveBigramLM(docs, path)
+        val types = IndexStore.loadBigramLM(spark, path).count()
+        s"""{"mode":"build-lm","docs":$n,"bigram_types":$types,"index":"$path"}"""
+
+      case "append-lm" :: batchDir :: path :: Nil =>
+        // The crawl-loop update: the batch's own (w1, w2, c) grid lands
+        // as new rows; counts are sum-mergeable so readers fold —
+        // served KN table == a full rebuild (IndexStoreSpec pins it).
+        val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+        val n = batch.count()
+        IndexStore.appendBigramBatch(batch, path)
+        val types = IndexStore.loadBigramLM(spark, path).count()
+        s"""{"mode":"append-lm","batch":$n,"bigram_types":$types,"index":"$path"}"""
+
+      case "compact-lm" :: path :: Nil =>
+        // Materialize the sum fold (file-count hygiene; readers fold
+        // either way) — same staged rename-swap contract as the rest.
+        val before = spark.read.parquet(s"$path/lm/bigrams").count()
+        IndexStore.compactBigramLM(spark, path)
+        val after = spark.read.parquet(s"$path/lm/bigrams").count()
+        s"""{"mode":"compact-lm","rows_before":$before,"rows_after":$after,"index":"$path"}"""
+
+      case "lm-report" :: path :: Nil =>
+        // Store-only LM glance: type/token totals and the top conditional
+        // continuations per the KN table — catalog cost, corpus never
+        // re-read.
+        val big = IndexStore.loadBigramLM(spark, path)
+        val stats = big.agg(count(lit(1)).as("types"), sum("c").as("toks"))
+          .head()
+        val top = IndexStore.knFromStore(spark, path)
+          .orderBy(col("p_kn_permille").desc, col("w1"), col("w2"))
+          .limit(5).collect()
+          .map(r => s"""{"w1":${jstr(r.getString(0))},"w2":${jstr(r.getString(1))},"p_kn_permille":${r.getLong(5)}}""")
+          .mkString(",")
+        s"""{"mode":"lm-report","bigram_types":${stats.getLong(0)},"bigram_tokens":${stats.getLong(1)},"top":[$top],"index":"$path"}"""
+
       case "cms-lookup" :: path :: token :: Nil =>
         // Point-frequency estimate for one token from the persisted
         // grid: D cell lookups, never a corpus query. An absent cell
@@ -593,7 +640,7 @@ object Index {
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(
-        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|compact-grams|compact-lsh|compact-phash|compact-pq|compact-ivf|compact-winnow|build-ivfpq|fused-search|build-provenance|append-provenance|provenance|authority|build-sketches|append-sketches|sketch-report|cms-lookup|compact-sketches|gc|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
+        s"usage: build-lsh|dedupe|build-ivf|append-ivf|search|build-pq|append-pq|search-pq|build-pairs|append-pairs|audit|build-winnow|append-winnow|winnow-audit|winnow-check|build-phash|phash-dedupe|phash-audit|phash-search|build-grams|strip-batch|compact-grams|compact-lsh|compact-phash|compact-pq|compact-ivf|compact-winnow|build-ivfpq|fused-search|build-provenance|append-provenance|provenance|authority|build-sketches|append-sketches|sketch-report|cms-lookup|compact-sketches|build-lm|append-lm|lm-report|compact-lm|gc|components|consolidate|consolidate-phash|build-registry|decontam ... (got $other)")
     }
 
   /** JSON string literal for ARBITRARY corpus text (ADVICE r15): unlike

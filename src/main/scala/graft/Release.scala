@@ -39,6 +39,11 @@ import graft.operators.Audit
   *                       persisted histogram ledger)
   *   - `shards/`         q156 dataloader shard manifest + mixture parity
   *   - `calibration/`    q154 quality-score reliability bins
+  *   - `fertility/`      q194 tokenizer fertility by language (the BPE
+  *                       equity number a multilingual consumer reads
+  *                       before budgeting context windows)
+  *   - `zipf/`           q198 rank–frequency audit (the distribution-
+  *                       shape sanity table)
   *
   * and prints ONE JSON summary line (docs, sources, exposure, the
   * smallest anonymous rung, root count, the dp salt — printed exactly
@@ -75,7 +80,9 @@ object Release {
     "pii" -> "q163_pii_audit",
     "len_quantiles" -> "q180_len_quantiles_from_store",
     "shards" -> "q156_shard_manifest",
-    "calibration" -> "q154_score_calibration")
+    "calibration" -> "q154_score_calibration",
+    "fertility" -> "q194_bpe_fertility",
+    "zipf" -> "q198_zipf_audit")
 
   /** Runs one mode; returns the JSON summary line (testable seam). */
   def run(spark: SparkSession, args: List[String]): String = args match {

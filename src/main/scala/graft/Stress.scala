@@ -170,6 +170,8 @@ object Stress {
         bpeStress(spark, args(1), args(2).toInt)
       case Some("sketch") =>
         sketchStress(spark, args(1), args(2).toInt)
+      case Some("lm") =>
+        lmStress(spark, args(1), args(2).toInt)
       case Some("merkle") =>
         merkleStress(spark, args(1), args(2).toInt)
       case Some("placement") =>
@@ -1492,6 +1494,40 @@ object Stress {
       val deep = TextOps.bpeMergesLocal(docs, deepBudget).orderBy("rnd").collect()
       val deepSec = (System.nanoTime() - tD) / 1e9
       println(f"""{"mode":"bpe","corpus":"$tag","docs":$n,"vocab":$vocab,"rounds":${rows.length},"scan_sec":$scanSec%.2f,"wall_sec":$wallSec%.2f,"rounds_sec":${wallSec - scanSec}%.2f,"final_merge":"${last.getString(1)}+${last.getString(2)}","final_n_tokens":${last.getLong(4)},"local10_sec":$local10Sec%.2f,"local_prefix_match":$prefixOk,"deep_budget":$deepBudget,"deep_merges":${deep.length},"deep_sec":$deepSec%.2f}""")
+    }
+  }
+
+  /** The q195–q198 LM/corpus-statistics family under natural vocabulary
+    * growth (growDocs — the `growth` twin where suffixed words genuinely
+    * widen the vocab, so the bigram TYPE table — the artifact every leg
+    * past the scan runs on — grows too): walls and artifact sizes for the
+    * KN table build, the held-out scoring pass, the collocation lift
+    * table, and the Zipf rank audit, at base and mult×. The 100 TB claim
+    * under test: the corpus pays ONE pair/word scan per query and
+    * everything else is vocab²-bounded, so walls track the scan (linear)
+    * while the served grids stay artifact-sized. Measured via the graded
+    * SparkEntry plans themselves with the toRdd.count() discipline. */
+  def lmStress(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val bigDir = scratch("lm", sfDir, mult)
+    growDocs(spark, sfDir, mult).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    Seq(("base", sfDir), (s"${mult}x", bigDir)).foreach { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val vocab = docs
+        .select(explode(split(trim(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "").distinct().count()
+      def wall(q: String): (Double, Long) = {
+        val t = System.nanoTime()
+        val rows = SparkEntry.queries(q)(spark, dir)
+          .queryExecution.toRdd.count()
+        ((System.nanoTime() - t) / 1e9, rows)
+      }
+      val (tblSec, tblRows) = wall("q195_kn_bigram")
+      val (scSec, scRows) = wall("q196_lm_doc_score")
+      val (liftSec, liftRows) = wall("q197_collocations")
+      val (zipfSec, zipfRows) = wall("q198_zipf_audit")
+      println(f"""{"mode":"lm","corpus":"$tag","docs":$n,"vocab":$vocab,"kn_table_rows":$tblRows,"kn_table_sec":$tblSec%.2f,"score_docs":$scRows,"score_sec":$scSec%.2f,"lift_rows":$liftRows,"lift_sec":$liftSec%.2f,"zipf_rows":$zipfRows,"zipf_sec":$zipfSec%.2f}""")
     }
   }
 

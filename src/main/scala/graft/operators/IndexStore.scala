@@ -951,6 +951,62 @@ object IndexStore {
         expr("sumc / nw / tot").as("familiarity"))
   }
 
+  // ── Bigram LM state (q195's standing form) ──
+
+  /** Persist the bigram TYPE table — the KN LM's standing state (the
+    * n-gram-LM sibling of `saveUnigramLM`): one corpus pair scan folded
+    * to (w1, w2, c), vocab²-bounded. Counts are SUM-mergeable, so a
+    * batch appends its own grid rows and readers fold — the sketch-store
+    * ledger discipline (no read-modify-write, crash-safe by parquet
+    * append). Margins, continuation-type counts, and the type total all
+    * DERIVE from the folded table on read, so they can never drift from
+    * the counts. */
+  def saveBigramLM(docs: DataFrame, path: String): Unit =
+    TextOps.knPairs(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$path/lm/bigrams")
+
+  /** Append a crawl batch's bigram grid (the batch's OWN fold — grid
+    * rows, not pairs, cross the write). */
+  def appendBigramBatch(batch: DataFrame, path: String): Unit =
+    TextOps.knPairs(batch).groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .write.mode("append").parquet(s"$path/lm/bigrams")
+
+  /** Materialize the read-side fold (file-count hygiene after a long
+    * append history — the store is CORRECT without it). Staged write +
+    * swap, the compaction discipline every other store uses. */
+  def compactBigramLM(spark: SparkSession, path: String): Unit =
+    swapRewrite(spark, s"$path/lm/bigrams",
+      loadBigramLM(spark, path), Seq("w1", "w2"), None, parts = 4)
+
+  /** The folded standing bigram table at `path`. */
+  def loadBigramLM(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/lm/bigrams")
+      .groupBy("w1", "w2").agg(sum("c").as("c"))
+
+  /** q195's KN table served FROM the store: legs re-derived from the
+    * folded counts (localCheckpointed — three grid consumers), so a
+    * store built+appended over slices of a corpus serves bit-identically
+    * to the in-query learner on the union (IndexStoreSpec pins it; q199
+    * grades it through q195's own oracle). */
+  def knFromStore(spark: SparkSession, path: String): DataFrame = {
+    val big = loadBigramLM(spark, path).localCheckpoint(true)
+    val (lft, cont, types) = TextOps.knDerive(big)
+    TextOps.knTable(big, lft, cont, types)
+  }
+
+  /** q196's production scoring form — the frozen-reference-LM arrangement
+    * (CCNet): score `docs` by mean KN conditional predictability against
+    * the PERSISTED bigram LM, never against themselves. Same output shape
+    * and arithmetic as q196 (`TextOps.knScore` is the one shared tail);
+    * scored against a store built on q196's train slice it reproduces
+    * q196 bit-for-bit (IndexStoreSpec pins it). This is what
+    * `Curate --lm-store` filters with. */
+  def lmScore(docs: DataFrame, path: String): DataFrame = {
+    val big = loadBigramLM(docs.sparkSession, path).localCheckpoint(true)
+    val (lft, cont, types) = TextOps.knDerive(big)
+    TextOps.knScore(docs, big, lft, cont, types)
+  }
+
   // ── Corpus-statistics sketch store (q178/q179's at-rest form) ──
 
   /** Persist the standing corpus's SKETCH STATE at `path` — the bounded

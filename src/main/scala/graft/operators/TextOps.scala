@@ -703,6 +703,130 @@ object TextOps {
       .select(col("doc_id"), col("n_blocks"), col("n_kept"),
         length(col("main")).cast("long").as("main_chars"), col("main"))
 
+  // ── q195/q196 Kneser–Ney bigram LM family ──
+  /** q196 held-out split modulus: the LM trains on doc_id % KnHold != 0,
+    * scoring runs on the held-out % KnHold == 0 slice (the q86/q106
+    * frozen-reference convention, flipped to the CCNet arrangement —
+    * score target docs under an LM learned on the reference corpus). */
+  val KnHold = 5
+
+  /** q197 collocation minimum support: bigram token count below which an
+    * association ratio is noise (a 1-occurrence pair always reads as a
+    * perfect collocation). */
+  val MinColloc = 5
+
+  /** In-document adjacent word pairs (the bigram explode shared by q195/
+    * q196/q197, the store builders, and the streaming twin): per-doc
+    * sequences only — no cross-doc state, ≤1 output row per word. `keep`
+    * columns ride along (q196 keeps doc_id). */
+  private[graft] def knPairs(docs: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
+    val ks = keep.map(col)
+    docs.select(ks :+ split(trim(col("text")), " ").as("ws"): _*)
+      .filter(size(col("ws")) >= 2)
+      .select(ks :+ explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> struct(element_at(ws, i) AS w1," +
+          " element_at(ws, i + 1) AS w2))")).as("p"): _*)
+      .select(ks ++ Seq(col("p.w1").as("w1"), col("p.w2").as("w2")): _*)
+  }
+
+  /** The KN bigram LM's four legs over `docs`: the bigram TYPE table
+    * `big(w1, w2, c)` (map-side combined, bounded by observed vocabulary
+    * pairs — localCheckpointed, it feeds three grid consumers), left
+    * context totals `lft(w1, c1, n1r)`, continuation-type counts
+    * `cont(w2, n1l)`, and the 1-row type total `types(t)`. Everything
+    * past `big` runs on vocab²-bounded frames — corpus size never enters
+    * a round trip. Shared by q195 (full corpus) and q196 (train slice). */
+  private[operators] def knLegs(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val big = knPairs(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val (lft, cont, types) = knDerive(big)
+    (big, lft, cont, types)
+  }
+
+  /** The three derived legs from an already-folded bigram TYPE table —
+    * shared with `IndexStore.knFromStore`/`lmScore`, where `big` comes
+    * from the persisted store instead of a pair scan, so the derivations
+    * can never drift between the in-query and standing forms. */
+  private[graft] def knDerive(big: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val lft = big.groupBy("w1")
+      .agg(sum("c").as("c1"), count(lit(1)).as("n1r"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("n1l"))
+    val types = big.agg(count(lit(1)).as("t"))
+    (lft, cont, types)
+  }
+
+  /** q196's scoring tail over arbitrary legs: score `docs` by mean KN
+    * conditional predictability under the LM the legs describe. Shared
+    * by the in-query q196 (legs from the train slice) and
+    * `IndexStore.lmScore` (legs from the persisted store — the frozen
+    * reference-LM arrangement `Curate --lm-store` filters with). */
+  private[graft] def knScore(docs: DataFrame, big: DataFrame,
+      lft: DataFrame, cont: DataFrame, types: DataFrame): DataFrame = {
+    val lm = knTable(big, lft, cont, types)
+      .select("w1", "w2", "p_kn_permille")
+    knPairs(docs, Seq("doc_id"))
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(lft, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .select(col("doc_id"),
+        when(col("p_kn_permille").isNotNull, col("p_kn_permille"))
+          .when(col("c1").isNotNull && col("n1l").isNotNull,
+            expr("(((750 * n1r) div c1) * ((1000 * n1l) div t)) div 1000"))
+          .otherwise(lit(0L)).as("sc"),
+        col("p_kn_permille").isNotNull.cast("long").as("seen"),
+        (col("p_kn_permille").isNull && col("c1").isNotNull &&
+          col("n1l").isNotNull).cast("long").as("bo"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("seen").as("n_seen"),
+        sum("bo").as("n_backoff"), sum("sc").as("sump"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_seen"),
+        col("n_backoff"),
+        (col("n_bigrams") - col("n_seen") - col("n_backoff"))
+          .as("n_oov"),
+        expr("sump div n_bigrams").as("score_permille"))
+  }
+
+  /** The assembled KN table (q195's output shape): discounted term +
+    * continuation backoff, quarters × 250 fixed point ((c − 0.75)/c1 ·
+    * 1000 = (4c − 3) · 250 / c1) so every probability is an order-free
+    * integer permille. */
+  private[operators] def knTable(big: DataFrame, lft: DataFrame,
+      cont: DataFrame, types: DataFrame): DataFrame =
+    big.join(lft, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c"),
+        expr("((4 * c - 3) * 250) div c1").as("disc_permille"),
+        expr("(((750 * n1r) div c1) * ((1000 * n1l) div t)) div 1000")
+          .as("backoff_permille"))
+      .select(col("w1"), col("w2"), col("c"),
+        col("disc_permille"), col("backoff_permille"),
+        (col("disc_permille") + col("backoff_permille"))
+          .as("p_kn_permille"))
+
+  /** DuckDB twin of `knPairs` + `knLegs` as CTEs `pairs`/`big`/`lft`/
+    * `cont`/`ty` over documents rows matching `pred`; `big` is
+    * MATERIALIZED (three downstream references — the q170 re-inline
+    * hazard). Shared by the q195/q196/q197 oracles. */
+  private[operators] def knCtes(pred: String): String =
+    s"""pairs AS (
+       |  SELECT p.w1, p.w2 FROM (
+       |    SELECT unnest([struct_pack(w1 := ws[i], w2 := ws[i + 1]) for i in range(1, len(ws))]) AS p
+       |    FROM (SELECT string_split(trim(text), ' ') AS ws FROM documents WHERE $pred) t
+       |    WHERE len(ws) >= 2) u),
+       |big AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+       |lft AS (
+       |  SELECT w1, CAST(sum(c) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1r
+       |  FROM big GROUP BY w1),
+       |cont AS (
+       |  SELECT w2, CAST(count(*) AS BIGINT) AS n1l FROM big GROUP BY w2),
+       |ty AS (SELECT CAST(count(*) AS BIGINT) AS t FROM big)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Language ID: n-gram/marker heuristic ──
@@ -2665,50 +2789,199 @@ object TextOps {
         // aggregations of that table joined back on their own keys, and
         // the 1-row type total broadcasts. No window, no corpus-keyed
         // join.
-        val pairs = Tables.load(s, dir, "documents")
-          .select(split(trim(col("text")), " ").as("ws"))
-          .filter(size(col("ws")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, size(ws) - 1)," +
-              " i -> struct(element_at(ws, i) AS w1," +
-              " element_at(ws, i + 1) AS w2))")).as("p"))
-          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-          .localCheckpoint(true) // three grid consumers below
-        val left = big.groupBy("w1")
-          .agg(sum("c").as("c1"), count(lit(1)).as("n1r"))
-        val cont = big.groupBy("w2").agg(count(lit(1)).as("n1l"))
-        val types = big.agg(count(lit(1)).as("t"))
-        big.join(left, Seq("w1")).join(cont, Seq("w2"))
-          .crossJoin(broadcast(types))
-          .select(col("w1"), col("w2"), col("c"),
-            expr("((4 * c - 3) * 250) div c1").as("disc_permille"),
-            expr("(((750 * n1r) div c1) * ((1000 * n1l) div t)) div 1000")
-              .as("backoff_permille"))
-          .select(col("w1"), col("w2"), col("c"),
-            col("disc_permille"), col("backoff_permille"),
-            (col("disc_permille") + col("backoff_permille"))
-              .as("p_kn_permille"))
+        val (big, lft, cont, types) =
+          knLegs(Tables.load(s, dir, "documents"))
+        knTable(big, lft, cont, types).orderBy("w1", "w2")
+      },
+      Some(s"""WITH ${knCtes("TRUE")}
+              |SELECT w1, w2, c,
+              |       CAST(((4 * c - 3) * 250) // c1 AS BIGINT) AS disc_permille,
+              |       CAST((((750 * n1r) // c1) * ((1000 * n1l) // t)) // 1000 AS BIGINT) AS backoff_permille,
+              |       CAST(((4 * c - 3) * 250) // c1
+              |            + (((750 * n1r) // c1) * ((1000 * n1l) // t)) // 1000 AS BIGINT) AS p_kn_permille
+              |FROM big JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN ty
+              |ORDER BY w1, w2""".stripMargin)),
+
+    // ── Held-out document scoring under the KN bigram LM ──
+    QueryDef(
+      "q196_lm_doc_score",
+      (s, dir) => {
+        // The perplexity filter proper (CCNet, Wenzek et al. 2020),
+        // completing the LM family: q195 LEARNS the smoothed table, this
+        // USES it — score held-out documents (doc_id % KnHold == 0) by
+        // mean conditional predictability under an LM trained on the
+        // other slices. Where q106 counts raw bigram hits against a
+        // frozen slice, this applies the SMOOTHING: a held-out bigram the
+        // train slice never saw still earns the Kneser–Ney backoff mass
+        // λ(w1)·p_cont(w2) as long as both margins are known — the whole
+        // point of the discount — and only a truly out-of-model pair
+        // (unseen w1 context or w2 continuation) scores 0 and counts as
+        // OOV. All integer permille (no log/perplexity exponent: ln() is
+        // the cross-engine ulp hazard, and a monotone transform changes
+        // no filter decision). Per held doc: n_bigrams, n_seen,
+        // n_backoff, n_oov, score_permille = Σ p div n_bigrams.
+        //
+        // 100 TB shape: the LM legs are vocab²-bounded (the artifact);
+        // the held corpus side is one narrow pair explode joined to
+        // lm/lft/cont on their own keys — AQE broadcasts them at this
+        // scale, and an outgrown bigram table degrades to keyed linear
+        // shuffle joins (never corpus²) — then one doc_id-keyed
+        // aggregation.
+        val docs = Tables.load(s, dir, "documents")
+        val (big, lft, cont, types) =
+          knLegs(docs.filter(col("doc_id") % KnHold =!= 0))
+        knScore(docs.filter(col("doc_id") % KnHold === 0),
+          big, lft, cont, types)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${knCtes(s"doc_id % $KnHold <> 0")},
+              |lm AS (
+              |  SELECT w1, w2,
+              |         CAST(((4 * c - 3) * 250) // c1
+              |              + (((750 * n1r) // c1) * ((1000 * n1l) // t)) // 1000 AS BIGINT) AS p
+              |  FROM big JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN ty),
+              |held AS (
+              |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+              |    SELECT doc_id, unnest([struct_pack(w1 := ws[i], w2 := ws[i + 1]) for i in range(1, len(ws))]) AS p
+              |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+              |          WHERE doc_id % $KnHold = 0) t
+              |    WHERE len(ws) >= 2) u),
+              |sc AS (
+              |  SELECT h.doc_id,
+              |         CASE WHEN lm.p IS NOT NULL THEN lm.p
+              |              WHEN l.c1 IS NOT NULL AND c.n1l IS NOT NULL
+              |              THEN (((750 * l.n1r) // l.c1) * ((1000 * c.n1l) // ty.t)) // 1000
+              |              ELSE 0 END AS sc,
+              |         CASE WHEN lm.p IS NOT NULL THEN 1 ELSE 0 END AS seen,
+              |         CASE WHEN lm.p IS NULL AND l.c1 IS NOT NULL AND c.n1l IS NOT NULL
+              |              THEN 1 ELSE 0 END AS bo
+              |  FROM held h
+              |  LEFT JOIN lm ON lm.w1 = h.w1 AND lm.w2 = h.w2
+              |  LEFT JOIN lft l ON l.w1 = h.w1
+              |  LEFT JOIN cont c ON c.w2 = h.w2
+              |  CROSS JOIN ty)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |       CAST(sum(seen) AS BIGINT) AS n_seen,
+              |       CAST(sum(bo) AS BIGINT) AS n_backoff,
+              |       CAST(count(*) - sum(seen) - sum(bo) AS BIGINT) AS n_oov,
+              |       CAST(sum(sc) // count(*) AS BIGINT) AS score_permille
+              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ── Collocation mining: log-free association lift over bigram types ──
+    QueryDef(
+      "q197_collocations",
+      (s, dir) => {
+        // The association-mining leg the LM family still lacked: which
+        // word PAIRS co-occur more than their margins predict (Manning &
+        // Schütze ch. 5 collocations — the classic formulations are PMI
+        // and Dunning's log-likelihood ratio, both log-scaled; rank order
+        // at mining time survives the monotone de-log, so this ships the
+        // LIFT ratio p(w1,w2)/(p(w1·)·p(·w2)) in integer permille —
+        // engine-exact, no libm). q195 models the DIRECTED conditional
+        // p(w2|w1); lift is the symmetric margin-normalized association,
+        // a different artifact (phrase/terminology extraction, not
+        // scoring). Pairs under MinColloc token support are dropped — a
+        // hapax pair always reads as a perfect collocation. 1000 =
+        // independence; > 1000 = positive association.
+        //
+        // 100 TB shape: identical to q195 — one corpus pair explode into
+        // the map-side-combined bigram type table, then margins and the
+        // 1-row total on vocab²-bounded frames joined back on their own
+        // keys.
+        val (big, lft, _, _) = knLegs(Tables.load(s, dir, "documents"))
+        val rgt = big.groupBy("w2").agg(sum("c").as("c2"))
+        val n = big.agg(sum("c").cast("long").as("n"))
+        big.filter(col("c") >= MinColloc)
+          .join(lft.select("w1", "c1"), Seq("w1"))
+          .join(rgt, Seq("w2"))
+          .crossJoin(broadcast(n))
+          .select(col("w1"), col("w2"), col("c"), col("c1"), col("c2"),
+            expr("((c * 1000) * n) div (c1 * c2)").as("lift_permille"))
           .orderBy("w1", "w2")
       },
-      Some("""WITH pairs AS (
-             |  SELECT p.w1, p.w2 FROM (
-             |    SELECT unnest([struct_pack(w1 := ws[i], w2 := ws[i + 1]) for i in range(1, len(ws))]) AS p
-             |    FROM (SELECT string_split(trim(text), ' ') AS ws FROM documents) t
-             |    WHERE len(ws) >= 2) u),
-             |big AS MATERIALIZED (
-             |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
-             |lft AS (
-             |  SELECT w1, CAST(sum(c) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1r
-             |  FROM big GROUP BY w1),
-             |cont AS (
-             |  SELECT w2, CAST(count(*) AS BIGINT) AS n1l FROM big GROUP BY w2),
-             |ty AS (SELECT CAST(count(*) AS BIGINT) AS t FROM big)
-             |SELECT w1, w2, c,
-             |       CAST(((4 * c - 3) * 250) // c1 AS BIGINT) AS disc_permille,
-             |       CAST((((750 * n1r) // c1) * ((1000 * n1l) // t)) // 1000 AS BIGINT) AS backoff_permille,
-             |       CAST(((4 * c - 3) * 250) // c1
-             |            + (((750 * n1r) // c1) * ((1000 * n1l) // t)) // 1000 AS BIGINT) AS p_kn_permille
-             |FROM big JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN ty
-             |ORDER BY w1, w2""".stripMargin)))
+      Some(s"""WITH ${knCtes("TRUE")},
+              |rgt AS (SELECT w2, CAST(sum(c) AS BIGINT) AS c2 FROM big GROUP BY w2),
+              |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM big)
+              |SELECT w1, w2, c, c1, c2,
+              |       CAST(((c * 1000) * n) // (c1 * c2) AS BIGINT) AS lift_permille
+              |FROM big JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN n
+              |WHERE c >= $MinColloc
+              |ORDER BY w1, w2""".stripMargin)),
+
+    // ── Zipf rank–frequency audit ──
+    QueryDef(
+      "q198_zipf_audit",
+      (s, dir) => {
+        // The corpus-statistics sanity plot every datasheet carries, as a
+        // table: the vocabulary ranked by frequency (ties broken lexically
+        // — deterministic in both engines) with the Zipf product
+        // rank × count and its deviation from the law's constant (the
+        // rank-1 count) in permille (Zipf 1949; rf ≈ const under the
+        // law, so dev_permille ≈ 1000 on natural text — a flat-vocab
+        // synthetic corpus like this one reads the deviation HIGH at
+        // deep ranks, which is exactly the signal the audit exists to
+        // surface). Integer products only.
+        //
+        // 100 TB shape: the corpus contributes one map-side-combined
+        // word-count aggregation; the rank window runs UNPARTITIONED but
+        // over the vocab-sized table only (10⁷ rows at web scale — the
+        // artifact itself; were the vocab to outgrow one partition, the
+        // prefixSum block discipline applies, never a corpus-keyed
+        // window).
+        val uni = Tables.load(s, dir, "documents")
+          .select(explode(split(trim(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val top = uni.agg(max("c").as("ctop"))
+        uni.crossJoin(broadcast(top))
+          .withColumn("rnk",
+            row_number().over(Window.orderBy(col("c").desc, col("w")))
+              .cast("long"))
+          .select(col("rnk"), col("w"), col("c"),
+            (col("rnk") * col("c")).as("rf"),
+            expr("(rnk * c * 1000) div ctop").as("zipf_dev_permille"))
+          .orderBy("rnk")
+      },
+      Some("""WITH words AS (
+             |  SELECT w FROM (
+             |    SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+             |  WHERE w <> ''),
+             |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w),
+             |top AS (SELECT CAST(max(c) AS BIGINT) AS ctop FROM uni),
+             |r AS (SELECT w, c,
+             |             CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rnk
+             |      FROM uni)
+             |SELECT rnk, w, c, CAST(rnk * c AS BIGINT) AS rf,
+             |       CAST((rnk * c * 1000) // ctop AS BIGINT) AS zipf_dev_permille
+             |FROM r CROSS JOIN top ORDER BY rnk""".stripMargin)),
+
+    // ── KN bigram LM served from the persisted store ──
+    QueryDef(
+      "q199_lm_from_store",
+      (s, dir) => {
+        // q195's production form (the q133/q151/q192 from-store
+        // discipline): the bigram TYPE table persisted as the crawl
+        // loop's standing LM state (`IndexStore.saveBigramLM`), a later
+        // batch APPENDED as its own sum-mergeable grid rows, the KN table
+        // served from the folded store. Built over two deterministic
+        // corpus slices (base = doc_id % 3 ≠ 2, batch = the rest), the
+        // served table must be BIT-IDENTICAL to q195's in-query learner
+        // on the whole corpus — so q195's own oracle grades the persist →
+        // append → fold → serve round trip through the independent
+        // engine. At 100 TB the store is the vocab²-bounded artifact;
+        // serving re-reads the text of NOTHING.
+        val docs = Tables.load(s, dir, "documents")
+        val store = graft.Scratch.dir("q199-store")
+        IndexStore.saveBigramLM(docs.filter(col("doc_id") % 3 =!= 2), store)
+        IndexStore.appendBigramBatch(docs.filter(col("doc_id") % 3 === 2), store)
+        IndexStore.knFromStore(s, store).orderBy("w1", "w2")
+      },
+      Some(s"""WITH ${knCtes("TRUE")}
+              |SELECT w1, w2, c,
+              |       CAST(((4 * c - 3) * 250) // c1 AS BIGINT) AS disc_permille,
+              |       CAST((((750 * n1r) // c1) * ((1000 * n1l) // t)) // 1000 AS BIGINT) AS backoff_permille,
+              |       CAST(((4 * c - 3) * 250) // c1
+              |            + (((750 * n1r) // c1) * ((1000 * n1l) // t)) // 1000 AS BIGINT) AS p_kn_permille
+              |FROM big JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN ty
+              |ORDER BY w1, w2""".stripMargin)))
 }

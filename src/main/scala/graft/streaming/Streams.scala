@@ -645,6 +645,45 @@ object Streams {
   def cmsFromCells(cells: DataFrame): DataFrame =
     cells.groupBy("j", "c").agg(max("cc").as("cc"))
 
+  final case class BigramCell(w1: String, w2: String, c: Long)
+
+  /** q195/q199's production form — the standing LM state maintained by
+    * the crawl stream: each arriving doc's IN-ROW adjacent word pairs
+    * (`TextOps.knPairs`, a pure projection — no shuffle before the keyed
+    * fold) increment one cumulative Long per observed bigram TYPE, so
+    * state is vocab²-bounded — exactly the LM artifact the batch family
+    * persists. Emissions carry the new cumulative count (monotone), the
+    * sink's latest-wins fold is a max (`bigramsFromCells`), and the
+    * folded frame IS the store's `lm/bigrams` table: land it under a
+    * store path and `IndexStore.knFromStore` serves the KN table ≡ q195
+    * over everything ingested (StreamsSpec pins the round trip). Same
+    * at-least-once contract as `cmsCellStream`: addition is not
+    * idempotent, a replayed batch double-counts — feed exactly-once
+    * input or bound by replayed mass. */
+  def bigramCellStream(docs: DataFrame): Dataset[BigramCell] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.TextOps.knPairs(docs)
+      .as[(String, String)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, BigramCell](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((w1, w2), rows, state: GroupState[Long]) =>
+          val add = rows.size.toLong
+          if (add > 0) {
+            val nv = state.getOption.getOrElse(0L) + add
+            state.update(nv)
+            Iterator.single(BigramCell(w1, w2, nv))
+          } else Iterator.empty
+      }
+  }
+
+  /** Sink-side fold for `bigramCellStream` output: latest count per
+    * (w1, w2) — a max, counts are monotone — yielding exactly the batch
+    * bigram TYPE table over everything ingested. Vocab²-bounded. */
+  def bigramsFromCells(cells: DataFrame): DataFrame =
+    cells.groupBy("w1", "w2").agg(max("c").as("c"))
+
   final case class LenBin(source: String, bin: Long, cnt: Long)
 
   /** q180's production form — the third store grid's streaming twin

@@ -256,6 +256,55 @@ class CurateSpec extends AnyFunSuite {
     assert(out.filter(col("text").contains("word0x0")).count() === 1)
   }
 
+  test("--lm-store drops out-of-model docs at --lm-min; scoreable docs survive") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-curate-lm")
+    val docsDir = base.resolve("corpus"); val refDir = base.resolve("ref")
+    val idx = base.resolve("idx").toString
+
+    // Frozen reference corpus: one sentence repeated — its 4 bigrams ARE
+    // the LM. Target corpus: two docs over reference bigrams (one with a
+    // novel unseen transition, earning partial mass) + two word-salad
+    // docs whose every bigram has unknown margins (score 0).
+    val ref = "alpha beta gamma delta epsilon"
+    (100L until 105L).map(i => (i, ref, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$refDir/documents.parquet")
+    Seq(
+      (0L, ref, "en", "web"),
+      // a DIFFERENT word multiset (exact dedup hashes the sorted
+      // multiset — an anagram of doc 0 would merge) sharing no shingle
+      // with doc 0, but its (gamma,beta)/(beta,epsilon) pairs have known
+      // margins → positive backoff mass → scoreable, kept
+      (1L, "gamma beta epsilon delta", "en", "web"),
+      (2L, "zork1 zork2 zork3 zork4 zork5", "en", "web"),
+      (3L, "grok5 grok4 grok3 grok2 grok1", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    graft.operators.IndexStore.saveBigramLM(
+      spark.read.parquet(s"$refDir/documents.parquet"), idx)
+
+    val outDir = base.resolve("out")
+    val json = Curate.run(spark, Curate.Config(
+      docsDir.toString, outDir.toString, budget = 64L,
+      lmStorePath = Some(idx)))
+    val m = """"(\w+)":(\d+)""".r.findAllMatchIn(json)
+      .map(x => x.group(1) -> x.group(2).toLong).toMap
+    assert(m("after_decontam") === 4L)
+    assert(m("after_lm_filter") === 2L, json)
+    val out = spark.read.parquet(s"$outDir/curated.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.subsetOf(Set(0L, 1L)), s"word salad survived: $out")
+
+    // Without the flag the stage is a pass-through (stats key rides along).
+    val outDir2 = base.resolve("out2")
+    val json2 = Curate.run(spark, Curate.Config(
+      docsDir.toString, outDir2.toString, budget = 64L))
+    val m2 = """"(\w+)":(\d+)""".r.findAllMatchIn(json2)
+      .map(x => x.group(1) -> x.group(2).toLong).toMap
+    assert(m2("after_lm_filter") === m2("after_decontam"))
+  }
+
   test("CLI flag parsing routes to the same Config") {
     // Private parse is exercised through main-style args via reflection-free
     // path: just re-run the default chain with positional budget to pin the

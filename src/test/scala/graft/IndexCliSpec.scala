@@ -576,4 +576,39 @@ class IndexCliSpec extends AnyFunSuite {
     val g2 = Index.run(spark, List("gc", idx))
     assert(g2.contains(""""restored":0,"promoted":0,"swept":0"""), g2)
   }
+
+  test("build-lm → append-lm → lm-report/compact-lm: the standing KN LM loop") {
+    val base = tmp("lm")
+    val standingDir = base.resolve("standing"); val batchDir = base.resolve("batch")
+    val idx = base.resolve("idx").toString
+    val docs = Tables.load(spark, sf, "documents")
+    docs.filter(col("doc_id") % 3 =!= 2)
+      .write.parquet(s"$standingDir/documents.parquet")
+    docs.filter(col("doc_id") % 3 === 2)
+      .write.parquet(s"$batchDir/documents.parquet")
+
+    val b = Index.run(spark, List("build-lm", standingDir.toString, idx))
+    assert(b.contains(""""mode":"build-lm""""), b)
+    val a = Index.run(spark, List("append-lm", batchDir.toString, idx))
+    assert(a.contains(""""mode":"append-lm""""), a)
+
+    // appended store serves the union's KN table == the in-query q195
+    // learner over the whole corpus
+    val want = SparkEntry.queries("q195_kn_bigram")(spark, sf)
+      .collect().map(_.toSeq.toList).toList
+    def served() = IndexStore.knFromStore(spark, idx)
+      .orderBy("w1", "w2").collect().map(_.toSeq.toList).toList
+    assert(served() === want && want.nonEmpty)
+
+    // the report reads store-only and its type count is the folded one
+    val rep = Index.run(spark, List("lm-report", idx))
+    assert(rep.contains(""""mode":"lm-report""""), rep)
+    assert(rep.contains(s""""bigram_types":${want.size}"""), rep)
+
+    // compaction folds rows without changing the served table or report
+    val c = Index.run(spark, List("compact-lm", idx))
+    assert(c.contains(""""mode":"compact-lm""""), c)
+    assert(served() === want)
+    assert(Index.run(spark, List("lm-report", idx)) === rep)
+  }
 }

@@ -1347,6 +1347,50 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q196 LM doc score: no window; LM legs broadcast into the held scan; doc/grid keys only") {
+    assert(collectAll("q196_lm_doc_score") { case w: WindowExec => w }.isEmpty)
+    // the vocab²-bounded LM legs join the held pairs as broadcasts at
+    // this scale (degrading to keyed shuffles is the documented 100 TB
+    // fallback, but the PLANNED shape here must be broadcast)
+    assert(collectAll("q196_lm_doc_score") { case j: BroadcastHashJoinExec => j }.size >= 3,
+      "lm/lft/cont legs must broadcast into the held-pair scan")
+    assert(collectAll("q196_lm_doc_score") { case j: SortMergeJoinExec => j }.isEmpty)
+    hashShuffleKeys("q196_lm_doc_score").foreach { keys =>
+      assert(keys.subsetOf(Set("w1", "w2", "doc_id")),
+        s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q197 collocations: no window; margins broadcast; bigram-grid shuffle keys only") {
+    assert(collectAll("q197_collocations") { case w: WindowExec => w }.isEmpty)
+    assert(collectAll("q197_collocations") { case j: SortMergeJoinExec => j }.isEmpty)
+    hashShuffleKeys("q197_collocations").foreach { keys =>
+      assert(keys.subsetOf(Set("w1", "w2")), s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q199 LM from store: served plan runs on the folded checkpointed table — no file scan") {
+    assert(collectAll("q199_lm_from_store") { case f: FileSourceScanExec => f }.isEmpty,
+      "serving the KN table must not re-read corpus or store parquet")
+    assert(collectAll("q199_lm_from_store") { case w: WindowExec => w }.isEmpty)
+    hashShuffleKeys("q199_lm_from_store").foreach { keys =>
+      assert(keys.subsetOf(Set("w1", "w2")), s"unexpected shuffle key: $keys")
+    }
+  }
+
+  test("q198 zipf audit: the only window runs over the folded vocab grid, never the corpus") {
+    val wins = collectAll("q198_zipf_audit") { case w: WindowExec => w }
+    assert(wins.size === 1)
+    // the window's child plan must already be the aggregated vocab table:
+    // a HashAggregate (the word-count fold) sits strictly below it, so
+    // the sort ranks |vocab| rows, not |corpus| words
+    assert(wins.head.collect { case a: HashAggregateExec => a }.nonEmpty,
+      "rank window must consume the folded vocab grid")
+    hashShuffleKeys("q198_zipf_audit").foreach { keys =>
+      assert(keys.subsetOf(Set("w")), s"unexpected shuffle key: $keys")
+    }
+  }
+
   test("q190 pack sweep: q51's √N-blocked windows; exchanges stay block- or grid-keyed") {
     // block-keyed cumsum window + the global window over the √N block
     // aggregate (q51's pinned shape), then the 4-row budget grid — no

@@ -880,4 +880,43 @@ class IndexStoreSpec extends AnyFunSuite {
       .collect().map(_.toSeq.toList).toList
     assert(got === want && got.nonEmpty)
   }
+
+  test("lmScore against the persisted train-slice LM == in-query q196") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("lm-score")
+    IndexStore.saveBigramLM(
+      docs.filter(col("doc_id") % TextOps.KnHold =!= 0), path)
+    val got = IndexStore.lmScore(
+        docs.filter(col("doc_id") % TextOps.KnHold === 0), path)
+      .orderBy("doc_id").collect().map(_.toSeq.toList).toList
+    val want = SparkEntry.queries("q196_lm_doc_score")(spark, sf)
+      .collect().map(_.toSeq.toList).toList
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("bigram LM store: build + appends == q195 on the union; compaction folds files, not values") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = tmp("lm-bigrams")
+    // Build on one slice, append the other two — re-seen bigrams now
+    // hold multiple grid rows that the read-side sum must fold.
+    IndexStore.saveBigramLM(docs.filter(col("doc_id") % 3 === 0), path)
+    (1 to 2).foreach { r =>
+      IndexStore.appendBigramBatch(docs.filter(col("doc_id") % 3 === r), path)
+    }
+    def served() = IndexStore.knFromStore(spark, path)
+      .orderBy("w1", "w2").collect().map(_.toSeq.toList).toList
+    val want = SparkEntry.queries("q195_kn_bigram")(spark, sf)
+      .collect().map(_.toSeq.toList).toList
+    val before = served()
+    assert(before === want && before.nonEmpty,
+      "persist -> append -> fold -> serve drifted from the in-query learner")
+
+    // Raw store rows exceed the folded type count until compaction.
+    val raw = spark.read.parquet(s"$path/lm/bigrams").count()
+    val types = IndexStore.loadBigramLM(spark, path).count()
+    assert(raw > types, "fixture must contain unfolded duplicate grid rows")
+    IndexStore.compactBigramLM(spark, path)
+    assert(spark.read.parquet(s"$path/lm/bigrams").count() === types)
+    assert(served() === want, "compaction changed served values")
+  }
 }

@@ -97,7 +97,12 @@ class JobCountSpec extends AnyFunSuite {
     // q194 reuses the same learner for its vocabulary; q195 barriers the
     // bigram TYPE table (three grid consumers fan out of it).
     "q174_bpe_merges", "q175_bpe_encode", "q194_bpe_fertility",
-    "q195_kn_bigram",
+    // q195/q196/q197 barrier the bigram TYPE table via knLegs (three
+    // grid consumers fan out of it); q199 builds its persisted bigram
+    // store into a scratch dir at construction (the from-store
+    // discipline) and barriers the folded table the same way.
+    "q195_kn_bigram", "q196_lm_doc_score", "q197_collocations",
+    "q199_lm_from_store",
     // q178/q179/q180/q192 build the persisted sketch store into a
     // scratch dir at construction (the from-store discipline); q192
     // additionally pulls its ≤ MgK candidate set + word total to the

@@ -518,6 +518,45 @@ class StreamsSpec extends AnyFunSuite {
       s"replayed batch must touch exactly the cells batch 1 touched: ${m.map(_.rows_updated)}")
   }
 
+  test("bigram LM twin: vocab²-bounded state; fold lands as the store table and serves q195") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val (cellsDf, meter) = Streams.runToMemoryMetered(spark,
+      Streams.bigramCellStream(
+        Streams.readDocsStream(spark, landBatches(Seq(b1, b2)).getPath,
+          "*.parquet", Some(1))).toDF(),
+      "lm_mb")
+
+    // State can never exceed the observed bigram TYPE count — the LM
+    // artifact itself, not the corpus.
+    val types = graft.operators.TextOps.knPairs(docs)
+      .distinct().count()
+    assert(meter.nonEmpty && meter.forall(_.state_rows <= types),
+      s"state exceeded the bigram type grid: ${meter.map(_.state_rows)}")
+
+    // The latest-wins fold IS the batch TYPE table...
+    val want = graft.operators.TextOps.knPairs(docs)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .orderBy("w1", "w2").collect().map(_.toSeq.toList).toList
+    val folded = Streams.bigramsFromCells(cellsDf)
+    assert(folded.orderBy("w1", "w2").collect()
+      .map(_.toSeq.toList).toList === want,
+      "stream fold diverged from the batch bigram table")
+
+    // ...so landing it under a store path serves the KN table ≡ q195:
+    // the crawl stream feeds the same standing state the batch builders
+    // persist.
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-lm-stream").toString
+    folded.write.mode("overwrite").parquet(s"$store/lm/bigrams")
+    val served = graft.operators.IndexStore.knFromStore(spark, store)
+      .orderBy("w1", "w2").collect().map(_.toSeq.toList).toList
+    val q195 = graft.SparkEntry.queries("q195_kn_bigram")(spark, dir)
+      .collect().map(_.toSeq.toList).toList
+    assert(served === q195 && served.nonEmpty)
+  }
+
   test("length-histogram twin: grid-bounded state, fold bit-equal to batch lens") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val b1 = docs.filter(col("doc_id") < 250)
