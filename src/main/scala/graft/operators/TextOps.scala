@@ -2887,7 +2887,12 @@ object TextOps {
         // 100 TB shape: identical to q195 — one corpus pair explode into
         // the map-side-combined bigram type table, then margins and the
         // 1-row total on vocab²-bounded frames joined back on their own
-        // keys.
+        // keys. Overflow bound (the q188 discipline): the numerator
+        // c·1000·n is exact while c·n < 2^63/1000 ≈ 9.2e15 — i.e. until
+        // the HOTTEST pair's count times the corpus pair count crosses
+        // ~1e16 (a 1e8-count pair in a 1e8-pair-token corpus); past
+        // that, reformulate on per-margin permille RATES before the
+        // product, trading exactness for range.
         val (big, lft, _, _) = knLegs(Tables.load(s, dir, "documents"))
         val rgt = big.groupBy("w2").agg(sum("c").as("c2"))
         val n = big.agg(sum("c").cast("long").as("n"))
