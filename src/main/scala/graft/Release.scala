@@ -44,6 +44,9 @@ import graft.operators.Audit
   *                       before budgeting context windows)
   *   - `zipf/`           q198 rank–frequency audit (the distribution-
   *                       shape sanity table)
+  *   - `kn_lm/`          q195 Kneser–Ney bigram LM table (the n-gram
+  *                       model artifact consumers run perplexity/quality
+  *                       filters with — vocab²-bounded)
   *
   * and prints ONE JSON summary line (docs, sources, exposure, the
   * smallest anonymous rung, root count, the dp salt — printed exactly
@@ -82,7 +85,8 @@ object Release {
     "shards" -> "q156_shard_manifest",
     "calibration" -> "q154_score_calibration",
     "fertility" -> "q194_bpe_fertility",
-    "zipf" -> "q198_zipf_audit")
+    "zipf" -> "q198_zipf_audit",
+    "kn_lm" -> "q195_kn_bigram")
 
   /** Runs one mode; returns the JSON summary line (testable seam). */
   def run(spark: SparkSession, args: List[String]): String = args match {
