@@ -2913,6 +2913,71 @@ object TextOps {
               |WHERE c >= $MinColloc
               |ORDER BY w1, w2""".stripMargin)),
 
+    // ── LM-score threshold decision table ──
+    QueryDef(
+      "q200_lm_threshold_table",
+      (s, dir) => {
+        // The decision table the perplexity filter's cutoff is READ OFF
+        // (the q187/q190 ladder discipline applied to q196's scores):
+        // per (source, 100-permille score bin), how many held-out docs
+        // land there and the running cumulative — so "keep everything
+        // scoring ≥ T" prices its survivor count per source at a glance,
+        // and a source whose mass sits in the low bins is flagged before
+        // anyone picks a global cutoff that silently deletes it (the
+        // fertility-audit concern, applied to model-based filtering).
+        //
+        // 100 TB shape: q196's scoring pass (one pair explode against
+        // the vocab²-bounded LM legs, one doc-keyed agg) collapsing onto
+        // the ≤ sources × 11 bin grid; the cumulative window is
+        // PARTITIONED BY source OVER the grid — never a corpus window.
+        val docs = Tables.load(s, dir, "documents")
+        val (big, lft, cont, types) =
+          knLegs(docs.filter(col("doc_id") % KnHold =!= 0))
+        val held = docs.filter(col("doc_id") % KnHold === 0)
+        val bins = knScore(held, big, lft, cont, types)
+          .join(held.select("doc_id", "source"), Seq("doc_id"))
+          .select(col("source"), expr("score_permille div 100").as("bin"))
+          .groupBy("source", "bin").agg(count(lit(1)).as("n_docs"))
+        bins
+          .withColumn("cum_docs",
+            sum("n_docs").over(Window.partitionBy("source").orderBy("bin")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .orderBy("source", "bin")
+      },
+      Some(s"""WITH ${knCtes(s"doc_id % $KnHold <> 0")},
+              |lm AS (
+              |  SELECT w1, w2,
+              |         CAST(((4 * c - 3) * 250) // c1
+              |              + (((750 * n1r) // c1) * ((1000 * n1l) // t)) // 1000 AS BIGINT) AS p
+              |  FROM big JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN ty),
+              |held AS (
+              |  SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM (
+              |    SELECT doc_id, source, unnest([struct_pack(w1 := ws[i], w2 := ws[i + 1]) for i in range(1, len(ws))]) AS p
+              |    FROM (SELECT doc_id, source, string_split(trim(text), ' ') AS ws FROM documents
+              |          WHERE doc_id % $KnHold = 0) t
+              |    WHERE len(ws) >= 2) u),
+              |sc AS (
+              |  SELECT h.doc_id, h.source,
+              |         CASE WHEN lm.p IS NOT NULL THEN lm.p
+              |              WHEN l.c1 IS NOT NULL AND c.n1l IS NOT NULL
+              |              THEN (((750 * l.n1r) // l.c1) * ((1000 * c.n1l) // ty.t)) // 1000
+              |              ELSE 0 END AS sc
+              |  FROM held h
+              |  LEFT JOIN lm ON lm.w1 = h.w1 AND lm.w2 = h.w2
+              |  LEFT JOIN lft l ON l.w1 = h.w1
+              |  LEFT JOIN cont c ON c.w2 = h.w2
+              |  CROSS JOIN ty),
+              |docsc AS (
+              |  SELECT doc_id, source, CAST(sum(sc) // count(*) AS BIGINT) AS score
+              |  FROM sc GROUP BY doc_id, source),
+              |b AS (
+              |  SELECT source, CAST(score // 100 AS BIGINT) AS bin,
+              |         CAST(count(*) AS BIGINT) AS n_docs
+              |  FROM docsc GROUP BY 1, 2)
+              |SELECT source, bin, n_docs,
+              |       CAST(sum(n_docs) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum_docs
+              |FROM b ORDER BY source, bin""".stripMargin)),
+
     // ── Zipf rank–frequency audit ──
     QueryDef(
       "q198_zipf_audit",

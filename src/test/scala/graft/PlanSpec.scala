@@ -1378,6 +1378,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q200 LM threshold table: cumulative window rides the (source, bin) grid only") {
+    val wins = collectAll("q200_lm_threshold_table") { case w: WindowExec => w }
+    assert(wins.size === 1)
+    assert(wins.head.partitionSpec.nonEmpty,
+      "cumulative must be source-partitioned, never a global window")
+    // the window consumes the folded bin grid — an aggregate sits
+    // strictly below it, so it ranks ≤ sources × 11 rows
+    assert(wins.head.collect { case a: HashAggregateExec => a }.nonEmpty)
+    assert(collectAll("q200_lm_threshold_table") { case j: SortMergeJoinExec => j }.isEmpty)
+  }
+
   test("q198 zipf audit: the only window runs over the folded vocab grid, never the corpus") {
     val wins = collectAll("q198_zipf_audit") { case w: WindowExec => w }
     assert(wins.size === 1)

@@ -102,7 +102,7 @@ class JobCountSpec extends AnyFunSuite {
     // store into a scratch dir at construction (the from-store
     // discipline) and barriers the folded table the same way.
     "q195_kn_bigram", "q196_lm_doc_score", "q197_collocations",
-    "q199_lm_from_store",
+    "q199_lm_from_store", "q200_lm_threshold_table",
     // q178/q179/q180/q192 build the persisted sketch store into a
     // scratch dir at construction (the from-store discipline); q192
     // additionally pulls its ≤ MgK candidate set + word total to the

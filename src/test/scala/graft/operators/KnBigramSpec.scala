@@ -154,6 +154,28 @@ class KnBigramSpec extends AnyFunSuite {
     assert(rows.head._5 == 1000L, "rank-1 deviation is the law's constant")
   }
 
+  test("q200 == q196's scores bucketed per source, cumulative consistent") {
+    val srcOf = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = SparkEntry.queries("q196_lm_doc_score")(spark, sf).collect()
+      .map(r => (srcOf(r.getLong(0)), r.getLong(5) / 100))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((s, b), n) => (s, b, n) }.sortBy(x => (x._1, x._2))
+    val got = SparkEntry.queries("q200_lm_threshold_table")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.map(x => (x._1, x._2, x._3)).toSeq === want && got.nonEmpty)
+    // cumulative really is the per-source running total
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(_._2).foreach { r =>
+        run += r._3
+        assert(r._4 === run, s"cumulative broken at $r")
+      }
+    }
+  }
+
   test("q195 KN mass: every context's observed-continuation mass stays under 1000 permille") {
     val rows = SparkEntry.queries("q195_kn_bigram")(spark, sf).collect()
     val byCtx = rows.groupBy(_.getString(0))
