@@ -795,7 +795,7 @@ object TextOps {
     * continuation backoff, quarters × 250 fixed point ((c − 0.75)/c1 ·
     * 1000 = (4c − 3) · 250 / c1) so every probability is an order-free
     * integer permille. */
-  private[operators] def knTable(big: DataFrame, lft: DataFrame,
+  private[graft] def knTable(big: DataFrame, lft: DataFrame,
       cont: DataFrame, types: DataFrame): DataFrame =
     big.join(lft, Seq("w1")).join(cont, Seq("w2"))
       .crossJoin(broadcast(types))

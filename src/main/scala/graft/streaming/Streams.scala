@@ -882,6 +882,54 @@ object Streams {
         expr("(nw - nws) / nw").as("oov_rate"))
   }
 
+  /** q196's stateless streaming form — the bigram sibling of
+    * `familiarityStream`: score each arriving doc against the FROZEN
+    * persisted bigram LM (`IndexStore.saveBigramLM`) with the exact
+    * `TextOps.knScore` arithmetic as a pure per-row fold. The LM
+    * collapses to three broadcast lookup maps (pair → p_kn, context →
+    * (c1, n1r), continuation → n1l) plus the type total — all
+    * vocab²-bounded, the same broadcast envelope as the batch join
+    * sides — so the stream needs NO state store and NO shuffle, and
+    * batch boundaries cannot matter. StreamsSpec pins the streamed
+    * held-out slice ≡ batch q196 bit-for-bit. */
+  def lmScoreStream(docs: DataFrame, lmPath: String): DataFrame = {
+    import graft.operators.{IndexStore, TextOps}
+    val spark = docs.sparkSession
+    val big = IndexStore.loadBigramLM(spark, lmPath)
+    val (lft, cont, types) = TextOps.knDerive(big)
+    val pm = TextOps.knTable(big, lft, cont, types)
+      .agg(map_from_entries(collect_list(struct(
+        concat_ws(" ", col("w1"), col("w2")), col("p_kn_permille")))).as("pm"))
+    val lf = lft.agg(map_from_entries(collect_list(struct(col("w1"),
+      struct(col("c1"), col("n1r"))))).as("lf"))
+    val cm = cont
+      .agg(map_from_entries(collect_list(struct(col("w2"), col("n1l")))).as("cm"))
+    val env = pm.crossJoin(lf).crossJoin(cm).crossJoin(types)
+    docs.crossJoin(broadcast(env))
+      .withColumn("ws", split(trim(col("text")), " "))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("ss", expr(
+        """transform(sequence(1, size(ws) - 1), i ->
+          |  CASE WHEN pm[concat(element_at(ws, i), ' ', element_at(ws, i + 1))] IS NOT NULL
+          |       THEN named_struct('sc', pm[concat(element_at(ws, i), ' ', element_at(ws, i + 1))],
+          |                         'seen', CAST(1 AS BIGINT), 'bo', CAST(0 AS BIGINT))
+          |       WHEN lf[element_at(ws, i)] IS NOT NULL AND cm[element_at(ws, i + 1)] IS NOT NULL
+          |       THEN named_struct('sc', (((750 * lf[element_at(ws, i)].n1r) div lf[element_at(ws, i)].c1)
+          |                                * ((1000 * cm[element_at(ws, i + 1)]) div t)) div 1000,
+          |                         'seen', CAST(0 AS BIGINT), 'bo', CAST(1 AS BIGINT))
+          |       ELSE named_struct('sc', CAST(0 AS BIGINT), 'seen', CAST(0 AS BIGINT), 'bo', CAST(0 AS BIGINT))
+          |  END)""".stripMargin))
+      .select(col("doc_id"),
+        expr("CAST(size(ss) AS BIGINT)").as("n_bigrams"),
+        expr("aggregate(ss, CAST(0 AS BIGINT), (a, x) -> a + x.seen)").as("n_seen"),
+        expr("aggregate(ss, CAST(0 AS BIGINT), (a, x) -> a + x.bo)").as("n_backoff"),
+        expr("aggregate(ss, CAST(0 AS BIGINT), (a, x) -> a + x.sc)").as("sump"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_seen"),
+        col("n_backoff"),
+        (col("n_bigrams") - col("n_seen") - col("n_backoff")).as("n_oov"),
+        expr("sump div n_bigrams").as("score_permille"))
+  }
+
   final case class SnapRow(doc_id: Long, source: String, h: String)
   final case class ChangeRow(doc_id: Long, source: String, h: String, op: String)
   final case class CdcState(present: Boolean, source: String, h: String,

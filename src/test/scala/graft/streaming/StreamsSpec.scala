@@ -676,6 +676,30 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.sameElements(want))
   }
 
+  test("streaming KN bigram scoring vs the persisted LM matches batch q196 across micro-batches") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // Freeze q196's train slice as the persisted bigram LM, stream the
+    // held-out slice through in two micro-batches: per-doc scores must
+    // equal batch q196 bit-for-bit (stateless fold over broadcast maps —
+    // batch boundaries can't matter).
+    val lmPath = java.nio.file.Files
+      .createTempDirectory("graft-knlm-stream").toString
+    graft.operators.IndexStore.saveBigramLM(
+      docs.filter(col("doc_id") % 5 =!= 0), lmPath)
+    val held = docs.filter(col("doc_id") % 5 === 0)
+    val tmp = landBatches(Seq(
+      held.filter(col("doc_id") % 2 === 0), held.filter(col("doc_id") % 2 === 1)))
+    val got = Streams.runToMemory(spark,
+        Streams.lmScoreStream(
+          Streams.readDocsStream(spark, tmp.getPath, "*.parquet", Some(1)), lmPath),
+        "knscore_mb")
+      .orderBy("doc_id")
+      .collect().map(_.toSeq.toList).toList
+    val want = graft.SparkEntry.queries("q196_lm_doc_score")(spark, dir)
+      .collect().map(_.toSeq.toList).toList
+    assert(got === want && got.nonEmpty)
+  }
+
   test("streaming anomaly flags are bit-identical to batch q109 for every finalized hour") {
     val raw = rawNanos
     val (minNs, maxNs) = {
