@@ -148,11 +148,25 @@ object Audit {
     * the node frame's upstream scan); each round localCheckpoints the
     * rank frame (the connectedComponents lineage discipline). Integer
     * arithmetic throughout — see q170's scaladoc for the scale/overflow
-    * analysis. Returns (source, authority, in_w, out_w), unordered. */
+    * analysis. Returns (source, authority, in_w, out_w), unordered.
+    *
+    * r17 round structure (guide §2.4 — remove repeated shuffles): the
+    * per-node invariants (node count n, the damped seed term, and the
+    * dangling flag) are computed ONCE and carried as columns of the
+    * checkpointed rank frame, so each round is exactly (a) a filter+agg
+    * of the rank frame for the dangling mass — no join, no shuffle —
+    * (b) the contribution shuffle on the edge-share frame, (c) one
+    * materialization. The pre-r17 form re-aggregated outw from the full
+    * edge frame and re-counted/re-joined the node frame EVERY round:
+    * 10 redundant |E|-shuffles and ~2 extra jobs per round, pure fixed
+    * overhead locally and real shuffle volume at a 10⁷-source corpus.
+    * Arithmetic is expression-for-expression identical. */
   def authority(edges0: DataFrame, nodes0: DataFrame): DataFrame = {
     val edges = edges0.localCheckpoint(true)
     val nodes = nodes0.localCheckpoint(true)
-    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    // outw feeds the share build, the dangling flag, and the final out_w
+    // join; |sources|-bounded, so the barrier is catalog-sized.
+    val outw = edges.groupBy("src").agg(sum("w").as("ow")).localCheckpoint(true)
     val esh = edges.join(outw, Seq("src"))
       .select(col("src"), col("dst"),
         expr(s"CASE WHEN ow <= ${ShareScale * ShareScale}" +
@@ -160,23 +174,29 @@ object Audit {
           s" ELSE w div (ow div $ShareScale) END").as("sh"))
       .localCheckpoint(true)
     val ncnt = nodes.agg(count(lit(1)).as("n"))
+    // Rank frame schema: (source, r, n, seed, haslinks). n and seed are
+    // constant per node; haslinks=false marks the dangling nodes (no
+    // outgoing edge), whose rank mass redistributes each round.
     var r = nodes.crossJoin(broadcast(ncnt))
-      .select(col("source"), expr(s"$RankScale div n").as("r"))
+      .join(outw.select(col("src").as("source"), lit(true).as("hl")),
+        Seq("source"), "left")
+      .select(col("source"), expr(s"$RankScale div n").as("r"), col("n"),
+        expr(s"(($RankScale div n) * 15) div 100").as("seed"),
+        coalesce(col("hl"), lit(false)).as("haslinks"))
       .localCheckpoint(true)
     for (_ <- 1 to RankRounds) {
-      val dang = r.join(outw.select(col("src").as("source")),
-          Seq("source"), "left_anti")
+      val dang = r.filter(!col("haslinks"))
         .agg(coalesce(sum("r"), lit(0L)).as("dm"))
       val contrib = esh
         .join(r.select(col("source").as("src"), col("r").as("pr")), Seq("src"))
         .select(col("dst"), expr(s"(pr * sh) div $ShareScale").as("c"))
         .groupBy("dst").agg(sum("c").as("contrib"))
-      r = nodes.crossJoin(broadcast(ncnt)).crossJoin(broadcast(dang))
+      r = r.crossJoin(broadcast(dang))
         .join(contrib.select(col("dst").as("source"), col("contrib")),
           Seq("source"), "left")
         .select(col("source"), expr(
-          s"(($RankScale div n) * 15) div 100" +
-            s" + (85 * (coalesce(contrib, 0) + dm div n)) div 100").as("r"))
+          s"seed + (85 * (coalesce(contrib, 0) + dm div n)) div 100").as("r"),
+          col("n"), col("seed"), col("haslinks"))
         .localCheckpoint(true)
     }
     val inw = edges.groupBy("dst").agg(sum("w").as("in_w"))
@@ -1500,8 +1520,10 @@ object Audit {
         // re-derives the registers FROM TEXT — the hash match proves the
         // persist→append-fold→estimate round trip loses nothing.
         val scratch = graft.Scratch.dir("q178-store")
-        IndexStore.saveSketchIndex(Tables.load(s, dir, "documents"),
-          scratch, mg = false)
+        // This query serves the CARDINALITY leg; building the other
+        // ledger tables here was work the query threw away (r17).
+        IndexStore.saveSketchLegs(Tables.load(s, dir, "documents"),
+          scratch, Set("registers"))
         val reg = IndexStore.loadSketchRegisters(s, scratch)
         val all = reg.groupBy("idx").agg(max("r").as("r"))
           .select(lit("__all__").as("grp"), col("idx"), col("r"))
@@ -1529,7 +1551,8 @@ object Audit {
         // text-derived sketch bit-for-bit.
         val scratch = graft.Scratch.dir("q179-store")
         val docs = Tables.load(s, dir, "documents")
-        IndexStore.saveSketchIndex(docs, scratch, mg = false)
+        // Serves the FREQUENCY legs only (cells + totals) — see q178.
+        IndexStore.saveSketchLegs(docs, scratch, Set("cells", "totals"))
         val cells = IndexStore.loadSketchCells(s, scratch)
           .groupBy("j", "c").agg(sum("cc").as("cc"))
         val tot = IndexStore.loadSketchTotals(s, scratch)
@@ -1571,8 +1594,9 @@ object Audit {
         // bigint arithmetic — so the store round trip grades hash-exact
         // against the oracle's text-derived twin.
         val scratch = graft.Scratch.dir("q180-store")
-        IndexStore.saveSketchIndex(Tables.load(s, dir, "documents"),
-          scratch, mg = false)
+        // Serves the DISTRIBUTION leg only (lens) — see q178.
+        IndexStore.saveSketchLegs(Tables.load(s, dir, "documents"),
+          scratch, Set("lens"))
         lenQuantiles(IndexStore.loadSketchLens(s, scratch))
           .orderBy("source")
       },

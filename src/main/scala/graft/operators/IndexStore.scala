@@ -123,8 +123,16 @@ object IndexStore {
     buildRepartition(bandRows(docs), "pfx", "bh")
       .sortWithinPartitions("pfx", "bh", "bi", "doc_id")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/lsh/bands")
-    Dedup.shingles(docs)
+    // Repartition by doc_id BEFORE the set-dedup (r17, guide §2.4):
+    // hashpartitioning(doc_id) satisfies the distinct's clustering
+    // requirement on (doc_id, s), so the dedup aggregation reuses this
+    // exchange and the old second full shuffle of the shingle table
+    // (distinct by (doc_id, s), then repartition(doc_id) for read
+    // locality) collapses to one. Same rows, same doc_id-clustered
+    // layout for the candidate-restricted reads.
+    Dedup.shinglesRaw(docs)
       .repartition(col("doc_id"))
+      .distinct()
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(s"$path/lsh/shingles")
   }
@@ -280,18 +288,29 @@ object IndexStore {
     * crawl-loop story where the matrix is a standing report, not a
     * per-query corpus re-scan. */
   def saveProvenanceIndex(docs: DataFrame, path: String): Unit = {
-    buildRepartition(Dedup.gramRows(docs)
+    // One gram scan, barrier'd (the appendProvenanceBatch discipline,
+    // applied to the build in r17): both tables derive from the same
+    // materialized postings frame — the pre-r17 build wrote postings,
+    // then RE-READ the persisted table to derive the index, paying a
+    // second store listing/decode plus re-aggregation of rows it had
+    // just held. The barrier is postings-sized (same order as the range
+    // exchange the write pays anyway) and spills to executor disk.
+    val postings = Dedup.gramRows(docs)
       .groupBy("gh", "doc_id").agg(count(lit(1)).as("cnt"))
-      .withColumn("pfx", gramPfx), "pfx", "gh")
+      .withColumn("pfx", gramPfx)
+      .localCheckpoint(true)
+    buildRepartition(postings, "pfx", "gh")
       .sortWithinPartitions("pfx", "gh", "doc_id")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/grams/postings")
-    buildRepartition(loadGramPostings(docs.sparkSession, path)
+    buildRepartition(postings
       .groupBy("gh").agg(min("doc_id").as("first_doc"))
       .withColumn("pfx", gramPfx), "pfx", "gh")
       .sortWithinPartitions("pfx", "gh")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/grams/index")
+    // The slim (doc_id, source) map writes at the scan's own width — the
+    // old repartition(8) added a shuffle AND funneled a 10^10-row map
+    // through 8 writers at scale (r17, guide §2.4).
     docs.select(col("doc_id"), col("source"))
-      .repartition(8)
       .write.mode("overwrite").parquet(s"$path/docs/sources")
   }
 
@@ -744,8 +763,14 @@ object IndexStore {
     * pairs from the store are bit-identical to the in-query path
     * (IndexStoreSpec pins it). */
   def savePairIndex(docs: DataFrame, path: String): Unit =
+    // No explicit repartition (r17): the bucket aggregation's own
+    // exchange already runs at cluster width (`spark.sql.shuffle
+    // .partitions`, AQE-coalesced when small), so the old round-robin
+    // `repartition(32)` was a SECOND full shuffle of the bucket table
+    // (plus sortBeforeRepartition's local sort) that also capped writer
+    // width at 32 on a real cluster — redundant locally, a funnel at
+    // scale (guide §2.4/§2.5).
     Dedup.allBuckets(docs)
-      .repartition(32)
       .write.mode("overwrite").parquet(s"$path/pairs/buckets")
 
   /** The audit view — (s, ds) filtered to the informative [2, MaxDf]
@@ -787,7 +812,8 @@ object IndexStore {
       .groupBy(key)
       .agg(slice(sort_array(array_distinct(flatten(collect_list(col("ds"))))),
         1, Dedup.MaxDf + 1).as("ds"))
-      .repartition(32)
+      // no repartition — the merge agg's exchange is already cluster-wide
+      // (see savePairIndex, r17)
       .write.mode("overwrite").parquet(stage.toString)
     fs.delete(dst, true)
     require(fs.rename(stage, dst), s"rename $stage -> $dst failed")
@@ -800,8 +826,8 @@ object IndexStore {
     * the grams, same ≥6-word shared-run guarantee). Same capped-bucket
     * layout and merge math as the pair index, keyed by fingerprint. */
   def saveWinnowIndex(docs: DataFrame, path: String): Unit =
+    // No explicit repartition — see savePairIndex (r17).
     Dedup.winnowAllBuckets(docs)
-      .repartition(32)
       .write.mode("overwrite").parquet(s"$path/winnow/buckets")
 
   /** The audit view — feed to `Dedup.winnowPairsFrom`. */
@@ -896,7 +922,9 @@ object IndexStore {
     val spark = registry.sparkSession
     import spark.implicits._
     val (reg, bf) = Dedup.buildDecontamRegistry(registry, est)
-    reg.repartition(8).write.mode("overwrite")
+    // write at the registry dedup's own cluster-wide width (the old
+    // repartition(8) added a shuffle and funneled the writers — r17)
+    reg.write.mode("overwrite")
       .parquet(s"$path/decontam/shingles")
     Seq((bf, est)).toDF("bf", "est").write.mode("overwrite")
       .parquet(s"$path/decontam/bloom")
@@ -1030,8 +1058,27 @@ object IndexStore {
     * query's one-shot scratch build should only pay for the legs it
     * serves (q178 registers, q179 cells+totals, q180 lens) — the mg leg
     * is the one typed-aggregator pass in the family. */
+  /** Every table of the statistics ledger. */
+  val SketchLegs: Set[String] = Set("registers", "cells", "totals", "lens", "mg")
+
   def saveSketchIndex(docs: DataFrame, path: String, mg: Boolean = true): Unit =
-    writeSketch(docs, path, "overwrite", mg)
+    writeSketch(docs, path, "overwrite",
+      if (mg) SketchLegs else SketchLegs - "mg")
+
+  /** Build only the named ledger tables (r17, guide §1.2: the from-store
+    * catalog queries each SERVE one leg — q178 registers, q179
+    * cells+totals, q180 lens, q192 mg+totals — so building the other
+    * legs' corpus scans and writes inside those queries was work thrown
+    * away; each leg is derived and persisted independently, so a
+    * leg-restricted store is bit-identical on the legs it has. The CLI
+    * build verb and appends still write every leg — `appendSketchBatch`
+    * requires a full store (the mg gate) so partial stores stay
+    * query-scratch only). */
+  def saveSketchLegs(docs: DataFrame, path: String,
+      legs: Set[String]): Unit = {
+    require(legs.subsetOf(SketchLegs), s"unknown sketch legs: ${legs -- SketchLegs}")
+    writeSketch(docs, path, "overwrite", legs)
+  }
 
   /** Append a batch's sketch grids (each derived by the same one-scan
     * aggregations as the build — grids, not rows, cross the write).
@@ -1044,7 +1091,7 @@ object IndexStore {
     * impossible here; the fix is a rebuild. */
   def appendSketchBatch(batch: DataFrame, path: String): Unit = {
     requireSketchMg(batch.sparkSession, path)
-    writeSketch(batch, path, "append", mg = true)
+    writeSketch(batch, path, "append", SketchLegs)
   }
 
   /** The mg-leg presence gate shared by every consumer that would
@@ -1063,28 +1110,37 @@ object IndexStore {
   }
 
   private def writeSketch(docs: DataFrame, path: String,
-      mode: String, mg: Boolean): Unit = {
+      mode: String, legs: Set[String]): Unit = {
     // Grid-bounded tables; writer width is irrelevant here (the frames
     // are ≤ thousands of rows by construction — the one store family
     // where the VERDICT r14 #1 widening does not apply).
-    Audit.hllRegisters(Audit.gram5(docs), "lang", "g")
-      .repartition(4).sortWithinPartitions("grp", "idx")
-      .write.mode(mode).parquet(s"$path/sketch/registers")
-    val w = Audit.wordRows(docs).localCheckpoint(true) // three consumers
-    Audit.cmsCellsBy(w, "source", "w")
-      .withColumnRenamed("grp", "source")
-      .repartition(4).sortWithinPartitions("source", "j", "c")
-      .write.mode(mode).parquet(s"$path/sketch/cells")
-    w.groupBy("source").agg(count(lit(1)).as("n"))
-      .repartition(1)
-      .write.mode(mode).parquet(s"$path/sketch/totals")
-    Audit.lenBins(docs)
-      .repartition(1).sortWithinPartitions("source", "bin")
-      .write.mode(mode).parquet(s"$path/sketch/lens")
+    if (legs("registers"))
+      Audit.hllRegisters(Audit.gram5(docs), "lang", "g")
+        .repartition(4).sortWithinPartitions("grp", "idx")
+        .write.mode(mode).parquet(s"$path/sketch/registers")
+    // The word-row barrier pays off only when the stream has 2+ consumers
+    // among {cells, totals, mg}; a single-leg build streams it once.
+    val wConsumers = Seq("cells", "totals", "mg").count(legs)
+    lazy val w =
+      if (wConsumers > 1) Audit.wordRows(docs).localCheckpoint(true)
+      else Audit.wordRows(docs)
+    if (legs("cells"))
+      Audit.cmsCellsBy(w, "source", "w")
+        .withColumnRenamed("grp", "source")
+        .repartition(4).sortWithinPartitions("source", "j", "c")
+        .write.mode(mode).parquet(s"$path/sketch/cells")
+    if (legs("totals"))
+      w.groupBy("source").agg(count(lit(1)).as("n"))
+        .repartition(1)
+        .write.mode(mode).parquet(s"$path/sketch/totals")
+    if (legs("lens"))
+      Audit.lenBins(docs)
+        .repartition(1).sortWithinPartitions("source", "bin")
+        .write.mode(mode).parquet(s"$path/sketch/lens")
     // The heavy-hitter leg: one ≤ MgK-entry Misra–Gries summary of the
     // word stream (bounded partial state per partition — the vocabulary
     // never shuffles), exploded to (w, c) rows in-plan (no driver pull).
-    if (mg) {
+    if (legs("mg")) {
       val agg = udaf(new graft.functions.MisraGriesCountsAggregator(Audit.MgK))
       w.agg(agg(col("w")).as("s"))
         .select(explode(col("s")).as(Seq("w", "c")))

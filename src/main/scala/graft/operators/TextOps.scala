@@ -2658,7 +2658,10 @@ object TextOps {
         // proves the persist → fold → serve round trip keeps the
         // no-false-negatives guarantee.
         val scratch = graft.Scratch.dir("q192-store")
-        IndexStore.saveSketchIndex(Tables.load(s, dir, "documents"), scratch)
+        // Serves the HEAVY-HITTER legs only (mg + totals): the registers/
+        // cells/lens scans and writes were dead work in this query (r17).
+        IndexStore.saveSketchLegs(Tables.load(s, dir, "documents"), scratch,
+          Set("mg", "totals"))
         val cand = IndexStore.loadSketchMg(s, scratch)
           .collect().map(_.getString(0)).toSeq
         val n = IndexStore.loadSketchTotals(s, scratch)
@@ -2901,7 +2904,17 @@ object TextOps {
           .join(rgt, Seq("w2"))
           .crossJoin(broadcast(n))
           .select(col("w1"), col("w2"), col("c"), col("c1"), col("c2"),
-            expr("((c * 1000) * n) div (c1 * c2)").as("lift_permille"))
+            // Overflow guard (ADVICE r16): past the exact range Spark
+            // (non-ANSI) would wrap silently while DuckDB errors — make
+            // BOTH engines loud. Codegen'd branch, no extra job; the
+            // guard never fires below the documented c·n ≈ 9.2e15 bound.
+            expr(s"""CASE WHEN c <= ${Long.MaxValue / 1000L}
+                    |       AND c * 1000 <= ${Long.MaxValue} div n
+                    |  THEN ((c * 1000) * n) div (c1 * c2)
+                    |  ELSE raise_error(concat('q197 lift overflow: c*1000*n exceeds bigint for c=',
+                    |         CAST(c AS STRING), ', n=', CAST(n AS STRING),
+                    |         ' - reformulate on per-margin permille rates'))
+                    |END""".stripMargin).as("lift_permille"))
           .orderBy("w1", "w2")
       },
       Some(s"""WITH ${knCtes("TRUE")},

@@ -18,6 +18,14 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  /** Cap on folded bigram-LM types `lmScoreStream` will collapse into its
+    * single-row broadcast map env (VERDICT r16 #1). 2M entries of short
+    * word pairs + 3 longs is ~100-200 MB framed — comfortably inside the
+    * broadcast envelope with wide margin below the 2 GB single-value
+    * ceiling; production web-scale LMs (10⁸-10⁹ types) must take the
+    * join-based batch scorer instead (see lmScoreStream's gate). */
+  val LmStreamMaxTypes = 2000000L
+
   /** Empty-directory fallback schema for `readEventsStream`: when the glob
     * matches no file yet (a normal file-stream pattern — start the stream,
     * files land later), the stream starts with the NANOS-generation shape
@@ -887,15 +895,36 @@ object Streams {
     * persisted bigram LM (`IndexStore.saveBigramLM`) with the exact
     * `TextOps.knScore` arithmetic as a pure per-row fold. The LM
     * collapses to three broadcast lookup maps (pair → p_kn, context →
-    * (c1, n1r), continuation → n1l) plus the type total — all
-    * vocab²-bounded, the same broadcast envelope as the batch join
-    * sides — so the stream needs NO state store and NO shuffle, and
-    * batch boundaries cannot matter. StreamsSpec pins the streamed
-    * held-out slice ≡ batch q196 bit-for-bit. */
-  def lmScoreStream(docs: DataFrame, lmPath: String): DataFrame = {
+    * (c1, n1r), continuation → n1l) plus the type total — so the stream
+    * needs NO state store and NO shuffle, and batch boundaries cannot
+    * matter. StreamsSpec pins the streamed held-out slice ≡ batch q196
+    * bit-for-bit.
+    *
+    * SCALE ENVELOPE (VERDICT r16 #1): the three maps live in ONE row —
+    * a strictly TIGHTER bound than the batch path's broadcast-hash-join
+    * envelope (single JVM object / 2 GB value ceiling, one-task build).
+    * At this corpus's 10³–10⁵ bigram types that is trivially safe; a
+    * production LM from a web-scale reference slice can hold 10⁸–10⁹
+    * types, where the batch twin (`TextOps.knScore`) degrades gracefully
+    * to linear shuffled joins and this path would fall over a cliff. So
+    * the map build is gated: stores past `maxTypes` folded bigram types
+    * FAIL LOUDLY at stream construction with the join-path pointer,
+    * never silently build a multi-GB single row. The one count() runs at
+    * plan-construction time against the store's folded table (batch
+    * read, not per micro-batch). */
+  def lmScoreStream(docs: DataFrame, lmPath: String,
+      maxTypes: Long = LmStreamMaxTypes): DataFrame = {
     import graft.operators.{IndexStore, TextOps}
     val spark = docs.sparkSession
     val big = IndexStore.loadBigramLM(spark, lmPath)
+    val nTypes = big.count()
+    require(nTypes <= maxTypes,
+      s"lmScoreStream: persisted bigram LM at $lmPath holds $nTypes folded " +
+        s"types > cap $maxTypes — a single-row broadcast map this large " +
+        "risks the 2 GB single-value ceiling; score this stream in " +
+        "foreachBatch via the join-based batch scorer (TextOps.knScore " +
+        "over IndexStore.loadBigramLM) instead, or raise the cap only " +
+        "with executor headroom measured")
     val (lft, cont, types) = TextOps.knDerive(big)
     val pm = TextOps.knTable(big, lft, cont, types)
       .agg(map_from_entries(collect_list(struct(

@@ -781,6 +781,39 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(dump(incr) === dump(full))
   }
 
+  test("leg-restricted sketch builds write only the named legs, bit-equal to the full build's (r17)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val full = tmp("sketch-legs-full")
+    IndexStore.saveSketchIndex(docs, full)
+    def legDirs(p: String): Set[String] = {
+      val d = new java.io.File(s"$p/sketch")
+      if (!d.exists) Set.empty
+      else d.listFiles.filter(_.isDirectory).map(_.getName).toSet
+    }
+    // Each leg is derived and persisted independently, so a restricted
+    // build must produce exactly the asked-for tables, each loading
+    // bit-equal to the full store's — the guarantee that lets the
+    // from-store catalog queries build only what they serve.
+    val cases = Seq(
+      Set("registers") -> ((p: String) => IndexStore
+        .loadSketchRegisters(spark, p).orderBy("grp", "idx")),
+      Set("cells", "totals") -> ((p: String) => IndexStore
+        .loadSketchCells(spark, p).orderBy("source", "j", "c")),
+      Set("lens") -> ((p: String) => IndexStore
+        .loadSketchLens(spark, p).orderBy("source", "bin")),
+      Set("mg", "totals") -> ((p: String) => IndexStore
+        .loadSketchMg(spark, p).orderBy("w")))
+    cases.foreach { case (legs, load) =>
+      val p = tmp(s"sketch-legs-${legs.mkString("-")}")
+      IndexStore.saveSketchLegs(docs, p, legs)
+      assert(legDirs(p) === legs, s"legs on disk for $legs")
+      assert(load(p).collect().map(_.toSeq.toList).toList ===
+        load(full).collect().map(_.toSeq.toList).toList, s"leg data for $legs")
+    }
+    intercept[IllegalArgumentException](
+      IndexStore.saveSketchLegs(docs, tmp("sketch-legs-bad"), Set("nope")))
+  }
+
   test("q178/q179 serve the q160/q176 sketch halves from the store; q178 plan is corpus-free") {
     // q178 == the in-query register derivation + estimate (bit-for-bit).
     val docs = Tables.load(spark, sf, "documents")

@@ -700,6 +700,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(got === want && got.nonEmpty)
   }
 
+  test("lmScoreStream fails loudly past the single-row map-env type cap (VERDICT r16 #1)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val lmPath = java.nio.file.Files
+      .createTempDirectory("graft-knlm-cap").toString
+    graft.operators.IndexStore.saveBigramLM(
+      docs.filter(col("doc_id") % 5 =!= 0), lmPath)
+    val tmp = landBatches(Seq(docs.filter(col("doc_id") % 5 === 0)))
+    // The gate fires at STREAM CONSTRUCTION (one batch count of the
+    // store's folded table), before any micro-batch runs, and points at
+    // the scalable join-based batch scorer.
+    val ex = intercept[IllegalArgumentException] {
+      Streams.lmScoreStream(
+        Streams.readDocsStream(spark, tmp.getPath, "*.parquet", Some(1)),
+        lmPath, maxTypes = 1L)
+    }
+    assert(ex.getMessage.contains("join-based batch scorer"))
+  }
+
   test("streaming anomaly flags are bit-identical to batch q109 for every finalized hour") {
     val raw = rawNanos
     val (minNs, maxNs) = {
