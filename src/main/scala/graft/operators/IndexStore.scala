@@ -763,14 +763,17 @@ object IndexStore {
     * pairs from the store are bit-identical to the in-query path
     * (IndexStoreSpec pins it). */
   def savePairIndex(docs: DataFrame, path: String): Unit =
-    // No explicit repartition (r17): the bucket aggregation's own
-    // exchange already runs at cluster width (`spark.sql.shuffle
-    // .partitions`, AQE-coalesced when small), so the old round-robin
-    // `repartition(32)` was a SECOND full shuffle of the bucket table
-    // (plus sortBeforeRepartition's local sort) that also capped writer
-    // width at 32 on a real cluster — redundant locally, a funnel at
-    // scale (guide §2.4/§2.5).
+    // Explicit spread at CLUSTER-TRACKING width (r17): the old
+    // `repartition(32)` capped writers at 32 on a real cluster; a bare
+    // write was tried first but AQE coalesces the small bucket agg to
+    // ~1 file locally, which then SERIALIZES the expensive pair-mining
+    // read (bucketPairs' explode parallelism = file count until its
+    // first exchange — measured q127 +0.8 s drift-adjusted). The
+    // round-robin spread keeps the read fan-out at cluster width at
+    // every scale; its shuffle is bucket-table-sized, a fraction of the
+    // mining it parallelizes.
     Dedup.allBuckets(docs)
+      .repartition(writeParallelism(docs.sparkSession))
       .write.mode("overwrite").parquet(s"$path/pairs/buckets")
 
   /** The audit view — (s, ds) filtered to the informative [2, MaxDf]
@@ -812,8 +815,8 @@ object IndexStore {
       .groupBy(key)
       .agg(slice(sort_array(array_distinct(flatten(collect_list(col("ds"))))),
         1, Dedup.MaxDf + 1).as("ds"))
-      // no repartition — the merge agg's exchange is already cluster-wide
-      // (see savePairIndex, r17)
+      // cluster-tracking spread (was a hard 32) — see savePairIndex (r17)
+      .repartition(writeParallelism(spark))
       .write.mode("overwrite").parquet(stage.toString)
     fs.delete(dst, true)
     require(fs.rename(stage, dst), s"rename $stage -> $dst failed")
@@ -826,8 +829,10 @@ object IndexStore {
     * the grams, same ≥6-word shared-run guarantee). Same capped-bucket
     * layout and merge math as the pair index, keyed by fingerprint. */
   def saveWinnowIndex(docs: DataFrame, path: String): Unit =
-    // No explicit repartition — see savePairIndex (r17).
+    // Cluster-tracking spread — see savePairIndex (r17) for why a bare
+    // write starves the pair-mining read's parallelism locally.
     Dedup.winnowAllBuckets(docs)
+      .repartition(writeParallelism(docs.sparkSession))
       .write.mode("overwrite").parquet(s"$path/winnow/buckets")
 
   /** The audit view — feed to `Dedup.winnowPairsFrom`. */
