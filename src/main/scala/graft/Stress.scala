@@ -570,8 +570,7 @@ object Stress {
           .select(col("doc_id"), call_function("graft_phashsig",
             split(trim(col("text")), " "), lit(16), lit(2)).as("pixels"))
           .filter(col("pixels").isNotNull)
-          .filter(expr(
-            "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint) % 10 = 0"))
+          .filter(expr("graft_hash60(cast(doc_id AS string)) % 10 = 0"))
           .localCheckpoint(true)
         val px = deep.select(col("doc_id"), col("pixels"), explode(expr(
           "transform(sequence(0, 15), i -> struct(i AS pos, substring(pixels, i * 2 + 1, 2) AS pv))")).as("e"))

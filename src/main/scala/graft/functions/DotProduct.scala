@@ -118,6 +118,23 @@ object GraftFunctions {
           s"graft_phashsig expects (words[, bins-literal[, depth-literal]]), got ${other.size} args")
       })
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
+      (children: Seq[Expression]) => Hash60(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_gramhashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "graft_gramhashes"),
+      (children: Seq[Expression]) => GramHashes(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_gramstrings"),
+      new ExpressionInfo(classOf[GramStrings].getName, "graft_gramstrings"),
+      (children: Seq[Expression]) => GramStrings(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cmsbuckets"),
+      new ExpressionInfo(classOf[CmsBuckets].getName, "graft_cmsbuckets"),
+      (children: Seq[Expression]) =>
+        CmsBuckets(children(0), children(1), children(2)))
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
       (children: Seq[Expression]) => L2Normalize(children.head))

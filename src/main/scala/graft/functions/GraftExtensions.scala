@@ -55,6 +55,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               other.drop(1).map(_.sql).mkString(", "))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
+      (children: Seq[Expression]) => Hash60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gramhashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "graft_gramhashes"),
+      (children: Seq[Expression]) => GramHashes(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gramstrings"),
+      new ExpressionInfo(classOf[GramStrings].getName, "graft_gramstrings"),
+      (children: Seq[Expression]) => GramStrings(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cmsbuckets"),
+      new ExpressionInfo(classOf[CmsBuckets].getName, "graft_cmsbuckets"),
+      (children: Seq[Expression]) =>
+        CmsBuckets(children(0), children(1), children(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_l2norm"),
       new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
       (children: Seq[Expression]) => L2Normalize(children.head)))

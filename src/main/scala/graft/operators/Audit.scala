@@ -255,6 +255,7 @@ object Audit {
     * (geometric(½) each → discrete Laplace at ε = ln 2), sub-KAnonK
     * cells suppressed to −1, released floored at 0. */
   def dpRelease(docs: DataFrame, salt: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     require(!salt.contains("'"),
       "salt must not contain a single quote (it interpolates into SQL)")
     val cells = docs
@@ -286,11 +287,14 @@ object Audit {
     (1 to DpTzCap).map(k => s"(CASE WHEN $h % ${1L << k} = 0 THEN 1 ELSE 0 END)")
       .mkString("(", " + ", ")")
 
-  /** Portable md5-hex→bigint (15 hex digits = 60 bits) — SQL text valid in
-    * Spark; the DuckDB twin is the nibble fold below (bit-identical, the
-    * q79 idiom). */
+  /** Portable md5-hex→bigint (15 hex digits = 60 bits) — Spark side is the
+    * codegen'd graft_hash60 (bit-identical to
+    * `cast(conv(substr(md5($c), 1, 15), 16, 10) AS bigint)`, minus the hex
+    * round trip — r17); the DuckDB twin is the nibble fold below
+    * (bit-identical, the q79 idiom). Callers must have GraftFunctions
+    * registered on the session. */
   private def h60Spark(c: String): String =
-    s"cast(conv(substr(md5($c), 1, 15), 16, 10) AS bigint)"
+    s"graft_hash60($c)"
   private def h60Duck(c: String): String =
     s"list_reduce([(strpos('0123456789abcdef', substr(md5($c), i, 1)) - 1)::BIGINT for i in range(1, 16)], (a, b) -> a * 16 + b)"
 
@@ -322,12 +326,14 @@ object Audit {
 
   /** The CMS bucket array for one value: D independent 60-bit md5 folds
     * (row index salted into the message — the q79 portable-hash idiom,
-    * one fold per row) each reduced mod W. Rendered as SQL text so the
-    * identical expression runs in both engines; the integer j renders as
-    * the same decimal string under Spark's and DuckDB's casts. */
+    * one fold per row) each reduced mod W. Spark side is the codegen'd
+    * graft_cmsbuckets (r17) — bit-identical to the old
+    * `transform(sequence(0, D-1), j -> conv-fold(md5('cms'||j||':'||v)) % W)`
+    * lambda, minus the hex round trip and the interpreted per-j walk; the
+    * DuckDB twin below salts j per unnested row, and both render j with
+    * the same decimal cast. Callers need GraftFunctions registered. */
   private def cmsBucketsSpark(v: String): String =
-    s"transform(sequence(0, ${CmsD - 1}), j -> " +
-      s"cast(conv(substr(md5(concat('cms', cast(j AS string), ':', $v)), 1, 15), 16, 10) AS bigint) % $CmsW)"
+    s"graft_cmsbuckets($v, $CmsD, $CmsW)"
 
   /** DuckDB twin of one CMS bucket: row j is a literal per unnested row
     * there, so the fold takes the already-concatenated message. */
@@ -385,10 +391,12 @@ object Audit {
   /** Per-occurrence (j, c) bucket rows — a pure narrow projection
     * (stream-safe, the hllRows split): the batch path aggregates it into
     * the grid below; the streaming twin folds it into cell state. */
-  def cmsRows(items: DataFrame, v: String): DataFrame =
+  def cmsRows(items: DataFrame, v: String): DataFrame = {
+    graft.functions.GraftFunctions.register(items.sparkSession)
     items
       .select(posexplode(expr(cmsBucketsSpark(v))))
       .select(col("pos").cast("long").as("j"), col("col").as("c"))
+  }
 
   /** Global CMS cell frame (j, c, cc) over a value column: one linear
     * scan collapsing into ≤ D × W counter rows, map-side combined — the
@@ -400,21 +408,28 @@ object Audit {
       .groupBy("j", "c").agg(count(lit(1)).as("cc"))
 
   /** Per-group CMS cells (grp, j, c, cc) — state ≤ |groups| × D × W. */
-  def cmsCellsBy(items: DataFrame, grp: String, v: String): DataFrame =
+  def cmsCellsBy(items: DataFrame, grp: String, v: String): DataFrame = {
+    graft.functions.GraftFunctions.register(items.sparkSession)
     items
       .select(col(grp).as("grp"), posexplode(expr(cmsBucketsSpark(v))))
       .select(col("grp"), col("pos").cast("long").as("j"), col("col").as("c"))
       .groupBy("grp", "j", "c").agg(count(lit(1)).as("cc"))
+  }
 
   /** (key, g) HllN-gram stream keyed by any doc column — the q103
     * gram-enumeration idiom. */
-  def gramsBy(docs: DataFrame, key: String): DataFrame =
+  def gramsBy(docs: DataFrame, key: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // graft_gramstrings = the old per-i transform lambda (slice +
+    // interpreted concat_ws per gram) as one codegen'd pass over the word
+    // array — identical strings (r17).
     docs
       .select(col(key), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= HllN)
-      .select(col(key), explode(expr(
-        s"transform(sequence(0, size(w) - $HllN), i -> concat_ws(' ', slice(w, i + 1, $HllN)))"))
-        .as("g"))
+      .select(col(key),
+        explode(call_function("graft_gramstrings", col("w"), lit(HllN)))
+          .as("g"))
+  }
 
   /** (lang, g) HllN-gram stream (q160/streaming-twin grouping). */
   def gram5(docs: DataFrame): DataFrame = gramsBy(docs, "lang")
@@ -427,16 +442,19 @@ object Audit {
     * sketch+verify trade — a barrier here would materialize the
     * corpus-sized occurrence frame instead). */
   def noveltyOcc(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val widths = NovWidths.mkString(", ")
+    // graft_gramhashes replaces the old per-i lambda (slice + concat_ws +
+    // md5 hex fold, interpreted per gram — r17); it returns EMPTY below n
+    // words, which subsumes the old size(w) >= n CASE guard. The outer
+    // per-width transform stays a lambda but runs |widths| times per row,
+    // not per gram.
     docs
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         s"""flatten(transform(array($widths), n ->
-           |  CASE WHEN size(w) >= n THEN
-           |    transform(sequence(0, size(w) - n),
-           |      i -> struct(cast(n AS bigint) AS n,
-           |        cast(conv(substr(md5(concat_ws(' ', slice(w, i + 1, n))), 1, 15), 16, 10) AS bigint) AS gh))
-           |  ELSE cast(array() AS array<struct<n:bigint,gh:bigint>>) END))"""
+           |  transform(graft_gramhashes(w, n),
+           |    gh -> struct(cast(n AS bigint) AS n, gh AS gh))))"""
           .stripMargin)).as("p"))
       .select(col("doc_id"), col("p.n").as("n"), col("p.gh").as("gh"))
   }
@@ -468,7 +486,8 @@ object Audit {
     * minimal binary strings). Pure narrow projection (stream-safe): the
     * batch path aggregates it below, the streaming twin folds it into
     * grid-bounded register state instead. */
-  def hllRows(items: DataFrame, grp: String, v: String): DataFrame =
+  def hllRows(items: DataFrame, grp: String, v: String): DataFrame = {
+    graft.functions.GraftFunctions.register(items.sparkSession)
     items
       .withColumn("h", expr(h60Spark(v)))
       .withColumn("idx", expr(s"h % $HllM"))
@@ -476,6 +495,7 @@ object Audit {
       .select(col(grp).as("grp"), col("idx"), expr(
         s"CASE WHEN z = 0 THEN $RhoCap ELSE length(bin(z & -z)) END")
         .cast("long").as("rho"))
+  }
 
   /** (grp, v) → (grp, idx, r) HLL register frame. No distinct, no libm:
     * max(ρ) over raw occurrences equals max over distinct values by

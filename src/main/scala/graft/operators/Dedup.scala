@@ -96,9 +96,10 @@ object Dedup {
       .when(col("hb") < ValBuckets, lit("val"))
       .otherwise(lit("test"))
 
-  private def withSplitBucket(docs: DataFrame): DataFrame =
-    docs.withColumn("hb",
-      expr(s"cast(conv(substr(md5(text), 1, 15), 16, 10) AS bigint) % $SplitBuckets"))
+  private def withSplitBucket(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.withColumn("hb", expr(s"graft_hash60(text) % $SplitBuckets"))
+  }
 
   /** DuckDB twin of withSplitBucket+splitCol as CTE `spl(doc_id, source,
     * text, hb, split)`. */
@@ -117,12 +118,14 @@ object Dedup {
   /** Word n-gram shingles per document, WITH duplicates — narrow, no
     * shuffle. Callers that need set semantics either `.distinct()` (one
     * shuffle) or dedupe inside their own aggregation (collect_set). */
-  def shinglesRaw(docs: DataFrame, n: Int = ShingleN): DataFrame =
+  def shinglesRaw(docs: DataFrame, n: Int = ShingleN): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")).as("s"))
+      .select(col("doc_id"),
+        explode(call_function("graft_gramstrings", col("w"), lit(n))).as("s"))
+  }
 
   /** Distinct word n-gram shingles per document. */
   def shingles(docs: DataFrame, n: Int = ShingleN): DataFrame =
@@ -137,14 +140,15 @@ object Dedup {
     * the position join), cover-expansion is a ≤BoilerN× narrow explode of
     * start positions, re-assembly is one doc_id-keyed aggregation. */
   def boilerplateStrip(docs: DataFrame, minDf: Int = BoilerDf): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val n = BoilerN
     val w = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
     val pos = w.select(col("doc_id"),
       posexplode(col("w")).as(Seq("i", "wd")))
     val sh8 = w.filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> struct(i AS i, concat_ws(' ', slice(w, i + 1, $n)) AS s))")).as("p"))
-      .select(col("doc_id"), col("p.i").as("i"), col("p.s").as("s"))
+      .select(col("doc_id"),
+        posexplode(call_function("graft_gramstrings", col("w"), lit(n)))
+          .as(Seq("i", "s")))
     val bp = sh8.groupBy("s").agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= minDf).select("s")
     val cov = sh8.join(bp, Seq("s"))
@@ -194,16 +198,17 @@ object Dedup {
     * gram index (IndexStore.saveGramIndex / q151), and Stress crossdoc. */
   private[graft] def gramRows(docs: DataFrame, n: Int = CrossN,
       keep: Seq[String] = Nil): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val ks = keep.map(col)
+    // graft_gramhashes = the old per-i transform lambda (slice + concat_ws
+    // + md5 hex fold) as one codegen'd pass: array index = start position,
+    // so posexplode yields the identical (i, gh) rows (r17: the lambda form
+    // ran interpreted per gram and re-materialized word bytes per gram).
     docs.select(Seq(col("doc_id")) ++ ks :+ split(trim(col("text")), " ").as("w"): _*)
       .filter(size(col("w")) >= n)
-      .select(Seq(col("doc_id")) ++ ks :+ explode(expr(
-        s"""transform(sequence(0, size(w) - $n),
-           |  i -> struct(i AS i,
-           |    cast(conv(substr(md5(concat_ws(' ', slice(w, i + 1, $n))), 1, 15), 16, 10) AS bigint) AS gh))"""
-          .stripMargin)).as("p"): _*)
-      .select(Seq(col("doc_id")) ++ ks ++
-        Seq(col("p.i").as("i"), col("p.gh").as("gh")): _*)
+      .select(Seq(col("doc_id")) ++ ks :+
+        posexplode(call_function("graft_gramhashes", col("w"), lit(n)))
+          .as(Seq("i", "gh")): _*)
   }
 
   /** Strip/re-assembly tail shared by q148/q151 and the streaming twin's
@@ -1620,12 +1625,13 @@ object Dedup {
         // ONE tiny source-keyed aggregation (output rows = #sources).
         // Counts are integer sums; the only double is the final division.
         val n = BoilerN
+        graft.functions.GraftFunctions.register(s)
         val docs = Tables.load(s, dir, "documents")
         val w = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
         val sh8 = w.filter(size(col("w")) >= n)
-          .select(col("doc_id"), explode(expr(
-            s"transform(sequence(0, size(w) - $n), i -> struct(i AS i, concat_ws(' ', slice(w, i + 1, $n)) AS s))")).as("p"))
-          .select(col("doc_id"), col("p.i").as("i"), col("p.s").as("s"))
+          .select(col("doc_id"),
+            posexplode(call_function("graft_gramstrings", col("w"), lit(n)))
+              .as(Seq("i", "s")))
         val bp = sh8.groupBy("s").agg(countDistinct("doc_id").as("df"))
           .filter(col("df") >= BoilerDf).select("s")
         val cnt = sh8.join(bp, Seq("s"))
@@ -1719,7 +1725,7 @@ object Dedup {
         // carries only partial rows.
         val d = withSplitBucket(Tables.load(s, dir, "documents"))
           .select(splitCol.as("split"), col("source"),
-            expr("cast(conv(substr(md5(text), 1, 15), 16, 10) AS bigint)").as("h"),
+            expr("graft_hash60(text)").as("h"),
             size(split(trim(col("text")), " ")).cast("long").as("nw"))
         d.groupBy("split", "source")
           .agg(count(lit(1)).as("n_docs"),
@@ -2096,6 +2102,7 @@ object Dedup {
         // Shapes add nothing to q58: the corpus sees ONE doc_id-keyed join
         // against the component map (AQE broadcasts it when small);
         // singletons fall through as their own component via coalesce.
+        graft.functions.GraftFunctions.register(s)
         val docs = Tables.load(s, dir, "documents")
         val edges = jaccardPairs(docs).select("a", "b").persist()
         val comp = connectedComponents(edges)
@@ -2104,7 +2111,7 @@ object Dedup {
           .join(comp.select(col("v").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component"))
           .withColumn("hb",
-            expr(s"cast(conv(substr(md5(cast(component AS string)), 1, 15), 16, 10) AS bigint) % $SplitBuckets"))
+            expr(s"graft_hash60(cast(component AS string)) % $SplitBuckets"))
           .select(col("doc_id"), col("component"),
             when(col("hb") < TrainBuckets, lit("train"))
               .when(col("hb") < ValBuckets, lit("val"))

@@ -57,10 +57,13 @@ object Eval {
     * per-epoch spread around the random-order expectation. */
   val SqEpochs = 4
 
-  /** Portable 60-bit md5 fold of a SQL string expression — Spark text
-    * (the q79 idiom; DuckDB twin inlined in the oracles below). */
+  /** Portable 60-bit md5 fold of a SQL string expression — Spark side is
+    * the codegen'd graft_hash60 (bit-identical to
+    * `cast(conv(substr(md5($msg), 1, 15), 16, 10) AS bigint)`, minus the
+    * hex round trip — r17; callers register GraftFunctions); DuckDB twin
+    * inlined in the oracles below. */
   private[operators] def h60(msg: String): String =
-    s"cast(conv(substr(md5($msg), 1, 15), 16, 10) AS bigint)"
+    s"graft_hash60($msg)"
 
   /** DuckDB nibble-fold twin of `h60` — single-line (the stripMargin
     * leading-pipe hazard). */
@@ -311,9 +314,10 @@ object Eval {
         // codegen'd) into a (shard, source) partial+final aggregate —
         // Shards × sources rows (both catalog-sized: named sources, O(1k)
         // shards). The share/parity windows run over THAT frame only.
+        graft.functions.GraftFunctions.register(s)
         val g = Tables.load(s, dir, "documents")
-          .withColumn("shard", expr(
-            s"cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint) % $Shards"))
+          .withColumn("shard",
+            expr(s"graft_hash60(cast(doc_id AS string)) % $Shards"))
           .withColumn("n_words", size(split(trim(col("text")), " ")).cast("long"))
           .groupBy("shard", "source")
           .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"))
@@ -476,6 +480,7 @@ object Eval {
         // expectation term is a broadcast 1-row aggregate (per-pair
         // products ≤ n² — overflow-safe below ~3e9 docs/source, the
         // q170-style documented bound).
+        graft.functions.GraftFunctions.register(s)
         val docs = Tables.load(s, dir, "documents")
         val base = docs.select(col("doc_id"), col("source"),
           (expr(h60("concat('sh:', cast(doc_id AS string))")) % Shards)

@@ -181,10 +181,10 @@ object Maintenance {
         // the same aggregate. The layouts themselves never materialize —
         // this is the decision table you read BEFORE paying a corpus
         // rewrite (`zorderWrite`, composed per-partition at scale).
+        graft.functions.GraftFunctions.register(s)
         val keyed = Tables.load(s, dir, "documents")
           .withColumn("a",
-            expr("cast(conv(substr(md5(concat('zl:', lang)), 1, 15), 16, 10) AS bigint)")
-              % (1L << ZqBits))
+            expr("graft_hash60(concat('zl:', lang))") % (1L << ZqBits))
           .withColumn("b", expr(s"least(n_chars div $ZqLenW, ${(1L << ZqBits) - 1})"))
           .withColumn("z_range",
             expr(s"(${zInterleave("a", "b", "div")}) div $ZqRangeW"))

@@ -847,8 +847,7 @@ object Multimodal {
         // blocking key — no cartesian anywhere); both pair sets are
         // sample-bounded; one ≤17-row output agg.
         val grid = phashGrid(Tables.load(s, dir, "documents"))
-          .filter(expr(
-            "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint) % 10 = 0"))
+          .filter(expr("graft_hash60(cast(doc_id AS string)) % 10 = 0"))
           .localCheckpoint(true)
         val px = grid.select(col("doc_id"), col("pixels"), explode(expr(
           "transform(sequence(1, 16), i -> struct(i AS pos, substring(pixels, i, 1) AS pv))")).as("e"))

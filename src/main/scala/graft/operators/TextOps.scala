@@ -301,12 +301,13 @@ object TextOps {
       .agg(count(lit(1)).as("c"), sum("nw").as("tk"))
 
   def selfRepStrip(docs: DataFrame, n: Int = IntraN): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val w = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
     val pos = w.select(col("doc_id"), posexplode(col("w")).as(Seq("i", "wd")))
     val gr = w.filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> struct(i AS i, concat_ws(' ', slice(w, i + 1, $n)) AS s))")).as("p"))
-      .select(col("doc_id"), col("p.i").as("i"), col("p.s").as("s"))
+      .select(col("doc_id"),
+        posexplode(call_function("graft_gramstrings", col("w"), lit(n)))
+          .as(Seq("i", "s")))
     // Repeat starts: every start of a (doc, gram) AFTER its first
     // occurrence. Aggregation state = the doc's own start list (bounded by
     // doc length), grouped on (doc_id, s) so no key ever spans documents.
@@ -1331,10 +1332,10 @@ object TextOps {
         // a 100 TB corpus, a lang-keyed window would concentrate a quarter
         // of the corpus per task (the q58 lesson), while this plans as an
         // ordinary partial+final aggregation.
+        graft.functions.GraftFunctions.register(s)
         val ds = Tables.load(s, dir, "documents")
           .select(col("lang"), col("doc_id"),
-            expr("-cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)")
-              .as("score"))
+            expr("-graft_hash60(cast(doc_id AS string))").as("score"))
           .as[(String, Long, Long)]
         ds.groupByKey(_._1)
           .mapValues(t => graft.functions.Scored(t._2, t._3))
@@ -1700,11 +1701,13 @@ object TextOps {
         // point this SAME plan degrades gracefully to one b-keyed linear
         // shuffle join (never corpus²); the corpus side stays a narrow
         // ≤1-per-word explode either way.
+        graft.functions.GraftFunctions.register(s)
         val bg = Tables.load(s, dir, "documents")
           .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
           .filter(size(col("w")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")).as("b"))
+          .select(col("doc_id"),
+            explode(call_function("graft_gramstrings", col("w"), lit(2)))
+              .as("b"))
         val ref = bg.filter(col("doc_id") % 5 === 0)
           .groupBy("b").agg(count(lit(1)).as("c"))
         val tot = ref.agg(sum("c").cast("long").as("tot"))
@@ -2163,6 +2166,7 @@ object TextOps {
         // an interpreted lambda), then ONE doc_id-keyed partial+final
         // agg; the weight is computed arithmetic, so there is no model
         // join at all. Score state per doc = two longs.
+        graft.functions.GraftFunctions.register(s)
         val B = 1048576L
         val feats = Tables.load(s, dir, "documents")
           .select(col("doc_id"), split(trim(col("text")), " ").as("ws"))
@@ -2174,8 +2178,7 @@ object TextOps {
               |  i -> concat(element_at(ws, i + 1), '_', element_at(ws, i + 2))))""".stripMargin))
             .as("f"))
         feats
-          .select(col("doc_id"),
-            (expr("cast(conv(substr(md5(f), 1, 15), 16, 10) AS bigint)") % B).as("bkt"))
+          .select(col("doc_id"), (expr("graft_hash60(f)") % B).as("bkt"))
           .select(col("doc_id"), ((col("bkt") * 2654435761L) % 1024L).as("w"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_feats"), sum("w").as("sw"))

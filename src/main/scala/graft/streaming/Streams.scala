@@ -311,8 +311,8 @@ object Streams {
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= n)
       .withColumn("sig", call_function("graft_minhash12", col("w")))
-      .withColumn("sh", expr(
-        s"array_distinct(transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n))))"))
+      .withColumn("sh", array_distinct(
+        call_function("graft_gramstrings", col("w"), lit(n))))
     val bandCols = (0 until Dedup.Bands).map { b =>
       md5(concat_ws("|", (0 until rows).map(r =>
         element_at(col("sig"), b * rows + r + 1).cast("string")): _*)).as(s"band$b")

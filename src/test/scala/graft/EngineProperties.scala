@@ -127,4 +127,66 @@ object EngineProperties extends Properties("graft") {
       }
       fast == slow
     }
+
+  // r17: the codegen'd md5-fold family (graft_hash60 / graft_gramhashes /
+  // graft_cmsbuckets) replaced the `conv(substr(md5(x), 1, 15), 16, 10)`
+  // SQL idiom at ~20 catalog sites; each must equal the SQL form it
+  // replaced BIT-FOR-BIT on arbitrary strings (multi-byte UTF-8 included —
+  // the fold reads raw digest bytes, the SQL form goes through the hex
+  // string; both hash the same UTF-8 encoding).
+  private val oddPiece =
+    Gen.oneOf("a", "z", " ", ":", "|", "é", "中", "𝄞" /* 𝄞 */, "'")
+  private val oddString = Gen.listOf(oddPiece).map(_.mkString)
+
+  property("graft_hash60 equals the conv(substr(md5)) SQL fold") =
+    Prop.forAll(Gen.listOfN(8, oddString)) { ss =>
+      import spark.implicits._
+      graft.functions.GraftFunctions.register(spark)
+      val df = ss.toDF("s")
+      df.select(
+          expr("graft_hash60(s)"),
+          expr("cast(conv(substr(md5(s), 1, 15), 16, 10) AS bigint)"))
+        .collect().forall(r => r.getLong(0) == r.getLong(1))
+    }
+
+  property("graft_gramhashes equals the per-i slice/concat_ws/md5 lambda") =
+    Prop.forAll(Gen.listOfN(4, Gen.listOf(oddString.suchThat(_.nonEmpty))),
+        Gen.chooseNum(1, 4)) { (docs, n) =>
+      import spark.implicits._
+      graft.functions.GraftFunctions.register(spark)
+      val df = docs.map(ws => Tuple1(ws)).toDF("w")
+      df.select(
+          expr(s"graft_gramhashes(w, $n)"),
+          expr(s"""CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n),
+                  |  i -> cast(conv(substr(md5(concat_ws(' ', slice(w, i + 1, $n))), 1, 15), 16, 10) AS bigint))
+                  |ELSE cast(array() AS array<bigint>) END""".stripMargin))
+        .collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+
+  property("graft_gramstrings equals the per-i slice/concat_ws lambda") =
+    Prop.forAll(Gen.listOfN(4, Gen.listOf(oddString.suchThat(_.nonEmpty))),
+        Gen.chooseNum(1, 4)) { (docs, n) =>
+      import spark.implicits._
+      graft.functions.GraftFunctions.register(spark)
+      val df = docs.map(ws => Tuple1(ws)).toDF("w")
+      df.select(
+          expr(s"graft_gramstrings(w, $n)"),
+          expr(s"""CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w) - $n),
+                  |  i -> concat_ws(' ', slice(w, i + 1, $n)))
+                  |ELSE cast(array() AS array<string>) END""".stripMargin))
+        .collect().forall(r => r.getSeq[String](0) == r.getSeq[String](1))
+    }
+
+  property("graft_cmsbuckets equals the per-j salted md5 lambda") =
+    Prop.forAll(Gen.listOfN(8, oddString)) { ss =>
+      import spark.implicits._
+      graft.functions.GraftFunctions.register(spark)
+      val df = ss.toDF("v")
+      df.select(
+          expr("graft_cmsbuckets(v, 4, 2048)"),
+          expr("""transform(sequence(0, 3), j ->
+                 |  cast(conv(substr(md5(concat('cms', cast(j AS string), ':', v)), 1, 15), 16, 10) AS bigint) % 2048)"""
+            .stripMargin))
+        .collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
 }
