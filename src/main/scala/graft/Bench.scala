@@ -38,8 +38,19 @@ object Bench {
     s"""{"loadavg":$loadavg,"mem_available_mb":$freeMb,"cpus":$cpus,"host_cores":${Runtime.getRuntime.availableProcessors}}"""
   }
 
-  private def writeArtifact(json: String): Unit = {
+  private def writeArtifact(json: String, compact: String): Unit = {
+    // Full artifact line first (the original driver contract — metric/
+    // value/unit/queries/sf), THEN a compact summary line WITHOUT the
+    // per-query map. VERDICT r17 #2: the driver keeps only a ~2000-char
+    // stdout TAIL, and the full line (200 per-query entries, ~8 KB) no
+    // longer fits — two rounds of PERF comparisons parsed null because the
+    // tail started mid-number inside the map. The compact line (~450
+    // chars) is printed LAST so any tail window ends with one complete,
+    // parseable JSON line carrying every summary field; the full line
+    // still prints (and lands in $SPARK_GRAFT_BENCH_OUT, the canonical
+    // copy) so nothing the driver ever read is removed.
     println(json)
+    println(compact)
     // ALSO land the line in a file: three rounds of captured stdout
     // artifacts arrived truncated (BENCH_r0{3,4,5}.json lost q01-q13 and
     // the total), so the file is the canonical copy.
@@ -157,7 +168,9 @@ object Bench {
     }.getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$passes","failed":${nErr > 0},"cohorts":${cohortsOf(results)},"queries":$qs,"errors":$errs,"machine":${machineJson(cpus)},"sf":"$sfDir"$isoJson}"""
-    writeArtifact(json)
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_$passes","failed":${nErr > 0},"n_queries":${results.size},"cohorts":${cohortsOf(results)},"errors":$errs,"machine":${machineJson(cpus)},"sf":"$sfDir","queries_in":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")}"}"""
+    writeArtifact(json, compact)
     spark.stop()
     if (nErr > 0) {
       System.err.println(s"[bench] $nErr queries FAILED — total invalid")
@@ -233,9 +246,12 @@ object Bench {
     val nErr = results.count(!_._3)
     val total =
       if (nErr > 0) -1.0 else results.collect { case (_, v, true) => v }.sum
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_3_fresh_jvm_per_cohort","failed":${nErr > 0},"cohorts":${cohortsOf(results)},"queries":$qs,"errors":$errs,"machine":${machineJson(cpus)},"sf":"${sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")}"}"""
-    writeArtifact(json)
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_3_fresh_jvm_per_cohort","failed":${nErr > 0},"cohorts":${cohortsOf(results)},"queries":$qs,"errors":$errs,"machine":${machineJson(cpus)},"sf":"$sfDir"}"""
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","agg":"min_of_3_fresh_jvm_per_cohort","failed":${nErr > 0},"n_queries":${results.size},"cohorts":${cohortsOf(results)},"errors":$errs,"machine":${machineJson(cpus)},"sf":"$sfDir","queries_in":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")}"}"""
+    writeArtifact(json, compact)
     if (nErr > 0) {
       System.err.println(s"[bench] $nErr queries FAILED — total invalid")
       sys.exit(1)

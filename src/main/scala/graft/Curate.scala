@@ -216,9 +216,8 @@ object Curate {
 
     // 3. Near-dup keep-set: inverted-index Jaccard pairs → connected
     //    components → keep the component label (its min doc_id) (q58).
-    val edges = Dedup.jaccardPairs(selfStripped, cfg.tau).select("a", "b").persist()
-    val comp = Dedup.connectedComponents(edges)
-    edges.unpersist()
+    val comp = Dedup.connectedComponents(
+      Dedup.jaccardPairs(selfStripped, cfg.tau).select("a", "b"))
     val kept = selfStripped
       .join(comp.select(col("v").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
       .filter(col("lbl").isNull || col("lbl") === col("doc_id"))

@@ -627,16 +627,14 @@ object Index {
         // Jaccard pair scan (floor-free), then the pointer-jumping rounds.
         val tau = rest.sliding(2).collectFirst { case List("--tau", v) => v.toDouble }
           .getOrElse(operators.Dedup.JaccardTau)
-        val edges = operators.Dedup.jaccardPairsFrom(
-            IndexStore.loadPairBuckets(spark, path), tau)
-          .select("a", "b").persist()
-        val comp = operators.Dedup.connectedComponents(edges)
+        val comp = operators.Dedup.connectedComponents(
+          operators.Dedup.jaccardPairsFrom(
+            IndexStore.loadPairBuckets(spark, path), tau).select("a", "b"))
         val stats = comp.groupBy("lbl").count()
           .agg(count(lit(1)).as("n_components"),
             coalesce(sum("count"), lit(0L)).as("n_docs"),
             coalesce(max("count"), lit(0L)).as("largest"))
           .head()
-        edges.unpersist()
         s"""{"mode":"components","tau":$tau,"n_components":${stats.getLong(0)},"n_docs":${stats.getLong(1)},"largest":${stats.getLong(2)}}"""
 
       case other => sys.error(

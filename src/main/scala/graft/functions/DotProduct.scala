@@ -150,6 +150,11 @@ object GraftFunctions {
       FunctionIdentifier("graft_hrw"),
       new ExpressionInfo(classOf[Hrw].getName, "graft_hrw"),
       (children: Seq[Expression]) => Hrw.build(children))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKRows].getName, "graft_topk"),
+      (children: Seq[Expression]) =>
+        TopKRows(children(0), children(1), children(2)))
     // Spark's runtime-filter bloom primitives as callable functions (q105);
     // both sides hash via XxHash64 (same default seed), matching the
     // InjectRuntimeFilter rule's own construction.

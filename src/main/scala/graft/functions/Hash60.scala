@@ -215,7 +215,14 @@ object GramStrings {
   * 16, 10) AS bigint) % w)` — the row-salted portable-hash idiom of the
   * CMS family (Audit.cmsBucketsSpark), minus the hex round trip, the
   * interpreted lambda, and the per-row concat allocations. d and w are
-  * int literals at every call site (CmsD/CmsW). */
+  * int literals at every call site (CmsD/CmsW).
+  *
+  * Null semantics (ADVICE r17, pinned by EngineProperties): a NULL value
+  * yields NULL — the lambda form yielded an array of d NULL buckets
+  * (d posexploded rows with null bucket). Every call site feeds non-null
+  * exploded words/grams, so the divergence is unreachable today; a new
+  * call site over a nullable column must filter nulls first (a null
+  * bucket row was never meaningful — it joined nothing). */
 case class CmsBuckets(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
 

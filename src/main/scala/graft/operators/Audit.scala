@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Sessions, Tables}
 
 /** Corpus-audit operators: mergeable-sketch cardinality (HLL), PII density,
   * and token-budget allocation — the bookkeeping layer a 100 TB curation
@@ -167,12 +167,24 @@ object Audit {
     // outw feeds the share build, the dangling flag, and the final out_w
     // join; |sources|-bounded, so the barrier is catalog-sized.
     val outw = edges.groupBy("src").agg(sum("w").as("ow")).localCheckpoint(true)
-    val esh = edges.join(outw, Seq("src"))
+    // r18 (VERDICT r17 #4): the share frame is checkpointed PRE-PARTITIONED
+    // on `src` — the key every round's contribution join probes — so the
+    // standing |E|-layout is reused round after round (the rank side, the
+    // small one, is what moves); without it each of the RankRounds joins
+    // re-exchanged the edge-share frame. The partition COUNT is explicit
+    // (the session's shuffle-partition knob) and the barrier goes through
+    // Sessions.checkpointPartitioned — a plain checkpoint under AQE
+    // captures UnknownPartitioning off the adaptive root and the layout
+    // was silently lost (caught in plans/r18/auth_round_*; the fixed
+    // dumps show the esh-side Exchange gone from the round join), exactly
+    // like connectedComponents' symmetric-frame barrier.
+    val esh = Sessions.checkpointPartitioned(edges.join(outw, Seq("src"))
       .select(col("src"), col("dst"),
         expr(s"CASE WHEN ow <= ${ShareScale * ShareScale}" +
           s" THEN (w * $ShareScale) div ow" +
           s" ELSE w div (ow div $ShareScale) END").as("sh"))
-      .localCheckpoint(true)
+      .repartition(
+        edges.sparkSession.sessionState.conf.numShufflePartitions, col("src")))
     val ncnt = nodes.agg(count(lit(1)).as("n"))
     // Rank frame schema: (source, r, n, seed, haslinks). n and seed are
     // constant per node; haslinks=false marks the dangling nodes (no
@@ -1569,6 +1581,11 @@ object Audit {
         // q159's MG candidates). Graded by q176's own oracle — output
         // identical means the persisted cells + totals reproduce the
         // text-derived sketch bit-for-bit.
+        // Explicit registration: the probe leg below parses
+        // expr(cmsBucketsSpark(...)) directly — without this it only
+        // works because saveSketchLegs happens to register first
+        // (ADVICE r17).
+        graft.functions.GraftFunctions.register(s)
         val scratch = graft.Scratch.dir("q179-store")
         val docs = Tables.load(s, dir, "documents")
         // Serves the FREQUENCY legs only (cells + totals) — see q178.

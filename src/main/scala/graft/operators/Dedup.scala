@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Sessions, Tables}
 
 /** Deduplication operators over `documents`: exact (hash-groupBy), word
   * n-gram Jaccard (inverted-index pair generation), MinHash+LSH
@@ -663,8 +663,30 @@ object Dedup {
     // dropped by the ContextCleaner once unreferenced.
     def barrier(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    val sym = edges.unionByName(
-      edges.select(col("b").as("a"), col("a").as("b")))
+    // r18 (VERDICT r17 #5 — per-round shuffle hygiene): the symmetric edge
+    // frame is built in ONE scan (explode of both directions — the old
+    // unionByName form read the edge lineage TWICE, which is why every
+    // call site had to persist() it first), hash-partitioned on the
+    // propagation join key `b`, and barrier'd ONCE. Every round's
+    // neighbor join then reuses the standing |E|-partitioning instead of
+    // re-exchanging the edge frame per round (the label side — |V|-sized,
+    // the small side — is what moves); callers no longer cache the edge
+    // frame at all. At a 10⁹-edge corpus this removes O(rounds) full edge
+    // shuffles and one corpus-sized cache residency.
+    // The partition COUNT is explicit (the session's shuffle-partition
+    // knob — cluster-configured, cpus locally) and the barrier goes
+    // through Sessions.checkpointPartitioned: a plain checkpoint under
+    // AQE captures UnknownPartitioning off the adaptive root, so the
+    // standing layout was silently lost and every round re-exchanged sym
+    // anyway (caught in plans/r18/cc_round_*; the fixed dumps show the
+    // sym-side Exchange gone from the round join).
+    val sym = Sessions.checkpointPartitioned(edges
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("b")), reliable)
     // Round-0 propagation folded into init: lbl = min(v, min neighbor),
     // computed by the same single shuffle the old `distinct()` init cost —
     // every graph converges one full barrier round earlier (the invariant
@@ -924,9 +946,7 @@ object Dedup {
     * The corpus is never windowed or re-shuffled by a derived key. */
   private[graft] def consolidateComponents(edges: DataFrame,
       docs: DataFrame): DataFrame = {
-    val e = edges.persist()
-    val comp = connectedComponents(e)
-    e.unpersist()
+    val comp = connectedComponents(edges)
     comp.select(col("v").as("doc_id"), col("lbl").as("component"))
       .join(docs.select("doc_id", "source", "n_chars"), Seq("doc_id"))
       .groupBy("component")
@@ -1107,12 +1127,12 @@ object Dedup {
     QueryDef(
       "q47_dedup_components",
       (s, dir) => {
-        // Edges persisted (the expensive subtree): union branches and every
-        // propagation round reread cached pairs, not the shingle pipeline.
+        // Edge mining runs ONCE into connectedComponents' own symmetric-
+        // frame barrier (r18 — the barrier replaced the persist() every
+        // call site used to need when the union read the lineage twice).
         val edges = jaccardPairs(Tables.load(s, dir, "documents"))
-          .select("a", "b").persist()
+          .select("a", "b")
         val result = connectedComponents(edges)
-        edges.unpersist()
         result.select(col("v").as("doc_id"), col("lbl").as("component"))
           .orderBy("doc_id")
       },
@@ -1143,9 +1163,7 @@ object Dedup {
         // join, keyed on doc_id; no broadcast assumption on comp (AQE
         // broadcasts it when it is in fact small).
         val docs = Tables.load(s, dir, "documents")
-        val edges = jaccardPairs(docs).select("a", "b").persist()
-        val comp = connectedComponents(edges)
-        edges.unpersist()
+        val comp = connectedComponents(jaccardPairs(docs).select("a", "b"))
         // lbl IS the component's min doc_id (min-label propagation), so
         // membership alone decides keep: a doc in comp keeps iff it is the
         // label; a doc not in comp is a singleton and keeps itself.
@@ -2104,9 +2122,7 @@ object Dedup {
         // singletons fall through as their own component via coalesce.
         graft.functions.GraftFunctions.register(s)
         val docs = Tables.load(s, dir, "documents")
-        val edges = jaccardPairs(docs).select("a", "b").persist()
-        val comp = connectedComponents(edges)
-        edges.unpersist()
+        val comp = connectedComponents(jaccardPairs(docs).select("a", "b"))
         docs.select(col("doc_id"))
           .join(comp.select(col("v").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("component"))

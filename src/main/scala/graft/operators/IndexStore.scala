@@ -380,7 +380,21 @@ object IndexStore {
         // rangeKeyed: contiguous sortCols ranges per file, so per-file
         // min/max stats keep serving range predicates after the rewrite
         // (the merkle leaf table's tail-append path reads `pos >= floor`).
-        val width = if (parts > 0) parts else writeParallelism(spark)
+        // Width tracks the cluster (writeParallelism) but never EXCEEDS
+        // the standing file count: compacting a table with fewer files
+        // than shuffle partitions used to re-spread it WIDER — a file-
+        // count increase from a verb whose contract is folding appends
+        // (surfaced when the test session went 2 → 8 cores, r18).
+        val nFiles = {
+          val it = fs.listFiles(cur, true)
+          var n = 0
+          while (it.hasNext) {
+            if (it.next().getPath.getName.startsWith("part-")) n += 1
+          }
+          n
+        }
+        val width = if (parts > 0) parts
+          else math.max(1, math.min(writeParallelism(spark), nFiles - 1))
         val r =
           if (rangeKeyed) compacted.repartitionByRange(width,
             sortCols.map(col): _*)
@@ -526,7 +540,8 @@ object IndexStore {
   /** Compact the winnow bucket table. `appendWinnowBatch` is a keyed
     * MERGE that already rewrites the table (no per-append file growth) —
     * this verb exists for layout hygiene after external copies or to
-    * re-spread a table written at a different parallelism. */
+    * re-fold a table written at a wider parallelism (the rewrite width
+    * never exceeds the standing file count — see swapRewrite). */
   def compactWinnowIndex(spark: SparkSession, path: String): Unit =
     swapRewrite(spark, s"$path/winnow/buckets",
       spark.read.parquet(s"$path/winnow/buckets"),
@@ -1656,24 +1671,23 @@ object IndexStore {
       .select(col("qid"), col("vec_id"), expr(
         s"""cast(floor(1.0e9 * graft_dot(flatten(transform(
            |  sequence(0, ${Vectors.PqM - 1}), s -> cbn[s][codes[s]])), qn)) AS bigint)""".stripMargin).as("ascore"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => graft.functions.Scored(t._2, t._3))
-      .agg(new graft.functions.TopKAggregator(rr).toColumn.name("top"))
-      .flatMap { case (qid, items) => items.map(it => (qid, it.doc_id)) }
-      .toDF("qid", "vec_id")
+      // r18 (VERDICT r17 #7): graft_topk replaces the typed TopKAggregator
+      // on BOTH the ADC cut and the exact re-rank — identical bounded
+      // (score DESC, vec_id ASC) selection, no object boundary around the
+      // aggregation (see TextOps.sparseRanked).
+      .groupBy("qid")
+      .agg(expr(s"graft_topk(ascore, vec_id, $rr)").as("top"))
+      .select(col("qid"),
+        explode(expr("transform(top, t -> t.doc_id)")).as("vec_id"))
     emb.join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         expr("cast(floor(1.0e9 * graft_dot(en, qn)) AS bigint)").as("sc"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => graft.functions.Scored(t._2, t._3))
-      .agg(new graft.functions.TopKAggregator(TextOps.RetrK).toColumn.name("top"))
-      .flatMap { case (qid, items) =>
-        items.zipWithIndex.map { case (it, i) => (qid, i + 1L, it.doc_id, it.score) }
-      }
-      .toDF("qid", "rk", "doc_id", "score")
+      .groupBy("qid")
+      .agg(expr(s"graft_topk(sc, vec_id, ${TextOps.RetrK})").as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.doc_id").as("doc_id"), col("col.score").as("score"))
   }
 
   /** Add a batch of vectors to a persisted IVF index WITHOUT rebuilding:

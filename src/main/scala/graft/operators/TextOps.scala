@@ -205,7 +205,7 @@ object TextOps {
     * Construction and scale shape are q110's, unchanged — see the q110
     * QueryDef scaladoc for the full design notes. */
   def sparseRanked(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val words = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -226,14 +226,16 @@ object TextOps {
           |  / (tfc + 1.2e0 * (1.0e0 - 7.5e-1 + 7.5e-1 * nd / (tot / nn)))) AS bigint)"""
           .stripMargin).as("contrib"))
       .groupBy("qid", "doc_id").agg(sum("contrib").as("sc"))
-      .as[(Long, Long, Long)]
-    scored.groupByKey(_._1)
-      .mapValues(t => graft.functions.Scored(t._2, t._3))
-      .agg(new graft.functions.TopKAggregator(RetrK).toColumn.name("top"))
-      .flatMap { case (qid, items) =>
-        items.zipWithIndex.map { case (it, i) => (qid, i + 1L, it.doc_id, it.score) }
-      }
-      .toDF("qid", "rk", "doc_id", "score")
+    // r18 (VERDICT r17 #7): top-k via the native graft_topk aggregate —
+    // same bounded (score DESC, doc_id ASC) state the typed TopKAggregator
+    // kept, minus the object boundary (no DeserializeToObject/
+    // SerializeFromObject, rows stay UnsafeRows through ObjectHashAggregate
+    // with map-side partials). Rank = position in the sorted top array.
+    scored.groupBy("qid")
+      .agg(expr(s"graft_topk(sc, doc_id, $RetrK)").as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.doc_id").as("doc_id"), col("col.score").as("score"))
   }
 
   /** DuckDB twin of `sparseRanked` as a CTE chain ending in
@@ -1321,29 +1323,28 @@ object TextOps {
     QueryDef(
       "q79_stratified_topn",
       (s, dir) => {
-        import s.implicits._
         // q52 thins each stratum by a RATE; epoch/eval-set construction
         // needs an exact COUNT per stratum. Deterministic "random" pick:
         // the 20 docs with the smallest 60-bit md5(doc_id) key per lang —
         // no RNG, stable under repartitioning, reproducible on any engine.
-        // Selection reuses the bounded TopKAggregator (score = -hkey, so
-        // top-k-by-score = smallest-hash-first): O(N) partial state with
-        // map-side combine, never a per-stratum window — with 4 langs and
-        // a 100 TB corpus, a lang-keyed window would concentrate a quarter
-        // of the corpus per task (the q58 lesson), while this plans as an
-        // ordinary partial+final aggregation.
+        // Selection uses the bounded graft_topk aggregate (score = -hkey,
+        // so top-k-by-score = smallest-hash-first): O(k) partial state
+        // with map-side combine, never a per-stratum window — with 4 langs
+        // and a 100 TB corpus, a lang-keyed window would concentrate a
+        // quarter of the corpus per task (the q58 lesson), while this
+        // plans as an ordinary partial+final aggregation. r18: the typed
+        // TopKAggregator path (which deserialized EVERY corpus row to a
+        // Scala object) swapped for the native aggregate — identical
+        // (score DESC, doc_id ASC) selection, TopKSpec pins it.
         graft.functions.GraftFunctions.register(s)
-        val ds = Tables.load(s, dir, "documents")
+        Tables.load(s, dir, "documents")
           .select(col("lang"), col("doc_id"),
             expr("-graft_hash60(cast(doc_id AS string))").as("score"))
-          .as[(String, Long, Long)]
-        ds.groupByKey(_._1)
-          .mapValues(t => graft.functions.Scored(t._2, t._3))
-          .agg(new graft.functions.TopKAggregator(20).toColumn.name("top"))
-          .flatMap { case (lang, items) =>
-            items.zipWithIndex.map { case (it, i) => (lang, i + 1L, it.doc_id, -it.score) }
-          }
-          .toDF("lang", "rk", "doc_id", "hkey")
+          .groupBy("lang")
+          .agg(expr("graft_topk(score, doc_id, 20)").as("top"))
+          .select(col("lang"), posexplode(col("top")))
+          .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+            col("col.doc_id").as("doc_id"), (-col("col.score")).as("hkey"))
           .orderBy("lang", "rk")
       },
       Some("""WITH keyed AS (

@@ -1246,12 +1246,13 @@ object Vectors {
                |  named_struct('p', ${MatPrefixes(1)}, 'sc', cast(floor(1.0e9 * graft_dot(en16, qn16)) AS bigint))))"""
               .stripMargin).as("v"))
           .select(col("qid"), col("vec_id"), col("v.p").as("p"), col("v.sc").as("sc"))
-          .as[(Long, Long, Int, Long)]
-          .groupByKey(x => (x._3, x._1))
-          .mapValues(x => graft.functions.Scored(x._2, x._4))
-          .agg(new graft.functions.TopKAggregator(MatK).toColumn.name("top"))
-          .flatMap { case ((p, qid), items) => items.map(it => (p, qid, it.doc_id)) }
-          .toDF("p", "qid", "doc_id")
+          // r18 (VERDICT r17 #7): graft_topk replaces the typed
+          // TopKAggregator path — identical bounded (sc DESC, vec_id ASC)
+          // selection per (p, qid), no object boundary (see sparseRanked).
+          .groupBy("p", "qid")
+          .agg(expr(s"graft_topk(sc, vec_id, $MatK)").as("top"))
+          .select(col("p"), col("qid"),
+            explode(expr("transform(top, t -> t.doc_id)")).as("doc_id"))
           .localCheckpoint(true)
         val full = top.filter(col("p") === 0).select(col("qid"), col("doc_id"))
         val pre = top.filter(col("p") =!= 0)
@@ -1304,22 +1305,21 @@ object Vectors {
     * the bounded TopKAggregator, never a corpus-wide rank window. The
     * dense half of the q161 fusion. */
   def denseRanked(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val emb = withNormalized(Tables.embeddings(s, dir)).select(col("vec_id"), col("en"))
     val q = emb.filter(col("vec_id") < TextOps.RetrQ)
       .select(col("vec_id").as("qid"), col("en").as("qn"))
+    // r18 (VERDICT r17 #7): graft_topk replaces the typed TopKAggregator
+    // path — same bounded (score DESC, vec_id ASC) top-k, no object
+    // boundary around the aggregation (see TextOps.sparseRanked).
     emb.filter(col("vec_id") >= TextOps.RetrQ)
       .crossJoin(broadcast(q))
       .select(col("qid"), col("vec_id"),
         expr("cast(floor(1.0e9 * graft_dot(en, qn)) AS bigint)").as("sc"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => graft.functions.Scored(t._2, t._3))
-      .agg(new graft.functions.TopKAggregator(TextOps.RetrK).toColumn.name("top"))
-      .flatMap { case (qid, items) =>
-        items.zipWithIndex.map { case (it, i) => (qid, i + 1L, it.doc_id, it.score) }
-      }
-      .toDF("qid", "rk", "doc_id", "score")
+      .groupBy("qid")
+      .agg(expr(s"graft_topk(sc, vec_id, ${TextOps.RetrK})").as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.doc_id").as("doc_id"), col("col.score").as("score"))
   }
 
   /** q88's PQ codebook as a broadcast 1-row frame `cb`: for each of the
@@ -1385,14 +1385,27 @@ object Vectors {
     * cid, whose position they are). PqM small ints per vector — the ENTIRE
     * stored footprint of the coded corpus. Positions, not cids: the decode
     * side turns into O(1) element_at lookups instead of a per-vector
-    * codebook filter. */
+    * codebook filter.
+    *
+    * r18 (VERDICT r17 #3, the r14 pqDecode fix applied to assign): the
+    * per-row expression used to re-run `filter(cb, c -> c.s = s)` — a scan
+    * of the FULL flat codebook (PqM·PqK struct reads) per subspace per
+    * vector, PqM·PqM·PqK total. The codebook is now pre-nested ONCE on the
+    * broadcast side (`cbs[s]` = subspace s's cid-sorted codeword list, the
+    * exact list the filter produced — filter preserves the (s, cid) sort),
+    * so each subspace costs one O(1) element_at plus its own PqK argmin
+    * fold. The argmin struct and the `graft_dot` distance expression are
+    * byte-for-byte unchanged (oracle-pinned double fold). */
   def pqAssign(emb: DataFrame, cb: DataFrame): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    emb.crossJoin(broadcast(cb))
+    val nested = cb.select(expr(
+      s"""transform(sequence(0, ${PqM - 1}), s ->
+         |  filter(cb, c -> c.s = s))""".stripMargin).as("cbs"))
+    emb.crossJoin(broadcast(nested))
       .select(col("vec_id"), expr(
         s"""transform(sequence(0, ${PqM - 1}), s ->
            |  array_min(transform(
-           |    filter(cb, c -> c.s = s),
+           |    cbs[s],
            |    (c, i) -> struct(
            |      graft_dot(c.cn, c.cn)
            |        - 2.0e0 * graft_dot(slice(en, s * (size(en) div $PqM) + 1, size(en) div $PqM), c.cn) AS d,

@@ -137,20 +137,31 @@ object EngineProperties extends Properties("graft") {
   private val oddPiece =
     Gen.oneOf("a", "z", " ", ":", "|", "é", "中", "𝄞" /* 𝄞 */, "'")
   private val oddString = Gen.listOf(oddPiece).map(_.mkString)
+  // ADVICE r17: null rows and null array ELEMENTS were ungenerated, so the
+  // concat_ws null-skip path in GramHashes/GramStrings and the null-input
+  // propagation of Hash60 were untested. 1-in-8 null injection covers
+  // both without starving the non-null folds.
+  private val oddStringOrNull: Gen[String] =
+    Gen.frequency(7 -> oddString, 1 -> Gen.const(null: String))
+  private val oddWords: Gen[List[String]] =
+    Gen.listOf(Gen.frequency(
+      7 -> oddString.suchThat(_.nonEmpty), 1 -> Gen.const(null: String)))
 
-  property("graft_hash60 equals the conv(substr(md5)) SQL fold") =
-    Prop.forAll(Gen.listOfN(8, oddString)) { ss =>
+  property("graft_hash60 equals the conv(substr(md5)) SQL fold (null rows incl.)") =
+    Prop.forAll(Gen.listOfN(8, oddStringOrNull)) { ss =>
       import spark.implicits._
       graft.functions.GraftFunctions.register(spark)
       val df = ss.toDF("s")
       df.select(
           expr("graft_hash60(s)"),
           expr("cast(conv(substr(md5(s), 1, 15), 16, 10) AS bigint)"))
-        .collect().forall(r => r.getLong(0) == r.getLong(1))
+        .collect().forall(r =>
+          (r.isNullAt(0) && r.isNullAt(1)) ||
+            (!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(0) == r.getLong(1)))
     }
 
   property("graft_gramhashes equals the per-i slice/concat_ws/md5 lambda") =
-    Prop.forAll(Gen.listOfN(4, Gen.listOf(oddString.suchThat(_.nonEmpty))),
+    Prop.forAll(Gen.listOfN(4, oddWords),
         Gen.chooseNum(1, 4)) { (docs, n) =>
       import spark.implicits._
       graft.functions.GraftFunctions.register(spark)
@@ -164,7 +175,7 @@ object EngineProperties extends Properties("graft") {
     }
 
   property("graft_gramstrings equals the per-i slice/concat_ws lambda") =
-    Prop.forAll(Gen.listOfN(4, Gen.listOf(oddString.suchThat(_.nonEmpty))),
+    Prop.forAll(Gen.listOfN(4, oddWords),
         Gen.chooseNum(1, 4)) { (docs, n) =>
       import spark.implicits._
       graft.functions.GraftFunctions.register(spark)
@@ -188,5 +199,24 @@ object EngineProperties extends Properties("graft") {
                  |  cast(conv(substr(md5(concat('cms', cast(j AS string), ':', v)), 1, 15), 16, 10) AS bigint) % 2048)"""
             .stripMargin))
         .collect().forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+
+  // ADVICE r17: CmsBuckets' null-INPUT semantics intentionally diverge
+  // from the lambda it replaced (NULL out vs an array of d null buckets) —
+  // unreachable at every call site (all feed non-null exploded words) but
+  // pinned here so the divergence is a documented decision, not a
+  // surprise. See the CmsBuckets scaladoc.
+  property("graft_cmsbuckets null input yields NULL (documented divergence)") =
+    Prop.forAll(Gen.const(0)) { _ =>
+      import spark.implicits._
+      graft.functions.GraftFunctions.register(spark)
+      val df = Seq(Option.empty[String]).toDF("v")
+      val r = df.select(
+        expr("graft_cmsbuckets(v, 4, 2048)"),
+        expr("""transform(sequence(0, 3), j ->
+               |  cast(conv(substr(md5(concat('cms', cast(j AS string), ':', v)), 1, 15), 16, 10) AS bigint) % 2048)"""
+          .stripMargin)).head()
+      r.isNullAt(0) && !r.isNullAt(1) &&
+        r.getSeq[Any](1).size == 4 && r.getSeq[Any](1).forall(_ == null)
     }
 }

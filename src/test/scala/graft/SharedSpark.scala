@@ -3,10 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** One shared session for all suites (sbt forks one test JVM); warehouse in
-  * a temp dir so catalog tests never pollute the repo. */
+  * a temp dir so catalog tests never pollute the repo.
+  *
+  * r18 (VERDICT r17 #1): the driver's `sbt test` run was killed mid-suite —
+  * the full run took 27 min at the old `local[2]`, nearly all of it
+  * multi-stage fixture pipelines running 2-wide on a 32-core box. Suites
+  * run at 8 cores / 8 shuffle partitions now (override with
+  * SPARK_GRAFT_TEST_CPUS); every assertion that depends on order carries
+  * its own sort, and the catalog queries are verified under varied
+  * SPARK_GRAFT_CPUS every round, so core count is not load-bearing. */
 object SharedSpark {
   lazy val spark: SparkSession = {
-    val s = Sessions.builder("local[2]", 2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_TEST_CPUS", "8").toInt
+    val s = Sessions.builder(s"local[$cpus]", cpus)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()

@@ -111,16 +111,27 @@ class JobCountSpec extends AnyFunSuite {
     "q180_len_quantiles_from_store", "q192_hh_from_store")
 
   test("building any catalog query plan launches zero jobs (probes are in-plan)") {
+    // r18 (VERDICT r17 #1, sbt-test wall time): this sweep took 146 s —
+    // the warm-up CONSTRUCTED every eager query (running its store builds)
+    // and the per-query jobsDuring paid a 500 ms listener-drain sleep ×
+    // ~145 queries. The warm-up now builds only the swept (non-eager) set
+    // — exactly the plans whose schema-inference jobs must be pre-paid —
+    // and the sweep counts jobs ONCE across all constructions (zero total
+    // ⇒ zero each); only on failure does the slow per-query attribution
+    // loop re-run to name the offender.
+    val swept = SparkEntry.all.filterNot(d => eagerByDesign(d.name))
     // First touch of a parquet/csv path infers its schema (one cached
     // footer/header job) — warm those so the sweep measures the QUERIES.
-    SparkEntry.all.foreach(d => try d.impl(spark, dir) catch { case _: Throwable => () })
+    swept.foreach(d => try d.impl(spark, dir) catch { case _: Throwable => () })
     // q33/q34/q59 were the r3 offenders (driver-side (n, dim)/count
     // probes); sweep the whole catalog so a future operator can't
     // reintroduce a probe unnoticed.
-    SparkEntry.all.filterNot(d => eagerByDesign(d.name)).foreach { d =>
+    val total = jobsDuring { swept.foreach(d => d.impl(spark, dir)) }
+    if (total != 0) swept.foreach { d =>
       val n = jobsDuring { d.impl(spark, dir) }
       assert(n == 0, s"${d.name}: plan construction launched $n job(s)")
     }
+    assert(total == 0, s"plan construction launched $total job(s) in total")
   }
 
   test("in-plan SRP planes equal the reference srpPlane derivation") {
